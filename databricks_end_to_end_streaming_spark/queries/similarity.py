@@ -1,0 +1,138 @@
+"""Similarity search over the ``embeddings`` table (north-star extension).
+
+Brute-force cosine top-k is the correctness baseline: broadcast the query
+set, score every (query, candidate) pair with built-in higher-order
+functions (zip_with dot product — stays JVM-side), rank with a window.
+At 100 TB the same plan holds as long as the query set is broadcastable;
+for large query sets the LSH-bucketed variant (operators/similarity.py)
+cuts candidates per query from |N| to a bucket.
+
+Output is rank-only (plus ids): float summation order differs between
+engines at the 1e-16 level, so ranks — stable under that noise — are the
+hash-checked contract; scores are validated in pytest with a tolerance.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load_table
+from . import query
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def cosine(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Cosine similarity of two array<float> columns, computed in double
+    (cast first — float accumulation drifts) via built-in HOFs."""
+    ac = F.transform(a, lambda x: x.cast("double"))
+    bc = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm(ac) * norm(bc))
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN: broadcast queries x full scan, cosine in doubles,
+    window top-k. The scan side never shuffles; only TOP_K rows per query
+    survive to the (tiny) window exchange."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qv", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@query(
+    "embedding_label_centroid_sim",
+    oracle="""
+    WITH stats AS (
+      SELECT label,
+             count(*) AS n,
+             CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS sum_d1,
+             CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS sum_d2
+      FROM embeddings GROUP BY label
+    )
+    SELECT label, n,
+           sum_d1 / n AS centroid_d1,
+           sum_d2 / n AS centroid_d2
+    FROM stats
+    """,
+)
+def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coordinates (first two dims) — grouped vector
+    aggregation. Decimal-cast sums keep the result engine-exact; floats
+    at 1e-7 granularity are exactly representable in DECIMAL(20,10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d1 = F.col("embedding")[0].cast("double").cast("decimal(20,10)")
+    d2 = F.col("embedding")[1].cast("double").cast("decimal(20,10)")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d1).cast("double").alias("sum_d1"),
+            F.sum(d2).cast("double").alias("sum_d2"),
+        )
+        .select(
+            "label",
+            "n",
+            (F.col("sum_d1") / F.col("n")).alias("centroid_d1"),
+            (F.col("sum_d2") / F.col("n")).alias("centroid_d2"),
+        )
+    )
+
+
+@query("embedding_cosine_neardup")  # rows-only: pairs above threshold
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine > 0.95) among a
+    bounded id range — the vector analog of text near-dup. The scale path
+    replaces the bounded range with LSH bucketing
+    (operators/similarity.py); pytest plants true duplicates."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("score"))
+        .where(F.col("score") > 0.95)
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extensions: the pieces a large-scale LLM training-data pipeline needs).
+
+All four are pure built-in-function pipelines — no Python UDFs — so they
+run JVM-side inside whole-stage codegen and scale linearly with the scan.
+Cross-engine determinism tricks:
+
+* Occurrence counts use replace()-length arithmetic (integer-exact, no
+  regex-dialect drift between Spark and DuckDB).
+* Ratios are a single IEEE double division of two exact integers.
+* Fingerprints are md5 over an identically-normalized string.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load_table
+from . import query
+
+# Marker stopwords for the language-id heuristic: counts of these (as
+# whole words) vote for a language. Deliberately tiny — it's an n-gram
+# heuristic, not a model; the point is the distributed shape + parity.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def _occurrences(col: str, needle: str) -> F.Column:
+    """Count non-overlapping occurrences of ``needle`` via replace-length
+    arithmetic — exact integer math, portable to any SQL engine."""
+    padded = F.concat(F.lit(" "), F.col(col), F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(f" {needle} "), F.lit(" "))))
+        / (F.length(F.lit(f"{needle} ")))
+    ).cast("long")
+
+
+def _occurrences_sql(col: str, needle: str) -> str:
+    padded = f"concat(' ', {col}, ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, ' {needle} ', ' ')))"
+        f" / {len(needle) + 1} AS BIGINT)"
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_actual,
+      CAST(length(text) AS DOUBLE) /
+        CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS chars_per_token
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the cheapest proxy for LLM token budget
+    accounting; one narrow projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), " +")).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT
+      doc_id,
+      n_tokens,
+      the_hits,
+      CAST(n_tokens AS DOUBLE) / n_chars_actual AS token_density,
+      CAST(the_hits AS DOUBLE) / n_tokens       AS stopword_ratio
+    FROM (
+      SELECT
+        doc_id,
+        CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_actual,
+        CAST((length(concat(' ', text, ' ')) -
+              length(replace(concat(' ', text, ' '), ' the ', ' '))) / 4 AS BIGINT)
+          AS the_hits
+      FROM documents
+    )
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features (length / token-density / stopword
+    ratio) used to filter noisy documents before training."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), " +")).cast("long")
+    n_chars = F.length("text").cast("long")
+    the_hits = _occurrences("text", "the")
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_actual"),
+        the_hits.alias("the_hits"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "the_hits",
+        (F.col("n_tokens").cast("double") / F.col("n_chars_actual")).alias(
+            "token_density"
+        ),
+        (F.col("the_hits").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+    )
+
+
+def _lang_vote_spark(col: str) -> F.Column:
+    """Pick the language whose marker-word hit count is highest
+    (ties break by language code order, via the > comparison chain)."""
+    scores = {
+        lang: sum([_occurrences(col, w) for w in words], F.lit(0).cast("long"))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(_LANG_MARKERS):  # later langs must strictly beat
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def _lang_vote_sql(col: str) -> str:
+    def score(lang: str) -> str:
+        return " + ".join(_occurrences_sql(col, w) for w in _LANG_MARKERS[lang])
+
+    # Mirror the Spark fold exactly: iterate langs in sorted order, a new
+    # lang wins only with a strictly higher score.
+    expr_lang, expr_score = "'unknown'", "CAST(0 AS BIGINT)"
+    for lang in sorted(_LANG_MARKERS):
+        s = f"({score(lang)})"
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_labeled, {_lang_vote_sql('text')} AS lang_predicted
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification (n-gram heuristic family).
+    Scores every language's stopword hits in one projection pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        _lang_vote_spark("text").alias("lang_predicted"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+      substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8) AS bucket
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprint — the join key for exact
+    dedup and the partition key for sharded near-dup passes."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("bucket"),
+    )
