@@ -1,11 +1,23 @@
 """Deduplication operators over ``documents`` (north-star extensions).
 
 Exact dedup is a hash-groupBy; near-dup is MinHash+LSH expressed entirely
-in built-in JVM functions (shingle -> minhash -> band -> bucket join) so
+in built-in JVM functions (shingle -> minhash -> band -> bucket-join) so
 the hot path never leaves whole-stage codegen. At 100 TB the LSH variant
 is the only workable shape: candidate generation is a shuffle on band
 signatures (tiny rows), and the exact-Jaccard verification only touches
 candidate pairs instead of the O(n^2) cross product.
+
+Plan shape (scale rationale):
+* Shingles are exploded to rows ONCE and the 16 minhashes are plain
+  ``min`` aggregates — algebraic, so Spark plants map-side partial
+  aggregation and the shuffle carries one 16-column row per document.
+  (A first cut built array<minhash> via 16 nested ``transform`` HOFs over
+  a shingle-array column; Catalyst's project-collapse inlined the shingle
+  generation 16x and it was ~30x slower. Explode+agg is the right shape.)
+* Duplicate shingles need no array_distinct before min() — min over a
+  multiset equals min over its set.
+* Exact-Jaccard verification re-derives shingle sets only for documents
+  that appear in some candidate pair (semi-join pushdown on the re-scan).
 
 Algorithm background: Broder's MinHash (1997) and the standard banding
 construction (Mining of Massive Datasets §3.4) — public literature.
@@ -19,14 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 from ..tables import load_table
 from . import query
 
-SHINGLE_K = 5  # character shingle width
+SHINGLE_W = 3  # words per shingle (word shingles: low background jaccard)
 N_HASHES = 16  # minhash signature length
-N_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.5 pairs w.h.p.
+N_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.7 pairs w.h.p.
 ROWS_PER_BAND = N_HASHES // N_BANDS
+NEARDUP_THRESHOLD = 0.7
 
 
 def _norm(col: str = "text") -> F.Column:
     return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def _word_shingles(tokens_col: str, w: int = SHINGLE_W) -> F.Column:
+    """array<string> of w-word shingles from a materialized token-array
+    column. Takes a column NAME on purpose: passing an expression would
+    re-evaluate tokenization per element inside the lambda."""
+    toks = F.col(tokens_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (w - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, w), " "),
+    )
 
 
 @query(
@@ -55,43 +79,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + a ``signature`` array<bigint> of N_HASHES minhashes.
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, h0..h{N-1}): minhash signature as columns.
 
-    Shingles and hashing stay inside built-in higher-order functions:
-    sequence/transform produce the k-char shingles, xxhash64 (seeded by
-    index via string salt) simulates the independent hash family, and
-    array_min folds each into a signature slot.
+    Explode shingles to rows, hash each once per seed, min-aggregate.
+    The agg is partial (map-side combine), so the exchange carries one
+    row per doc regardless of document length.
     """
-    norm = _norm(text_col)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (SHINGLE_K - 1), F.lit(1))),
-            lambda i: norm.substr(i, F.lit(SHINGLE_K)),
-        )
+    toks = docs.select("doc_id", F.split(_norm(text_col), " ").alias("toks"))
+    exploded = toks.select(
+        "doc_id", F.explode(_word_shingles("toks")).alias("sh")
     )
-    sig = F.array(
+    return exploded.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, seed=h: F.xxhash64(s, F.lit(seed))
-                )
-            )
-            for h in range(N_HASHES)
+            F.min(F.xxhash64("sh", F.lit(seed))).alias(f"h{seed}")
+            for seed in range(N_HASHES)
         ]
     )
-    return (
-        df.select("doc_id", shingles.alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .select("doc_id", sig.alias("signature"), "shingles")
-    )
 
 
-def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Band the signatures and self-join on (band_id, band_signature) to
-    produce candidate pairs (doc_a < doc_b). The join key is a 64-bit hash
-    of each band's slice, so the shuffle rows are tiny regardless of
-    document size."""
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing at least one LSH band.
+
+    Band signature = xxhash64 of the band's minhash slots; the band rows
+    are (doc_id, band_id, band_sig) — tiny — and the self-join shuffles
+    on (band_id, band_sig), where AQE splits any hot bucket.
+    """
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -101,10 +114,8 @@ def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
                             *[
-                                F.col("signature")[i]
-                                for i in range(
-                                    b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
-                                )
+                                F.col(f"h{i}")
+                                for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
                             ]
                         ).alias("band_sig"),
                     )
@@ -122,22 +133,28 @@ def minhash_lsh_candidates(sigs: DataFrame) -> DataFrame:
             & (F.col("l.band_sig") == F.col("r.band_sig"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
 
 
-def exact_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
-    """Verify candidates with exact shingle-set Jaccard (array_intersect /
-    array_union on the shingle arrays) — touches only candidate pairs."""
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only.
+
+    Re-derives shingle arrays from a fresh scan restricted (left-semi)
+    to documents that occur in candidates — at scale this reads a tiny
+    fraction of the corpus instead of caching all shingle arrays.
+    """
+    ids = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh = (
+        docs.join(ids, "doc_id", "left_semi")
+        .select("doc_id", F.split(_norm(text_col), " ").alias("toks"))
+        .select("doc_id", F.array_distinct(_word_shingles("toks")).alias("shingles"))
     )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -147,20 +164,16 @@ def exact_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # streaming-state-free but not SQL-expressible
+@query("dedup_minhash_lsh")  # not SQL-expressible -> rows-only driver check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
-    (jaccard >= 0.5). Rows-only driver check; exactness is pytest-verified
-    against a pure-Python reference on planted near-dups
+    (word-shingle jaccard >= NEARDUP_THRESHOLD). Exactness is
+    pytest-verified against a pure-Python reference on planted near-dups
     (tests/test_dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = shingle_minhash(d)
-    pairs = minhash_lsh_candidates(sigs)
-    return (
-        exact_jaccard(pairs, sigs)
-        .where(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    )
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+    return verify_jaccard(pairs, d).where(F.col("jaccard") >= NEARDUP_THRESHOLD)
 
 
 @query(
@@ -186,21 +199,19 @@ def dedup_ngram_overlap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth that the LSH pipeline approximates. (Quadratic; gated to
     a small id range — LSH is the scale path.)"""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
-    norm = _norm()
-    shingles = F.array_distinct(
+    char_shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.length(norm) - 3),
-            lambda i: norm.substr(i, F.lit(4)),
+            F.sequence(F.lit(1), F.greatest(F.length("nrm") - 3, F.lit(1))),
+            lambda i: F.col("nrm").substr(i, F.lit(4)),
         )
     )
-    sh = d.select("doc_id", shingles.alias("shingles"))
+    sh = d.select("doc_id", _norm().alias("nrm")).select(
+        "doc_id", char_shingles.alias("shingles")
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - inter
-    )
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
