@@ -32,8 +32,8 @@ from ..tables import load_table
 from . import query
 
 SHINGLE_W = 3  # words per shingle (word shingles: low background jaccard)
-N_HASHES = 16  # minhash signature length
-N_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.7 pairs w.h.p.
+N_HASHES = 32  # minhash signature length
+N_BANDS = 8  # 8 bands x 4 rows: ~89% recall at j=0.7, ~99% at j=0.8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 NEARDUP_THRESHOLD = 0.7
 

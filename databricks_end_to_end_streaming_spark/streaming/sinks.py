@@ -1,0 +1,73 @@
+"""Table abstraction for the medallion layers.
+
+The reference sinks everything to Delta catalog tables (saveAsTable /
+toTable with mergeSchema — SURVEY K1-K3, T9). OSS Delta isn't available
+in this container, so ParquetTable provides the same observable
+contract on a parquet directory:
+
+* append with schema evolution  -> each append writes its own files;
+  reads use mergeSchema so the table union-widens (v1 rows read NULL for
+  v2-only columns — exactly Delta's mergeSchema semantics for our case);
+* idempotent foreachBatch appends -> each (batch_id, partition_key)
+  lands in a deterministic subdirectory written with overwrite, so a
+  replayed micro-batch overwrites itself instead of double-appending
+  (the parquet stand-in for Delta's txnAppId/txnVersion — SURVEY T7);
+* batch & streaming reads of the same table.
+
+On a Delta-enabled cluster this class collapses to format("delta") with
+mergeSchema=true; the call sites wouldn't change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTable:
+    def __init__(self, path: str, partition_by: list[str] | None = None):
+        self.path = path
+        self.partition_by = partition_by or []
+
+    def exists(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def append(self, df: DataFrame) -> None:
+        """Plain append with evolution-by-mergeSchema-on-read."""
+        w = df.write.mode("append")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+    def idempotent_append(self, df: DataFrame, token: str) -> None:
+        """Append keyed by a replay token (e.g. 'batchid=7/schemaid=2'):
+        a re-run with the same token overwrites its own output."""
+        df.write.mode("overwrite").parquet(os.path.join(self.path, token))
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full rewrite — complete-output-mode sink (gold, SURVEY K3)."""
+        df.write.mode("overwrite").parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .option("recursiveFileLookup", "false")
+            .parquet(self.path)
+        )
+
+    def stream(self, spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
+        """Incremental read as a stream (Delta-streaming-source stand-in,
+        SURVEY S3). Schema is pinned from a batch read (the union-widened
+        shape) so late-arriving columns surface as NULLs."""
+        schema = self.read(spark).schema
+        reader = spark.readStream.schema(schema).option("mergeSchema", "true")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.parquet(self.path)

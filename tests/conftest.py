@@ -1,0 +1,23 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from databricks_end_to_end_streaming_spark import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("pytest", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)

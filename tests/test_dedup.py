@@ -1,0 +1,86 @@
+"""MinHash-LSH near-dup detection vs a pure-Python exact reference on
+planted near-duplicates (SURVEY M4 / north-star dedup)."""
+
+from __future__ import annotations
+
+import random
+
+from databricks_end_to_end_streaming_spark.queries.dedup import (
+    NEARDUP_THRESHOLD,
+    SHINGLE_W,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    verify_jaccard,
+)
+
+WORDS = (
+    "spark stream batch merge join filter window state store shuffle "
+    "column row group agg sort hash scan table query plan"
+).split()
+
+
+def make_docs(n=60, n_dups=12, seed=99):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n):
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(80))))
+    # plant near-duplicates: copy an original and perturb a few words
+    planted = []
+    for j in range(n_dups):
+        src_id, text = docs[rng.randrange(n)]
+        toks = text.split()
+        for _ in range(3):  # ~4% of tokens changed
+            toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+        docs.append((n + j, " ".join(toks)))
+        planted.append((src_id, n + j))
+    return docs, planted
+
+
+def word_jaccard(a: str, b: str, w: int = SHINGLE_W) -> float:
+    sa = {" ".join(a.split()[i : i + w]) for i in range(max(len(a.split()) - w + 1, 1))}
+    sb = {" ".join(b.split()[i : i + w]) for i in range(max(len(b.split()) - w + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_lsh_finds_planted_neardups_and_values_match_reference(spark):
+    docs, planted = make_docs()
+    texts = dict(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = minhash_signatures(df)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = verify_jaccard(pairs, df)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in verified.where(f"jaccard >= {NEARDUP_THRESHOLD}").collect()
+    }
+
+    # exact ground truth over ALL pairs (quadratic python loop)
+    ids = sorted(texts)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = word_jaccard(texts[a], texts[b])
+            if j >= NEARDUP_THRESHOLD:
+                truth[(a, b)] = j
+
+    # planted dups really are near-dups, and all were caught
+    assert truth, "fixture produced no true near-dup pairs"
+    planted_set = {(min(a, b), max(a, b)) for a, b in planted}
+    assert planted_set <= set(truth)
+    # verification guarantees no false positives; LSH banding is
+    # probabilistic on recall (8x4 banding: ~89% at j=0.7), so assert
+    # the planted (high-j) pairs plus a recall floor, not set equality
+    assert set(got) <= set(truth)
+    assert planted_set <= set(got)
+    assert len(got) >= 0.8 * len(truth)
+    for pair, j in got.items():
+        assert abs(truth[pair] - j) < 1e-9
+
+
+def test_minhash_signature_is_deterministic(spark):
+    docs, _ = make_docs(n=10, n_dups=0)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    s1 = {r["doc_id"]: (r["h0"], r["h7"]) for r in minhash_signatures(df).collect()}
+    s2 = {r["doc_id"]: (r["h0"], r["h7"]) for r in minhash_signatures(df).collect()}
+    assert s1 == s2

@@ -1,0 +1,185 @@
+"""Ingestion demux end-to-end (SURVEY M2): wire-format slicing, per-id
+decode, PERMISSIVE/FAILFAST, schema evolution, replay idempotence."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.functions.binary import (
+    be_int_from_bytes,
+    confluent_payload,
+    confluent_schema_id,
+    glue_payload,
+    glue_schema_uuid,
+)
+from databricks_end_to_end_streaming_spark.registry import InMemorySchemaRegistry
+from databricks_end_to_end_streaming_spark.schemas import (
+    PRODUCT_V1_JSON,
+    PRODUCT_V2_JSON,
+)
+from databricks_end_to_end_streaming_spark.sources import (
+    events_to_wire,
+    file_stream,
+    generate_events,
+    write_topic_files,
+)
+from databricks_end_to_end_streaming_spark.sources.generator import GLUE_UUIDS
+from databricks_end_to_end_streaming_spark.streaming import (
+    ParquetTable,
+    ingest_avro_stream,
+)
+from databricks_end_to_end_streaming_spark.streaming.ingest import (
+    confluent_framing,
+    glue_framing,
+)
+
+CONFLUENT_REGISTRY = InMemorySchemaRegistry({1: PRODUCT_V1_JSON, 2: PRODUCT_V2_JSON})
+GLUE_REGISTRY = InMemorySchemaRegistry(
+    {GLUE_UUIDS[1].hex: PRODUCT_V1_JSON, GLUE_UUIDS[2].hex: PRODUCT_V2_JSON}
+)
+
+
+def wire_df(spark, events, framing="confluent", corrupt_offsets=None):
+    from databricks_end_to_end_streaming_spark.sources.files import WIRE_SCHEMA
+
+    recs = events_to_wire(events, framing=framing, corrupt_offsets=corrupt_offsets)
+    rows = [
+        (r.key, r.value, r.topic, r.partition, r.offset, r.timestamp, r.timestampType)
+        for r in recs
+    ]
+    return spark.createDataFrame(rows, WIRE_SCHEMA)
+
+
+def test_confluent_header_slicing(spark):
+    events = generate_events(20, seed=1)
+    df = wire_df(spark, events)
+    got = df.select(
+        confluent_schema_id("value").alias("sid"),
+        F.length(confluent_payload("value")).alias("plen"),
+        F.length("value").alias("vlen"),
+    ).collect()
+    assert {r.sid for r in got} == {1, 2}
+    assert all(r.plen == r.vlen - 5 for r in got)
+
+
+def test_glue_header_slicing(spark):
+    events = generate_events(20, seed=2)
+    df = wire_df(spark, events, framing="glue")
+    got = df.select(
+        glue_schema_uuid("value").alias("sid"),
+        F.length(glue_payload("value")).alias("plen"),
+        F.length("value").alias("vlen"),
+    ).collect()
+    assert {r.sid for r in got} == {GLUE_UUIDS[1].hex, GLUE_UUIDS[2].hex}
+    assert all(r.plen == r.vlen - 18 for r in got)
+
+
+def test_be_int_decode(spark):
+    df = spark.createDataFrame([(bytes([0, 0, 1, 44]),), (bytes([0, 0, 0, 1]),)], "b binary")
+    vals = [r[0] for r in df.select(be_int_from_bytes("b")).collect()]
+    assert vals == [300, 1]
+
+
+@pytest.mark.parametrize("framing_name", ["confluent", "glue"])
+def test_ingest_end_to_end(spark, workdir, framing_name):
+    """v1/v2 interleaved stream -> raw table: all rows decoded, v1 rows
+    NULL for v2-only columns (mergeSchema widening, SURVEY T9 — null,
+    NOT the Avro default)."""
+    events = generate_events(60, seed=3, v1_ratio=0.4)
+    recs = events_to_wire(events, framing=framing_name)
+    write_topic_files(spark, recs, f"{workdir}/topic")
+
+    registry = CONFLUENT_REGISTRY if framing_name == "confluent" else GLUE_REGISTRY
+    framing = confluent_framing() if framing_name == "confluent" else glue_framing()
+    raw = ParquetTable(f"{workdir}/raw")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        registry,
+        raw,
+        checkpoint=f"{workdir}/cp/ingest",
+        framing=framing,
+    )
+
+    out = raw.read(spark)
+    flat = out.select("valueSchemaId", "parsedValue.*")
+    assert out.count() == len(events)
+    n_v1 = sum(1 for e in events if e["_version"] == 1)
+    v1_rows = flat.filter(F.col("size").isNull() & F.col("color").isNull())
+    assert v1_rows.count() == n_v1
+    # decoded content matches the generator exactly
+    got = {r["eventId"]: r for r in flat.collect()}
+    for ev in events:
+        row = got[ev["eventId"]]
+        assert row["productId"] == ev["productId"]
+        assert row["type"] == ev["type"]
+        assert row["timestamp"] == ev["timestamp"]
+        if ev["_version"] == 2:
+            assert row["size"] == ev["size"] and row["color"] == ev["color"]
+
+
+def test_ingest_permissive_nulls_corrupt_rows(spark, workdir):
+    events = generate_events(10, seed=4, v1_ratio=0.0)
+    recs = events_to_wire(events, corrupt_offsets={2, 5})
+    write_topic_files(spark, recs, f"{workdir}/topic")
+    raw = ParquetTable(f"{workdir}/raw")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        CONFLUENT_REGISTRY,
+        raw,
+        checkpoint=f"{workdir}/cp",
+        mode="PERMISSIVE",
+    )
+    out = raw.read(spark)
+    assert out.count() == 10
+    corrupt = out.filter(F.col("parsedValue.eventId").isNull())
+    assert corrupt.count() == 2
+    assert {r.offset for r in corrupt.select("offset").collect()} == {2, 5}
+
+
+def test_ingest_failfast_raises(spark, workdir):
+    events = generate_events(6, seed=5, v1_ratio=0.0)
+    recs = events_to_wire(events, corrupt_offsets={1})
+    write_topic_files(spark, recs, f"{workdir}/topic")
+    raw = ParquetTable(f"{workdir}/raw")
+    with pytest.raises(Exception):
+        ingest_avro_stream(
+            file_stream(spark, f"{workdir}/topic"),
+            CONFLUENT_REGISTRY,
+            raw,
+            checkpoint=f"{workdir}/cp",
+            mode="FAILFAST",
+        )
+
+
+def test_ingest_checkpoint_and_replay_idempotence(spark, workdir):
+    """Re-running the drained stream adds nothing (checkpoint respected);
+    re-processing the same batch df with the same batch_id overwrites
+    rather than double-appends (T7)."""
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        demux_decode_batch,
+    )
+
+    events = generate_events(30, seed=6)
+    recs = events_to_wire(events)
+    write_topic_files(spark, recs, f"{workdir}/topic")
+    raw = ParquetTable(f"{workdir}/raw")
+    src = file_stream(spark, f"{workdir}/topic")
+    ingest_avro_stream(src, CONFLUENT_REGISTRY, raw, checkpoint=f"{workdir}/cp")
+    assert raw.read(spark).count() == 30
+
+    # second run, same checkpoint: no new data -> no new rows
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        CONFLUENT_REGISTRY,
+        raw,
+        checkpoint=f"{workdir}/cp",
+    )
+    assert raw.read(spark).count() == 30
+
+    # simulate a foreachBatch REPLAY of batch 0: same token -> overwrite
+    batch_df = spark.read.parquet(f"{workdir}/topic")
+    demux_decode_batch(
+        batch_df, CONFLUENT_REGISTRY, confluent_framing(), raw, batch_id=0
+    )
+    assert raw.read(spark).count() == 30

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the 100 TB posture is only real if the
+plans show it (pushed filters, broadcast joins, partial aggregation,
+top-k without full sort). These guard against silent plan regressions."""
+
+from __future__ import annotations
+
+from databricks_end_to_end_streaming_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(spark, name: str) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    df = all_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = formatted_plan(spark, "tpch_q6_revenue_forecast")
+    assert "PushedFilters" in plan
+    # shipdate bounds + discount/quantity predicates reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_reads_only_needed_columns(spark):
+    plan = formatted_plan(spark, "tpch_q6_revenue_forecast")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_orderkey" not in read_schema  # untouched column pruned
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    # customer, supplier, nation, region all broadcast: >= 4 broadcasts
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q1_has_partial_aggregation(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    assert "partial" in plan.lower()  # map-side combine before exchange
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "sort_limit_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_of(spark, "knn_bruteforce_cosine")
+    assert "Broadcast" in plan
+
+
+def test_whole_stage_codegen_active_in_gold(spark):
+    # AQE materializes the final plan on execution; codegen spans render
+    # as "*(n)" stage markers in the plan string
+    df = all_queries()["medallion_gold_agg"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_gold_partial_agg_and_pruned_scan(spark):
+    plan = plan_of(spark, "medallion_gold_agg")
+    assert "partial_count" in plan
+    read_schema = plan.split("ReadSchema")[1]
+    assert "props" not in read_schema and "event_id" not in read_schema
