@@ -1,0 +1,188 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signatures, partitioning — is real and tested; the codec step (actual
+JPEG/WAV/MP4 decoding) is STUBBED because no media libraries exist in
+this container. Every stub is explicit: `decode_stub` raises
+NotImplementedError for real formats and produces a deterministic fake
+"decoded" array for the synthetic `fake/*` formats the tests generate.
+Swapping in Pillow/librosa/pyav later only changes `_decode_payload` —
+the distributed shape stays identical.
+
+Batch-shape rationale (100 TB): media rows are large (payload-dominated),
+so every operator streams Arrow record batches (mapInPandas) instead of
+collecting, keeps payload columns out of projections that don't need
+them, and repartitions by media_id range only when an operator (frame
+sampling) explodes row counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+_REAL_FORMATS = {"jpeg", "png", "wav", "mp3", "mp4", "webm"}
+
+
+def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
+    """STUB decode. Real formats raise (no media libs in this env);
+    synthetic `fake/raw` payloads decode deterministically: bytes are
+    the row-major pixel/sample buffer."""
+    fmt = (meta or {}).get("format") or "unknown"
+    if fmt in _REAL_FORMATS:
+        raise NotImplementedError(
+            f"decoding {fmt!r} requires a media library (Pillow/pyav); "
+            "not available in this environment"
+        )
+    if fmt != "fake/raw":
+        raise ValueError(f"unknown media format {fmt!r}")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    w, h, c = meta.get("width") or 1, meta.get("height") or 1, meta.get("channels") or 1
+    n = meta.get("n_frames") or 1
+    return arr[: w * h * c * n].reshape((n, h, w, c) if n > 1 else (h, w, c))
+
+
+def make_fake_payload(media_id: int, meta: dict) -> bytes:
+    """Deterministic synthetic payload for tests/fixtures: a seeded byte
+    pattern sized to the metadata."""
+    w, h, c = meta.get("width") or 1, meta.get("height") or 1, meta.get("channels") or 1
+    n = meta.get("n_frames") or 1
+    size = w * h * c * n
+    seed = hashlib.blake2b(str(media_id).encode(), digest_size=8).digest()
+    reps = size // len(seed) + 1
+    return (seed * reps)[:size]
+
+
+def image_feature_stats(media: DataFrame) -> DataFrame:
+    """Per-image intensity features (mean/std/min/max + a 4-bin
+    histogram) — the 'feature-extract' stage of a multimodal pipeline.
+    Arrow-batched; output drops the payload so downstream stages shuffle
+    small rows."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+            T.StructField("std_intensity", T.DoubleType()),
+            T.StructField("min_intensity", T.IntegerType()),
+            T.StructField("max_intensity", T.IntegerType()),
+            T.StructField("histogram", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = _decode_payload(bytes(row["payload"]), row["meta"])
+                hist = np.histogram(arr, bins=4, range=(0, 256))[0]
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "mean_intensity": float(arr.mean()),
+                        "std_intensity": float(arr.std()),
+                        "min_intensity": int(arr.min()),
+                        "max_intensity": int(arr.max()),
+                        "histogram": hist.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(mapper, out_schema)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize on the fake raster (a real impl swaps in
+    PIL.Image.resize). Payload in, payload out — same media schema, new
+    meta dims."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"])
+                arr = _decode_payload(bytes(row["payload"]), meta)
+                c = meta.get("channels") or 1
+                ys = (np.arange(out_h) * arr.shape[0] // out_h).astype(int)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w).astype(int)
+                resized = arr[ys][:, xs]
+                meta.update(width=out_w, height=out_h, channels=c)
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "payload": resized.tobytes(),
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(mapper, MEDIA_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Explode videos into every-k-th frame rows (media_id, frame_idx,
+    frame payload, meta) — the frame-sampling stage. Output rows multiply
+    by n_frames/k, so the operator repartitions afterwards to rebalance."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"])
+                frames = _decode_payload(bytes(row["payload"]), meta)
+                if frames.ndim != 4:
+                    frames = frames[np.newaxis, ...]
+                for idx in range(0, frames.shape[0], every_k):
+                    frame_meta = dict(meta, n_frames=1)
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": idx,
+                            "frame": frames[idx].tobytes(),
+                            "meta": frame_meta,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    sampled = media.where(F.col("kind") == "video").mapInPandas(mapper, out_schema)
+    # rebalance: frame explosion skews partition sizes by video length
+    return sampled.repartition("media_id")
+
+
+def decode_stub(payload: bytes, meta: dict) -> np.ndarray:
+    """Public entry to the stubbed decoder (tests + documentation)."""
+    return _decode_payload(payload, meta)

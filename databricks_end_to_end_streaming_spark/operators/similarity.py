@@ -1,0 +1,110 @@
+"""Approximate nearest neighbors: random-hyperplane LSH bucketing
+(Charikar 2002 SimHash-for-cosine; public literature).
+
+The brute-force kNN in queries/similarity.py is exact but O(|Q| x |N|).
+This is the 100 TB path: hash every vector to a small bucket id by the
+sign pattern of dot products with fixed random hyperplanes; only vectors
+sharing a bucket (in at least one of several independent tables) are
+scored. Candidate generation is a shuffle on (table, bucket) — tiny rows
+— and scoring touches a small candidate set per query.
+
+The hyperplanes are derived from a seeded NumPy RandomState captured in
+the UDF closure — identical on driver and every executor, no broadcast
+needed (same reasoning as the schema-string plan literals, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import pandas_udf
+
+from ..queries.similarity import cosine
+
+DEFAULT_N_BITS = 12
+DEFAULT_N_TABLES = 4
+
+
+def _planes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_tables, n_bits, dim))
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = DEFAULT_N_BITS,
+    n_tables: int = DEFAULT_N_TABLES,
+    seed: int = 42,
+) -> DataFrame:
+    """Append `buckets` array<long>: one sign-pattern bucket id per table.
+    Vectorized over Arrow batches: a (batch x dim) @ (dim x bits) matmul
+    per table."""
+    planes = _planes(dim, n_bits, n_tables, seed)
+
+    @pandas_udf("array<long>")
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        out = np.empty((mat.shape[0], planes.shape[0]), dtype=np.int64)
+        weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
+        for t in range(planes.shape[0]):
+            bits = (mat @ planes[t].T) > 0  # (n, bits)
+            out[:, t] = bits @ weights
+        return pd.Series(list(out))
+
+    return df.withColumn("buckets", bucketize(F.col(vec_col)))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    dim: int = 64,
+    n_bits: int = DEFAULT_N_BITS,
+    n_tables: int = DEFAULT_N_TABLES,
+) -> DataFrame:
+    """Approximate top-k neighbors per query: bucket-join candidates
+    (any shared table bucket), exact cosine on candidates, window top-k.
+    Returns (query_id, neighbor_id, rank, score)."""
+    cand_n = (
+        hyperplane_buckets(emb, vec_col, dim, n_bits, n_tables)
+        .select(
+            id_col,
+            vec_col,
+            F.posexplode("buckets").alias("table_id", "bucket"),
+        )
+    )
+    cand_q = (
+        hyperplane_buckets(
+            queries.withColumnRenamed(query_vec_col, "_qv"), "_qv", dim, n_bits, n_tables
+        )
+        .select(
+            query_id_col,
+            F.col("_qv").alias(query_vec_col),
+            F.posexplode("buckets").alias("table_id", "bucket"),
+        )
+    )
+    pairs = (
+        cand_q.join(cand_n, ["table_id", "bucket"])
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, query_vec_col, id_col, vec_col)
+        .distinct()  # a pair may collide in several tables
+    )
+    scored = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(query_vec_col, vec_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )

@@ -60,6 +60,6 @@ def _load_modules() -> None:
     if _LOADED:
         return
     # Import for registration side-effects.
-    from . import dedup, medallion, similarity, text, tpch  # noqa: F401
+    from . import dedup, extensions, medallion, similarity, text, tpch  # noqa: F401
 
     _LOADED = True

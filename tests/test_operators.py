@@ -1,0 +1,188 @@
+"""operators/ package: SimHash, hyperplane-LSH ANN, multimodal plumbing —
+each checked against a NumPy / pure-Python reference (SURVEY §5)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from databricks_end_to_end_streaming_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_stub,
+    image_feature_stats,
+    make_fake_payload,
+    resize_images,
+    sample_video_frames,
+)
+from databricks_end_to_end_streaming_spark.operators.simhash import (
+    _token_hash64,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
+from databricks_end_to_end_streaming_spark.operators.similarity import (
+    ann_lsh_topk,
+)
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def py_simhash(text: str) -> int:
+    votes = [0] * 64
+    for tok in text.lower().split():
+        h = _token_hash64(tok)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = sum(1 << b for b in range(64) if votes[b] > 0)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_matches_python_reference(spark):
+    rng = random.Random(3)
+    docs = [(i, " ".join(rng.choice(WORDS) for _ in range(30))) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    for i, text in docs:
+        assert got[i] == py_simhash(text)
+
+
+def test_simhash_finds_close_pairs_and_exact_hamming(spark):
+    rng = random.Random(4)
+    base_docs = [(i, " ".join(rng.choice(WORDS) for _ in range(60))) for i in range(25)]
+    # plant: identical copy (hamming 0) and a 1-word edit (small hamming)
+    copy_of_3 = (100, base_docs[3][1])
+    toks = base_docs[7][1].split()
+    toks[5] = "omega"
+    edit_of_7 = (101, " ".join(toks))
+    docs = base_docs + [copy_of_3, edit_of_7]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(3, 100)] == 0
+    # hamming reported must equal the python computation for all pairs
+    sig = {i: py_simhash(t) for i, t in docs}
+    for (a, b), h in pairs.items():
+        assert bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") == h
+
+
+def test_simhash_banding_guard():
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(None, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# ANN (hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    rng = np.random.RandomState(11)
+    n, dim = 400, 64
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near-identical neighbors for the first 5 vectors
+    for i in range(5):
+        vecs[n - 5 + i] = vecs[i] + rng.standard_normal(dim).astype(np.float32) * 0.05
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = ann_lsh_topk(emb, queries, k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    # brute-force ground truth in numpy
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for q in range(5):
+        true_top1 = int(np.argsort(-np.delete(sims[q], q))[0])
+        true_top1 = true_top1 if true_top1 < q else true_top1 + 1
+        assert true_top1 == n - 5 + q  # the planted twin is the true top-1
+        ranked = sorted(by_query[q])
+        assert ranked[0][1] == true_top1  # ANN finds it at rank 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def media_df(spark, rows):
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def meta(w=4, h=4, c=1, n=1, fmt="fake/raw", sr=None):
+    return {
+        "width": w,
+        "height": h,
+        "channels": c,
+        "sample_rate": sr,
+        "n_frames": n,
+        "format": fmt,
+    }
+
+
+def test_image_feature_stats_matches_numpy(spark):
+    m = meta(w=8, h=4)
+    rows = [(i, "image", make_fake_payload(i, m), m) for i in range(6)]
+    df = media_df(spark, rows)
+    got = {r["media_id"]: r for r in image_feature_stats(df).collect()}
+    for i, _, payload, mm in rows:
+        arr = np.frombuffer(payload, dtype=np.uint8).reshape(4, 8, 1)
+        assert got[i]["mean_intensity"] == pytest.approx(arr.mean())
+        assert got[i]["min_intensity"] == arr.min()
+        assert sum(got[i]["histogram"]) == arr.size
+
+
+def test_resize_plumbing_preserves_schema_and_dims(spark):
+    m = meta(w=8, h=8)
+    rows = [(1, "image", make_fake_payload(1, m), m)]
+    out = resize_images(media_df(spark, rows), out_w=4, out_h=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["meta"]["width"] == 4 and r["meta"]["height"] == 2
+    assert len(bytes(r["payload"])) == 4 * 2 * 1
+    # nearest-neighbor picks existing bytes
+    src = np.frombuffer(rows[0][2], dtype=np.uint8).reshape(8, 8, 1)
+    dst = np.frombuffer(bytes(r["payload"]), dtype=np.uint8).reshape(2, 4, 1)
+    assert set(dst.ravel()) <= set(src.ravel())
+
+
+def test_video_frame_sampling(spark):
+    m = meta(w=4, h=2, n=6)
+    rows = [
+        (7, "video", make_fake_payload(7, m), m),
+        (8, "image", make_fake_payload(8, meta(w=4, h=2)), meta(w=4, h=2)),
+    ]
+    out = sample_video_frames(media_df(spark, rows), every_k=2).collect()
+    # only the video row explodes; frames 0,2,4
+    assert {r["media_id"] for r in out} == {7}
+    assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]
+    for r in out:
+        assert len(bytes(r["frame"])) == 4 * 2 * 1
+        assert r["meta"]["n_frames"] == 1
+
+
+def test_real_format_decode_raises():
+    with pytest.raises(NotImplementedError, match="media library"):
+        decode_stub(b"\xff\xd8", {"format": "jpeg"})
+    with pytest.raises(ValueError, match="unknown media format"):
+        decode_stub(b"", {"format": "weird"})
