@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "knn_bruteforce_cosine",
     "text_quality_score",
+    "sessionize_events",
+    "asof_last_event_value",
 ]
 
 

@@ -60,6 +60,15 @@ def _load_modules() -> None:
     if _LOADED:
         return
     # Import for registration side-effects.
-    from . import dedup, extensions, medallion, similarity, text, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        dedup,
+        extensions,
+        medallion,
+        relational,
+        similarity,
+        text,
+        tpch,
+    )
 
     _LOADED = True

@@ -1,0 +1,256 @@
+"""Event-stream analytics: the windowed / ordered / exploded operator
+families over the ``events`` table (SURVEY §2.7 notes the reference has
+none of these — they come free with the DataFrame API, and a user of a
+streaming medallion pipeline needs them over silver/gold tables).
+
+Determinism: every window carries a total order (ts, event_id); time
+deltas are integer epoch-second arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load_table
+from . import query
+
+
+@query(
+    "window_lag_inter_event_gap",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             - CAST(floor(epoch(lag(CAST(ts AS TIMESTAMP))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                    AS BIGINT) AS gap_seconds
+    FROM events
+    """,
+)
+def window_lag_inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): seconds since the user's previous event (NULL for first)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_seconds"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                       - CAST(floor(epoch(lag(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                              AS BIGINT)
+                       > 3600
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+             sum(is_new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (1h inactivity closes a session):
+    lag -> break flag -> running sum -> per-session aggregate. The
+    streaming twin is F.session_window; this is the batch/backfill form."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 3600)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "explode_token_counts",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE doc_id < 50
+    )
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF family: explode tokens -> frequency table."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "count_distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand-based two-phase distinct count)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "running_total_per_user",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum window frame (ROWS UNBOUNDED PRECEDING)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@query(
+    "median_value_per_type_exact",
+    oracle="""
+    SELECT event_type, n, value AS median_low
+    FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    WHERE rn = (n + 1) // 2
+    """,
+)
+def median_value_per_type_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median by rank (engine-independent, unlike
+    interpolating percentile implementations)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    return (
+        e.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .where(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .select("event_type", "n", F.col("value").alias("median_low"))
+    )
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketch is engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the at-scale form of the
+    distinct count; sketch values differ per engine so the driver records
+    rows-only, and pytest bounds the relative error vs the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "asof_last_event_value",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           e.event_id AS asof_event_id
+    FROM orders o
+    LEFT JOIN LATERAL (
+      SELECT event_id
+      FROM events e
+      WHERE e.user_id = o.o_custkey % 20
+        AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
+      ORDER BY e.ts DESC, e.event_id DESC
+      LIMIT 1
+    ) e ON true
+    WHERE o.o_orderkey <= 2000
+    """,
+)
+def asof_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: latest event at-or-before each order date
+    for the order's (synthetic) user. Spark lacks a native as-of join;
+    the scalable composition is range-join + window-pick-latest."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 20).alias("user_id"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("odate"),
+        )
+    )
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    joined = o.join(e, (o.user_id == e.user_id) & (e.ts <= o.odate), "left")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", F.col("event_id").alias("asof_event_id"))
+    )

@@ -1,0 +1,241 @@
+"""Relational operator families beyond the core TPC-H set: outer/cross
+joins, scalar subqueries, cube, null handling, scalar math & string
+functions, in-lists. All DuckDB-oracled.
+
+Math-function parity notes: sqrt is IEEE-correctly-rounded (identical
+everywhere); exp/ln/pow are libm-dependent and deliberately avoided —
+squares are written x*x.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load_table
+from . import query
+
+
+@query(
+    "full_outer_join_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def full_outer_join_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    joined = c.join(s, "nationkey", "full_outer")
+    return joined.select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "cross_join_region_matrix",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("from_region"), F.col("r_regionkey").alias("ka"))
+    b = r.select(F.col("r_name").alias("to_region"), F.col("r_regionkey").alias("kb"))
+    return (
+        a.crossJoin(b).where(F.col("ka") != F.col("kb")).select("from_region", "to_region")
+    )
+
+
+@query(
+    "scalar_subquery_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                      AS DOUBLE) / count(*) * 2
+                          FROM orders)
+    """,
+)
+def scalar_subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: compare each row against a global aggregate
+    (broadcast of a 1-row frame — no driver round trip)."""
+    o = load_table(spark, sf_dir, "orders")
+    threshold = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+            * 2
+        ).alias("thr")
+    )
+    return (
+        o.crossJoin(F.broadcast(threshold))
+        .where(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "cube_order_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query(
+    "null_handling_coalesce_nullif",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS discount_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS discount_filled,
+           CASE WHEN l_tax > 0.05 THEN NULL ELSE l_tax END AS tax_capped,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 400
+    """,
+)
+def null_handling_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif("l_discount", F.lit(0.0)).alias("discount_or_null"),
+        F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(-1.0)).alias(
+            "discount_filled"
+        ),
+        F.when(F.col("l_tax") > 0.05, F.lit(None)).otherwise(F.col("l_tax")).alias(
+            "tax_capped"
+        ),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - l_quantity * 1000.0) AS abs_diff,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
+           sqrt(l_quantity)       AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey <= 400
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0).alias("abs_diff"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "string_transform_functions",
+    oracle="""
+    SELECT c_custkey,
+           trim(c_name)                        AS trimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(c_mktsegment)               AS seg_rev,
+           replace(c_name, '#', '-')           AS name_dashed,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           (c_mktsegment LIKE 'B%')            AS is_b_segment,
+           split_part(c_name, '#', 1)          AS name_head
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def string_transform_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.trim("c_name").alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.replace("c_name", F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.col("c_mktsegment").like("B%").alias("is_b_segment"),
+        F.split_part("c_name", F.lit("#"), F.lit(1)).alias("name_head"),
+    )
+
+
+@query(
+    "inlist_and_between_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 100000 AND 200000
+    """,
+)
+def inlist_and_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(100000, 200000)
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "date_arithmetic_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)   AS order_day,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INTEGER) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def date_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_epoch_start"),
+    )
