@@ -135,6 +135,51 @@ def gold_stage(
     )
 
 
+def gold_windowed_transform(df: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """The correct-at-scale rewrite of gold's "today" filter (SURVEY T3):
+    a tumbling 1-day event-time window with a watermark, so gold becomes
+    an append-mode stream of closed daily aggregates instead of a
+    complete-mode rewrite filtered to one day. Late rows beyond the
+    watermark are dropped instead of silently resurrected/lost (T4)."""
+    return (
+        df.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 day").alias("day"), "type", "color", "size")
+        .agg(
+            F.count("type").alias("count_type"),
+            F.count("color").alias("count_color"),
+            F.count("size").alias("count_size"),
+            F.max("event_time").alias("last"),
+        )
+        .select(
+            F.col("day.start").alias("day_start"),
+            "type",
+            "color",
+            "size",
+            "count_type",
+            "count_color",
+            "count_size",
+            "last",
+        )
+    )
+
+
+def gold_windowed_stage(
+    spark: SparkSession,
+    silver: ParquetTable,
+    gold: ParquetTable,
+    checkpoint: str,
+    watermark: str = "1 day",
+) -> None:
+    """Append-mode windowed gold: emits each day's aggregate once its
+    watermark passes; state is bounded by the watermark horizon."""
+    _run_append(
+        gold_windowed_transform(silver.stream(spark), watermark),
+        gold,
+        checkpoint,
+        "gold_windowed_layer",
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     workdir: str,
