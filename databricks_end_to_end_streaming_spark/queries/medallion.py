@@ -120,6 +120,57 @@ def gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gold_daily_windows",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+           event_type,
+           count(*) AS n_events,
+           max(CAST(ts AS TIMESTAMP)) AS last
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def gold_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch analog of the windowed gold stage (streaming/
+    medallion.py::gold_windowed_transform): tumbling 1-day F.window
+    aggregation — the correct-at-scale replacement for the reference's
+    plan-time "today" filter (SURVEY T3)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last"))
+        .select(
+            F.col("day.start").cast("timestamp_ntz").alias("day_start"),
+            "event_type",
+            "n_events",
+            "last",
+        )
+    )
+
+
+@query(
+    "sql_api_status_counts",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_api_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point (SURVEY S4 — `select count(*) from {t}`
+    at bronze.py:31): same Catalyst path as the DataFrame API, exercised
+    through SQL text over registered views."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_v GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
     "medallion_end_to_end",
     oracle=f"""
     WITH bronze AS (

@@ -166,6 +166,36 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, RE2-compatible subset (no lookahead): runs
+# identically under Java regex (Spark) and RE2 (DuckDB). Public pattern
+# family from the GPT-2 BPE paper/reference implementations.
+BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_pretokens,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counting (the LLM token-budget estimator) next
+    to whitespace tokens — both as JVM-side regexp built-ins."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_pretokens"),
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_ws_tokens"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

@@ -26,6 +26,20 @@ DAY = 86400
 BASE = 1704067200  # 2024-01-01T00:00:00Z
 
 
+def test_approx_distinct_within_rsd(spark):
+    """approx_count_distinct stays within ~5x the 2% target rsd of the
+    exact count on the driver tables (bounds the HLL sketch sanity)."""
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+
+    rows = all_queries()["approx_distinct_users"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel_err < 0.10
+
+
 def test_gold_windowed_emits_closed_days(spark, workdir):
     """Events spanning 4 days with a 1-day watermark, drained in one
     availableNow batch: final watermark = max_ts - 1d (early day 4), so
