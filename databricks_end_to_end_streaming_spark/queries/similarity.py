@@ -51,7 +51,7 @@ def cosine(a: str | F.Column, b: str | F.Column) -> F.Column:
              list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
       FROM q JOIN embeddings e ON e.vec_id <> q.query_id
     )
-    SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
       SELECT query_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, neighbor_id) AS rank

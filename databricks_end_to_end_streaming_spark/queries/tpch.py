@@ -282,7 +282,7 @@ def set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_top3_orders_per_segment",
     oracle="""
-    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
     FROM (
       SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
              row_number() OVER (PARTITION BY c.c_mktsegment
@@ -446,7 +446,7 @@ def date_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_custkey,
       upper(c_name)                   AS name_upper,
       substr(c_name, 1, 8)            AS name_prefix,
-      length(c_name)                  AS name_len,
+      CAST(length(c_name) AS INTEGER) AS name_len,
       concat(c_mktsegment, ':', c_name) AS tagged
     FROM customer
     WHERE c_custkey <= 100

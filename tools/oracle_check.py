@@ -50,6 +50,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
             f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
         )
         return problems
+    # Raw (pre-normalization) dtype drift: the driver may hash raw widths,
+    # so int32-vs-int64 etc. is a failure here too. datetime64 resolution
+    # is exempt: Spark's pandas conversion always reports [ns] while its
+    # Arrow schema (what the driver sees) is [us] like DuckDB — values are
+    # µs-exact on both sides.
+    for c in spark_pdf.columns:
+        a, b = spark_pdf[c].dtype, duck_pdf[c].dtype
+        if pd.api.types.is_datetime64_any_dtype(a) and pd.api.types.is_datetime64_any_dtype(b):
+            continue
+        if str(a) != str(b):
+            problems.append(f"raw-dtype[{c}] spark={a} duck={b}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         if a[c].dtype != b[c].dtype:
