@@ -105,10 +105,16 @@ def gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps, not "dd-MM-yyyy"-formatted strings; `last` is max(ts),
     not the shuffle-nondeterministic F.last. The triple count mirrors
     gold.py:29-32's count(type)/count(color)/count(size) surface.
+
+    The cutoff is applied to the stored epoch-nanos column
+    (load_events_since) so it pushes down to the parquet scan —
+    row-group pruning instead of a full scan at 100 TB.
     """
-    events = load_table(spark, sf_dir, "events")
+    from ..tables import load_events_since
+
+    events = load_events_since(spark, sf_dir, GOLD_CUTOFF)
     return (
-        events.where(F.col("ts") >= F.lit(GOLD_CUTOFF).cast("timestamp_ntz"))
+        events
         .groupBy("event_type")
         .agg(
             F.count("event_type").alias("count_type"),

@@ -51,6 +51,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_since(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame:
+    """events with ``ts >= cutoff`` where the predicate is applied to the
+    STORED epoch-nanos long, so it reaches the parquet scan as a pushed
+    filter (row-group/partition pruning at scale). Filtering the derived
+    TIMESTAMP column instead would defeat pushdown — Catalyst can't
+    invert timestamp_micros(ts div 1000) >= c back to the raw column.
+    """
+    from datetime import datetime, timezone
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") != "bigint":
+        return load_table(spark, sf_dir, "events").where(
+            F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz")
+        )
+    cutoff_ns = int(
+        datetime.strptime(cutoff, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    ) * 1_000_000_000
+    return df.where(F.col("ts") >= F.lit(cutoff_ns)).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -79,3 +79,12 @@ def test_gold_partial_agg_and_pruned_scan(spark):
     assert "partial_count" in plan
     read_schema = plan.split("ReadSchema")[1]
     assert "props" not in read_schema and "event_id" not in read_schema
+
+
+def test_gold_cutoff_pushed_to_raw_nanos_column(spark):
+    """The gold cutoff must reach the parquet scan as a pushed filter on
+    the stored epoch-nanos long (load_events_since), not sit above the
+    timestamp conversion where pushdown is impossible."""
+    plan = formatted_plan(spark, "medallion_gold_agg")
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(ts" in pushed
