@@ -27,6 +27,36 @@ KAFKA_SOURCE_COLUMNS = [
 ]
 
 
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str | dict = "latest",
+    sasl_jaas: str | None = None,
+    extra_options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The Kafka source option map (pure function, testable without the
+    connector jar). ``starting_offsets`` accepts "latest"/"earliest" or a
+    per-topic-per-partition dict like {"topic": {"0": 25}} (the reference
+    passes the JSON form at ingest_raw.scala:92)."""
+    if isinstance(starting_offsets, dict):
+        starting_offsets = json.dumps(starting_offsets)
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if sasl_jaas:  # Confluent SASL_SSL surface (ingest_raw.scala:88-91)
+        opts.update(
+            {
+                "kafka.security.protocol": "SASL_SSL",
+                "kafka.sasl.mechanism": "PLAIN",
+                "kafka.sasl.jaas.config": sasl_jaas,
+            }
+        )
+    opts.update(extra_options or {})
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -35,23 +65,11 @@ def kafka_stream(
     sasl_jaas: str | None = None,
     extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """readStream from Kafka. ``starting_offsets`` accepts "latest"/
-    "earliest" or a per-topic-per-partition dict like {"topic": {"0": 25}}
-    (the reference passes the JSON form at ingest_raw.scala:92)."""
-    if isinstance(starting_offsets, dict):
-        starting_offsets = json.dumps(starting_offsets)
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if sasl_jaas:  # Confluent SASL_SSL surface (ingest_raw.scala:88-91)
-        reader = (
-            reader.option("kafka.security.protocol", "SASL_SSL")
-            .option("kafka.sasl.mechanism", "PLAIN")
-            .option("kafka.sasl.jaas.config", sasl_jaas)
-        )
-    for k, v in (extra_options or {}).items():
+    """readStream from Kafka (requires the spark-sql-kafka package on the
+    cluster; file_stream is the jar-free test stand-in)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(
+        bootstrap_servers, topic, starting_offsets, sasl_jaas, extra_options
+    ).items():
         reader = reader.option(k, v)
     return reader.load()
