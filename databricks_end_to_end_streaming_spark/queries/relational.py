@@ -213,6 +213,57 @@ def inlist_and_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_hof_embedding_features",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+           list_max(list_transform(embedding, x -> abs(x))) AS abs_max,
+           embedding[1] AS first_dim,
+           embedding[len(embedding)] AS last_dim,
+           (len(list_filter(embedding, x -> x > 2.0)) > 0) AS has_outlier
+    FROM embeddings
+    """,
+)
+def array_hof_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/element access/
+    exists) over the embedding column — all JVM-side, no UDF. Outputs are
+    scalars chosen to be bit-exact cross-engine (counts, max of abs,
+    element reads — no order-dependent folds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.array_max(F.transform(e, F.abs)).alias("abs_max"),
+        e[0].alias("first_dim"),
+        F.element_at(e, -1).alias("last_dim"),
+        F.exists(e, lambda x: x > 2.0).alias("has_outlier"),
+    )
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame .pivot API (explicit value list so the plan skips
+    the distinct-values discovery job — the at-scale form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@query(
     "date_arithmetic_functions",
     oracle="""
     SELECT o_orderkey,
