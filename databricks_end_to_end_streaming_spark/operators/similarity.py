@@ -58,6 +58,40 @@ def hyperplane_buckets(
     return df.withColumn("buckets", bucketize(F.col(vec_col)))
 
 
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bits: int = 10,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Vector near-duplicate pairs (cosine > threshold) over the full
+    corpus without the O(n^2) pair space: bucket-join candidates as BARE
+    ID PAIRS (the distinct shuffles 16-byte rows, not embeddings), then
+    join vectors back for exact scoring of the small candidate set."""
+    bucketed = hyperplane_buckets(emb, vec_col, dim, n_bits, n_tables).select(
+        id_col, F.posexplode("buckets").alias("table_id", "bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine("va", "vb").alias("score"))
+        .where(F.col("score") > threshold)
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

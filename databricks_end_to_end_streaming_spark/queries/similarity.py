@@ -124,15 +124,13 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_cosine_neardup")  # rows-only: pairs above threshold
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-duplicate pairs (cosine > 0.95) among a
-    bounded id range — the vector analog of text near-dup. The scale path
-    replaces the bounded range with LSH bucketing
-    (operators/similarity.py); pytest plants true duplicates."""
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("va", "vb").alias("score"))
-        .where(F.col("score") > 0.95)
-    )
+    """Embedding-space near-duplicate pairs (cosine > 0.95) over the FULL
+    corpus via hyperplane-LSH bucketing — the vector analog of text
+    near-dup. Only vectors sharing a bucket in some table are scored, so
+    the pair space never materializes O(n^2). (The driver corpus has no
+    pairs above 0.95 — max off-diagonal cosine is ~0.60 — so 0 rows here
+    is the correct answer; pytest plants true twins to prove recovery.)"""
+    from ..operators.similarity import lsh_neardup_pairs  # lazy: avoids cycle
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.95, n_bits=10, n_tables=6)
