@@ -11,8 +11,14 @@ from databricks_end_to_end_streaming_spark import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("pytest", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "pytest",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
