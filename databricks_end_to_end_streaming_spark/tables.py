@@ -38,8 +38,24 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions we didn't build (the driver
+    passes its own SparkSession to entry()/queries()): nanos parquet
+    readability and UTC timestamp semantics are correctness-critical."""
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf in this session; get_spark sessions set it
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, applying type normalization."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # epoch-nanos long -> microsecond TIMESTAMP_NTZ (session tz is UTC,
@@ -60,6 +76,7 @@ def load_events_since(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFram
     """
     from datetime import datetime, timezone
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") != "bigint":
         return load_table(spark, sf_dir, "events").where(
