@@ -204,6 +204,52 @@ def median_value_per_type_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_window_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                     >= 3600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, seq
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (1h gap): the built-in form of
+    sessionize_events, usable unchanged in Structured Streaming with a
+    watermark. The oracle mirrors Spark's exact merge rule — a new
+    session starts when the µs gap is >= the gap duration — via
+    epoch_us integer arithmetic (second-floored math would misplace
+    gaps in [3600, 3601))."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 @query("approx_distinct_users")  # rows-only: HLL sketch is engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the at-scale form of the
