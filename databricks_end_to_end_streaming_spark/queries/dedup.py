@@ -86,6 +86,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The agg is partial (map-side combine), so the exchange carries one
     row per doc regardless of document length.
     """
+    # Small-file inputs arrive as 1-2 partitions; the shingle explosion
+    # and 32 hash evaluations are the heavy part, so spread the docs
+    # across the cluster first (at 100 TB the scan is already parallel
+    # and AQE coalesces the extra exchange away).
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts, "doc_id")
     toks = docs.select("doc_id", F.split(_norm(text_col), " ").alias("toks"))
     exploded = toks.select(
         "doc_id", F.explode(_word_shingles("toks")).alias("sh")
