@@ -65,6 +65,7 @@ def _load_modules() -> None:
         dedup,
         extensions,
         medallion,
+        pipeline,
         relational,
         similarity,
         text,

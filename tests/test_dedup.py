@@ -78,6 +78,45 @@ def test_lsh_finds_planted_neardups_and_values_match_reference(spark):
         assert abs(truth[pair] - j) < 1e-9
 
 
+def test_llm_pipeline_neardup_removal_rule(spark):
+    """clean_corpus + LSH removal: quality-gated docs drop, exact dups
+    keep the lowest id, near-dup pairs keep the lower id."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        NEARDUP_THRESHOLD,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard,
+    )
+    from databricks_end_to_end_streaming_spark.queries.pipeline import clean_corpus
+
+    rng = random.Random(42)
+    base = " ".join(rng.choice(WORDS) for _ in range(80))
+    near = base.split()
+    near[3] = "changed"
+    docs = [
+        (0, base, "en"),
+        (1, " ".join(near), "en"),  # near-dup of 0 -> dropped
+        (2, base, "en"),  # exact dup of 0 -> dropped (higher id)
+        (3, "too short", "en"),  # quality-gated
+        (4, " ".join(rng.choice(WORDS) for _ in range(60)), "de"),  # kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    kept = clean_corpus(df)
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 4}
+    sigs = minhash_signatures(kept)
+    pairs = verify_jaccard(lsh_candidate_pairs(sigs), kept).where(
+        F.col("jaccard") >= NEARDUP_THRESHOLD
+    )
+    losers = {r["doc_b"] for r in pairs.collect()}
+    assert losers == {1}
+    final = kept.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    assert {r["doc_id"] for r in final.collect()} == {0, 4}
+
+
 def test_minhash_signature_is_deterministic(spark):
     docs, _ = make_docs(n=10, n_dups=0)
     df = spark.createDataFrame(docs, "doc_id long, text string")
