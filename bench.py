@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "text_quality_score",
     "sessionize_events",
     "asof_last_event_value",
+    "session_window_events",
+    "llm_clean_corpus",
 ]
 
 

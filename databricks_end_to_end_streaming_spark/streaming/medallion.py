@@ -135,6 +135,14 @@ def gold_stage(
     )
 
 
+def enrich_transform(df: DataFrame, dim: DataFrame, on: str = "productId") -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension table (broadcast — no stream state, re-resolved per
+    micro-batch so dimension updates are picked up). The standard
+    pattern for attaching catalog attributes between silver and gold."""
+    return df.join(F.broadcast(dim), on, "left")
+
+
 def gold_windowed_transform(df: DataFrame, watermark: str = "1 day") -> DataFrame:
     """The correct-at-scale rewrite of gold's "today" filter (SURVEY T3):
     a tumbling 1-day event-time window with a watermark, so gold becomes
