@@ -1,0 +1,51 @@
+"""Stream-stream time-bounded join: only right events within the
+window match; results checked against a hand-computed pairing."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+from databricks_end_to_end_streaming_spark.streaming.joins import (
+    stream_stream_time_join,
+)
+
+
+def ts(minute: int) -> datetime:
+    return datetime(2024, 1, 1, 0, minute, tzinfo=timezone.utc)
+
+
+def test_stream_stream_join_within_window(spark, workdir):
+    # left: "requests"; right: "confirmations" — match iff same key and
+    # confirmation within [req_ts, req_ts + 30 min)
+    left_rows = [
+        ("k1", ts(0), "req1"),
+        ("k2", ts(10), "req2"),
+        ("k3", ts(20), "req3"),
+    ]
+    right_rows = [
+        ("k1", ts(15), "conf-in"),       # +15m -> matches req1
+        ("k2", ts(55), "conf-late"),     # +45m -> outside window
+        ("k3", ts(20), "conf-exact"),    # +0m  -> matches req3 (inclusive start)
+        ("k9", ts(5), "conf-nokey"),     # no left key
+    ]
+    schema = "key string, event_time timestamp, tag string"
+    spark.createDataFrame(left_rows, schema).write.parquet(f"{workdir}/left")
+    spark.createDataFrame(right_rows, schema).write.parquet(f"{workdir}/right")
+
+    l_stream = spark.readStream.schema(schema).parquet(f"{workdir}/left")
+    r_stream = spark.readStream.schema(schema).parquet(f"{workdir}/right")
+    joined = stream_stream_time_join(
+        l_stream, r_stream, key="key", within="30 minutes"
+    )
+
+    sink = ParquetTable(f"{workdir}/joined")
+    (
+        joined.writeStream.foreachBatch(lambda b, _i: sink.append(b))
+        .option("checkpointLocation", f"{workdir}/cp")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r["join_key"], r["l_tag"], r["r_tag"]) for r in sink.read(spark).collect()}
+    assert got == {("k1", "req1", "conf-in"), ("k3", "req3", "conf-exact")}
