@@ -70,6 +70,7 @@ def _load_modules() -> None:
         similarity,
         text,
         tpch,
+        tpch_more,
     )
 
     _LOADED = True
