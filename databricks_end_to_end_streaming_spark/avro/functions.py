@@ -53,6 +53,40 @@ def _jvm_from_avro_available(spark) -> bool:
     return _JVM_AVRO_OK
 
 
+def encode_avro(
+    df: DataFrame,
+    schema_json: str | dict,
+    output_col: str = "payload",
+    field_cols: list[str] | None = None,
+) -> DataFrame:
+    """`to_avro` equivalent: serialize the schema's fields from each row
+    into an Avro-binary column (Arrow-batched). The distributed form of
+    the reference producers' per-record serialization
+    (producer.scala:132-155, producer.py:126-149)."""
+    schema_str = (
+        schema_json if isinstance(schema_json, str) else json.dumps(schema_json)
+    )
+    schema_dict = json.loads(schema_str)
+    names = field_cols or [f["name"] for f in schema_dict["fields"]]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(output_col, T.BinaryType(), True)]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import encode
+
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                rec = {n: row[n] for n in names}
+                payloads.append(encode(rec, schema_dict))
+            out = pdf.copy()
+            out[output_col] = payloads
+            yield out
+
+    return df.mapInPandas(mapper, out_schema)
+
+
 def decode_avro(
     df: DataFrame,
     payload_col: str,

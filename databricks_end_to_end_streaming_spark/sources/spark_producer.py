@@ -1,0 +1,46 @@
+"""Distributed wire-format producer: a Spark job that Avro-encodes event
+rows and frames them for Kafka — the scale-out form of the reference's
+driver-side producer loops (producer.scala:132-161, producer.py:113-149),
+whose one-record-per-flush design caps at ~1 event/s (BASELINE.md).
+
+On a Kafka-equipped cluster the output feeds `df.write.format("kafka")`
+directly (key/value binary columns); in tests it feeds the same
+file-topic the ingest demux reads, closing the loop producer -> wire ->
+demux -> raw without leaving Spark.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..avro.functions import encode_avro
+
+
+def _be_int4(col: F.Column) -> F.Column:
+    """int -> 4-byte big-endian binary (inverse of
+    functions.binary.be_int_from_bytes), via hex/lpad/unhex built-ins."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def to_confluent_wire(
+    events: DataFrame,
+    schema_id: int,
+    schema_json: str | dict,
+    topic: str = "product-events",
+    n_partitions: int = 4,
+) -> DataFrame:
+    """Event rows -> Kafka-producer-shaped rows (key/value/topic/
+    partition) with Confluent framing: [0x00][4-byte BE id][avro payload]
+    (ingest_raw.scala:99-100). Keys spread 0..n-1 like producer.py:175,
+    derived deterministically from eventId."""
+    enc = encode_avro(events, schema_json, output_col="__payload")
+    key_num = F.pmod(F.xxhash64("eventId"), F.lit(n_partitions))
+    return enc.select(
+        key_num.cast("string").cast("binary").alias("key"),
+        F.concat(
+            F.lit(bytes([0])), _be_int4(F.lit(schema_id)), F.col("__payload")
+        ).alias("value"),
+        F.lit(topic).alias("topic"),
+        key_num.cast("int").alias("partition"),
+    )

@@ -1,0 +1,83 @@
+"""Distributed producer round trip: Spark-side Avro encode + Confluent
+framing -> the ingest demux decodes it back byte-identically."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.avro.codec import decode
+from databricks_end_to_end_streaming_spark.avro.functions import encode_avro
+from databricks_end_to_end_streaming_spark.functions.binary import (
+    confluent_payload,
+    confluent_schema_id,
+)
+from databricks_end_to_end_streaming_spark.schemas import PRODUCT_V2, PRODUCT_V2_JSON
+from databricks_end_to_end_streaming_spark.sources.spark_producer import (
+    to_confluent_wire,
+)
+
+ROWS = [
+    ("prod-a1", "e-1", "shirt", 1704067200, "m", "red"),
+    ("prod-b2", "e-2", "pants", 1704067260, "xl", "blue"),
+    ("prod-c3", "e-3", "shoes", 1704067320, "s", "black"),
+]
+SCHEMA = "productId string, eventId string, type string, timestamp long, size string, color string"
+
+
+def test_encode_avro_roundtrips_with_codec(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    enc = encode_avro(df, PRODUCT_V2_JSON).collect()
+    for r in enc:
+        rec = decode(bytes(r["payload"]), PRODUCT_V2)
+        assert rec["eventId"] == r["eventId"]
+        assert rec["size"] == r["size"] and rec["timestamp"] == r["timestamp"]
+
+
+def test_spark_producer_wire_demuxes_back(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    wire = to_confluent_wire(df, schema_id=2, schema_json=PRODUCT_V2_JSON)
+    got = wire.select(
+        confluent_schema_id("value").alias("sid"),
+        confluent_payload("value").alias("payload"),
+        "key",
+        "partition",
+    ).collect()
+    assert all(r["sid"] == 2 for r in got)
+    decoded = {decode(bytes(r["payload"]), PRODUCT_V2)["eventId"] for r in got}
+    assert decoded == {"e-1", "e-2", "e-3"}
+    for r in got:  # key/partition agree (producer.py:175 semantics)
+        assert int(bytes(r["key"]).decode()) == r["partition"]
+
+
+def test_spark_producer_feeds_ingest_demux(spark, workdir):
+    """Full loop: distributed producer -> topic files -> streaming demux
+    -> raw table with intact values."""
+    from databricks_end_to_end_streaming_spark.registry import InMemorySchemaRegistry
+    from databricks_end_to_end_streaming_spark.sources import file_stream
+    from databricks_end_to_end_streaming_spark.sources.files import WIRE_SCHEMA
+    from databricks_end_to_end_streaming_spark.streaming import (
+        ParquetTable,
+        ingest_avro_stream,
+    )
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    wire = to_confluent_wire(df, schema_id=2, schema_json=PRODUCT_V2_JSON)
+    full = (
+        wire.withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("timestamp", F.current_timestamp())
+        .withColumn("timestampType", F.lit(0))
+        .select(*[f.name for f in WIRE_SCHEMA.fields])
+    )
+    full.write.parquet(f"{workdir}/topic")
+
+    raw = ParquetTable(f"{workdir}/raw")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        InMemorySchemaRegistry({2: PRODUCT_V2_JSON}),
+        raw,
+        checkpoint=f"{workdir}/cp",
+    )
+    flat = raw.read(spark).select("parsedValue.*").collect()
+    assert {(r["eventId"], r["type"], r["color"]) for r in flat} == {
+        (e[1], e[2], e[5]) for e in ROWS
+    }
