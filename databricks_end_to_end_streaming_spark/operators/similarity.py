@@ -58,6 +58,97 @@ def hyperplane_buckets(
     return df.withColumn("buckets", bucketize(F.col(vec_col)))
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a deterministic sample (ordered by id) collected
+    to the driver — the standard IVF training recipe: the coarse
+    quantizer trains on a sample, assignment runs distributed. Returns
+    (n_centroids, dim) float64 centroids, L2-normalized."""
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    cents = x[rs.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    nprobe: int = 1,
+    out_col: str = "cluster_ids",
+) -> DataFrame:
+    """Append the nprobe nearest centroid ids (array<int>) per vector —
+    one Arrow-batched matmul per batch; centroids ride in the closure."""
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF search: corpus vectors live in their single nearest cluster
+    (the inverted lists); each query probes its nprobe nearest clusters
+    and scores only those lists. Returns (query_id, neighbor_id, rank,
+    score)."""
+    lists = ivf_assign(emb, centroids, vec_col, nprobe=1).select(
+        id_col, vec_col, F.col("cluster_ids")[0].alias("cluster_id")
+    )
+    probes = ivf_assign(queries, centroids, query_vec_col, nprobe=nprobe).select(
+        query_id_col,
+        query_vec_col,
+        F.explode("cluster_ids").alias("cluster_id"),
+    )
+    cand = probes.join(lists, "cluster_id").where(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    scored = cand.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(query_vec_col, vec_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

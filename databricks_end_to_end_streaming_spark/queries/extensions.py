@@ -37,6 +37,23 @@ def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, F.broadcast(queries), k=5, n_bits=6, n_tables=8)
 
 
+@query("ann_ivf_cosine_topk")
+def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: k-means coarse quantizer
+    trained on a deterministic sample, corpus partitioned into inverted
+    lists, queries probe their 3 nearest lists. The clustered-corpus
+    counterpart to the hyperplane-LSH path; recall pytest-checked with
+    planted twins (tests/test_ivf.py)."""
+    from ..operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(emb, queries, cents, k=5, nprobe=3)
+
+
 @query("multimodal_image_stats")
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing at driver scale: treat each document's UTF-8
