@@ -217,3 +217,52 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("bucket"),
     )
+
+
+@query(
+    "dataset_split_deterministic",
+    oracle="""
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                    IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d')
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def dataset_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash bucket of the
+    document id (12/2/2 sixteenths) — the reproducible-sampling primitive
+    a training-data pipeline needs: membership is a pure function of the
+    id, so re-runs, backfills, and incremental arrivals land in the same
+    split with no coordination or stored state. Scales as a single
+    stateless map + one 3-group aggregate (no shuffle wider than the
+    final 3-row combine)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 32, 1)
+    split = (
+        F.when(bucket.isin(*"0123456789ab"), "train")
+        .when(bucket.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
