@@ -290,3 +290,56 @@ def date_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1995-01-01").cast("date"),
         ).alias("days_since_epoch_start"),
     )
+
+
+@query(
+    "grouping_sets_order_margins",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_order_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the two one-dimension margins plus the
+    grand total, without the full CUBE cross): one Expand + one hash
+    aggregate — same single-shuffle cost as a plain group-by at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total"
+        ),
+    )
+
+
+@query(
+    "unpivot_lineitem_rates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 400
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 400
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 400
+    """,
+)
+def unpivot_lineitem_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of three measure columns — the inverse
+    of pivot_status_counts. Spark's native unpivot is a single Expand
+    (one scan, no shuffle, no union of three scans like the ANSI oracle
+    spelling)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
