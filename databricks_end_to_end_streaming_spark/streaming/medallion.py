@@ -135,6 +135,47 @@ def gold_stage(
     )
 
 
+def upsert_stage(
+    source: DataFrame,
+    target: ParquetTable,
+    keys: list[str],
+    checkpoint: str,
+    order_by: str | None = None,
+    query_name: str = "upsert_layer",
+) -> None:
+    """foreachBatch SCD1 merge sink: each micro-batch is collapsed to
+    last-write-wins per key (max_by on ``order_by`` when given, so a
+    batch carrying several versions of one key lands its latest), then
+    merged into the target with ParquetTable.upsert. This is the CDC
+    apply-changes pattern the reference's append-only medallion lacks —
+    replayed batches re-merge the same rows, so the sink is idempotent
+    without a txn token."""
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        updates = batch_df
+        if order_by is not None:
+            value_cols = [c for c in batch_df.columns if c not in keys]
+            updates = batch_df.groupBy(*keys).agg(
+                *[
+                    F.max_by(c, order_by).alias(c)
+                    for c in value_cols
+                ]
+            )
+        else:
+            updates = batch_df.dropDuplicates(keys)
+        target.upsert(batch_df.sparkSession, updates, keys)
+
+    (
+        source.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def enrich_transform(df: DataFrame, dim: DataFrame, on: str = "productId") -> DataFrame:
     """Stream-static enrichment: join the event stream against a static
     dimension table (broadcast — no stream state, re-resolved per

@@ -21,6 +21,7 @@ mergeSchema=true; the call sites wouldn't change.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,6 +54,41 @@ class ParquetTable:
     def overwrite(self, df: DataFrame) -> None:
         """Full rewrite — complete-output-mode sink (gold, SURVEY K3)."""
         df.write.mode("overwrite").parquet(self.path)
+
+    def upsert(self, spark: SparkSession, updates: DataFrame, keys: list[str]) -> None:
+        """SCD-type-1 merge: rows matching ``keys`` are replaced by the
+        update, everything else is kept, new keys are inserted — the
+        observable contract of Delta's ``MERGE WHEN MATCHED UPDATE WHEN
+        NOT MATCHED INSERT``. Schema evolution works in both directions
+        (unionByName with allowMissingColumns).
+
+        Plan shape: one anti join (old rows that survive) + union, then a
+        rewrite. The anti join broadcasts the update side when small —
+        the common CDC case — so the heavy side streams through without a
+        shuffle. The parquet stand-in must rewrite the whole table
+        (staged to a sibling dir, then swapped, because the plan reads
+        lazily from the same path it replaces); Delta MERGE instead
+        rewrites only the files whose key-range stats match, which is
+        what call sites get back on a Delta cluster.
+
+        ``updates`` must be unique per key (pre-aggregate the batch to
+        last-write-wins before calling); upsert replays are naturally
+        idempotent, so no txn token is needed.
+        """
+        if not self.exists():
+            self.append(updates)
+            return
+        current = self.read(spark)
+        merged = current.join(updates, keys, "left_anti").unionByName(
+            updates, allowMissingColumns=True
+        )
+        staging = self.path.rstrip("/") + "._staging"
+        w = merged.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+        shutil.rmtree(self.path)
+        os.rename(staging, self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return (

@@ -1,0 +1,93 @@
+"""SCD1 upsert (Delta-MERGE analog) on ParquetTable: matched rows
+replaced, unmatched kept, new keys inserted, schema evolution both ways,
+replay idempotence; plus the foreachBatch streaming upsert_stage with
+last-write-wins batch collapse."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+from databricks_end_to_end_streaming_spark.streaming.medallion import upsert_stage
+
+
+def rows_by_key(spark, table):
+    return {
+        r["k"]: r.asDict() for r in table.read(spark).collect()
+    }
+
+
+def test_upsert_batch_merge(spark, workdir):
+    t = ParquetTable(f"{workdir}/tbl")
+    t.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    ))
+
+    updates = spark.createDataFrame(
+        [(2, "B", 21), (4, "d", 40)], "k int, name string, v int"
+    )
+    t.upsert(spark, updates, ["k"])
+
+    got = rows_by_key(spark, t)
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == {"k": 2, "name": "B", "v": 21}   # matched -> replaced
+    assert got[1]["v"] == 10 and got[3]["v"] == 30    # unmatched -> kept
+    assert got[4]["name"] == "d"                      # new key -> inserted
+
+    # Replay the same merge: naturally idempotent, same table state.
+    t.upsert(spark, updates, ["k"])
+    assert rows_by_key(spark, t) == got
+
+
+def test_upsert_schema_evolution_both_ways(spark, workdir):
+    t = ParquetTable(f"{workdir}/tbl")
+    t.append(spark.createDataFrame([(1, "a")], "k int, name string"))
+
+    # Update side carries a NEW column: old rows must widen to NULL.
+    t.upsert(
+        spark,
+        spark.createDataFrame([(2, "b", "blue")], "k int, name string, color string"),
+        ["k"],
+    )
+    got = rows_by_key(spark, t)
+    assert got[1]["color"] is None and got[2]["color"] == "blue"
+
+    # Update side MISSING a column: inserted rows get NULL there.
+    t.upsert(spark, spark.createDataFrame([(3, "c")], "k int, name string"), ["k"])
+    got = rows_by_key(spark, t)
+    assert got[3]["color"] is None and got[2]["color"] == "blue"
+
+
+def test_upsert_first_write_creates_table(spark, workdir):
+    t = ParquetTable(f"{workdir}/tbl")
+    t.upsert(spark, spark.createDataFrame([(1, "a")], "k int, name string"), ["k"])
+    assert rows_by_key(spark, t)[1]["name"] == "a"
+
+
+def test_streaming_upsert_stage_last_write_wins(spark, workdir):
+    # Source stream: two versions of key 1 in one batch + a fresh key.
+    src_dir = f"{workdir}/src"
+    spark.createDataFrame(
+        [(1, "stale", 100), (1, "fresh", 200), (2, "b", 150)],
+        "k int, name string, seq int",
+    ).write.parquet(src_dir)
+
+    target = ParquetTable(f"{workdir}/tgt")
+    target.append(spark.createDataFrame([(1, "orig", 0)], "k int, name string, seq int"))
+
+    source = (
+        spark.readStream.schema("k int, name string, seq int").parquet(src_dir)
+    )
+    upsert_stage(source, target, ["k"], f"{workdir}/cp", order_by="seq")
+
+    got = rows_by_key(spark, target)
+    assert set(got) == {1, 2}
+    assert got[1]["name"] == "fresh" and got[1]["seq"] == 200
+    assert got[2]["name"] == "b"
+
+    # Drain again with no new files: no-op, state unchanged.
+    source = (
+        spark.readStream.schema("k int, name string, seq int").parquet(src_dir)
+    )
+    upsert_stage(source, target, ["k"], f"{workdir}/cp", order_by="seq")
+    assert rows_by_key(spark, target) == got
