@@ -343,3 +343,28 @@ def unpivot_lineitem_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@query(
+    "array_agg_order_lines",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+           CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey <= 400
+    GROUP BY l_orderkey
+    """,
+)
+def array_agg_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped list aggregation (collect_list) with a deterministic
+    in-array sort, serialized to CSV so the cross-engine hash compares a
+    canonical scalar (integer elements — float formatting would
+    drift)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+            "line_numbers"
+        ),
+        F.count("l_linenumber").alias("n_lines"),
+    )

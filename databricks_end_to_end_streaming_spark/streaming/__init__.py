@@ -1,6 +1,12 @@
 from .sinks import ParquetTable
 from .ingest import ingest_avro_stream
-from .medallion import bronze_stage, silver_stage, gold_stage, run_pipeline
+from .medallion import (
+    bronze_stage,
+    silver_stage,
+    gold_stage,
+    run_pipeline,
+    upsert_stage,
+)
 
 __all__ = [
     "ParquetTable",
@@ -9,4 +15,5 @@ __all__ = [
     "silver_stage",
     "gold_stage",
     "run_pipeline",
+    "upsert_stage",
 ]
