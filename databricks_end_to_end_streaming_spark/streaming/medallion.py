@@ -229,6 +229,44 @@ def gold_windowed_stage(
     )
 
 
+def gold_incremental_stage(
+    spark: SparkSession,
+    silver: ParquetTable,
+    gold: ParquetTable,
+    checkpoint: str,
+    watermark: str = "1 day",
+) -> None:
+    """Update-mode windowed gold merged into the target by key: each
+    trigger the state store emits the *changed* groups' running totals,
+    and the upsert replaces just those rows (SCD1 on the grouping key).
+
+    This is the third gold execution mode, and the one that scales:
+    complete mode (gold_stage) rewrites every group every trigger —
+    O(all groups) per batch, a non-starter at 100 TB; append mode
+    (gold_windowed_stage) is O(closed windows) but can't serve the
+    current day until the watermark closes it. Update+merge is
+    O(groups touched this batch) per trigger AND the target always
+    holds the freshest running totals. On a Delta cluster the upsert
+    collapses to MERGE — this is the standard Delta incremental-agg
+    pattern."""
+    agg = gold_windowed_transform(silver.stream(spark), watermark)
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        gold.upsert(
+            batch_df.sparkSession, batch_df, ["day_start", "type", "color", "size"]
+        )
+
+    (
+        agg.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .queryName("gold_incremental_layer")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     workdir: str,

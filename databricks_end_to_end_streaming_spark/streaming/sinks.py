@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -79,7 +80,15 @@ class ParquetTable:
             self.append(updates)
             return
         current = self.read(spark)
-        merged = current.join(updates, keys, "left_anti").unionByName(
+        # Null-safe key match: grouping keys can legitimately be NULL
+        # (e.g. schema-evolution columns), and a plain equi-join would
+        # never match them, leaving stale rows beside their replacements.
+        cur, upd = current.alias("cur"), updates.alias("upd")
+        cond = None
+        for k in keys:
+            c = F.col(f"cur.{k}").eqNullSafe(F.col(f"upd.{k}"))
+            cond = c if cond is None else (cond & c)
+        merged = cur.join(upd, cond, "left_anti").unionByName(
             updates, allowMissingColumns=True
         )
         staging = self.path.rstrip("/") + "._staging"

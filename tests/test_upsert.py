@@ -91,3 +91,64 @@ def test_streaming_upsert_stage_last_write_wins(spark, workdir):
     )
     upsert_stage(source, target, ["k"], f"{workdir}/cp", order_by="seq")
     assert rows_by_key(spark, target) == got
+
+
+def test_gold_incremental_merge_two_drains(spark, workdir):
+    """Update-mode windowed gold merged via upsert: after each drain the
+    target equals a batch recompute over everything ingested so far, with
+    exactly one row per group — including v1 groups whose color/size keys
+    are NULL (null-safe merge), which a plain equi-join merge would
+    duplicate on the second drain."""
+    from databricks_end_to_end_streaming_spark.sources import generate_events
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        bronze_stage,
+        gold_incremental_stage,
+        silver_stage,
+    )
+    from tests.test_medallion import build_raw
+
+    DAY = 86400
+    BASE = 1704067200  # 2024-01-01T00:00:00Z
+
+    def drain(events):
+        raw = build_raw(spark, workdir, events)
+        bronze = ParquetTable(f"{workdir}/bronze", partition_by=["type"])
+        silver = ParquetTable(f"{workdir}/silver", partition_by=["type"])
+        bronze_stage(spark, raw, bronze, f"{workdir}/cp/bronze")
+        silver_stage(spark, bronze, silver, f"{workdir}/cp/silver")
+        gold = ParquetTable(f"{workdir}/gold_inc")
+        gold_incremental_stage(spark, silver, gold, f"{workdir}/cp/goldinc")
+        return silver, gold
+
+    def check(silver, gold):
+        expected = {
+            (r["d"], r["type"], r["color"], r["size"]): r["n"]
+            for r in silver.read(spark)
+            .groupBy(
+                F.date_trunc("day", "event_time").alias("d"),
+                "type",
+                "color",
+                "size",
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        rows = gold.read(spark).collect()
+        got = {
+            (r["day_start"], r["type"], r["color"], r["size"]): r["count_type"]
+            for r in rows
+        }
+        assert len(rows) == len(got), "duplicate group rows after merge"
+        assert got == expected
+
+    # Drain 1: day-1 and day-2 events, half v1 (NULL color/size groups).
+    ev1 = generate_events(30, seed=7, v1_ratio=0.5, base_ts=BASE)
+    ev1 += generate_events(30, seed=8, v1_ratio=0.5, base_ts=BASE + DAY)
+    silver, gold = drain(ev1)
+    check(silver, gold)
+
+    # Drain 2: more day-2 events touching the same groups (v1 included):
+    # merged totals must replace, not duplicate.
+    ev2 = ev1 + generate_events(40, seed=9, v1_ratio=0.5, base_ts=BASE + DAY + 3600)
+    silver, gold = drain(ev2)
+    check(silver, gold)
