@@ -300,3 +300,35 @@ def asof_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_orderkey", F.col("event_id").alias("asof_event_id"))
     )
+
+
+@query("sketch_rollup_daily_users")  # rows-only: sketch bytes are engine-specific
+def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the hypertable/OLAP-cube pattern that
+    makes distinct counts re-aggregatable at 100 TB): build one HLL
+    sketch per (day, hour) — the fine-grained materialization a rollup
+    table would persist — then union the hourly sketches into daily
+    distinct-user estimates WITHOUT rescanning raw events. Unlike a
+    distinct count, sketches compose: day -> week -> month rollups each
+    cost O(groups), not O(raw rows). pytest bounds the estimate against
+    the exact count; the driver records rows-only (sketch internals are
+    engine-specific)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            "user_id",
+        )
+        .groupBy("day", "hour")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    )
+    return (
+        hourly.groupBy("day")
+        .agg(F.hll_union_agg("sketch").alias("day_sketch"))
+        .select(
+            "day",
+            F.hll_sketch_estimate("day_sketch").alias("approx_users"),
+        )
+        .orderBy("day")
+    )

@@ -159,3 +159,27 @@ def test_running_product_stats_accumulates_across_triggers(spark, workdir):
         e["type"] for e in all_events if e["productId"] == latest["productId"]
     )
     assert type_counts == dict(expected_types)
+
+
+def test_sketch_rollup_matches_exact_daily_distinct(spark):
+    """Daily distinct-user estimates produced by unioning hourly HLL
+    sketches stay within HLL error bounds of the exact daily count
+    (lgConfigK=14 -> ~1% rsd; assert a generous 5%)."""
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day"]: r["approx_users"]
+        for r in all_queries()["sketch_rollup_daily_users"](spark, sf).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for day, est in got.items():
+        assert abs(est - exact[day]) / max(exact[day], 1) < 0.05
