@@ -88,3 +88,29 @@ def test_gold_cutoff_pushed_to_raw_nanos_column(spark):
     plan = formatted_plan(spark, "medallion_gold_agg")
     pushed = plan.split("PushedFilters")[1][:200]
     assert "GreaterThanOrEqual(ts" in pushed
+
+
+def test_q21_prunes_columns_and_broadcasts_suppliers(spark):
+    plan = formatted_plan(spark, "tpch_q21_suppliers_who_kept_orders_waiting")
+    # lineitem scans carry only the 3 needed columns
+    read_schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema")[1:]
+    ]
+    li_schemas = [s for s in read_schemas if "l_orderkey" in s]
+    assert li_schemas and all("l_extendedprice" not in s for s in li_schemas)
+    # supplier+nation side broadcasts; top-k has no global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouping_sets_single_expand_single_exchange(spark):
+    plan = plan_of(spark, "grouping_sets_order_margins")
+    assert "Expand" in plan
+    # one aggregate exchange, not one per grouping set
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    plan = plan_of(spark, "unpivot_lineitem_rates")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1  # not a 3-way union of scans
