@@ -266,3 +266,55 @@ def dataset_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS l
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, bg, count(*) AS c
+      FROM bigrams GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): the fraction of a
+    document's word bigrams taken by its single most frequent bigram —
+    high values flag boilerplate/spam for corpus filtering. Bigrams are
+    formed with posexplode + lead() over the in-document position (NOT a
+    transform() lambda over the token array, which re-evaluates the
+    split per element under CollapseProject); the two aggregations both
+    key on doc_id, so the second is shuffle-free after the first."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    words = d.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        words.withColumn("w2", F.lead("w").over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("bg"))
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_bigram_frac"
+        ),
+    )
