@@ -332,3 +332,40 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "interval_join_order_week_events",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           count(e.event_id) AS n_events_week
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey % 20
+     AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+     AND CAST(e.ts AS TIMESTAMP) <  o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey <= 2000
+    GROUP BY o.o_orderkey
+    """,
+)
+def interval_join_order_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events falling inside a per-order time
+    window [orderdate, orderdate+7d), keyed by user. The user_id
+    equality makes this a plain shuffled equi-join with the range as a
+    residual predicate — the scalable spelling of a range join (a pure
+    non-equi join would degenerate to a broadcast nested loop); at
+    higher selectivity the next lever is bucketing both sides by
+    coarse time bin. Complements asof_last_event_value (point lookup
+    backward) with windowed containment forward."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    e = load_table(spark, sf_dir, "events")
+    cond = (
+        (e.user_id == o.o_custkey % 20)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < o.o_orderdate + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        o.join(e, cond, "left_outer")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events_week"))
+    )
