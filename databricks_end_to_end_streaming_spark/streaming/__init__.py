@@ -6,6 +6,7 @@ from .medallion import (
     gold_stage,
     run_pipeline,
     upsert_stage,
+    dq_split_stage,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "gold_stage",
     "run_pipeline",
     "upsert_stage",
+    "dq_split_stage",
 ]

@@ -229,6 +229,52 @@ def gold_windowed_stage(
     )
 
 
+def dq_split_stage(
+    source: DataFrame,
+    good: ParquetTable,
+    quarantine: ParquetTable,
+    predicate,
+    checkpoint: str,
+    query_name: str = "dq_split",
+) -> None:
+    """Data-quality quarantine split: rows passing ``predicate`` (a
+    Column) append to the good table, the rest — tagged with the reason
+    and batch id — append to a quarantine table for replay after fixes.
+    Same multi-sink foreachBatch shape as the ingest demux (SURVEY K1):
+    cache the micro-batch once, write both subsets, release (T8). Both
+    writes are idempotent under replay via the (batch_id, side) token,
+    so at-least-once foreachBatch still yields exactly-once tables."""
+
+    def split(batch_df: DataFrame, batch_id: int) -> None:
+        # NULL predicate results (e.g. a range check on a NULL column)
+        # must quarantine, not vanish: where(p) and where(~p) both drop
+        # NULL rows, so fold NULL -> False first.
+        ok = F.coalesce(predicate, F.lit(False))
+        batch_df.persist()
+        try:
+            good.idempotent_append(
+                batch_df.where(ok), f"batchid={batch_id}/side=good"
+            )
+            quarantine.idempotent_append(
+                batch_df.where(~ok).withColumn(
+                    "_dq_batch_id", F.lit(batch_id)
+                ),
+                f"batchid={batch_id}/side=quarantine",
+            )
+        finally:
+            batch_df.unpersist()
+
+    (
+        source.writeStream.foreachBatch(split)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def gold_incremental_stage(
     spark: SparkSession,
     silver: ParquetTable,

@@ -152,3 +152,41 @@ def test_gold_incremental_merge_two_drains(spark, workdir):
     ev2 = ev1 + generate_events(40, seed=9, v1_ratio=0.5, base_ts=BASE + DAY + 3600)
     silver, gold = drain(ev2)
     check(silver, gold)
+
+
+def test_dq_split_stage_routes_and_replays(spark, workdir):
+    """Rows failing the DQ predicate land in quarantine (including rows
+    where the predicate is NULL — a null price must not vanish), passing
+    rows land in good, and a second drain with no new data changes
+    nothing (idempotent-replay appends)."""
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        dq_split_stage,
+    )
+
+    src_dir = f"{workdir}/src"
+    spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 99.0)], "id int, price double"
+    ).write.parquet(src_dir)
+
+    good = ParquetTable(f"{workdir}/good")
+    quarantine = ParquetTable(f"{workdir}/quarantine")
+
+    def drain():
+        dq_split_stage(
+            spark.readStream.schema("id int, price double").parquet(src_dir),
+            good,
+            quarantine,
+            F.col("price") >= 0,
+            f"{workdir}/cp",
+        )
+
+    drain()
+    good_ids = {r["id"] for r in good.read(spark).collect()}
+    quar = {r["id"]: r for r in quarantine.read(spark).collect()}
+    assert good_ids == {1, 4}
+    assert set(quar) == {2, 3}          # negative AND null both quarantined
+    assert quar[2]["_dq_batch_id"] == 0
+
+    drain()                              # replay: no double-append
+    assert {r["id"] for r in good.read(spark).collect()} == {1, 4}
+    assert {r["id"] for r in quarantine.read(spark).collect()} == {2, 3}
