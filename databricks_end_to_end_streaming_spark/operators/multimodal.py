@@ -83,7 +83,14 @@ def image_feature_stats(media: DataFrame) -> DataFrame:
     """Per-image intensity features (mean/std/min/max + a 4-bin
     histogram) — the 'feature-extract' stage of a multimodal pipeline.
     Arrow-batched; output drops the payload so downstream stages shuffle
-    small rows."""
+    small rows.
+
+    Stats are derived from exact integer moments (sum, sum-of-squares):
+    the moments are order-independent and mergeable (a distributed
+    re-aggregation over shards gives identical results), and the final
+    mean/std are a fixed IEEE expression over exact integers, so any
+    engine evaluating the same formula reproduces them bit-for-bit
+    (population std: sqrt(E[x^2] - E[x]^2))."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -96,16 +103,25 @@ def image_feature_stats(media: DataFrame) -> DataFrame:
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                arr = _decode_payload(bytes(row["payload"]), row["meta"])
+            for media_id, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                arr = _decode_payload(bytes(payload), m)
                 hist = np.histogram(arr, bins=4, range=(0, 256))[0]
+                n = arr.size
+                sx = int(arr.sum(dtype=np.int64))
+                sx2 = int((arr.astype(np.int64) ** 2).sum())
+                mean = sx / n
+                std = math.sqrt(max(0.0, sx2 / n - (sx / n) * (sx / n)))
                 rows.append(
                     {
-                        "media_id": row["media_id"],
-                        "mean_intensity": float(arr.mean()),
-                        "std_intensity": float(arr.std()),
+                        "media_id": media_id,
+                        "mean_intensity": mean,
+                        "std_intensity": std,
                         "min_intensity": int(arr.min()),
                         "max_intensity": int(arr.max()),
                         "histogram": hist.tolist(),

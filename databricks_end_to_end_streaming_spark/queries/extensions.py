@@ -54,11 +54,53 @@ def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, cents, k=5, nprobe=3)
 
 
-@query("multimodal_image_stats")
+@query(
+    "multimodal_image_stats",
+    # The documents corpus is pure ASCII (verified: octet_length(encode(text))
+    # == length(text) at every sf), so per-character code points ARE the
+    # UTF-8 bytes the Spark side decodes. mean/std are the same fixed IEEE
+    # expression over exact integer moments as image_feature_stats computes,
+    # so the doubles match bit-for-bit.
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, unicode(substr(text, CAST(i AS INTEGER), 1)) AS b
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents)
+    ), m AS (
+      SELECT doc_id,
+             count(*)  AS n,
+             sum(b)    AS sx,
+             sum(b*b)  AS sx2,
+             min(b)    AS mn,
+             max(b)    AS mx,
+             count(*) FILTER (WHERE b // 64 = 0) AS h0,
+             count(*) FILTER (WHERE b // 64 = 1) AS h1,
+             count(*) FILTER (WHERE b // 64 = 2) AS h2,
+             count(*) FILTER (WHERE b // 64 = 3) AS h3
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(sx AS DOUBLE) / n AS mean_intensity,
+           sqrt(greatest(0.0, CAST(sx2 AS DOUBLE) / n
+                - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+             AS std_intensity,
+           CAST(mn AS INTEGER) AS min_intensity,
+           CAST(mx AS INTEGER) AS max_intensity,
+           CAST(h0 AS BIGINT) AS hist_0,
+           CAST(h1 AS BIGINT) AS hist_1,
+           CAST(h2 AS BIGINT) AS hist_2,
+           CAST(h3 AS BIGINT) AS hist_3
+    FROM m
+    """,
+)
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing at driver scale: treat each document's UTF-8
     bytes as a fake/raw 1 x n_chars x 1 raster and run the Arrow-batched
-    feature extractor. (Deterministic stub decode — multimodal.py.)"""
+    feature extractor. (Deterministic stub decode — multimodal.py.)
+
+    Driver-facing projection flattens the 4-bin histogram to scalar
+    columns (hist_0..hist_3) — array columns can't be canonicalized by
+    the driver's sort/hash compare."""
     d = load_table(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -73,4 +115,12 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fake/raw").alias("format"),
         ).alias("meta"),
     )
-    return image_feature_stats(media)
+    stats = image_feature_stats(media)
+    return stats.select(
+        "media_id",
+        "mean_intensity",
+        "std_intensity",
+        "min_intensity",
+        "max_intensity",
+        *[F.col("histogram")[i].alias(f"hist_{i}") for i in range(4)],
+    )
