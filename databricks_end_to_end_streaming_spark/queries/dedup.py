@@ -172,12 +172,42 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text") ->
     )
 
 
-@query("dedup_minhash_lsh")  # not SQL-expressible -> rows-only driver check
+@query(
+    "dedup_minhash_lsh",
+    # Oracle: exact all-pairs word-shingle jaccard (quadratic — fine for
+    # DuckDB at sf0.01). The Spark side only scores LSH candidates, so
+    # equality additionally asserts banding recall: every true pair in
+    # this corpus has jaccard >= 0.9, where the 8x4 banding miss
+    # probability is (1 - 0.9^4)^8 ~= 2e-4. The jaccard double is a
+    # single IEEE division of exact integers — bit-identical both ways.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
+             )) AS shingles
+      FROM documents
+    ), scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored
+    WHERE jaccard >= {NEARDUP_THRESHOLD}
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
     (word-shingle jaccard >= NEARDUP_THRESHOLD). Exactness is
     pytest-verified against a pure-Python reference on planted near-dups
-    (tests/test_dedup.py)."""
+    (tests/test_dedup.py); the driver oracle compares against exact
+    all-pairs jaccard, so a banding recall miss would surface as a
+    row-count diff."""
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     pairs = lsh_candidate_pairs(sigs)

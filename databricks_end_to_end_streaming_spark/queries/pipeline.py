@@ -89,11 +89,60 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_clean_corpus_neardup")  # rows-only: LSH stage
+@query(
+    "llm_clean_corpus_neardup",
+    # Oracle: the whole pipeline in SQL, with the LSH near-dup stage
+    # replaced by exact all-pairs jaccard over the gated+deduped corpus
+    # (quadratic — fine for DuckDB at sf0.01). Equality asserts both the
+    # removal rule (drop the higher doc_id of each verified pair) and the
+    # LSH stage's recall on this corpus.
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), gated AS (
+      SELECT * FROM feats WHERE n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT gated.*, row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM deduped
+    ), losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.7
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY lang
+    """,
+)
 def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline including near-duplicate removal: of every verified
     near-dup pair, the higher doc_id is dropped (anti-join against the
-    losers set)."""
+    losers set).
+
+    ``kept`` feeds three branches (signatures, verify re-scan, final
+    anti-join), so it is persisted for the run and released in
+    ``finally`` — the tiny per-language aggregate is materialized before
+    return so the cache never outlives the query (SURVEY T8 hygiene)."""
     from .dedup import (
         NEARDUP_THRESHOLD,
         lsh_candidate_pairs,
@@ -102,15 +151,20 @@ def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    kept = clean_corpus(d).cache()
-    sigs = minhash_signatures(kept)
-    pairs = verify_jaccard(lsh_candidate_pairs(sigs), kept).where(
-        F.col("jaccard") >= NEARDUP_THRESHOLD
-    )
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = kept.join(losers, "doc_id", "left_anti")
-    out = final.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-    )
-    return out
+    kept = clean_corpus(d).persist()
+    try:
+        sigs = minhash_signatures(kept)
+        pairs = verify_jaccard(lsh_candidate_pairs(sigs), kept).where(
+            F.col("jaccard") >= NEARDUP_THRESHOLD
+        )
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        final = kept.join(losers, "doc_id", "left_anti")
+        out = final.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        # Materialize the (few-row) aggregate so unpersist is safe before
+        # the caller's action; per-language groups are always small.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        kept.unpersist()

@@ -122,15 +122,28 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_cosine_neardup")  # rows-only: pairs above threshold
+@query(
+    "embedding_cosine_neardup",
+    # Oracle: exact all-pairs cosine (quadratic; fine for DuckDB at
+    # sf0.01). Contract is id-pairs only — cosine values differ at the
+    # last ulp between engines (summation order), ids don't. The driver
+    # corpus has no pair above 0.95 (max off-diagonal ~0.60), so both
+    # sides correctly return 0 rows; pytest plants twins to prove the
+    # LSH path recovers true near-dups.
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.95
+    """,
+)
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs (cosine > 0.95) over the FULL
     corpus via hyperplane-LSH bucketing — the vector analog of text
     near-dup. Only vectors sharing a bucket in some table are scored, so
-    the pair space never materializes O(n^2). (The driver corpus has no
-    pairs above 0.95 — max off-diagonal cosine is ~0.60 — so 0 rows here
-    is the correct answer; pytest plants true twins to prove recovery.)"""
+    the pair space never materializes O(n^2)."""
     from ..operators.similarity import lsh_neardup_pairs  # lazy: avoids cycle
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, threshold=0.95, n_bits=10, n_tables=6)
+    pairs = lsh_neardup_pairs(emb, threshold=0.95, n_bits=10, n_tables=6)
+    return pairs.select("id_a", "id_b")
