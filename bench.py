@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is fully materialized via a count-style action (collect for
-small results) so the measured time includes the scan, shuffles, and
-result production — not just plan construction.
+Each query is fully materialized through the noop batch sink
+(``df.write.format("noop")``): every output row and column is produced
+and handed to the writer, so projection-only queries can't have their
+computed columns pruned the way they would under ``df.count()`` — the
+measured time includes scan, shuffles, AND per-row expression work.
 """
 
 from __future__ import annotations
@@ -60,7 +62,7 @@ def main() -> None:
         for _trial in range(2):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)

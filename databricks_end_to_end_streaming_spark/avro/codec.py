@@ -192,6 +192,18 @@ def _build_encoder(avro_type: Any) -> Encoder:
             return write_str
         raise ValueError(f"unsupported primitive {avro_type!r}")
     if isinstance(avro_type, list):
+        # The "first non-null branch" dispatch below is only correct when
+        # there is exactly one non-null branch (the nullable-field pattern
+        # the wire schemas use). A union like ["null","int","string"]
+        # would silently route a string through the int encoder and die
+        # deep in _write_varint — reject it up front, mirroring the
+        # decode-path restriction in schema.avro_to_spark_type.
+        non_null = [t for t in avro_type if t != "null"]
+        if len(non_null) > 1:
+            raise ValueError(
+                f"unsupported union {avro_type!r}: only 'null' plus one "
+                "non-null branch is supported (nullable-field pattern)"
+            )
         encoders = [_build_encoder(t) for t in avro_type]
 
         def write_union(v: Any, out: bytearray) -> None:

@@ -24,9 +24,10 @@ CONFLUENT_HEADER_SIZE = 5  # 1 magic + 4 schema id (ingest_raw.scala:99-100)
 def be_int_from_bytes(col: F.Column | str) -> F.Column:
     """Big-endian unsigned int from a 4-byte binary column — the UDF-free
     replacement for the reference's ByteBuffer.wrap(b).getInt
-    (ingest_raw.scala:70-74)."""
+    (ingest_raw.scala:70-74). Cast to long (not int): wire ids are
+    unsigned 32-bit, and values >= 2^31 would overflow a 32-bit cast."""
     return F.conv(F.hex(F.col(col) if isinstance(col, str) else col), 16, 10).cast(
-        "int"
+        "long"
     )
 
 

@@ -50,6 +50,62 @@ class InMemorySchemaRegistry:
         return list(self._schemas)
 
 
+class ConfluentRestRegistry:
+    """HTTP-backed registry speaking the Confluent Schema Registry REST
+    protocol: ``GET {base_url}/schemas/ids/{id}`` returns
+    ``{"schema": "<avsc json string>"}`` — the same endpoint the
+    reference's RestService client resolves ids against
+    (ingest_raw.scala:40-51,128-131).
+
+    stdlib urllib only (no extra deps); per-id results are cached for
+    the registry's lifetime, so each distinct schema id costs one REST
+    round-trip per driver process — the foreachBatch demux already calls
+    this once per distinct id per micro-batch (SURVEY U2), never per-row.
+    Optional HTTP Basic auth mirrors Confluent's
+    ``basic.auth.user.info`` credentials option.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        auth_user_info: str | None = None,
+        timeout_sec: float = 10.0,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_sec = timeout_sec
+        self._headers = {
+            "Accept": "application/vnd.schemaregistry.v1+json, application/json"
+        }
+        if auth_user_info:
+            import base64
+
+            token = base64.b64encode(auth_user_info.encode()).decode()
+            self._headers["Authorization"] = f"Basic {token}"
+        self._cache: dict[int | str, str] = {}
+
+    def get_schema_json(self, schema_id: int | str) -> str:
+        if schema_id in self._cache:
+            return self._cache[schema_id]
+        import urllib.error
+        import urllib.request
+
+        url = f"{self.base_url}/schemas/ids/{schema_id}"
+        req = urllib.request.Request(url, headers=self._headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                body = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise KeyError(f"schema id {schema_id!r} not in registry") from e
+            raise
+        schema_json = body["schema"]
+        self._cache[schema_id] = schema_json
+        return schema_json
+
+    def get_schema(self, schema_id: int | str) -> RecordSchema:
+        return parse_schema(self.get_schema_json(schema_id))
+
+
 class LocalFileSchemaRegistry(InMemorySchemaRegistry):
     """Registry seeded from a directory of versioned .avsc files
     (the repo's own schema/product-v1.avsc, product-v2.avsc pattern).

@@ -96,8 +96,19 @@ class ParquetTable:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(staging)
-        shutil.rmtree(self.path)
+        # Local-FS swap semantics: rename the live dir ASIDE first, then
+        # rename staging into place, then delete the old copy — a crash
+        # at any point leaves either the old or the new table intact and
+        # recoverable (never neither). This relies on same-FS rename
+        # being atomic, which holds on a local/POSIX FS only; on an
+        # object store there is no atomic rename, and this entire method
+        # is replaced by Delta's transactional MERGE.
+        old = self.path.rstrip("/") + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
         os.rename(staging, self.path)
+        shutil.rmtree(old)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return (

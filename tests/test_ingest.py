@@ -76,9 +76,18 @@ def test_glue_header_slicing(spark):
 
 
 def test_be_int_decode(spark):
-    df = spark.createDataFrame([(bytes([0, 0, 1, 44]),), (bytes([0, 0, 0, 1]),)], "b binary")
+    df = spark.createDataFrame(
+        [
+            (bytes([0, 0, 1, 44]),),
+            (bytes([0, 0, 0, 1]),),
+            # full unsigned 32-bit range: a 32-bit cast would overflow
+            (bytes([0xFF, 0xFF, 0xFF, 0xFF]),),
+            (bytes([0x80, 0x00, 0x00, 0x00]),),
+        ],
+        "b binary",
+    )
     vals = [r[0] for r in df.select(be_int_from_bytes("b")).collect()]
-    assert vals == [300, 1]
+    assert vals == [300, 1, 2**32 - 1, 2**31]
 
 
 @pytest.mark.parametrize("framing_name", ["confluent", "glue"])

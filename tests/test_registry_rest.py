@@ -1,0 +1,94 @@
+"""ConfluentRestRegistry against an in-process HTTP stub server.
+
+Exercises the REST protocol shape the reference resolves schemas through
+(GET /schemas/ids/{id} -> {"schema": ...}, ingest_raw.scala:40-51):
+success, 404 -> KeyError, basic-auth header, and per-id caching. No
+network access — the stub binds a loopback port.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from databricks_end_to_end_streaming_spark.registry import ConfluentRestRegistry
+
+V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "product",
+        "fields": [
+            {"name": "productId", "type": "string"},
+            {"name": "timestamp", "type": "long"},
+        ],
+    }
+)
+
+
+class _Stub(BaseHTTPRequestHandler):
+    hits: list[str] = []
+    auth_seen: list[str | None] = []
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        _Stub.hits.append(self.path)
+        _Stub.auth_seen.append(self.headers.get("Authorization"))
+        if self.path == "/schemas/ids/1":
+            body = json.dumps({"schema": V1}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+            self.wfile.write(b'{"error_code": 40403, "message": "Schema not found"}')
+
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+
+@pytest.fixture()
+def stub_server():
+    _Stub.hits = []
+    _Stub.auth_seen = []
+    srv = HTTPServer(("127.0.0.1", 0), _Stub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+
+
+def test_rest_registry_resolves_and_parses(stub_server):
+    reg = ConfluentRestRegistry(stub_server)
+    schema = reg.get_schema(1)
+    assert schema.name == "product"
+    assert [f.name for f in schema.fields] == ["productId", "timestamp"]
+    assert json.loads(reg.get_schema_json(1)) == json.loads(V1)
+
+
+def test_rest_registry_caches_per_id(stub_server):
+    reg = ConfluentRestRegistry(stub_server)
+    for _ in range(3):
+        reg.get_schema_json(1)
+    assert _Stub.hits.count("/schemas/ids/1") == 1
+
+
+def test_rest_registry_404_is_keyerror(stub_server):
+    reg = ConfluentRestRegistry(stub_server)
+    with pytest.raises(KeyError, match="99"):
+        reg.get_schema_json(99)
+
+
+def test_rest_registry_basic_auth_header(stub_server):
+    reg = ConfluentRestRegistry(stub_server, auth_user_info="key:secret")
+    reg.get_schema_json(1)
+    import base64
+
+    expected = "Basic " + base64.b64encode(b"key:secret").decode()
+    assert _Stub.auth_seen[-1] == expected
