@@ -94,16 +94,30 @@ def decode_avro(
     mode: str = "PERMISSIVE",
     output_col: str = "parsedValue",
     prefer_jvm: bool = True,
+    reader_schema_json: str | dict | None = None,
 ) -> DataFrame:
     """Append ``output_col`` struct decoded from the Avro-binary
-    ``payload_col``. Passthrough columns are preserved."""
+    ``payload_col``. Passthrough columns are preserved.
+
+    ``reader_schema_json`` enables Avro schema resolution (spec §Schema
+    Resolution): payloads are decoded with the writer schema
+    (``schema_json``) and projected to the READER's shape, absent fields
+    taking their declared defaults — the registry-compatibility behavior
+    Glue ``FULL`` implies (producer.scala:60-61). Without it, the decoded
+    struct is the writer's shape and evolution is handled downstream by
+    union-widening with NULLs (SURVEY T9). Resolution always uses the
+    Python codec — the JVM from_avro takes one schema only."""
     if mode not in ("PERMISSIVE", "FAILFAST"):
         raise ValueError(f"mode must be PERMISSIVE or FAILFAST, got {mode!r}")
     schema_str = (
         schema_json if isinstance(schema_json, str) else json.dumps(schema_json)
     )
     spark = df.sparkSession
-    if prefer_jvm and _jvm_from_avro_available(spark):
+    if (
+        reader_schema_json is None
+        and prefer_jvm
+        and _jvm_from_avro_available(spark)
+    ):
         from pyspark.sql.avro.functions import from_avro
 
         return df.withColumn(
@@ -111,12 +125,25 @@ def decode_avro(
             from_avro(F.col(payload_col), schema_str, {"mode": mode}),
         )
 
-    struct_type = record_to_struct(parse_schema(schema_str))
+    schema_dict = json.loads(schema_str)
+    if reader_schema_json is not None:
+        from .codec import reader_for
+
+        reader_str = (
+            reader_schema_json
+            if isinstance(reader_schema_json, str)
+            else json.dumps(reader_schema_json)
+        )
+        reader_parsed = parse_schema(reader_str)
+        struct_type = record_to_struct(reader_parsed)
+        read_record = reader_for(parse_schema(schema_str), reader_parsed)
+    else:
+        struct_type = record_to_struct(parse_schema(schema_str))
+        read_record = lambda payload: decode(payload, schema_dict)  # noqa: E731
     field_names = [f.name for f in struct_type.fields]
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(output_col, struct_type, True)]
     )
-    schema_dict = json.loads(schema_str)
     failfast = mode == "FAILFAST"
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,7 +151,7 @@ def decode_avro(
             decoded: list[dict[str, Any] | None] = []
             for payload in pdf[payload_col]:
                 try:
-                    rec = decode(bytes(payload), schema_dict)
+                    rec = read_record(bytes(payload))
                     decoded.append({n: rec.get(n) for n in field_names})
                 except Exception:
                     if failfast:

@@ -80,9 +80,18 @@ def demux_decode_batch(
     target: ParquetTable,
     mode: str = "PERMISSIVE",
     batch_id: int | None = None,
+    reader_schema_id: int | str | None = None,
 ) -> list[int | str]:
     """The foreachBatch body, callable on any batch DataFrame (so pytest
-    can drive it without a streaming query). Returns schema ids seen."""
+    can drive it without a streaming query). Returns schema ids seen.
+
+    ``reader_schema_id`` switches evolution strategy: by default each
+    subset lands in the writer's shape and the table union-widens with
+    NULLs (the reference's mergeSchema behavior, SURVEY T9); with a
+    reader id, every subset is schema-RESOLVED to that reader's shape,
+    absent fields taking their Avro defaults — the compatibility-mode
+    read Glue FULL implies (producer.scala:60-61). The raw table is then
+    uniformly typed regardless of which writer versions appear."""
     sliced = batch_df.withColumn("valueSchemaId", framing.schema_id_col).withColumn(
         "payload", framing.payload_col
     )
@@ -92,10 +101,21 @@ def demux_decode_batch(
         # (ingest.scala:139-142). At scale this is N cheap passes over a
         # cached batch, each pruned by the id filter.
         ids = [r[0] for r in sliced.select("valueSchemaId").distinct().collect()]
+        reader_json = (
+            registry.get_schema_json(reader_schema_id)
+            if reader_schema_id is not None
+            else None
+        )
         for sid in sorted(ids, key=str):
             schema_json = registry.get_schema_json(sid)  # driver-side lookup (U2)
             subset = sliced.filter(F.col("valueSchemaId") == F.lit(sid))
-            decoded = decode_avro(subset, "payload", schema_json, mode=mode)
+            decoded = decode_avro(
+                subset,
+                "payload",
+                schema_json,
+                mode=mode,
+                reader_schema_json=reader_json,
+            )
             out = decoded.select(*RAW_COLUMNS)
             if batch_id is not None:
                 target.idempotent_append(
@@ -116,6 +136,7 @@ def ingest_avro_stream(
     framing: Framing | None = None,
     mode: str = "PERMISSIVE",
     query_name: str = "ingest_raw",
+    reader_schema_id: int | str | None = None,
 ):
     """Wire a Kafka-shaped streaming DataFrame through the demux into the
     raw table; drains available data and stops (Trigger-Once semantics,
@@ -124,7 +145,13 @@ def ingest_avro_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         demux_decode_batch(
-            batch_df, registry, framing, target, mode=mode, batch_id=batch_id
+            batch_df,
+            registry,
+            framing,
+            target,
+            mode=mode,
+            batch_id=batch_id,
+            reader_schema_id=reader_schema_id,
         )
 
     query = (

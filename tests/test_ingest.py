@@ -127,6 +127,52 @@ def test_ingest_end_to_end(spark, workdir, framing_name):
             assert row["size"] == ev["size"] and row["color"] == ev["color"]
 
 
+def test_ingest_schema_resolution_reader(spark, workdir):
+    """Both evolution modes, same v1/v2 stream: the default union-widen
+    leaves v1 rows NULL for v2-only columns (SURVEY T9), while
+    reader_schema_id resolves v1 payloads to the v2 shape with the
+    declared Avro defaults ('none') — the Glue FULL compatibility read
+    (producer.scala:60-61)."""
+    events = generate_events(40, seed=11, v1_ratio=0.5)
+    recs = events_to_wire(events)
+    write_topic_files(spark, recs, f"{workdir}/topic")
+    n_v1 = sum(1 for e in events if e["_version"] == 1)
+    assert 0 < n_v1 < len(events)
+
+    widen = ParquetTable(f"{workdir}/raw_widen")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        CONFLUENT_REGISTRY,
+        widen,
+        checkpoint=f"{workdir}/cp/widen",
+    )
+    resolved = ParquetTable(f"{workdir}/raw_resolved")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        CONFLUENT_REGISTRY,
+        resolved,
+        checkpoint=f"{workdir}/cp/resolved",
+        reader_schema_id=2,
+    )
+
+    w = widen.read(spark).select("valueSchemaId", "parsedValue.*")
+    assert w.filter(F.col("size").isNull()).count() == n_v1
+    r = resolved.read(spark).select("valueSchemaId", "parsedValue.*")
+    assert r.count() == len(events)
+    assert r.filter(F.col("size").isNull()).count() == 0
+    defaults = r.filter((F.col("size") == "none") & (F.col("color") == "none"))
+    assert defaults.count() >= n_v1
+    # v2 rows keep their real values under resolution
+    got = {row["eventId"]: row for row in r.collect()}
+    for ev in events:
+        if ev["_version"] == 2:
+            assert got[ev["eventId"]]["size"] == ev["size"]
+            assert got[ev["eventId"]]["color"] == ev["color"]
+        else:
+            assert got[ev["eventId"]]["size"] == "none"
+            assert got[ev["eventId"]]["color"] == "none"
+
+
 def test_ingest_permissive_nulls_corrupt_rows(spark, workdir):
     events = generate_events(10, seed=4, v1_ratio=0.0)
     recs = events_to_wire(events, corrupt_offsets={2, 5})
