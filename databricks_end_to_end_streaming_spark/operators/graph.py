@@ -1,0 +1,76 @@
+"""Distributed connected components via iterative min-label propagation.
+
+The clustering step of a near-duplicate pipeline: verified similarity
+pairs form an undirected graph, and each connected component is one
+duplicate cluster (keep one canonical doc per cluster). At 100 TB the
+pair graph is sparse (LSH emits candidate pairs, not O(n^2)), and
+min-label propagation converges in O(component diameter) rounds — for
+near-dup graphs that's typically 2-4, since components are small and
+dense.
+
+Per round: one shuffle (join labels to edges) + one partial-agg min.
+The driver only coordinates the loop and reads a single convergence
+scalar per round — the label state never leaves the cluster. Lineage is
+truncated each round (localCheckpoint) so the plan doesn't grow
+exponentially with iterations — standard Spark iterative-algorithm
+hygiene (same pattern GraphX/GraphFrames use internally).
+
+Algorithm: textbook "hash-min" label propagation (e.g. Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the minimum node id in the component.
+
+    ``edges`` is undirected input: each (src, dst) row is symmetrized
+    internally, so callers pass each pair once in either orientation.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Each node proposes its current label to every neighbor; the new
+        # label is the min over (own label, neighbor proposals). min() is
+        # algebraic, so Spark plants a map-side partial aggregate and the
+        # shuffle carries one candidate per (node, partition).
+        proposals = sym.join(
+            labels, sym["v"] == labels["node"], "inner"
+        ).select(F.col("u").alias("node"), "component")
+        new_labels = (
+            labels.union(proposals)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("component"))

@@ -1,0 +1,74 @@
+"""Distributed global ranking without a single-partition sort.
+
+``Window.orderBy`` with no ``partitionBy`` collapses the whole dataset
+into ONE partition — correct, and fatal at 100 TB. The classic
+distributed alternative computed here:
+
+1. range-repartition by the sort key (Spark samples the key distribution
+   to build balanced range bounds — the same machinery ORDER BY uses),
+2. sort within each partition,
+3. count rows per partition (a tiny driver-side collect of one long per
+   partition — the only data that ever leaves the cluster),
+4. global rank = cumulative offset of the partition + local row_number.
+
+Every heavy step stays parallel; the per-partition counts are O(number
+of partitions), not O(rows). This is how distributed engines implement
+total ORDER BY ranking generally (TeraSort-style range partitioning —
+public literature).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based dense global row number ordered by ``order_cols``
+    (which must form a total order — include a unique tiebreaker).
+    """
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+
+    # one long per partition to the driver; offsets broadcast back
+    counts = with_pid.groupBy("_pid").count().collect()
+    sizes = {r["_pid"]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        )
+    )
+
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        with_pid.join(offsets_df, "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.row_number().over(w)).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
+def ntile_from_rank(rank_col: str, total: int, n: int) -> F.Column:
+    """SQL-standard NTILE(n) bucket from a precomputed global rank:
+    the first ``total % n`` buckets get ``total // n + 1`` rows, the rest
+    ``total // n`` — exactly NTILE's distribution, computed from the rank
+    arithmetic instead of a windowed pass."""
+    base, rem = divmod(total, n)
+    r = F.col(rank_col)
+    if base == 0:  # fewer rows than buckets: NTILE gives bucket = rank
+        return r.cast("int")
+    big = rem * (base + 1)  # rows living in the oversized buckets
+    return F.when(
+        r <= F.lit(big), F.ceil(r / F.lit(base + 1))
+    ).otherwise(F.lit(rem) + F.ceil((r - F.lit(big)) / F.lit(base))).cast("int")

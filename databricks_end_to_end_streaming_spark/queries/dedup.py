@@ -253,3 +253,57 @@ def dedup_ngram_overlap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b", jac.alias("jaccard")
     )
+
+
+@query(
+    "neardup_connected_components",
+    # Oracle: exact pair graph (all-pairs jaccard, as dedup_minhash_lsh)
+    # + a recursive CTE computing reachability; component id = min
+    # reachable node. The Spark side must converge to the same labels.
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
+             )) AS shingles
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {NEARDUP_THRESHOLD}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    verified near-dup graph (keep one canonical doc per component — the
+    transitive-closure step real dedup pipelines need, since near-dup is
+    not transitive pairwise). Distributed min-label propagation
+    (operators/graph.py) — O(diameter) rounds of join + partial-agg min."""
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = verify_jaccard(pairs, d).where(
+        F.col("jaccard") >= NEARDUP_THRESHOLD
+    )
+    comps = connected_components(verified, "doc_a", "doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

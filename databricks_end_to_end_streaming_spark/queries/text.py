@@ -318,3 +318,126 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+@query(
+    "corpus_stats_by_source",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus accounting — the first dashboard any
+    training-data pipeline needs (where is my data coming from, how much,
+    how long). One partial-agg shuffle on a low-cardinality key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "vocab_topk_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token
+    )
+    SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token) AS rn
+      FROM counts
+    ) WHERE rn <= 5
+    """,
+)
+def vocab_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary building step: the top-5 most frequent
+    whitespace tokens per language (deterministic tiebreak on the token).
+    explode -> two-level agg (partial map-side combine on (lang, token))
+    -> per-lang top-k window over the tiny counts relation; the heavy
+    explode never passes through the window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split(F.trim("text"), " +")).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample by hash bucket (md5 prefix < '40' covers
+    64/256 of the first-byte space): seed-free, reproducible across runs,
+    engines, and cluster sizes — the sampling discipline a training-data
+    pipeline needs so reruns pick the SAME documents (unlike
+    df.sample(), whose output depends on partitioning). Stratification
+    is implicit: the hash is independent of lang, so each language is
+    sampled at the same rate. Pure narrow filter; no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.where(bucket < "40").select("doc_id", "lang")
+
+
+@query(
+    "doc_length_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document-length decile summary WITHOUT a single-partition
+    window: global ranks come from range-repartition + per-partition
+    offsets (operators/ranking.py — the TeraSort-style shape that
+    survives 100 TB, where Window.orderBy() without partitionBy would
+    funnel the corpus through one task), and NTILE buckets are computed
+    arithmetically from the rank."""
+    from ..operators.ranking import global_row_number, ntile_from_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    total = d.count()  # one scalar action; the corpus itself never moves
+    ranked = global_row_number(d, ["n_chars", "doc_id"])
+    return (
+        ranked.withColumn("decile", ntile_from_rank("rank", total, 10))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
