@@ -124,3 +124,40 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_intensity",
         *[F.col("histogram")[i].alias(f"hist_{i}") for i in range(4)],
     )
+
+
+@query("pq_quantize_embeddings")  # rows-only: k-means codebooks aren't SQL
+def pq_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding corpus: 64-dim float -> 8 one-byte
+    codes (32x compression) + per-vector squared reconstruction error.
+    Codes are flattened to scalar columns for the driver check;
+    exactness/recall is pytest-covered (tests/test_pq.py)."""
+    from ..operators.pq import pq_encode, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb)
+    coded = pq_encode(emb, books)
+    return coded.select(
+        "vec_id",
+        *[F.col("codes")[i].alias(f"code_{i}") for i in range(8)],
+        "recon_err",
+    )
+
+
+@query("ann_pq_adc_topk")  # rows-only: approximate by construction
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: the same 8-query top-5 task as the
+    brute-force/LSH/IVF variants, but scored against PQ codes via
+    asymmetric distance (full-precision query x quantized corpus) —
+    the memory-bound regime's search path."""
+    from ..operators.pq import pq_adc_topk, pq_encode, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb)
+    coded = pq_encode(emb, books).select("vec_id", "codes")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return pq_adc_topk(coded, queries, books, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )

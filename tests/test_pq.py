@@ -1,0 +1,73 @@
+"""Product quantization (operators/pq.py): code validity/determinism,
+reconstruction-error behavior, and ADC search recall on planted twins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    train_pq_codebooks,
+)
+
+DIM = 64
+
+
+def emb_df(spark, n=200, seed=7, twins=()):
+    rs = np.random.RandomState(seed)
+    vecs = rs.standard_normal((n, DIM)).astype(np.float32)
+    for a, b in twins:
+        vecs[b] = vecs[a]
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def test_pq_codes_valid_and_deterministic(spark):
+    df, _ = emb_df(spark)
+    books = train_pq_codebooks(df, dim=DIM)
+    assert books.shape == (8, 16, 8)
+    coded = pq_encode(df, books)
+    rows1 = {r["vec_id"]: (list(r["codes"]), r["recon_err"]) for r in coded.collect()}
+    rows2 = {r["vec_id"]: (list(r["codes"]), r["recon_err"]) for r in coded.collect()}
+    assert rows1 == rows2  # deterministic end to end
+    for codes, err in rows1.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+        assert err >= 0.0
+
+
+def test_pq_reconstruction_beats_coarser_codebook(spark):
+    df, vecs = emb_df(spark)
+    fine = train_pq_codebooks(df, k=16, dim=DIM)
+    coarse = train_pq_codebooks(df, k=2, dim=DIM)
+    err_fine = (
+        pq_encode(df, fine).agg(F.avg("recon_err")).collect()[0][0]
+    )
+    err_coarse = (
+        pq_encode(df, coarse).agg(F.avg("recon_err")).collect()[0][0]
+    )
+    assert err_fine < err_coarse
+    # and quantization must capture most of the signal energy
+    avg_norm2 = float((vecs**2).sum(axis=1).mean())
+    assert err_fine < avg_norm2
+
+
+def test_pq_adc_finds_planted_twin(spark):
+    # vec 150 is an exact copy of query vec 3: identical codes, so its
+    # ADC score equals the query's own reconstruction similarity — it
+    # must surface at the very top among 200 random candidates.
+    df, _ = emb_df(spark, twins=[(3, 150)])
+    books = train_pq_codebooks(df, dim=DIM)
+    coded = pq_encode(df, books).select("vec_id", "codes")
+    queries = df.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    top = pq_adc_topk(coded, queries, books, k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert 150 in ranked[:3]
+    assert ranked[0] == 150  # identical vector wins outright
