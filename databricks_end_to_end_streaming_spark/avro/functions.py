@@ -76,10 +76,14 @@ def encode_avro(
         from .codec import encode
 
         for pdf in batches:
-            payloads = []
-            for _, row in pdf.iterrows():
-                rec = {n: row[n] for n in names}
-                payloads.append(encode(rec, schema_dict))
+            # Column-wise zip instead of iterrows(): avoids building a
+            # pandas Series per row (the encode itself is per-record
+            # Python either way — the pure-Python codec's cost floor).
+            cols = [pdf[n] for n in names]
+            payloads = [
+                encode(dict(zip(names, vals)), schema_dict)
+                for vals in zip(*cols)
+            ]
             out = pdf.copy()
             out[output_col] = payloads
             yield out

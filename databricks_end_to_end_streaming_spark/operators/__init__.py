@@ -1,5 +1,4 @@
-from .simhash import simhash_signatures, simhash_neardup_pairs
-from .similarity import ann_lsh_topk, hyperplane_buckets
+from .graph import connected_components
 from .multimodal import (
     MEDIA_SCHEMA,
     decode_stub,
@@ -7,12 +6,22 @@ from .multimodal import (
     resize_images,
     sample_video_frames,
 )
+from .pq import pq_adc_topk, pq_encode, train_pq_codebooks
+from .ranking import global_row_number, ntile_from_rank
+from .simhash import simhash_neardup_pairs, simhash_signatures
+from .similarity import ann_lsh_topk, hyperplane_buckets
 
 __all__ = [
     "simhash_signatures",
     "simhash_neardup_pairs",
     "ann_lsh_topk",
     "hyperplane_buckets",
+    "connected_components",
+    "global_row_number",
+    "ntile_from_rank",
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
     "MEDIA_SCHEMA",
     "decode_stub",
     "image_feature_stats",

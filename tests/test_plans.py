@@ -114,3 +114,32 @@ def test_unpivot_is_single_scan_expand(spark):
     plan = plan_of(spark, "unpivot_lineitem_rates")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1  # not a 3-way union of scans
+
+
+def test_vocab_topk_window_sees_only_aggregated_counts(spark):
+    """The heavy explode must be reduced by the (lang, token) aggregate
+    BEFORE the per-lang window: partial map-side combine on the exploded
+    rows, and the window's exchange keys on lang — never on raw tokens."""
+    plan = plan_of(spark, "vocab_topk_per_lang")
+    assert "Generate explode" in plan
+    assert "partial_count" in plan
+    assert "Window" in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Hash-bucket sampling is a pure filter: no exchange anywhere."""
+    plan = plan_of(spark, "stratified_sample_per_lang")
+    assert "Exchange" not in plan
+
+
+def test_deciles_use_range_partitioning_not_single_partition(spark):
+    """The global rank must come from range repartitioning; the window
+    itself partitions by _pid, so no single-partition Exchange appears."""
+    plan = plan_of(spark, "doc_length_deciles")
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_corpus_stats_partial_agg(spark):
+    plan = plan_of(spark, "corpus_stats_by_source")
+    assert "partial_count" in plan or "partial" in plan.lower()
