@@ -369,3 +369,98 @@ def interval_join_order_week_events(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("o_orderkey")
         .agg(F.count("event_id").alias("n_events_week"))
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS users_view,
+           (SELECT count(*) FROM c) AS users_view_click,
+           (SELECT count(*) FROM p) AS users_full_funnel
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click-after-view ->
+    purchase-after-that): each stage is a per-user min-ts aggregate
+    joined to the previous stage with a time-order predicate. Every
+    shuffle keys on user_id; each stage's output is one row per
+    converted user, so the joins shrink monotonically down the funnel."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("users_view"))
+        .crossJoin(c.agg(F.count("*").alias("users_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("users_full_funnel")))
+    )
+
+
+@query(
+    "retention_cohorts_daily",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER)
+             AS offset_days,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firstday f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-seen day, counted
+    on each subsequent active day (the offset-days triangle). Two
+    user_id-keyed aggregations + one join; the distinct-activity
+    projection collapses the event stream to (user, day) before anything
+    heavy happens."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            # ISO string, not DateType: date columns surface as python
+            # objects vs datetime64 across engines' pandas conversions
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

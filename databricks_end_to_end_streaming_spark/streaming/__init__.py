@@ -1,13 +1,14 @@
-from .sinks import ParquetTable
+from .dedup_stage import neardup_batch, neardup_stage
 from .ingest import ingest_avro_stream
 from .medallion import (
     bronze_stage,
-    silver_stage,
+    dq_split_stage,
     gold_stage,
     run_pipeline,
+    silver_stage,
     upsert_stage,
-    dq_split_stage,
 )
+from .sinks import ParquetTable
 
 __all__ = [
     "ParquetTable",
@@ -18,4 +19,6 @@ __all__ = [
     "run_pipeline",
     "upsert_stage",
     "dq_split_stage",
+    "neardup_batch",
+    "neardup_stage",
 ]
