@@ -134,3 +134,19 @@ def test_union_struct_widens_in_first_seen_order():
         "color",
     ]
     assert record_to_struct(v2).fieldNames() == merged.fieldNames()
+
+
+def test_multi_branch_union_rejected_at_encoder_build():
+    """Unions beyond the nullable-field pattern must fail loudly at
+    build time, not deep inside varint encoding with the wrong branch."""
+    import pytest
+
+    from databricks_end_to_end_streaming_spark.avro.codec import encode
+
+    schema = {
+        "type": "record",
+        "name": "bad",
+        "fields": [{"name": "x", "type": ["null", "int", "string"]}],
+    }
+    with pytest.raises(ValueError, match="union"):
+        encode({"x": "boom"}, schema)

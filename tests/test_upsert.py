@@ -190,3 +190,19 @@ def test_dq_split_stage_routes_and_replays(spark, workdir):
     drain()                              # replay: no double-append
     assert {r["id"] for r in good.read(spark).collect()} == {1, 4}
     assert {r["id"] for r in quarantine.read(spark).collect()} == {2, 3}
+
+
+def test_upsert_swap_leaves_no_debris(spark, workdir):
+    """The rename-aside swap must end clean: no ._staging or ._old
+    sibling directories survive a successful upsert, and the table stays
+    readable with the merged content."""
+    import os
+
+    t = ParquetTable(f"{workdir}/swap_clean")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.upsert(spark, spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), ["k"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    parent = os.path.dirname(t.path.rstrip("/"))
+    debris = [d for d in os.listdir(parent) if "._old" in d or "._staging" in d]
+    assert debris == []
