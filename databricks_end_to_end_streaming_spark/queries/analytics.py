@@ -464,3 +464,33 @@ def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "json_props_extract_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: extract a typed field from the JSON
+    ``props`` column (get_json_object — JVM-side JSON path, no Python)
+    and aggregate per event type. The extraction is a narrow projection;
+    only the small (type, k) pairs reach the agg shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -441,3 +441,57 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), ' +') AS t,
+             len(string_split_regex(trim(text), ' +')) AS n
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST(greatest(
+               ceil((n - {CHUNK_SIZE}) / CAST({CHUNK_STRIDE} AS DOUBLE)), 0)
+               AS BIGINT) + 1)) AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(least(n - chunk_idx * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS BIGINT)
+             AS chunk_tokens
+    FROM chunks
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (size {CHUNK_SIZE}, stride
+    {CHUNK_STRIDE}) — the context-window packing step of a training-data
+    pipeline. Chunk boundaries are pure arithmetic on the token count;
+    the explode multiplies rows by ~n/stride, and the heavy text column
+    is dropped before the explode so the generated rows are tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim("text"), " +"))
+    n_chunks = (
+        F.greatest(
+            F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))), F.lit(0)
+        ).cast("long")
+        + 1
+    )
+    base = d.select("doc_id", n.alias("n"), n_chunks.alias("n_chunks"))
+    return base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("ci"),
+        "n",
+    ).select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        F.least(
+            F.col("n") - F.col("ci") * CHUNK_STRIDE, F.lit(CHUNK_SIZE)
+        ).cast("long").alias("chunk_tokens"),
+    )
