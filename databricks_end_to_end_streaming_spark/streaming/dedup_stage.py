@@ -82,8 +82,12 @@ def neardup_batch(
         # older batches only: replay-safe, see module docstring)
         if bands_table.exists():
             seen = bands_table.read(spark).where(F.col("_batch_id") < batch_id)
+            # Broadcast the BATCH side: the accumulated index is the big
+            # relation (8 rows per corpus doc) and must stream through a
+            # map-side hash join — shuffling the index per micro-batch
+            # would move O(corpus) tiny rows every trigger.
             cross = (
-                new_bands.alias("n")
+                F.broadcast(new_bands.alias("n"))
                 .join(
                     seen.alias("s"),
                     (F.col("n.band_id") == F.col("s.band_id"))
