@@ -1,3 +1,4 @@
+from .cms import cms_build, cms_estimate, cms_merge
 from .graph import connected_components
 from .multimodal import (
     MEDIA_SCHEMA,
@@ -17,6 +18,9 @@ __all__ = [
     "ann_lsh_topk",
     "hyperplane_buckets",
     "connected_components",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
     "global_row_number",
     "ntile_from_rank",
     "train_pq_codebooks",

@@ -161,3 +161,28 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(coded, queries, books, k=5).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+@query("cms_token_heavy_hitters")  # rows-only: sketch estimates
+def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the 20 most frequent
+    tokens: build the d x w grid over all token occurrences, then
+    point-query the candidate set. Estimates are one-sided (>= exact);
+    exactness bounds and mergeability are pytest-covered
+    (tests/test_cms.py). The exact twin for small corpora is
+    vocab_topk_per_lang."""
+    from ..operators.cms import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), " +")).alias("item")
+    )
+    sketch = cms_build(toks)
+    candidates = (
+        toks.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "item")
+        .limit(20)
+        .select("item")
+    )
+    return cms_estimate(sketch, candidates).orderBy("item")
