@@ -143,3 +143,21 @@ def test_deciles_use_range_partitioning_not_single_partition(spark):
 def test_corpus_stats_partial_agg(spark):
     plan = plan_of(spark, "corpus_stats_by_source")
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_json_extract_prunes_scan_to_two_columns(spark):
+    plan = formatted_plan(spark, "json_props_extract_agg")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "props" in read_schema and "event_type" in read_schema
+    assert "user_id" not in read_schema and "value" not in read_schema
+    assert "partial" in plan.lower()
+
+
+def test_funnel_stages_aggregate_before_joining(spark):
+    """Each funnel stage is a per-user min-ts agg; the stage joins see
+    one row per user, never raw events x raw events."""
+    plan = plan_of(spark, "funnel_view_click_purchase")
+    assert "partial_min" in plan
+    # final 1-row stage counts may nested-loop; the user-level joins must
+    # be hash/sort joins on user_id
+    assert "Join" in plan

@@ -1,0 +1,101 @@
+"""Scale probe: replicate the sf0.1 inputs K times on disk and compare
+query wall time against 1x — evidence that plans stay shuffle/key-bound
+rather than input-bound, i.e. that the operator shapes survive a
+scale-up. Writes scratch data under .scratch/ (gitignored).
+
+    python tools/scale_probe.py [K]     # default 10
+
+Replication shifts doc/vec/order ids per copy so keys stay unique and
+join/group cardinalities scale with the data (the hard case), not just
+row counts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark import get_spark
+from databricks_end_to_end_streaming_spark.queries import all_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+PROBES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "sessionize_events",
+    "dedup_exact",
+    "text_quality_score",
+]
+# id column to shift per replica so keys stay unique across copies
+ID_SHIFT = {
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 10_000_000),
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def replicate(spark, k: int, dest: str) -> None:
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLES:
+        out = f"{dest}/{t}.parquet"
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t in ID_SHIFT:
+            col, shift = ID_SHIFT[t]
+            parts = [
+                df.withColumn(col, F.col(col) + F.lit(i * shift))
+                for i in range(k)
+            ]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.union(p)
+        else:
+            big = df  # dims stay fixed — the realistic star-schema case
+        big.write.mode("overwrite").parquet(out)
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = all_queries()
+    out = {}
+    for name in PROBES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dest = os.path.join(REPO, ".scratch", f"sf0.1x{k}")
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    replicate(spark, k, dest)
+    base = time_queries(spark, SRC)
+    big = time_queries(spark, dest)
+    print(f"\nscale probe: sf0.1 -> {k}x replicated ({k * 0.6:.0f}M lineitem rows)")
+    for name in PROBES:
+        ratio = big[name] / base[name] if base[name] else float("nan")
+        print(f"  {name:36s} 1x={base[name]:7.3f}s  {k}x={big[name]:7.3f}s  ratio={ratio:4.1f}")
+    spark.stop()
+    shutil.rmtree(dest, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
