@@ -229,6 +229,56 @@ def gold_windowed_stage(
     )
 
 
+def session_window_transform(
+    df: DataFrame,
+    key_col: str = "type",
+    ts_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: dynamic-gap event-time windows
+    (F.session_window) per key, append mode — the streaming twin of the
+    batch gaps-and-islands query (queries/analytics.py sessionize_events).
+    A session closes and emits once the watermark passes its end + gap;
+    state is bounded by sessions still open within the watermark horizon."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "last_event",
+        )
+    )
+
+
+def session_window_stage(
+    spark: SparkSession,
+    silver: ParquetTable,
+    sessions: ParquetTable,
+    checkpoint: str,
+    key_col: str = "type",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> None:
+    """Append-mode session aggregates over the silver stream: each closed
+    session lands exactly once."""
+    _run_append(
+        session_window_transform(
+            silver.stream(spark), key_col=key_col, gap=gap, watermark=watermark
+        ),
+        sessions,
+        checkpoint,
+        "session_window_layer",
+    )
+
+
 def dq_split_stage(
     source: DataFrame,
     good: ParquetTable,

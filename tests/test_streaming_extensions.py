@@ -183,3 +183,52 @@ def test_sketch_rollup_matches_exact_daily_distinct(spark):
     assert set(got) == set(exact)
     for day, est in got.items():
         assert abs(est - exact[day]) / max(exact[day], 1) < 0.05
+
+
+def test_session_window_stage_emits_closed_sessions(spark, workdir):
+    """Three bursts of events per type separated by > gap, with a late
+    horizon: sessions whose end+gap precede the final watermark emit
+    exactly once, each with the right event count."""
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        bronze_stage,
+        session_window_stage,
+        silver_stage,
+    )
+
+    events = []
+    # two tight bursts (sessions) early on day 1, then a far-future event
+    # to push the watermark past both sessions' close
+    for burst, t0 in enumerate((BASE, BASE + 2 * 3600)):
+        events += generate_events(
+            12, seed=40 + burst, v1_ratio=0.0, base_ts=t0
+        )
+    events += generate_events(2, seed=50, v1_ratio=0.0, base_ts=BASE + 3 * DAY)
+    raw = build_raw(spark, workdir, events)
+    bronze = ParquetTable(f"{workdir}/bronze", partition_by=["type"])
+    silver = ParquetTable(f"{workdir}/silver", partition_by=["type"])
+    bronze_stage(spark, raw, bronze, f"{workdir}/cp/bronze")
+    silver_stage(spark, bronze, silver, f"{workdir}/cp/silver")
+
+    sessions = ParquetTable(f"{workdir}/sessions")
+    session_window_stage(
+        spark, silver, sessions, f"{workdir}/cp/sess", gap="30 minutes"
+    )
+    out = sessions.read(spark).collect()
+    assert out  # closed sessions emitted
+    # every emitted session closed before the final watermark, and
+    # session bounds are consistent
+    for r in out:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+    # emitted counts reconcile with a batch recount over silver within
+    # each session's bounds
+    silver_df = silver.read(spark)
+    for r in out:
+        n = (
+            silver_df.where(
+                (F.col("type") == r["type"])
+                & (F.col("event_time") >= r["session_start"])
+                & (F.col("event_time") < r["session_end"])
+            ).count()
+        )
+        assert n == r["n_events"], r
