@@ -53,6 +53,9 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Streaming state at scale: RocksDB spills to local disk instead of
         # holding all keyed state on-heap.
+        # (Runtime bloom-filter join pruning is already ON by default in
+        # Spark 4 — spark.sql.optimizer.runtime.bloomFilter.enabled —
+        # verified, so it is not re-set here.)
         "spark.sql.streaming.stateStore.providerClass": (
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         ),
