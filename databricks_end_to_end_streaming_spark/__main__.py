@@ -28,6 +28,17 @@ def main() -> None:
     ap.add_argument("--v1-ratio", type=float, default=0.3)
     ap.add_argument("--framing", choices=["confluent", "glue"], default="confluent")
     ap.add_argument("--watermark", default=None, help="bound silver dedup state")
+    ap.add_argument(
+        "--reader-schema-id",
+        default=None,
+        help="resolve every payload to this schema's shape with Avro "
+        "defaults instead of union-widening with NULLs",
+    )
+    ap.add_argument(
+        "--sessions",
+        action="store_true",
+        help="also run the session-window layer over silver",
+    )
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
@@ -53,6 +64,9 @@ def main() -> None:
         )
         framing = glue_framing()
 
+    reader_id = args.reader_schema_id
+    if reader_id is not None and args.framing == "confluent":
+        reader_id = int(reader_id)
     raw = ParquetTable(f"{args.workdir}/raw")
     ingest_avro_stream(
         file_stream(spark, f"{args.workdir}/topic"),
@@ -60,6 +74,7 @@ def main() -> None:
         raw,
         checkpoint=f"{args.workdir}/cp/ingest",
         framing=framing,
+        reader_schema_id=reader_id,
     )
     print(f"raw: {raw.read(spark).count()} rows")
 
@@ -68,6 +83,15 @@ def main() -> None:
         print(f"{name}: {tables[name].read(spark).count()} rows")
     print("gold:")
     tables["gold"].read(spark).orderBy("type", "color", "size").show(50, False)
+
+    if args.sessions:
+        from .streaming.medallion import session_window_stage
+
+        sessions = ParquetTable(f"{args.workdir}/sessions")
+        session_window_stage(
+            spark, tables["silver"], sessions, f"{args.workdir}/cp/sessions"
+        )
+        print(f"sessions (closed): {sessions.read(spark).count()} rows")
     spark.stop()
 
 
