@@ -307,8 +307,15 @@ def reader_for(writer_schema: RecordSchema, reader_schema: RecordSchema):
     product-v2.avsc:22-33).
     """
 
+    import json as _json
+
+    # invariant across records — serialize once, not per payload (the
+    # str key also makes decode()'s decoder-cache lookup a dict hit
+    # instead of a per-record dict stringification)
+    writer_json = _json.dumps(_schema_to_json(writer_schema))
+
     def read(payload: bytes) -> dict:
-        raw = decode(payload, _schema_to_json(writer_schema))
+        raw = decode(payload, writer_json)
         out = {}
         for f in reader_schema.fields:
             if f.name in raw:

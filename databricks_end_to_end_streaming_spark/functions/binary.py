@@ -25,7 +25,12 @@ def be_int_from_bytes(col: F.Column | str) -> F.Column:
     """Big-endian unsigned int from a 4-byte binary column — the UDF-free
     replacement for the reference's ByteBuffer.wrap(b).getInt
     (ingest_raw.scala:70-74). Cast to long (not int): wire ids are
-    unsigned 32-bit, and values >= 2^31 would overflow a 32-bit cast."""
+    unsigned 32-bit, and values >= 2^31 would overflow a 32-bit cast.
+
+    Migration note: raw tables written before this change store
+    valueSchemaId as int32; parquet mergeSchema cannot union int32 with
+    int64, so re-ingesting into such a table needs a one-time rewrite
+    (or an explicit read schema). Fresh tables are unaffected."""
     return F.conv(F.hex(F.col(col) if isinstance(col, str) else col), 16, 10).cast(
         "long"
     )

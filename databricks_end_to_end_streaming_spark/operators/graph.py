@@ -49,6 +49,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = -1
     for _ in range(max_iter):
         # Each node proposes its current label to every neighbor; the new
         # label is the min over (own label, neighbor proposals). min() is
@@ -72,5 +73,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Returning intermediate labels would silently split components
+        # (two "canonical" docs in one duplicate cluster) — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
 
     return labels.select(F.col("node"), F.col("component"))

@@ -114,27 +114,34 @@ def pq_adc_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
 ) -> DataFrame:
-    """Approximate top-k by asymmetric distance: full-precision queries
-    vs PQ codes. The broadcast join ships (query_id, qv) to every
-    partition of the compressed corpus; scoring is LUT construction per
-    query + a gather-sum per (query, code row) — vectorized per Arrow
-    batch. Only TOP_K rows per query survive to the final (tiny) window
-    exchange."""
+    """Approximate top-k COSINE by asymmetric distance: full-precision
+    queries scored against each corpus vector's reconstruction x_hat.
+    cosine(q, x_hat) = (q . x_hat) / (|q| |x_hat|); the dot product is
+    the usual per-subspace LUT gather-sum, and |x_hat|^2 is itself a
+    code-table lookup (subspaces are disjoint coordinate blocks, so
+    reconstruction norms add across subspaces). Ranking by the raw
+    inner product instead would bias toward high-norm corpus vectors —
+    a different task (MIPS) than the cosine ANN the brute-force/LSH/IVF
+    variants solve. The broadcast join ships (query_id, qv) to every
+    partition of the compressed corpus; only TOP_K rows per query
+    survive to the final (tiny) window exchange."""
     m, kc, sub = codebooks.shape
+    norm2_lut = (codebooks**2).sum(axis=2)  # (m, kc) reconstruction norms
 
     @pandas_udf("double")
     def adc_score(qv: pd.Series, codes: pd.Series) -> pd.Series:
         qmat = np.asarray(qv.tolist(), dtype=np.float64)  # (n, dim)
         cmat = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
-        # LUT of partial dot products per row's query: since consecutive
-        # rows repeat the same query after the join, compute per unique
-        # query in the batch.
-        scores = np.zeros(len(qmat), dtype=np.float64)
+        n = len(qmat)
+        dots = np.zeros(n, dtype=np.float64)
+        xnorm2 = np.zeros(n, dtype=np.float64)
         for s in range(m):
             qs = qmat[:, s * sub : (s + 1) * sub]  # (n, sub)
             partial = np.einsum("nd,kd->nk", qs, codebooks[s])  # (n, kc)
-            scores += partial[np.arange(len(qmat)), cmat[:, s]]
-        return pd.Series(scores)
+            dots += partial[np.arange(n), cmat[:, s]]
+            xnorm2 += norm2_lut[s][cmat[:, s]]
+        qnorm = np.sqrt((qmat**2).sum(axis=1))
+        return pd.Series(dots / np.maximum(qnorm * np.sqrt(xnorm2), 1e-12))
 
     cand = codes_df.join(
         F.broadcast(queries), F.col(id_col) != F.col(query_id_col)

@@ -35,7 +35,14 @@ def global_row_number(
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     parted = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    # Pin the partitioning before branching: repartitionByRange SAMPLES
+    # the key distribution per job, so the counts job below and the
+    # final output job would otherwise re-sample different range bounds
+    # and assign rows to different partitions — duplicate and missing
+    # ranks. localCheckpoint materializes one assignment both jobs read.
+    with_pid = parted.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
 
     # one long per partition to the driver; offsets broadcast back
     counts = with_pid.groupBy("_pid").count().collect()

@@ -106,14 +106,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) sharing at least one LSH band.
-
-    Band signature = xxhash64 of the band's minhash slots; the band rows
-    are (doc_id, band_id, band_sig) — tiny — and the self-join shuffles
-    on (band_id, band_sig), where AQE splits any hot bucket.
-    """
-    bands = sigs.select(
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig) banding of a signature relation —
+    band signature = xxhash64 of the band's minhash slots. Shared by the
+    batch candidate self-join below AND the incremental band index
+    (streaming/dedup_stage.py): one definition, so the two can never
+    hash bands differently."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -132,6 +131,15 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_sig")
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing at least one LSH band.
+
+    The band rows are tiny, and the self-join shuffles on
+    (band_id, band_sig), where AQE splits any hot bucket.
+    """
+    bands = band_rows(sigs)
     left = bands.alias("l")
     right = bands.alias("r")
     return (

@@ -24,38 +24,12 @@ from pyspark.sql import DataFrame
 
 from ..queries.dedup import (
     NEARDUP_THRESHOLD,
+    band_rows,
     lsh_candidate_pairs,
     minhash_signatures,
     verify_jaccard,
 )
-from ..queries.dedup import N_BANDS, ROWS_PER_BAND
 from .sinks import ParquetTable
-
-
-def _band_rows(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_sig) rows from signature columns — the same
-    banding as lsh_candidate_pairs, reused for the incremental index."""
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{i}")
-                                for i in range(
-                                    b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
-                                )
-                            ]
-                        ).alias("band_sig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_sig")
 
 
 def neardup_batch(
@@ -74,7 +48,7 @@ def neardup_batch(
     batch_df.persist()
     try:
         sigs = minhash_signatures(batch_df)
-        new_bands = _band_rows(sigs).withColumn("_batch_id", F.lit(batch_id))
+        new_bands = band_rows(sigs).withColumn("_batch_id", F.lit(batch_id))
 
         # new-vs-new candidates inside the batch
         cand = lsh_candidate_pairs(sigs)
@@ -103,9 +77,15 @@ def neardup_batch(
             cand = cand.union(cross).distinct()
 
         # exact verification re-scans only candidate docs: the batch for
-        # new ids, the accumulated docs table for seen ids
+        # new ids, the accumulated docs table for seen ids. A REPLAYED
+        # batch already has its docs in the table (written at the end of
+        # the first attempt), so exclude its own partition — a duplicate
+        # doc row would duplicate every pair it verifies. `batchid` is
+        # the partition column the idempotent-append token dirs encode,
+        # so the exclusion is partition-pruned, not a scan filter.
         if docs_table.exists():
-            corpus = docs_table.read(spark).unionByName(
+            prior = docs_table.read(spark).where(F.col("batchid") != batch_id)
+            corpus = prior.drop("batchid", "role").unionByName(
                 batch_df, allowMissingColumns=True
             )
         else:

@@ -32,7 +32,17 @@ class ParquetTable:
         self.path = path
         self.partition_by = partition_by or []
 
+    def _recover_swap(self) -> None:
+        """Heal a crash inside upsert's swap window: if the live dir is
+        gone but the renamed-aside copy survived, rename it back. Called
+        before any existence check so a post-crash caller sees the old
+        table instead of silently starting a fresh one."""
+        old = self.path.rstrip("/") + "._old"
+        if not os.path.isdir(self.path) and os.path.isdir(old):
+            os.rename(old, self.path)
+
     def exists(self) -> bool:
+        self._recover_swap()
         if not os.path.isdir(self.path):
             return False
         for _root, _dirs, files in os.walk(self.path):
@@ -99,10 +109,12 @@ class ParquetTable:
         # Local-FS swap semantics: rename the live dir ASIDE first, then
         # rename staging into place, then delete the old copy — a crash
         # at any point leaves either the old or the new table intact and
-        # recoverable (never neither). This relies on same-FS rename
-        # being atomic, which holds on a local/POSIX FS only; on an
-        # object store there is no atomic rename, and this entire method
-        # is replaced by Delta's transactional MERGE.
+        # recoverable (a crash between the two renames leaves only
+        # ._old, which _recover_swap renames back on the next access).
+        # This relies on same-FS rename being atomic, which holds on a
+        # local/POSIX FS only; on an object store there is no atomic
+        # rename, and this entire method is replaced by Delta's
+        # transactional MERGE.
         old = self.path.rstrip("/") + "._old"
         if os.path.exists(old):
             shutil.rmtree(old)
@@ -111,6 +123,7 @@ class ParquetTable:
         shutil.rmtree(old)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        self._recover_swap()
         return (
             spark.read.option("mergeSchema", "true")
             .option("basePath", self.path)

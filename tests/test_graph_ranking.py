@@ -41,6 +41,27 @@ def test_connected_components_orientation_invariant(spark):
     assert a == b == {5: 5, 9: 5, 7: 5}
 
 
+def test_global_row_number_dense_at_scale(spark):
+    """Regression: repartitionByRange re-samples bounds per JOB, so
+    without pinning the partitioning the counts job and the output job
+    disagree and ranks duplicate/gap. 400k rows makes the sampling
+    fraction realistic (the 997-row test below accidentally samples
+    ~everything and can't catch it)."""
+    df = spark.range(0, 400_000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1_000_003).alias("k")
+    )
+    got = global_row_number(df, ["k", "id"], num_partitions=32)
+    stats = got.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rank").alias("n_ranks"),
+        F.min("rank").alias("mn"),
+        F.max("rank").alias("mx"),
+    ).collect()[0]
+    assert stats["n"] == 400_000
+    assert stats["n_ranks"] == 400_000  # dense: no duplicates
+    assert stats["mn"] == 1 and stats["mx"] == 400_000  # no gaps
+
+
 def test_global_row_number_matches_window(spark):
     df = spark.range(0, 997).select(
         F.col("id"), (F.col("id") * 37 % 101).alias("k")
@@ -68,3 +89,13 @@ def test_ntile_from_rank_matches_ntile(spark):
         g = {r["rank"]: r["b"] for r in got.collect()}
         r_ = {r["rank"]: r["b"] for r in ref.collect()}
         assert g == r_, f"total={total}"
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1)

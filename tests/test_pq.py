@@ -71,3 +71,32 @@ def test_pq_adc_finds_planted_twin(spark):
     ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
     assert 150 in ranked[:3]
     assert ranked[0] == 150  # identical vector wins outright
+
+
+def test_pq_adc_ranks_by_cosine_not_inner_product(spark):
+    """A huge-norm distractor at a wide angle must NOT outrank the
+    query's own twin: under raw inner product the distractor would win
+    by an order of magnitude; under cosine the twin wins."""
+    rs = np.random.RandomState(11)
+    vecs = rs.standard_normal((200, DIM)).astype(np.float32)
+    q = vecs[3]
+    vecs[150] = q  # exact twin (cosine 1)
+    # distractor: cosine ~0.5 to q but norm 60 -> inner product ~30,
+    # dwarfing the twin's ~|q|^2. (Cosine 0.5 stays clearly below the
+    # ~0.7 that PQ quantization noise leaves measurable for the twin;
+    # an outlier this large gets near-dedicated centroids, so its own
+    # cosine estimate is nearly exact.)
+    w = rs.standard_normal(DIM)
+    w -= (w @ q) / (q @ q) * q  # orthogonal component
+    w = 0.5 * q / np.linalg.norm(q) + np.sqrt(0.75) * w / np.linalg.norm(w)
+    vecs[151] = (60.0 * w / np.linalg.norm(w)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(df, dim=DIM)
+    coded = pq_encode(df, books).select("vec_id", "codes")
+    queries = df.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    top = pq_adc_topk(coded, queries, books, k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ranked[0] == 150  # twin first — inner-product ranking puts 151 first

@@ -86,9 +86,13 @@ def test_incremental_replay_is_idempotent(spark, workdir):
     before_pairs = pair_set(spark, pairs)
     before_docs = docs.read(spark).count()
     # replay batch 1 (crash-after-partial-write scenario): overwrites its
-    # own idempotent outputs, matches only strictly-older band rows
+    # own idempotent outputs, matches only strictly-older band rows, and
+    # must NOT double-count its own docs in the verification corpus
     neardup_batch(df2, docs, bands, pairs, batch_id=1)
     assert pair_set(spark, pairs) == before_pairs
+    # row-level check, not set-level: a duplicated corpus doc would emit
+    # the same pair row twice
+    assert pairs.read(spark).count() == len(before_pairs)
     assert docs.read(spark).count() == before_docs
     assert bands.read(spark).count() == 22 * 8
 

@@ -206,3 +206,18 @@ def test_upsert_swap_leaves_no_debris(spark, workdir):
     parent = os.path.dirname(t.path.rstrip("/"))
     debris = [d for d in os.listdir(parent) if "._old" in d or "._staging" in d]
     assert debris == []
+
+
+def test_upsert_crash_window_recovers_old_table(spark, workdir):
+    """Crash between the two swap renames leaves only path._old; the
+    next access must heal it instead of silently starting fresh."""
+    import os
+
+    t = ParquetTable(f"{workdir}/swap_crash")
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    os.rename(t.path, t.path + "._old")  # simulate the crash state
+    assert t.exists()  # recovery happened
+    assert {r["k"] for r in t.read(spark).collect()} == {1}
+    # and a subsequent upsert merges instead of replacing
+    t.upsert(spark, spark.createDataFrame([(2, "b")], "k long, v string"), ["k"])
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}

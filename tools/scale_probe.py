@@ -51,8 +51,13 @@ def replicate(spark, k: int, dest: str) -> None:
     os.makedirs(dest, exist_ok=True)
     for t in TABLES:
         out = f"{dest}/{t}.parquet"
-        if os.path.exists(out):
+        # a completed write ends with parquet's _SUCCESS marker; anything
+        # else (killed prior run) is partial and must be rewritten — a
+        # truncated input would silently produce bogus "scales flat"
+        # ratios, the exact evidence this tool exists to produce
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
+        shutil.rmtree(out, ignore_errors=True)
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         if t in ID_SHIFT:
             col, shift = ID_SHIFT[t]
