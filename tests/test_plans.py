@@ -133,11 +133,14 @@ def test_stratified_sample_is_narrow(spark):
 
 
 def test_deciles_use_range_partitioning_not_single_partition(spark):
-    """The global rank must come from range repartitioning; the window
-    itself partitions by _pid, so no single-partition Exchange appears."""
+    """The global rank comes from range repartitioning pinned by a
+    localCheckpoint (the plan reads the checkpointed RDD — lineage above
+    it is truncated by design, see operators/ranking.py); the window
+    partitions by _pid, so NO single-partition Exchange may appear
+    anywhere in the plan."""
     plan = plan_of(spark, "doc_length_deciles")
-    assert "rangepartitioning" in plan.lower()
-    assert "SinglePartition" not in plan.split("Window")[0]
+    assert "ExistingRDD" in plan  # pinned (checkpointed) partitioning
+    assert "SinglePartition" not in plan
 
 
 def test_corpus_stats_partial_agg(spark):
