@@ -10,18 +10,64 @@ Implementation lives in ``databricks_end_to_end_streaming_spark/``.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from databricks_end_to_end_streaming_spark.queries import (  # noqa: E402
     all_oracles,
     all_queries,
 )
+
+
+def _last_checked_round() -> dict[str, int]:
+    """Per query, the latest round whose CORRECTNESS_r{N}.json recorded a
+    green check: ``hash_match`` true for oracled queries, or the driver's
+    rows-only record (``err == 'no_oracle'``) for non-SQL-expressible ones.
+    Rounds with a real error or a mismatch do not count as evidence, so the
+    query re-enters the window until it goes green again."""
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in results.items():
+            ok = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            if ok and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def _rotated(names: list[str], oracled: frozenset[str]) -> list[str]:
+    """Deterministic coverage rotation for the driver's first-50 correctness
+    window: oracled queries that never earned a green row come first (they
+    need the gate most), then everything else oldest-evidence-first, so the
+    window slack re-verifies the least-recently-checked queries each round.
+    Ties keep registration order. The library itself stays order-neutral
+    (``all_queries`` is registration-ordered); rotation is evaluation-driver
+    policy and lives only here."""
+    checked = _last_checked_round()
+    index = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        never = 0 if (n in oracled and n not in checked) else 1
+        return (never, checked.get(n, -1), index[n])
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,11 +80,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ north-star
-    extensions). Each callable takes (spark, sf_dir) -> DataFrame."""
-    return all_queries()
+    extensions). Each callable takes (spark, sf_dir) -> DataFrame.
+    Ordered by the coverage rotation (see ``_rotated``)."""
+    qs = all_queries()
+    order = _rotated(list(qs), frozenset(all_oracles()))
+    return {n: qs[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key; keys absent here are
     non-SQL-expressible (driver records a rows-only check)."""
-    return all_oracles()
+    oracles = all_oracles()
+    order = _rotated(list(all_queries()), frozenset(oracles))
+    return {n: oracles[n] for n in order if n in oracles}

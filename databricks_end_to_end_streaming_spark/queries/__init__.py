@@ -42,56 +42,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Names that already earned a green (hash-match) row in CORRECTNESS_r01.
-# The driver's correctness gate evaluates only the FIRST 50 registered
-# queries per round, so ordering is evidence-driven: queries with an
-# oracle but no green row yet come first (they need the driver's check
-# most), rows-only queries next (weaker rows-only evidence, still worth
-# a row), and already-evidenced queries last. As rounds accumulate green
-# rows, extend this set so the window rotates over the whole corpus.
-_PRIOR_GREEN = frozenset(
-    {
-        "window_lag_inter_event_gap", "sessionize_events", "explode_token_counts",
-        "count_distinct_users_per_type", "running_total_per_user",
-        "median_value_per_type_exact", "session_window_events",
-        "asof_last_event_value", "interval_join_order_week_events",
-        "dedup_exact", "dedup_ngram_overlap_sample", "knn_bruteforce_cosine",
-        "embedding_label_centroid_sim", "medallion_bronze_flatten",
-        "medallion_silver_dedup", "medallion_gold_agg", "gold_daily_windows",
-        "sql_api_status_counts", "medallion_end_to_end", "llm_clean_corpus",
-        "full_outer_join_nation_presence", "cross_join_region_matrix",
-        "scalar_subquery_above_avg_orders", "cube_order_status_priority",
-        "null_handling_coalesce_nullif", "scalar_math_functions",
-        "string_transform_functions", "inlist_and_between_filter",
-        "array_hof_embedding_features", "pivot_status_counts",
-        "date_arithmetic_functions", "grouping_sets_order_margins",
-        "unpivot_lineitem_rates", "array_agg_order_lines", "text_token_stats",
-        "text_quality_score", "text_lang_id", "text_bpe_token_stats",
-        "text_fingerprint", "dataset_split_deterministic", "text_repetition_score",
-    }
-)
-
-
-def _ordered(names: list[str]) -> list[str]:
-    def tier(n: str) -> int:
-        if n in _ORACLE and n not in _PRIOR_GREEN:
-            return 0  # oracled, no green evidence yet -> check first
-        if n not in _ORACLE:
-            return 1  # rows-only
-        return 2  # already evidenced in a prior round
-
-    index = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (tier(n), index[n]))
-
-
 def all_queries() -> dict[str, QueryFn]:
+    """All registered queries, in registration order.
+
+    The library deliberately does NOT reorder around external evaluation
+    state; coverage rotation across evaluation rounds is the concern of the
+    driver-facing entry point (see /root/repo/__spark_entry__.py).
+    """
     _load_modules()
-    return {n: _QUERIES[n] for n in _ordered(list(_QUERIES))}
+    return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return {n: _ORACLE[n] for n in _ordered(list(_QUERIES)) if n in _ORACLE}
+    return dict(_ORACLE)
 
 
 _LOADED = False
