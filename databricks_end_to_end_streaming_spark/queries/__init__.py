@@ -77,6 +77,7 @@ def _load_modules() -> None:
         text,
         tpch,
         tpch_more,
+        tpch_partsupp,
     )
 
     _LOADED = True

@@ -92,6 +92,53 @@ def load_events_since(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFram
     )
 
 
+def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``partsupp`` derived from ``part`` x ``supplier``.
+
+    The driver testdata ships no partsupp table, so the five TPC-H queries
+    that need one (q2/q9/q11/q16/q20) derive it with pure integer
+    arithmetic that the DuckDB oracle replays verbatim (see
+    ``queries.tpch_partsupp.PARTSUPP_CTE``): each part gets 4 suppliers at
+    stride ``max(S div 4, 1)`` (distinct because ``3*stride < S``), and
+    availqty/supplycost are multiplicative-hash residues of the key pair.
+    Scale shape: one narrow scan of ``part``, a broadcast 1-row supplier
+    count, and a 4-way explode — no shuffle, linear in |part| at any SF.
+    """
+    part = load_table(spark, sf_dir, "part")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(F.count("*").alias("s"))
+    ps0 = (
+        part.select(F.col("p_partkey").cast("bigint").alias("pk"))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            "pk",
+            "s",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(
+            "pk",
+            (
+                (F.col("pk") + F.col("i") * F.greatest(F.expr("s div 4"), F.lit(1)))
+                % F.col("s")
+            ).alias("sk"),
+        )
+    )
+    cents = F.lit(100) + (F.col("pk") * 104729 + F.col("sk") * 7919) % 99900
+    return ps0.withColumn("cents", cents).select(
+        F.col("pk").cast("int").alias("ps_partkey"),
+        F.col("sk").cast("int").alias("ps_suppkey"),
+        (F.lit(1) + (F.col("pk") * 7919 + F.col("sk") * 104729) % 9999)
+        .cast("int")
+        .alias("ps_availqty"),
+        F.concat(
+            F.expr("cents div 100").cast("string"),
+            F.lit("."),
+            F.lpad((F.col("cents") % 100).cast("string"), 2, "0"),
+        )
+        .cast("decimal(12,2)")
+        .alias("ps_supplycost"),
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
