@@ -52,6 +52,8 @@ def train_pq_codebooks(
     rows = (
         emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
+    if not rows:
+        raise ValueError("no rows to train PQ codebooks on (empty input)")
     x = np.asarray([r[1] for r in rows], dtype=np.float64)  # (n, dim)
     rs = np.random.RandomState(seed)
     books = np.empty((m, k, sub), dtype=np.float64)

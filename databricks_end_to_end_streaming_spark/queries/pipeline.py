@@ -164,7 +164,7 @@ def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
         # Materialize the (few-row) aggregate so unpersist is safe before
-        # the caller's action; per-language groups are always small.
-        return spark.createDataFrame(out.collect(), out.schema)
+        # the caller's action — executor-side, no driver round-trip.
+        return out.localCheckpoint(eager=True)
     finally:
         kept.unpersist()

@@ -87,9 +87,15 @@ class ConfluentRestRegistry:
         if schema_id in self._cache:
             return self._cache[schema_id]
         import urllib.error
+        import urllib.parse
         import urllib.request
 
-        url = f"{self.base_url}/schemas/ids/{schema_id}"
+        # ids can be arbitrary strings (Glue-style); quote so '/', '?',
+        # '#' or spaces can't malform the path or hit another endpoint.
+        url = (
+            f"{self.base_url}/schemas/ids/"
+            f"{urllib.parse.quote(str(schema_id), safe='')}"
+        )
         req = urllib.request.Request(url, headers=self._headers)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:

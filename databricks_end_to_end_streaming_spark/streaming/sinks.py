@@ -35,8 +35,10 @@ class ParquetTable:
     def _recover_swap(self) -> None:
         """Heal a crash inside upsert's swap window: if the live dir is
         gone but the renamed-aside copy survived, rename it back. Called
-        before any existence check so a post-crash caller sees the old
-        table instead of silently starting a fresh one."""
+        at the top of EVERY entry point (reads, existence checks, and all
+        writers) — a post-crash append/overwrite would otherwise recreate
+        the live dir itself and permanently strand the pre-crash table in
+        ._old as a silent fresh start."""
         old = self.path.rstrip("/") + "._old"
         if not os.path.isdir(self.path) and os.path.isdir(old):
             os.rename(old, self.path)
@@ -52,6 +54,7 @@ class ParquetTable:
 
     def append(self, df: DataFrame) -> None:
         """Plain append with evolution-by-mergeSchema-on-read."""
+        self._recover_swap()
         w = df.write.mode("append")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
@@ -60,10 +63,12 @@ class ParquetTable:
     def idempotent_append(self, df: DataFrame, token: str) -> None:
         """Append keyed by a replay token (e.g. 'batchid=7/schemaid=2'):
         a re-run with the same token overwrites its own output."""
+        self._recover_swap()
         df.write.mode("overwrite").parquet(os.path.join(self.path, token))
 
     def overwrite(self, df: DataFrame) -> None:
         """Full rewrite — complete-output-mode sink (gold, SURVEY K3)."""
+        self._recover_swap()
         df.write.mode("overwrite").parquet(self.path)
 
     def upsert(self, spark: SparkSession, updates: DataFrame, keys: list[str]) -> None:
@@ -124,12 +129,68 @@ class ParquetTable:
 
     def read(self, spark: SparkSession) -> DataFrame:
         self._recover_swap()
-        return (
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", self.path)
-            .option("recursiveFileLookup", "false")
-            .parquet(self.path)
-        )
+        try:
+            return (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", self.path)
+                .option("recursiveFileLookup", "false")
+                .parquet(self.path)
+            )
+        except Exception as e:  # noqa: BLE001 - re-raise with migration hint
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
+            raise RuntimeError(
+                f"table {self.path} holds files with un-mergeable column "
+                "types (e.g. a raw table written before valueSchemaId "
+                "widened from int to long — functions/binary.py "
+                "be_int_from_bytes). Run a one-time "
+                "ParquetTable(path).rewrite_columns(spark, "
+                "{'valueSchemaId': 'bigint'}) to widen in place."
+            ) from e
+
+    def rewrite_columns(self, spark: SparkSession, cast_map: dict[str, str]) -> None:
+        """One-shot in-place column-type migration (e.g. valueSchemaId
+        int32 -> int64 after the be_int_from_bytes widening). Files are
+        grouped by their parquet footer schema (pyarrow, no Spark schema
+        merge needed), each group is re-written with the casts applied,
+        and the new files replace the old ones inside the SAME
+        directories — the idempotent token layout and partition dirs are
+        preserved, so replay semantics and pruning are unchanged."""
+        import pyarrow.parquet as pq
+
+        # group by (footer schema, directory): one rewrite per uniform
+        # file group, and rewritten rows stay in their own directory so
+        # partition-derived column values are untouched
+        by_schema: dict[tuple[str, str], list[str]] = {}
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    key = (str(pq.read_schema(fp)), root)
+                    by_schema.setdefault(key, []).append(fp)
+        staging = self.path.rstrip("/") + "._rewrite"
+        for gi, paths in enumerate(by_schema.values()):
+            df = spark.read.parquet(*paths)
+            for col, dtype in cast_map.items():
+                if col in df.columns:
+                    df = df.withColumn(col, F.col(col).cast(dtype))
+            gdir = os.path.join(staging, str(gi))
+            df.coalesce(max(1, len(paths))).write.mode("overwrite").parquet(gdir)
+            new_files = [
+                os.path.join(gdir, f)
+                for f in os.listdir(gdir)
+                if f.endswith(".parquet")
+            ]
+            # land the rewritten files beside the originals, then drop
+            # the originals (per-directory, so a crash mid-way leaves
+            # every directory with at least one complete copy)
+            target_dir = os.path.dirname(paths[0])
+            for i, nf in enumerate(new_files):
+                os.replace(nf, os.path.join(target_dir, f"rw-{gi}-{i}.parquet"))
+            for p in paths:
+                os.remove(p)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
 
     def stream(self, spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
         """Incremental read as a stream (Delta-streaming-source stand-in,

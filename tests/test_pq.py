@@ -100,3 +100,13 @@ def test_pq_adc_ranks_by_cosine_not_inner_product(spark):
     top = pq_adc_topk(coded, queries, books, k=2).collect()
     ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
     assert ranked[0] == 150  # twin first — inner-product ranking puts 151 first
+
+
+def test_pq_train_empty_input_raises(spark):
+    import pytest
+
+    from databricks_end_to_end_streaming_spark.operators.pq import train_pq_codebooks
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        train_pq_codebooks(empty, dim=64, m=8, k=16)

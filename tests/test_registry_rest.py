@@ -92,3 +92,18 @@ def test_rest_registry_basic_auth_header(stub_server):
 
     expected = "Basic " + base64.b64encode(b"key:secret").decode()
     assert _Stub.auth_seen[-1] == expected
+
+
+def test_rest_registry_quotes_weird_ids(stub_server):
+    """Glue-style string ids may contain '/', '?', '#', spaces — the
+    client must percent-encode them so they stay one path segment (a 404
+    -> KeyError) instead of malforming the request."""
+    import pytest
+
+    reg = ConfluentRestRegistry(stub_server)
+    for weird in ("a/b", "x?y=1", "p#q", "with space"):
+        with pytest.raises(KeyError):
+            reg.get_schema_json(weird)
+    # each request stayed a single quoted path segment
+    weird_hits = [h for h in _Stub.hits if h.startswith("/schemas/ids/a%2Fb")]
+    assert weird_hits

@@ -221,3 +221,56 @@ def test_upsert_crash_window_recovers_old_table(spark, workdir):
     # and a subsequent upsert merges instead of replacing
     t.upsert(spark, spark.createDataFrame([(2, "b")], "k long, v string"), ["k"])
     assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_writer_entry_points_heal_crash_window(spark, workdir):
+    """A crash inside upsert's swap window followed by a WRITE (not a
+    read) must still recover the old table: append/overwrite would
+    otherwise recreate the live dir and strand the pre-crash data in
+    ._old forever."""
+    import os
+
+    t = ParquetTable(f"{workdir}/swap_then_append")
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    os.rename(t.path, t.path + "._old")  # crash state
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+
+    t2 = ParquetTable(f"{workdir}/swap_then_idem")
+    t2.idempotent_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), "batchid=0"
+    )
+    os.rename(t2.path, t2.path + "._old")
+    t2.idempotent_append(
+        spark.createDataFrame([(2, "b")], "k long, v string"), "batchid=1"
+    )
+    assert {r["k"] for r in t2.read(spark).collect()} == {1, 2}
+
+
+def test_mixed_int_widths_fail_fast_and_migrate(spark, workdir):
+    """Raw tables written before the be_int_from_bytes int->long change
+    hold int32 valueSchemaId; a mixed table must fail with the migration
+    instruction (not an opaque merge error), and rewrite_columns must
+    heal it in place preserving the token-directory layout."""
+    import os
+
+    import pytest
+
+    t = ParquetTable(f"{workdir}/raw_mixed")
+    t.idempotent_append(
+        spark.createDataFrame([(1, "x")], "valueSchemaId int, payload string"),
+        "batchid=0",
+    )
+    t.idempotent_append(
+        spark.createDataFrame([(2, "y")], "valueSchemaId long, payload string"),
+        "batchid=1",
+    )
+    with pytest.raises(RuntimeError, match="rewrite_columns"):
+        t.read(spark)
+
+    t.rewrite_columns(spark, {"valueSchemaId": "bigint"})
+    df = t.read(spark)
+    assert dict(df.dtypes)["valueSchemaId"] == "bigint"
+    got = {(r["valueSchemaId"], r["batchid"]) for r in df.collect()}
+    assert got == {(1, 0), (2, 1)}  # partition dirs survived the rewrite
+    assert not os.path.isdir(t.path + "._rewrite")
