@@ -112,6 +112,140 @@ class ConfluentRestRegistry:
         return parse_schema(self.get_schema_json(schema_id))
 
 
+class GlueRestRegistry:
+    """HTTP client for the AWS Glue Schema Registry ``GetSchemaVersion``
+    API — the lookup the reference's GlueSchemaRegistryDeserializationFacade
+    performs per distinct schema header (ingest.scala:91-100,133-136).
+
+    Speaks the public Glue JSON protocol: ``POST {endpoint}/`` with
+    ``X-Amz-Target: AWSGlue.GetSchemaVersion`` and an x-amz-json-1.1 body
+    ``{"SchemaVersionId": "<uuid>"}``; the response's
+    ``SchemaDefinition`` is the .avsc JSON. Requests are SigV4-signed
+    when credentials are supplied (stdlib hmac implementation of the
+    published algorithm); unsigned otherwise, which is what the
+    stub-server tests and sigv4-terminating proxies use.
+
+    Ids are the schema-version UUIDs that ``functions.binary.
+    glue_schema_uuid`` slices out of the 18-byte wire header (32 hex
+    chars, accepted with or without dashes). Cached per id for the
+    registry's lifetime — one REST round-trip per distinct id per driver
+    process, called from foreachBatch demux (SURVEY U2), never per-row.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        region: str = "us-east-1",
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        session_token: str | None = None,
+        timeout_sec: float = 10.0,
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.session_token = session_token
+        self.timeout_sec = timeout_sec
+        self._cache: dict[str, str] = {}
+
+    @staticmethod
+    def _canonical_uuid(schema_id: int | str) -> str:
+        s = str(schema_id).replace("-", "").lower()
+        if len(s) != 32 or any(c not in "0123456789abcdef" for c in s):
+            raise ValueError(f"not a Glue schema-version uuid: {schema_id!r}")
+        return f"{s[0:8]}-{s[8:12]}-{s[12:16]}-{s[16:20]}-{s[20:32]}"
+
+    def _sigv4_headers(self, body: bytes, amz_target: str) -> dict[str, str]:
+        """Minimal SigV4 (AWS's published signing algorithm) over a POST
+        to the service root — enough for the Glue JSON protocol."""
+        import datetime
+        import hashlib
+        import hmac
+        import urllib.parse
+
+        t = datetime.datetime.now(datetime.timezone.utc)
+        amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = t.strftime("%Y%m%d")
+        host = urllib.parse.urlparse(self.endpoint).netloc
+        payload_hash = hashlib.sha256(body).hexdigest()
+        headers = {
+            "content-type": "application/x-amz-json-1.1",
+            "host": host,
+            "x-amz-date": amz_date,
+            "x-amz-target": amz_target,
+        }
+        if self.session_token:
+            headers["x-amz-security-token"] = self.session_token
+        signed = ";".join(sorted(headers))
+        canonical = "\n".join(
+            [
+                "POST",
+                "/",
+                "",
+                "".join(f"{k}:{headers[k]}\n" for k in sorted(headers)),
+                signed,
+                payload_hash,
+            ]
+        )
+        scope = f"{datestamp}/{self.region}/glue/aws4_request"
+        to_sign = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                amz_date,
+                scope,
+                hashlib.sha256(canonical.encode()).hexdigest(),
+            ]
+        )
+
+        def _hmac(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+        k = _hmac(f"AWS4{self.secret_key}".encode(), datestamp)
+        k = _hmac(_hmac(_hmac(k, self.region), "glue"), "aws4_request")
+        signature = hmac.new(k, to_sign.encode(), hashlib.sha256).hexdigest()
+        headers["authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={signed}, Signature={signature}"
+        )
+        del headers["host"]  # urllib sets it; keeping it duplicates
+        return headers
+
+    def get_schema_json(self, schema_id: int | str) -> str:
+        uuid = self._canonical_uuid(schema_id)
+        if uuid in self._cache:
+            return self._cache[uuid]
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps({"SchemaVersionId": uuid}).encode()
+        target = "AWSGlue.GetSchemaVersion"
+        if self.access_key and self.secret_key:
+            headers = self._sigv4_headers(body, target)
+        else:
+            headers = {
+                "content-type": "application/x-amz-json-1.1",
+                "x-amz-target": target,
+            }
+        req = urllib.request.Request(
+            self.endpoint + "/", data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode("utf-8", "replace")
+            if e.code in (400, 404) and "EntityNotFoundException" in detail:
+                raise KeyError(f"schema version {uuid} not in registry") from e
+            raise
+        schema_json = payload["SchemaDefinition"]
+        self._cache[uuid] = schema_json
+        return schema_json
+
+    def get_schema(self, schema_id: int | str) -> RecordSchema:
+        return parse_schema(self.get_schema_json(schema_id))
+
+
 class LocalFileSchemaRegistry(InMemorySchemaRegistry):
     """Registry seeded from a directory of versioned .avsc files
     (the repo's own schema/product-v1.avsc, product-v2.avsc pattern).
