@@ -28,13 +28,14 @@ from databricks_end_to_end_streaming_spark.queries import (  # noqa: E402
 )
 
 
-def _last_checked_round() -> dict[str, int]:
-    """Per query, the latest round whose CORRECTNESS_r{N}.json recorded a
-    green check: ``hash_match`` true for oracled queries, or the driver's
-    rows-only record (``err == 'no_oracle'``) for non-SQL-expressible ones.
-    Rounds with a real error or a mismatch do not count as evidence, so the
-    query re-enters the window until it goes green again."""
-    latest: dict[str, int] = {}
+def _evidence_rounds() -> tuple[dict[str, int], dict[str, int]]:
+    """Per query, the latest round with (a) a green ``hash_match`` row and
+    (b) the driver's weaker rows-only record (``err == 'no_oracle'``),
+    from the CORRECTNESS_r{N}.json files on disk. Rounds with a real
+    error or a mismatch count as neither, so such a query re-enters the
+    window until it goes green again."""
+    green: dict[str, int] = {}
+    rows_only: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -46,26 +47,43 @@ def _last_checked_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in results.items():
-            ok = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
-            if ok and rnd > latest.get(name, -1):
-                latest[name] = rnd
-    return latest
+            if bool(row.get("hash_match")) and rnd > green.get(name, -1):
+                green[name] = rnd
+            if row.get("err") == "no_oracle" and rnd > rows_only.get(name, -1):
+                rows_only[name] = rnd
+    return green, rows_only
+
+
+def _last_checked_round() -> dict[str, int]:
+    """Back-compat view: latest round with any evidence (green hash row,
+    or rows-only record)."""
+    green, rows_only = _evidence_rounds()
+    merged = dict(rows_only)
+    for name, rnd in green.items():
+        merged[name] = max(merged.get(name, -1), rnd)
+    return merged
 
 
 def _rotated(names: list[str], oracled: frozenset[str]) -> list[str]:
     """Deterministic coverage rotation for the driver's first-50 correctness
-    window: oracled queries that never earned a green row come first (they
-    need the gate most), then everything else oldest-evidence-first, so the
-    window slack re-verifies the least-recently-checked queries each round.
-    Ties keep registration order. The library itself stays order-neutral
-    (``all_queries`` is registration-ordered); rotation is evaluation-driver
-    policy and lives only here."""
-    checked = _last_checked_round()
+    window: oracled queries that never earned a green HASH row come first
+    (a query whose oracle is newer than its last rows-only record counts
+    as never-checked — the oracle hasn't been exercised), then everything
+    else oldest-evidence-first, so the window slack re-verifies the
+    least-recently-checked queries each round. Ties keep registration
+    order. The library itself stays order-neutral (``all_queries`` is
+    registration-ordered); rotation is evaluation-driver policy and lives
+    only here."""
+    green, rows_only = _evidence_rounds()
     index = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[int, int, int]:
-        never = 0 if (n in oracled and n not in checked) else 1
-        return (never, checked.get(n, -1), index[n])
+        if n in oracled:
+            evidence = green.get(n)
+        else:
+            evidence = rows_only.get(n)
+        never = 0 if evidence is None else 1
+        return (never, evidence if evidence is not None else -1, index[n])
 
     return sorted(names, key=key)
 

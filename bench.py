@@ -74,10 +74,66 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras": _bench_avro_demux(spark),
             }
         )
     )
     spark.stop()
+
+
+def _bench_avro_demux(spark, n_events: int = 50_000) -> dict:
+    """Microbenchmark of the pure-Python Avro demux-decode path — the one
+    environment stand-in with real per-record Python cost (no spark-avro
+    jar here, so decode_avro falls back to the Arrow-batched Python codec
+    inside mapInPandas). Measured so the cost is a number, not a guess:
+    on a jar-equipped cluster the JVM from_avro path replaces it.
+    Reported under "extras" (NOT in "queries") so the headline total
+    stays apples-to-apples with prior rounds."""
+    import shutil
+    import tempfile
+
+    from databricks_end_to_end_streaming_spark.registry import InMemorySchemaRegistry
+    from databricks_end_to_end_streaming_spark.schemas import (
+        PRODUCT_V1_JSON,
+        PRODUCT_V2_JSON,
+    )
+    from databricks_end_to_end_streaming_spark.sources.files import WIRE_SCHEMA
+    from databricks_end_to_end_streaming_spark.sources.generator import (
+        events_to_wire,
+        generate_events,
+    )
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        confluent_framing,
+        demux_decode_batch,
+    )
+
+    recs = events_to_wire(generate_events(n_events, seed=11))
+    rows = [
+        (r.key, r.value, r.topic, r.partition, r.offset, r.timestamp, r.timestampType)
+        for r in recs
+    ]
+    batch = spark.createDataFrame(rows, WIRE_SCHEMA).repartition(32).persist()
+    batch.count()  # materialize input: timing covers slice+decode+write only
+    registry = InMemorySchemaRegistry({1: PRODUCT_V1_JSON, 2: PRODUCT_V2_JSON})
+    tmp = tempfile.mkdtemp(prefix="bench_demux_")
+    best = float("inf")
+    try:
+        for trial in range(2):
+            target = ParquetTable(os.path.join(tmp, f"raw{trial}"))
+            t0 = time.time()
+            demux_decode_batch(
+                batch, registry, confluent_framing(), target, batch_id=0
+            )
+            best = min(best, time.time() - t0)
+    finally:
+        batch.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "avro_demux_python_decode_sec": round(best, 3),
+        "avro_demux_events": n_events,
+        "avro_demux_events_per_sec": round(n_events / best),
+    }
 
 
 if __name__ == "__main__":

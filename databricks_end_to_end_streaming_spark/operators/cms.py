@@ -10,10 +10,13 @@ most eps*N with probability 1-delta), and grids from different shards /
 days / partitions ADD, so rollups re-aggregate without rescanning.
 
 Spark-first shape: the grid is built entirely with built-in expressions
-— explode d hash rows per token occurrence, xxhash64-bucket into w
+— explode d hash rows per token occurrence, md5-prefix-bucket into w
 columns, one partial-agg shuffle of (d x w) tiny rows. No UDFs, no
 driver-side counting; the sketch itself is a DataFrame and merging is
-``union + groupBy sum`` (algebraic, map-side combinable).
+``union + groupBy sum`` (algebraic, map-side combinable). The row hash
+is the first 15 hex chars of md5("item|row_id") mod w: deterministic
+across engines, so the driver's DuckDB oracle REPLAYS the sketch
+(queries/extensions.py) instead of recording rows-only.
 """
 
 from __future__ import annotations
@@ -23,6 +26,14 @@ from pyspark.sql import DataFrame
 
 DEFAULT_DEPTH = 4  # d independent hash rows: delta = e^-d
 DEFAULT_WIDTH = 256  # w buckets per row: eps = e/w
+
+
+def _bucket(item: F.Column, row_id: F.Column, width: int) -> F.Column:
+    """Deterministic, SQL-replayable bucket: md5-prefix of
+    "item|row_id" mod width (both operands non-negative, pmod == %)."""
+    key = F.concat(item, F.lit("|"), row_id.cast("string"))
+    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(width))
 
 
 def cms_build(
@@ -40,7 +51,7 @@ def cms_build(
         ).alias("row_id"),
     ).select(
         "row_id",
-        F.pmod(F.xxhash64("item", F.col("row_id")), F.lit(width)).alias("bucket"),
+        _bucket(F.col("item"), F.col("row_id"), width).alias("bucket"),
     )
     return rows.groupBy("row_id", "bucket").agg(F.count("*").alias("cnt"))
 
@@ -71,7 +82,7 @@ def cms_estimate(
     ).select(
         "item",
         "row_id",
-        F.pmod(F.xxhash64("item", F.col("row_id")), F.lit(width)).alias("bucket"),
+        _bucket(F.col("item"), F.col("row_id"), width).alias("bucket"),
     )
     joined = probes.join(F.broadcast(sketch), ["row_id", "bucket"], "left").select(
         "item", F.coalesce("cnt", F.lit(0)).alias("cnt")

@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-signatures, partitioning — is real and tested; the codec step (actual
-JPEG/WAV/MP4 decoding) is STUBBED because no media libraries exist in
-this container. Every stub is explicit: `decode_stub` raises
-NotImplementedError for real formats and produces a deterministic fake
-"decoded" array for the synthetic `fake/*` formats the tests generate.
-Swapping in Pillow/librosa/pyav later only changes `_decode_payload` —
-the distributed shape stays identical.
+signatures, partitioning — is real and tested. The codec step decodes
+real jpeg/png (Pillow) and wav (soundfile) when those optional libraries
+are importable; in environments without them (like this container) real
+formats raise an explicit NotImplementedError and only the synthetic
+`fake/raw` format decodes (deterministically: bytes are the row-major
+buffer). mp3/mp4/webm would additionally need pyav and always raise
+here. Either way the distributed shape is identical — only the scalar
+`_decode_payload` changes with the environment.
 
 Batch-shape rationale (100 TB): media rows are large (payload-dominated),
 so every operator streams Arrow record batches (mapInPandas) instead of
@@ -49,16 +50,45 @@ MEDIA_SCHEMA = T.StructType(
 
 _REAL_FORMATS = {"jpeg", "png", "wav", "mp3", "mp4", "webm"}
 
+# Optional real codecs: probed once per python worker. When present,
+# jpeg/png decode through Pillow and wav through soundfile; otherwise the
+# explicit NotImplementedError below stays (mp3/mp4/webm additionally
+# need pyav, not probed here). The distributed shape (Arrow batching,
+# payload-dropping projections, post-explode repartition) is identical
+# either way — only this scalar function changes.
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _pil_image
+except ImportError:
+    _pil_image = None
+try:  # pragma: no cover - environment-dependent
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
 
 def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
-    """STUB decode. Real formats raise (no media libs in this env);
-    synthetic `fake/raw` payloads decode deterministically: bytes are
-    the row-major pixel/sample buffer."""
+    """Decode a media payload to an ndarray: real jpeg/png/wav when the
+    optional codec libraries are installed, deterministic `fake/raw`
+    buffers always (bytes are the row-major pixel/sample buffer), and an
+    explicit NotImplementedError for real formats without a codec."""
     fmt = (meta or {}).get("format") or "unknown"
+    if fmt in ("jpeg", "png") and _pil_image is not None:
+        import io
+
+        arr = np.asarray(_pil_image.open(io.BytesIO(payload)))
+        return arr if arr.ndim == 3 else arr[:, :, np.newaxis]
+    if fmt == "wav" and _soundfile is not None:
+        import io
+
+        samples, _rate = _soundfile.read(io.BytesIO(payload), dtype="int16")
+        if samples.ndim == 1:
+            samples = samples[:, np.newaxis]
+        return samples[:, np.newaxis, :]  # (n_samples, 1, channels)
     if fmt in _REAL_FORMATS:
         raise NotImplementedError(
-            f"decoding {fmt!r} requires a media library (Pillow/pyav); "
-            "not available in this environment"
+            f"decoding {fmt!r} requires a media library (Pillow for "
+            "jpeg/png, soundfile for wav, pyav for mp3/mp4/webm); "
+            "not installed in this environment"
         )
     if fmt != "fake/raw":
         raise ValueError(f"unknown media format {fmt!r}")

@@ -1,62 +1,65 @@
 """SimHash near-duplicate detection (Charikar 2002, public literature).
 
-64-bit SimHash per document via an Arrow-batched pandas UDF (token
-hashing + bit-voting vectorize poorly into SQL expressions — 64 bit
-positions x every token — so this is a legitimate Python-UDF case,
-batched through Arrow).
+60-bit SimHash per document computed ENTIRELY with built-in expressions
+— no Python UDF: tokens explode to rows, the 60 bit positions explode
+from a sequence, and the per-bit vote / signature assembly are algebraic
+aggregates. This is the explode-to-rows + partial-aggregate pattern that
+stays inside whole-stage codegen and map-side-combines before the one
+(doc_id, bit) shuffle (the earlier Arrow-batched UDF version was the
+slow path this replaces). The token hash is the first 15 hex chars of
+md5 (60 bits, fits signed int64): deterministic across executors AND
+replayable in ANSI SQL ('0x'-cast / conv), which is what gives
+``dedup_simhash`` a hash-checkable DuckDB oracle (see
+queries/extensions.py).
 
-Scale shape: the signature pass is a narrow projection (doc -> int64);
-candidate pairing banding-splits the 64 bits into 4 16-bit chunks —
-two documents within Hamming distance 3 share at least one chunk
-(pigeonhole) — so pairing is a self-join on (chunk_id, chunk_value),
-never O(n^2).
+Scale shape: the signature pass shuffles 60 tiny (doc_id, bit, partial
+vote) rows per document after map-side combine; candidate pairing
+banding-splits the 60 bits into 4 x 15-bit chunks — two documents within
+Hamming distance 3 share at least one chunk (pigeonhole) — so pairing is
+a self-join on (chunk_id, chunk_value), never O(n^2).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
-N_CHUNKS = 4  # 4 x 16-bit chunks -> catches hamming <= 3 exactly
-CHUNK_BITS = 64 // N_CHUNKS
-
-
-def _token_hash64(token: str) -> int:
-    """Deterministic 64-bit token hash (blake2b; python's hash() is
-    per-process salted and unusable across executors)."""
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
-
-
-@pandas_udf(LongType())  # DataType instance: DDL strings need a live session
-def _simhash64(texts: pd.Series) -> pd.Series:
-    out = []
-    for text in texts:
-        votes = [0] * 64
-        for tok in text.lower().split():
-            h = _token_hash64(tok)
-            for b in range(64):
-                votes[b] += 1 if (h >> b) & 1 else -1
-        sig = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= 1 << b
-        # to signed 64-bit for LongType
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-    return pd.Series(out)
+BITS = 60  # 15 md5 hex chars; 60 bits keep the signature positive int64
+N_CHUNKS = 4  # 4 x 15-bit chunks -> catches hamming <= 3 exactly
+CHUNK_BITS = BITS // N_CHUNKS
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long)."""
-    return docs.select("doc_id", _simhash64(F.col(text_col)).alias("simhash"))
+    """(doc_id, simhash long) via built-in expressions only."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(BITS - 1))).alias("bit")
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
 
 
 def _chunk(col: F.Column, i: int) -> F.Column:
-    """i-th 16-bit chunk of the signature (shiftrightunsigned + mask)."""
+    """i-th 15-bit chunk of the signature (shiftrightunsigned + mask)."""
     return F.shiftrightunsigned(col, i * CHUNK_BITS).bitwiseAND(
         F.lit((1 << CHUNK_BITS) - 1)
     )
@@ -102,7 +105,7 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)

@@ -16,25 +16,131 @@ from ..tables import load_table
 from . import query
 
 
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    # Replay oracle: the md5-prefix token hash, bit voting, signature
+    # assembly, chunk banding, and Hamming verification are all integer
+    # arithmetic, so DuckDB recomputes the IDENTICAL pipeline — a green
+    # hash-match verifies the SimHash itself, not just row counts.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(range(60)) AS bit) b
+      GROUP BY doc_id, bit
+    ), sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash, chunk_id,
+             (simhash >> (chunk_id * 15)) & 32767 AS chunk
+      FROM sigs, (SELECT unnest([0,1,2,3]) AS chunk_id) c
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM chunks a
+      JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3) over documents."""
+    """SimHash near-dup pairs (hamming <= 3) over documents. Pure
+    built-in expressions (operators/simhash.py); the DuckDB oracle
+    replays the full integer pipeline."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d)
 
 
-@query("ann_lsh_cosine_topk")
+def _lsh_planes_values_sql(dim: int = 64, n_bits: int = 6, n_tables: int = 8) -> str:
+    """The seeded hyperplanes as a SQL VALUES list (table_id, bit, h) —
+    lets DuckDB replay the exact bucketing the Spark side computes, so
+    the approximate LSH result has a hash-checkable oracle instead of a
+    rows-only record. repr() round-trips each float64 exactly."""
+    from ..operators.similarity import _planes
+
+    planes = _planes(dim, n_bits, n_tables, seed=42)
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            arr = ", ".join(repr(x) for x in planes[t, b])
+            rows.append(f"({t}, {b}, [{arr}])")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "ann_lsh_cosine_topk",
+    # The oracle REPLAYS the seeded hyperplanes (constants baked into the
+    # SQL): same sign-pattern buckets, same any-shared-bucket candidate
+    # generation, exact cosine re-rank restricted to those candidates.
+    # A green hash-match therefore verifies the whole approximate path —
+    # bucketing, candidate join, and re-rank — not just row counts.
+    oracle=f"""
+    WITH planes(table_id, bit, h) AS (
+      VALUES {_lsh_planes_values_sql()}
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    buckets AS (
+      SELECT vec_id, table_id,
+             sum(CASE WHEN list_inner_product(v, h) > 0
+                      THEN 1 << bit ELSE 0 END) AS bucket
+      FROM corpus, planes
+      GROUP BY vec_id, table_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 8
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, bn.vec_id AS neighbor_id
+      FROM buckets bq
+      JOIN q ON q.query_id = bq.vec_id
+      JOIN buckets bn ON bn.table_id = bq.table_id
+                     AND bn.bucket = bq.bucket
+                     AND bn.vec_id <> bq.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.qv, co.v) AS score
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN corpus co ON co.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-5 for the same query set as
     knn_bruteforce_cosine, via hyperplane-LSH bucketing (the scale path;
-    recall vs brute force is pytest-checked)."""
+    recall vs brute force is pytest-checked; the DuckDB oracle replays
+    the seeded hyperplanes, so correctness of the bucketing itself is
+    hash-verified)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     # bucket width sized to corpus: 2^6 buckets x 8 tables keeps ~10%
     # of the corpus as candidates per query at sf0.1 scale
-    return ann_lsh_topk(emb, F.broadcast(queries), k=5, n_bits=6, n_tables=8)
+    return ann_lsh_topk(emb, F.broadcast(queries), k=5, n_bits=6, n_tables=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 @query("ann_ivf_cosine_topk")
@@ -163,14 +269,47 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cms_token_heavy_hitters")  # rows-only: sketch estimates
+@query(
+    "cms_token_heavy_hitters",
+    # Replay oracle: the md5-prefix bucketing makes the whole sketch
+    # deterministic integer arithmetic, so DuckDB rebuilds the IDENTICAL
+    # d x w grid and point-queries it — the hash-match verifies the
+    # sketch structure and its estimates, not just row counts.
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS item
+      FROM documents
+    ), grid AS (
+      SELECT row_id,
+             ('0x' || substr(md5(item || '|' || CAST(row_id AS VARCHAR)),
+                             1, 15))::BIGINT % 256 AS bucket,
+             count(*) AS cnt
+      FROM toks, (SELECT unnest([0,1,2,3]) AS row_id) r
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT item FROM (
+        SELECT item, count(*) AS n FROM toks
+        GROUP BY item ORDER BY n DESC, item LIMIT 20)
+    ), probes AS (
+      SELECT item, row_id,
+             ('0x' || substr(md5(item || '|' || CAST(row_id AS VARCHAR)),
+                             1, 15))::BIGINT % 256 AS bucket
+      FROM cand, (SELECT unnest([0,1,2,3]) AS row_id) r
+    )
+    SELECT p.item, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
+    FROM probes p
+    LEFT JOIN grid g ON g.row_id = p.row_id AND g.bucket = p.bucket
+    GROUP BY p.item
+    ORDER BY p.item
+    """,
+)
 def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the 20 most frequent
     tokens: build the d x w grid over all token occurrences, then
     point-query the candidate set. Estimates are one-sided (>= exact);
     exactness bounds and mergeability are pytest-covered
-    (tests/test_cms.py). The exact twin for small corpora is
-    vocab_topk_per_lang."""
+    (tests/test_cms.py); the DuckDB oracle replays the md5-bucketed
+    grid. The exact twin for small corpora is vocab_topk_per_lang."""
     from ..operators.cms import cms_build, cms_estimate
 
     d = load_table(spark, sf_dir, "documents")

@@ -19,7 +19,7 @@ from databricks_end_to_end_streaming_spark.operators.multimodal import (
     sample_video_frames,
 )
 from databricks_end_to_end_streaming_spark.operators.simhash import (
-    _token_hash64,
+    BITS,
     simhash_neardup_pairs,
     simhash_signatures,
 )
@@ -35,13 +35,14 @@ WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
 
 
 def py_simhash(text: str) -> int:
-    votes = [0] * 64
+    import hashlib
+
+    votes = [0] * BITS
     for tok in text.lower().split():
-        h = _token_hash64(tok)
-        for b in range(64):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for b in range(BITS):
             votes[b] += 1 if (h >> b) & 1 else -1
-    sig = sum(1 << b for b in range(64) if votes[b] > 0)
-    return sig - (1 << 64) if sig >= (1 << 63) else sig
+    return sum(1 << b for b in range(BITS) if votes[b] > 0)
 
 
 def test_simhash_matches_python_reference(spark):
@@ -72,7 +73,7 @@ def test_simhash_finds_close_pairs_and_exact_hamming(spark):
     # hamming reported must equal the python computation for all pairs
     sig = {i: py_simhash(t) for i, t in docs}
     for (a, b), h in pairs.items():
-        assert bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") == h
+        assert bin(sig[a] ^ sig[b]).count("1") == h
 
 
 def test_simhash_banding_guard():
@@ -181,8 +182,46 @@ def test_video_frame_sampling(spark):
         assert r["meta"]["n_frames"] == 1
 
 
-def test_real_format_decode_raises():
+def test_real_format_decode_raises_without_codec():
+    from databricks_end_to_end_streaming_spark.operators import multimodal
+
+    if multimodal._pil_image is None:
+        with pytest.raises(NotImplementedError, match="media library"):
+            decode_stub(b"\xff\xd8", {"format": "jpeg"})
+    if multimodal._soundfile is None:
+        with pytest.raises(NotImplementedError, match="media library"):
+            decode_stub(b"RIFF", {"format": "wav"})
+    # pyav formats always raise here (never probed)
     with pytest.raises(NotImplementedError, match="media library"):
-        decode_stub(b"\xff\xd8", {"format": "jpeg"})
+        decode_stub(b"\x00", {"format": "mp4"})
     with pytest.raises(ValueError, match="unknown media format"):
         decode_stub(b"", {"format": "weird"})
+
+
+def test_real_png_decodes_with_pillow():
+    """Runs only on Pillow-equipped environments (skipped here): the
+    jpeg/png path must produce the (h, w, c) array the fake path does."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    img = PIL_Image.new("RGB", (4, 3), color=(10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = decode_stub(buf.getvalue(), {"format": "png"})
+    assert arr.shape == (3, 4, 3)
+    assert (arr[0, 0] == np.asarray([10, 20, 30])).all()
+
+
+def test_real_wav_decodes_with_soundfile():
+    """Runs only on soundfile-equipped environments (skipped here)."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros((8, 2), dtype=np.int16), 16000, format="WAV")
+    arr = decode_stub(buf.getvalue(), {"format": "wav"})
+    assert arr.shape == (8, 1, 2)
