@@ -29,9 +29,11 @@ SRC = "/root/testdata/sf0.1"
 PROBES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q9_product_type_profit",
     "sessionize_events",
     "dedup_exact",
     "text_quality_score",
+    "ann_lsh_cosine_topk",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
