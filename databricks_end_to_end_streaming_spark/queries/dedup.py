@@ -315,3 +315,64 @@ def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH nrm AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(t) - 15, 1) + 1),
+               i -> substr(t, i, 16))) AS shingles
+      FROM nrm
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, count(*) AS n_hits
+    FROM corpus JOIN bench USING (s)
+    GROUP BY doc_id HAVING count(*) >= 3
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 3 distinct
+    16-char shingles with a holdout/benchmark set (here the deterministic
+    doc_id % 97 == 0 slice stands in for an eval suite) — the contamination
+    scrub every serious pretraining pipeline runs.
+
+    Scale shape: the benchmark side is small by definition — its distinct
+    shingle set BROADCASTS; the corpus side explodes shingles but meets
+    them in a map-side broadcast join, so nothing corpus-sized ever
+    shuffles: only the (rare) matching hits reach the per-doc count agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 15, F.lit(1))),
+            lambda i: F.col("t").substr(i, F.lit(16)),
+        )
+    )
+    sh = d.select("doc_id", _norm().alias("t")).select(
+        "doc_id", shingles.alias("shingles")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= 3)
+        .orderBy("doc_id")
+    )

@@ -495,3 +495,64 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") - F.col("ci") * CHUNK_STRIDE, F.lit(CHUNK_SIZE)
         ).cast("long").alias("chunk_tokens"),
     )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tokens,
+             (CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - n_tokens) // 512 AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-then-chunk): documents are laid
+    end-to-end per language in doc_id order and assigned to the
+    512-token context window their FIRST token lands in — the standard
+    packing recipe that turns a ragged corpus into fixed-size training
+    sequences. Output is per-(lang, pack) accounting.
+
+    Scale shape: one running-sum window per lang partition (the packing
+    order must be a total order anyway for reproducibility) + one
+    partial-agg'd group. A pathologically dominant language would make
+    one partition's sort hot; the range-partitioned global-rank machinery
+    in operators/ranking.py is the drop-in fix at that point.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "pack_id", F.expr("(cum - n_tokens) div 512")
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
