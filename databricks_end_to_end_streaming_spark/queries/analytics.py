@@ -494,3 +494,47 @@ def json_props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "event_value_percentiles_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS r,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT q.p AS percentile, ranked.value AS value
+    FROM ranked
+    JOIN (VALUES ('p50', 0.50), ('p90', 0.90), ('p99', 0.99)) AS q(p, f)
+      ON ranked.r = CAST(ceil(q.f * ranked.n) AS BIGINT)
+    ORDER BY percentile
+    """,
+)
+def event_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of event values by nearest-rank selection —
+    the deterministic alternative to approx_percentile, computed WITHOUT
+    a single-partition global sort: ranks come from the range-partitioned
+    machinery in operators/ranking.py (TeraSort shape), and only the
+    three selected rows leave the executors. The total count is the one
+    scalar action (the corpus itself never moves to the driver); both
+    engines derive the target rank as ceil(q * n) over the identical
+    (value, event_id) total order, so the selected rows match exactly."""
+    import math
+
+    from ..operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    total = ev.count()
+    ranked = global_row_number(ev, ["value", "event_id"])
+    targets = {p: math.ceil(f * total) for p, f in
+               (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))}
+    label = F.create_map(
+        *[x for p, r in targets.items() for x in (F.lit(r), F.lit(p))]
+    )[F.col("rank")]
+    return (
+        ranked.where(F.col("rank").isin(list(targets.values())))
+        .select(label.alias("percentile"), "value")
+        .orderBy("percentile")
+    )
