@@ -1,77 +1,52 @@
-"""Skew mitigation: salted joins and salted aggregation.
+"""Salted two-phase aggregation for skewed group keys.
 
-AQE's skew-join splitting (enabled in session.py) handles moderate skew
-at runtime, but a pathologically hot key (one customer with 10% of all
-events) still serializes into few tasks. Salting fixes the partition
-function itself:
+A ``groupBy(k)`` over a column with few distinct values (the reference's
+``count_type`` gold aggregation groups ~5 event types —
+``/root/reference/notebooks/confluent/python/silver_to_gold.py``-style)
+concentrates each key's entire data on ONE reducer: at 100 TB a single
+hot key becomes one straggling task no matter how many executors exist.
 
-* salted_join: the skewed (big) side gets a deterministic pseudo-random
-  salt in [0, n); the small side is replicated n times with every salt;
-  the join key becomes (key, salt), spreading each hot key over n tasks.
-* salted_two_phase_agg: aggregate by (key, salt) first (partial spread),
-  then re-aggregate by key — the manual form of partial aggregation for
-  non-algebraic combinations of aggregates.
+The classic fix computed here: append a deterministic salt with ``B``
+buckets, aggregate partially on ``(key, salt)`` — B-way parallel, and
+map-side combine still applies — then merge the B partial rows per key
+in a second (tiny) aggregation. Correct for any algebraic aggregate
+(count/sum/min/max, and avg as sum/count at the end). The second
+shuffle moves only ``keys × B`` rows, so the cost is ~zero while the
+heavy phase parallelizes B-wide.
 
-The salt is xxhash64(row-unique columns) % n — deterministic (replay-safe
-in foreachBatch) yet uniform, unlike rand() which breaks retry idempotence.
+Spark's AQE can split skewed *join* partitions, but skewed *aggregation*
+keys still need salting — partial aggregation alone helps only as much
+as map-side distinctness allows.
+
+The salt is derived from a high-cardinality column (not ``rand()``) so
+reruns are bit-reproducible — same discipline as the deterministic
+md5-bucket sampling in ``queries/text.py``.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
-
-SALT_COL = "__salt"
+from pyspark.sql import Column, DataFrame
 
 
-def with_salt(df: DataFrame, unique_cols: list[str], n_salts: int) -> DataFrame:
-    """Deterministic salt in [0, n_salts) from a hash of row-identifying
-    columns (NOT rand(): replays must salt identically)."""
-    return df.withColumn(
-        SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in unique_cols]), F.lit(n_salts)).cast(
-            "int"
-        ),
-    )
-
-
-def replicate_salts(df: DataFrame, n_salts: int) -> DataFrame:
-    """Cross the (small) side with every salt value."""
-    return df.withColumn(
-        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-
-
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    on: str,
-    n_salts: int = 8,
-    big_unique_cols: list[str] | None = None,
-    how: str = "inner",
-) -> DataFrame:
-    """Join where `big` has hot values of `on`: spread each key over
-    n_salts partitions. `small` grows n_salts-fold — keep it the
-    dimension side."""
-    unique = big_unique_cols or big.columns
-    b = with_salt(big, unique, n_salts)
-    s = replicate_salts(small, n_salts)
-    return b.join(s, [on, SALT_COL], how).drop(SALT_COL)
-
-
-def salted_two_phase_agg(
+def salted_agg(
     df: DataFrame,
-    key: str,
-    n_salts: int,
-    unique_cols: list[str],
-    partial_aggs: list[F.Column],
-    final_aggs: list[F.Column],
+    keys: list[str],
+    salt_source: Column,
+    partial: dict[str, Column],
+    merge: dict[str, Column],
+    buckets: int = 16,
 ) -> DataFrame:
-    """Aggregate a skewed key in two phases: (key, salt) then key."""
-    return (
-        with_salt(df, unique_cols, n_salts)
-        .groupBy(key, SALT_COL)
-        .agg(*partial_aggs)
-        .groupBy(key)
-        .agg(*final_aggs)
+    """Two-phase skew-safe aggregation.
+
+    ``partial`` maps intermediate column name -> aggregate over the raw
+    rows (phase 1, grouped by keys + salt); ``merge`` maps final column
+    name -> aggregate over those intermediates (phase 2, grouped by
+    keys only). The caller guarantees the pair is algebraic
+    (merge ∘ partial == direct aggregate).
+    """
+    salt = (F.abs(F.hash(salt_source)) % F.lit(buckets)).alias("_salt")
+    phase1 = df.groupBy(*keys, salt).agg(
+        *[c.alias(n) for n, c in partial.items()]
     )
+    return phase1.groupBy(*keys).agg(*[c.alias(n) for n, c in merge.items()])

@@ -538,3 +538,97 @@ def event_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(label.alias("percentile"), "value")
         .orderBy("percentile")
     )
+
+
+@query(
+    "rolling_7day_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           count(DISTINCT daily.user_id) AS active_users_7d
+    FROM days JOIN daily ON daily.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (the canonical
+    product-analytics rolling metric). Spark windows can't do exact
+    COUNT(DISTINCT) over a RANGE frame, and the naive per-day self-join
+    rescans the fact table once per day; the scalable formulation is
+    contribution explode: dedup to (user, day) pairs — one shuffle that
+    also shrinks the data to its distinct support — then each pair
+    contributes to the 7 target days it covers (a narrow 7x explode of
+    tiny rows), semi-joined to observed days, and one final distinct-agg
+    per day. Nothing corpus-sized is ever rescanned or range-joined."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = daily.select(F.col("d").alias("day")).distinct()
+    contrib = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "skew_salted_event_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats via SALTED two-phase aggregation
+    (operators/skew.py): event_type has ~5 distinct values, so at 100 TB
+    a direct groupBy lands each type's entire volume on one reducer.
+    Phase 1 aggregates on (event_type, hash(event_id) % 16) — 16-way
+    parallel per hot key; phase 2 merges 16 tiny partial rows per key.
+    The oracle is the plain one-phase GROUP BY: the hash-checked
+    equivalence IS the correctness proof that the salted decomposition
+    (count/sum-decimal/min/max are algebraic) changes nothing."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_source=F.col("event_id"),
+        partial={
+            "pn": F.count("*"),
+            "psum": F.sum(dec),
+            "pmin": F.min("value"),
+            "pmax": F.max("value"),
+        },
+        merge={
+            "n": F.sum("pn").cast("long"),
+            "sum_value": F.sum("psum").cast("double"),
+            "min_value": F.min("pmin"),
+            "max_value": F.max("pmax"),
+            "avg_value": F.sum("psum").cast("double")
+            / F.sum("pn").cast("double"),
+        },
+        buckets=16,
+    )
+    return out.orderBy("event_type")

@@ -556,3 +556,66 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pack_id")
     )
+
+
+@query(
+    "tfidf_top_terms_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT lang, token, count(*) AS tf FROM toks GROUP BY lang, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), nl AS (
+      SELECT count(DISTINCT lang) AS n_langs FROM tf
+    )
+    SELECT lang, token, tf, df, score, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT tf.lang, tf.token,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf * nl.n_langs AS DOUBLE) / df.df AS score,
+             row_number() OVER (
+               PARTITION BY tf.lang
+               ORDER BY CAST(tf.tf * nl.n_langs AS DOUBLE) / df.df DESC,
+                        tf.token
+             ) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN nl
+    ) WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-distinctive terms by tf-idf: tf = term count within the
+    language, idf = n_langs / (number of languages containing the term),
+    score = tf * idf. Top-5 per language, token tiebreak.
+
+    Cross-engine float discipline: no logarithm (ln/log are not
+    IEEE-reproducible across engines) — tf * n_langs stays exact int64
+    and ONE double division produces the score, so the hash oracle can
+    check it bitwise. Plan shape: explode -> partial-agg'd (lang, token)
+    counts -> token-keyed df agg (vocabulary-sized, shuffles tiny rows)
+    -> tf⋈df equi-join on token -> 1-row n_langs scalar broadcast
+    crossJoin -> per-lang top-k window over counts only; the exploded
+    corpus never passes through the window or join."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split(F.trim("text"), " +")).alias("token"))
+    tf = toks.groupBy("lang", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nl = tf.select(F.count_distinct("lang").alias("n_langs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(nl))
+        .withColumn(
+            "score", (F.col("tf") * F.col("n_langs")).cast("double") / F.col("df")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "token", "tf", "df", "score", "rank")
+    )

@@ -164,3 +164,34 @@ def test_funnel_stages_aggregate_before_joining(spark):
     # final 1-row stage counts may nested-loop; the user-level joins must
     # be hash/sort joins on user_id
     assert "Join" in plan
+
+
+def test_salted_agg_two_phase(spark):
+    # salted query: phase-1 agg on (key, salt), phase-2 merge on key —
+    # at least two distinct HashAggregate key sets with an exchange
+    # between, and the salt column never reaches the output.
+    plan = plan_of(spark, "skew_salted_event_stats")
+    assert plan.count("HashAggregate") >= 4  # 2 phases x (partial+final)
+    # the salt expression participates in the first grouping (Catalyst
+    # rewrites the `_salt` alias to an internal _groupingexpression)
+    assert "abs(hash(event_id" in plan
+    df = all_queries()["skew_salted_event_stats"](spark, SF)
+    assert "_salt" not in df.columns
+
+
+def test_tfidf_window_sees_only_counts(spark):
+    # the exploded token corpus must be aggregated before the ranking
+    # window: no Generate (explode) may appear above the Window.
+    plan = plan_of(spark, "tfidf_top_terms_per_lang")
+    assert "Window" in plan
+    above_window = plan.split("Window")[0]
+    assert "Generate" not in above_window
+
+
+def test_rolling_active_users_no_range_join(spark):
+    # contribution-explode formulation: the per-day membership comes
+    # from explode + equi-join semantics, never a theta/range join
+    # (BroadcastNestedLoopJoin would be the O(days x rows) trap).
+    plan = plan_of(spark, "rolling_7day_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
