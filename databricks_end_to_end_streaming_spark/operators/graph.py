@@ -82,3 +82,81 @@ def connected_components(
         )
 
     return labels.select(F.col("node"), F.col("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank by synchronous power iteration — the textbook
+    formulation (Page/Brin/Motwani/Winograd 1999, public literature),
+    expressed as per-iteration DataFrame joins:
+
+        rank'(v) = (1-d)/N + d * (Σ_{u->v} rank(u) * w(u,v)/outw(u)
+                                  + dangling_mass / N)
+
+    Dangling nodes (no out-edges) redistribute their rank uniformly —
+    the standard stochastic-matrix patch, without which total mass leaks
+    and ranks of disconnected hubs are wrong.
+
+    Scale shape: one shuffle join (ranks ⋈ edges on src) + one partial
+    agg (sum by dst) per iteration; the dangling mass is a 1-row scalar
+    aggregate broadcast back via crossJoin — rank state never leaves the
+    executors. N is the single driver-side scalar (one count). Lineage
+    is truncated per round (localCheckpoint), the same iterative-algo
+    hygiene as ``connected_components`` above. Returns (node, rank).
+    """
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("w")
+    )
+    # collapse parallel edges; normalize to per-source transition prob
+    e = e.groupBy("e_src", "e_dst").agg(F.sum("w").alias("w"))
+    outw = e.groupBy("e_src").agg(F.sum("w").alias("outw"))
+    e = e.join(outw, "e_src").select(
+        "e_src", "e_dst", (F.col("w") / F.col("outw")).alias("p")
+    ).localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # the one driver-side scalar
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    has_out = e.select(F.col("e_src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        contrib = (
+            ranks.join(e, ranks["node"] == e["e_src"])
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dmass") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

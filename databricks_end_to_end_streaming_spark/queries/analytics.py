@@ -632,3 +632,29 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=16,
     )
     return out.orderBy("event_type")
+
+
+@query("pagerank_event_transitions")  # rows-only: iterative float ranks
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = consecutive
+    events of one user, weighted by transition count) — the iterative-
+    algorithm representative of the corpus, via operators/graph.pagerank
+    (10 synchronous power iterations, damping 0.85, dangling mass
+    redistributed). Not SQL-expressible as one query (iterative float
+    fixpoint), so the driver records rows-only; exactness vs a NumPy
+    power iteration on the same graph is pytest-verified
+    (tests/test_pagerank.py)."""
+    from ..operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    pr = pagerank(trans, src="src", dst="dst", weight="n", iters=10)
+    return pr.orderBy(F.desc("rank"), "node")

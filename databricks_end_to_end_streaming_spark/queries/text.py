@@ -619,3 +619,22 @@ def tfidf_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("lang", "token", "tf", "df", "score", "rank")
     )
+
+
+@query("bpe_learn_merges")  # rows-only: iterative argmax not SQL-expressible
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 learned BPE merges over the document corpus
+    (operators/bpe.py): per round, one vocabulary-sized pair count and a
+    TakeOrderedAndProject argmax — one row to the driver per round. The
+    merge table itself is bounded (8 rows), so materializing it driver-
+    side is by-construction safe. Deterministic (lexicographic pair
+    tiebreak); exactness vs a pure-Python sequential BPE on the same
+    corpus is pytest-verified (tests/test_bpe.py)."""
+    from ..operators.bpe import learn_bpe_from_texts
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_from_texts(d, "text", num_merges=8)
+    rows = [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, n long"
+    )

@@ -1,0 +1,82 @@
+"""BPE merge learning: exactness vs a pure-Python sequential reference
+on the classic toy vocabulary and on the real document corpus."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from databricks_end_to_end_streaming_spark.operators.bpe import (
+    END_OF_WORD,
+    learn_bpe_from_texts,
+    learn_bpe_merges,
+)
+from databricks_end_to_end_streaming_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def ref_learn(vocab: dict[str, int], k: int):
+    syms = {
+        w: list(w[:-1]) + [w[-1] + END_OF_WORD] for w in vocab if w
+    }
+    merges = []
+    for _ in range(k):
+        counts: Counter = Counter()
+        for w, f in vocab.items():
+            s = syms.get(w, [])
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((left, right, n))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def ref_learn_from_texts(texts, k):
+    vocab = Counter(
+        w for t in texts for w in re.split(" +", t.strip(" ")) if w
+    )
+    return ref_learn(dict(vocab), k)
+
+
+def test_classic_toy_vocab(spark):
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    df = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    got = learn_bpe_merges(df, num_merges=6)
+    assert got == ref_learn(vocab, 6)
+    # canonical first merges with the fused end-of-word variant:
+    # ('e','s') x9 then ('es','t</w>') x9 (newest+widest), then ('l','o')
+    assert got[0][:2] == ("e", "s")
+    assert got[1][:2] == ("es", "t" + END_OF_WORD)
+    assert got[2][:2] == ("l", "o")
+
+
+def test_overlap_and_tiebreak(spark):
+    # overlapping pairs count per occurrence; ties break lexicographically
+    vocab = {"aaa": 2, "bb": 2}
+    df = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    assert learn_bpe_merges(df, num_merges=3) == ref_learn(vocab, 3)
+
+
+def test_corpus_matches_python_reference(spark):
+    d = load_table(spark, SF, "documents")
+    texts = [r["text"] for r in d.select("text").collect()]
+    got = learn_bpe_from_texts(d, "text", num_merges=5)
+    assert got == ref_learn_from_texts(texts, 5)
+    assert len(got) == 5

@@ -1,0 +1,76 @@
+"""PageRank: exactness vs a NumPy power iteration with identical
+semantics (synchronous updates, dangling-mass redistribution), plus
+closed-form sanity on tiny graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from databricks_end_to_end_streaming_spark.operators.graph import pagerank
+from databricks_end_to_end_streaming_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def ref_pagerank(edges, damping=0.85, iters=10):
+    """edges: [(src, dst, w)] — the same synchronous formulation."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    p = np.zeros((n, n))
+    outw: dict = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    for u, v, w in edges:
+        p[idx[u], idx[v]] += w / outw[u]
+    dangling = [idx[x] for x in nodes if x not in outw]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dmass = r[dangling].sum()
+        r = (1 - damping) / n + damping * (r @ p + dmass / n)
+    return dict(zip(nodes, r))
+
+
+def test_two_node_cycle_is_uniform(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    assert abs(out["a"] - 0.5) < 1e-12 and abs(out["b"] - 0.5) < 1e-12
+
+
+def test_dangling_node_mass_conserved(spark):
+    # a -> b, b dangles: total rank must stay 1.0 (mass redistribution)
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = pagerank(e, iters=10).collect()
+    total = sum(r["rank"] for r in out)
+    assert abs(total - 1.0) < 1e-9
+    ref = ref_pagerank([("a", "b", 1.0)], iters=10)
+    for r in out:
+        assert abs(r["rank"] - ref[r["node"]]) < 1e-12
+
+
+def test_event_transition_graph_matches_numpy(spark):
+    ev = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    edges = [(r["event_type"], r["next_type"], float(r["n"])) for r in trans]
+    ref = ref_pagerank(edges, iters=10)
+
+    e = spark.createDataFrame(
+        edges, "src string, dst string, n double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight="n", iters=10).collect()
+    }
+    assert set(got) == set(ref)
+    for node, rank in got.items():
+        assert abs(rank - ref[node]) < 1e-9, node
+    assert abs(sum(got.values()) - 1.0) < 1e-9
