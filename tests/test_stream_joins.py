@@ -49,3 +49,49 @@ def test_stream_stream_join_within_window(spark, workdir):
     )
     got = {(r["join_key"], r["l_tag"], r["r_tag"]) for r in sink.read(spark).collect()}
     assert got == {("k1", "req1", "conf-in"), ("k3", "req3", "conf-exact")}
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, workdir):
+    """Left-outer: unmatched left rows emit null-extended once the
+    watermark passes their eviction bound. A late high-ts sentinel on
+    each side pushes both watermarks far past the real data so the
+    null-extended rows flush before availableNow terminates."""
+    far = ts(0).replace(hour=12)
+    left_rows = [
+        ("k1", ts(0), "req1"),     # matched
+        ("k2", ts(10), "req2"),    # right exists but outside window
+        ("k4", ts(20), "req4"),    # no right key at all
+        ("wm", far, "l-sentinel"),
+    ]
+    right_rows = [
+        ("k1", ts(15), "conf-in"),
+        ("k2", ts(55), "conf-late"),
+        ("wm2", far, "r-sentinel"),
+    ]
+    schema = "key string, event_time timestamp, tag string"
+    spark.createDataFrame(left_rows, schema).write.parquet(f"{workdir}/l2")
+    spark.createDataFrame(right_rows, schema).write.parquet(f"{workdir}/r2")
+
+    l_stream = spark.readStream.schema(schema).parquet(f"{workdir}/l2")
+    r_stream = spark.readStream.schema(schema).parquet(f"{workdir}/r2")
+    joined = stream_stream_time_join(
+        l_stream, r_stream, key="key", within="30 minutes",
+        watermark="10 minutes", how="left_outer",
+    )
+
+    sink = ParquetTable(f"{workdir}/joined2")
+    (
+        joined.writeStream.foreachBatch(lambda b, _i: sink.append(b))
+        .option("checkpointLocation", f"{workdir}/cp2")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["join_key"], r["l_tag"], r["r_tag"])
+        for r in sink.read(spark).collect()
+    }
+    assert ("k1", "req1", "conf-in") in got           # matched pair
+    assert ("k2", "req2", None) in got                # in-key, out-of-window
+    assert ("k4", "req4", None) in got                # unmatched key
+    assert not any(k == "k2" and t is not None for k, _, t in got)
