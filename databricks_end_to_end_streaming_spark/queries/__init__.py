@@ -69,6 +69,7 @@ def _load_modules() -> None:
     from . import (  # noqa: F401
         analytics,
         dedup,
+        dq,
         extensions,
         medallion,
         pipeline,

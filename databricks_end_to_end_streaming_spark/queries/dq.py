@@ -1,0 +1,162 @@
+"""Data-quality expectations: declarative rule checks compiled into ONE
+aggregation pass per table.
+
+The expectations pattern (Deequ / Great Expectations / Delta Live
+Tables "expect" clauses — all public designs) matters at 100 TB for one
+reason: naive per-rule checks rescan the table once per rule. Here every
+rule over a table becomes a conditional-sum column in a SINGLE scan +
+1-row aggregate (map-side partial, nothing shuffles but one row), and
+the per-rule report rows are exploded from that one row driver-free.
+Uniqueness is the one rule that genuinely needs a shuffle
+(count distinct), and it rides the same aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..tables import load_table
+from . import query
+
+
+def _violations(cond: Column) -> Column:
+    """Count rows FAILING the expectation ``cond``."""
+    return F.sum(F.when(~cond, 1).otherwise(0)).cast("long")
+
+
+def expectations_report(
+    df: DataFrame, rules: dict[str, Column], uniqueness: str | None = None
+) -> DataFrame:
+    """(rule, n_checked, n_violations, violation_rate) — one scan.
+
+    ``rules`` maps rule name -> boolean Column that should hold per row;
+    ``uniqueness`` optionally names a column expected unique (violations
+    = n_rows - n_distinct).
+    """
+    aggs = [F.count("*").alias("_n")] + [
+        _violations(c).alias(f"_v_{i}") for i, (_, c) in enumerate(rules.items())
+    ]
+    if uniqueness is not None:
+        aggs.append(
+            (F.count(uniqueness) - F.count_distinct(uniqueness))
+            .cast("long")
+            .alias("_v_uniq")
+        )
+    one = df.agg(*aggs)
+
+    entries = [
+        F.struct(
+            F.lit(name).alias("rule"), F.col(f"_v_{i}").alias("n_violations")
+        )
+        for i, name in enumerate(rules)
+    ]
+    if uniqueness is not None:
+        entries.append(
+            F.struct(
+                F.lit(f"unique({uniqueness})").alias("rule"),
+                F.col("_v_uniq").alias("n_violations"),
+            )
+        )
+    return (
+        one.select(F.col("_n"), F.explode(F.array(*entries)).alias("e"))
+        .select(
+            F.col("e.rule").alias("rule"),
+            F.col("_n").cast("long").alias("n_checked"),
+            F.col("e.n_violations").alias("n_violations"),
+            (F.col("e.n_violations").cast("double") / F.col("_n")).alias(
+                "violation_rate"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+@query(
+    "dq_expectations_lineitem",
+    oracle="""
+    WITH one AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                      THEN 1 ELSE 0 END) AS v_qty,
+             sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                      THEN 1 ELSE 0 END) AS v_disc,
+             sum(CASE WHEN NOT (l_shipdate BETWEEN DATE '1992-01-01'
+                                AND DATE '1998-12-31')
+                      THEN 1 ELSE 0 END) AS v_dates,
+             sum(CASE WHEN NOT (l_extendedprice > 0)
+                      THEN 1 ELSE 0 END) AS v_price,
+             count(l_orderkey) - count(DISTINCT l_orderkey) AS v_uniq
+      FROM lineitem
+    )
+    SELECT rule, n_checked, n_violations, violation_rate FROM (
+      SELECT 'quantity_in_1_50' AS rule, CAST(n AS BIGINT) AS n_checked,
+             CAST(v_qty AS BIGINT) AS n_violations,
+             CAST(v_qty AS DOUBLE) / n AS violation_rate FROM one
+      UNION ALL
+      SELECT 'discount_in_0_0.1', CAST(n AS BIGINT), CAST(v_disc AS BIGINT),
+             CAST(v_disc AS DOUBLE) / n FROM one
+      UNION ALL
+      SELECT 'shipdate_in_range', CAST(n AS BIGINT), CAST(v_dates AS BIGINT),
+             CAST(v_dates AS DOUBLE) / n FROM one
+      UNION ALL
+      SELECT 'positive_price', CAST(n AS BIGINT), CAST(v_price AS BIGINT),
+             CAST(v_price AS DOUBLE) / n FROM one
+      UNION ALL
+      SELECT 'unique(l_orderkey)', CAST(n AS BIGINT), CAST(v_uniq AS BIGINT),
+             CAST(v_uniq AS DOUBLE) / n FROM one
+    )
+    ORDER BY rule
+    """,
+)
+def dq_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations over lineitem: range, positivity, and a
+    (deliberately failing) uniqueness rule — l_orderkey repeats per
+    line, so the report proves non-zero violation counts flow through.
+    One scan, one 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectations_report(
+        li,
+        rules={
+            "quantity_in_1_50": F.col("l_quantity").between(1, 50),
+            "discount_in_0_0.1": F.col("l_discount").between(0.0, 0.1),
+            "shipdate_in_range": F.col("l_shipdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+            "positive_price": F.col("l_extendedprice") > 0,
+        },
+        uniqueness="l_orderkey",
+    )
+
+
+@query(
+    "sample_mixture_weighted",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) % 4 + 1)
+            * 16384
+    ORDER BY doc_id
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-SOURCE sampling rates (here
+    25/50/75/100% by source index residue — in production a weight
+    table) applied as a deterministic md5-bucket threshold per row.
+    Seed-free and partitioning-independent like
+    ``stratified_sample_per_lang``: reruns at any cluster size keep the
+    SAME documents, so mixture recipes are reproducible artifacts. Pure
+    narrow filter — no shuffle, no sample() nondeterminism."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    rate_slots = (
+        F.regexp_extract("source", "src([0-9]+)", 1).cast("int") % 4 + 1
+    )
+    return (
+        d.where(bucket < rate_slots.cast("long") * 16384)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -10,7 +10,7 @@ squares are written x*x.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load_table
 from . import query
@@ -367,4 +367,31 @@ def array_agg_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_numbers"
         ),
         F.count("l_linenumber").alias("n_lines"),
+    )
+
+
+@query(
+    "window_rank_distributions",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+)
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per language over document length — the
+    two distribution-valued window functions. The (n_chars, doc_id)
+    total order makes every rank unique, so both values are a single
+    integer division in each engine — IEEE-identical and hash-checkable
+    despite being doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
