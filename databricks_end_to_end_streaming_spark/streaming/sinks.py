@@ -192,6 +192,61 @@ class ParquetTable:
         if os.path.isdir(staging):
             shutil.rmtree(staging)
 
+    def compact(
+        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+    ) -> dict:
+        """Small-file compaction (Delta ``OPTIMIZE`` stand-in): streaming
+        appends write a few files per micro-batch, and a month of
+        5-minute triggers is ~10k tiny files — at which point file
+        listing and per-file open overhead dominate every scan. Rewrites
+        the table into ceil(bytes / target_file_bytes) right-sized files
+        and swaps atomically (same ._old crash-window protocol as
+        upsert, healed by every entry point).
+
+        Partitioned tables are repartitioned BY the partition columns so
+        each partition directory lands as few files; pruning layout is
+        preserved. Like Delta OPTIMIZE, the rewrite starts a fresh file
+        layout: idempotent-append replay tokens older than the rewrite
+        are flattened into it, so compact only after the upstream
+        checkpoint/replay horizon has passed those batches.
+
+        Returns {files_before, files_after, bytes} for observability.
+        """
+        self._recover_swap()
+
+        def _files(root: str) -> list[str]:
+            out = []
+            for r, _d, fs in os.walk(root):
+                out += [os.path.join(r, f) for f in fs if f.endswith(".parquet")]
+            return out
+
+        before = _files(self.path)
+        total_bytes = sum(os.path.getsize(f) for f in before)
+        n_parts = max(1, -(-total_bytes // target_file_bytes))
+
+        df = self.read(spark)
+        if self.partition_by:
+            df = df.repartition(n_parts, *self.partition_by)
+        else:
+            df = df.repartition(n_parts)
+        staging = self.path.rstrip("/") + "._staging"
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+
+        old = self.path.rstrip("/") + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(old)
+        return {
+            "files_before": len(before),
+            "files_after": len(_files(self.path)),
+            "bytes": total_bytes,
+        }
+
     def stream(self, spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
         """Incremental read as a stream (Delta-streaming-source stand-in,
         SURVEY S3). Schema is pinned from a batch read (the union-widened

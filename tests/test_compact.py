@@ -1,0 +1,50 @@
+"""Small-file compaction: fewer files, identical data, partition layout
+and crash-window healing preserved."""
+
+from __future__ import annotations
+
+from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+
+
+def test_compact_reduces_files_keeps_rows(spark, workdir):
+    t = ParquetTable(f"{workdir}/t")
+    for i in range(6):  # 6 appends x 4 partitions = many small files
+        df = spark.range(i * 10, (i + 1) * 10).repartition(4)
+        t.append(df)
+    before_rows = sorted(r["id"] for r in t.read(spark).collect())
+    stats = t.compact(spark)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny table -> one right-sized file
+    after_rows = sorted(r["id"] for r in t.read(spark).collect())
+    assert after_rows == before_rows == list(range(60))
+
+
+def test_compact_preserves_partition_dirs(spark, workdir):
+    import os
+
+    t = ParquetTable(f"{workdir}/p", partition_by=["k"])
+    for _ in range(3):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "v long, k string"
+        ).repartition(3)
+        t.append(df)
+    t.compact(spark)
+    dirs = {d for d in os.listdir(f"{workdir}/p") if d.startswith("k=")}
+    assert dirs == {"k=a", "k=b"}
+    got = sorted(
+        (r["v"], r["k"]) for r in t.read(spark).collect()
+    )
+    assert got == sorted([(1, "a"), (2, "b"), (3, "a")] * 3)
+
+
+def test_compact_survives_swap_crash_window(spark, workdir):
+    import os
+
+    t = ParquetTable(f"{workdir}/c")
+    t.append(spark.range(10))
+    # simulate a crash after the live dir was renamed aside
+    os.rename(f"{workdir}/c", f"{workdir}/c._old")
+    assert t.exists()  # _recover_swap heals on entry
+    stats = t.compact(spark)
+    assert stats["files_after"] >= 1
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(10))
