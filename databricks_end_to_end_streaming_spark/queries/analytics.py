@@ -658,3 +658,27 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(trans, src="src", dst="dst", weight="n", iters=10)
     return pr.orderBy(F.desc("rank"), "node")
+
+
+@query("event_value_percentiles_approx")  # rows-only: GK sketch is engine-specific
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for ``event_value_percentiles_exact``:
+    ``percentile_approx`` (Greenwald-Khanna sketch, accuracy 10000) is a
+    single-pass mergeable aggregate — one map-side sketch per partition,
+    one tiny merge, no global rank machinery — with rank error bounded
+    by n/accuracy. pytest (tests/test_operators.py) checks the returned
+    values sit within that rank bound of the exact nearest-rank answer;
+    the sketch internals are engine-specific, so the driver records
+    rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    one = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("vals")
+    )
+    labels = F.array(F.lit("p50"), F.lit("p90"), F.lit("p99"))
+    return (
+        one.select(
+            F.explode(F.arrays_zip(labels.alias("percentile"), F.col("vals").alias("value"))).alias("e")
+        )
+        .select(F.col("e.percentile").alias("percentile"), F.col("e.value").alias("value"))
+        .orderBy("percentile")
+    )

@@ -225,3 +225,30 @@ def test_real_wav_decodes_with_soundfile():
     sf.write(buf, np.zeros((8, 2), dtype=np.int16), 16000, format="WAV")
     arr = decode_stub(buf.getvalue(), {"format": "wav"})
     assert arr.shape == (8, 1, 2)
+
+
+def test_approx_percentiles_within_rank_bound(spark):
+    """percentile_approx values must sit within the GK rank-error bound
+    (n/accuracy, here < 1 rank at sf0.001) of the exact nearest-rank
+    order statistics."""
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["percentile"]: r["value"]
+        for r in all_queries()["event_value_percentiles_approx"](spark, sf).collect()
+    }
+    exact_rows = sorted(
+        r["value"]
+        for r in all_queries()["event_value_percentiles_exact"](spark, sf)
+        .sparkSession.read.parquet(f"{sf}/events.parquet")
+        .select("value")
+        .collect()
+    )
+    n = len(exact_rows)
+    import math
+
+    for label, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        target = math.ceil(q * n)
+        got_rank = exact_rows.index(approx[label]) + 1
+        assert abs(got_rank - target) <= 1, (label, got_rank, target)

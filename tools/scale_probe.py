@@ -34,6 +34,8 @@ PROBES = [
     "dedup_exact",
     "text_quality_score",
     "ann_lsh_cosine_topk",
+    "rolling_7day_active_users",
+    "tfidf_top_terms_per_lang",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
