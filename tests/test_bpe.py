@@ -80,3 +80,28 @@ def test_corpus_matches_python_reference(spark):
     got = learn_bpe_from_texts(d, "text", num_merges=5)
     assert got == ref_learn_from_texts(texts, 5)
     assert len(got) == 5
+
+
+def test_random_vocab_sweep_matches_reference(spark):
+    """Seeded randomized sweep: 5 random vocabularies (skewed freqs,
+    repeated substrings to force overlap/tiebreak cases) must produce
+    identical merge tables to the sequential reference."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc"
+    for trial in range(5):
+        vocab = {}
+        for _ in range(rng.randint(3, 10)):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 6))
+            )
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        df = spark.createDataFrame(
+            list(vocab.items()), "word string, freq long"
+        )
+        k = rng.randint(1, 4)
+        assert learn_bpe_merges(df, num_merges=k) == ref_learn(vocab, k), (
+            trial,
+            vocab,
+        )

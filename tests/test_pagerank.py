@@ -74,3 +74,35 @@ def test_event_transition_graph_matches_numpy(spark):
     for node, rank in got.items():
         assert abs(rank - ref[node]) < 1e-9, node
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_random_graph_sweep_matches_numpy(spark):
+    """Seeded sweep: random weighted digraphs (with dangling nodes and
+    parallel-edge collapse) match the NumPy reference and conserve
+    total mass."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = rng.randint(3, 8)
+        names = [f"n{i}" for i in range(n_nodes)]
+        edges = []
+        for _ in range(rng.randint(2, 14)):
+            u, v = rng.choice(names), rng.choice(names)
+            edges.append((u, v, float(rng.randint(1, 5))))
+        # collapse parallel edges the same way the operator does
+        agg: dict = {}
+        for u, v, w in edges:
+            agg[(u, v)] = agg.get((u, v), 0.0) + w
+        collapsed = [(u, v, w) for (u, v), w in agg.items()]
+        ref = ref_pagerank(collapsed, iters=8)
+
+        e = spark.createDataFrame(edges, "src string, dst string, n double")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(e, weight="n", iters=8).collect()
+        }
+        assert set(got) == set(ref), trial
+        for node in got:
+            assert abs(got[node] - ref[node]) < 1e-9, (trial, node)
+        assert abs(sum(got.values()) - 1.0) < 1e-9, trial
