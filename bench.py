@@ -74,7 +74,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extras": _bench_avro_demux(spark),
+                "extras": {**_bench_avro_demux(spark), **_bench_ocf()},
             }
         )
     )
@@ -133,6 +133,42 @@ def _bench_avro_demux(spark, n_events: int = 50_000) -> dict:
         "avro_demux_python_decode_sec": round(best, 3),
         "avro_demux_events": n_events,
         "avro_demux_events_per_sec": round(n_events / best),
+    }
+
+
+def _bench_ocf(n_records: int = 50_000) -> dict:
+    """Per-record decode cost of the Avro OCF path (avro/ocf.py). The
+    executor-side mapInPandas decode runs this same code per file, so a
+    single-process measurement IS the per-core throughput number."""
+    import shutil
+    import tempfile
+
+    from databricks_end_to_end_streaming_spark.avro.ocf import read_ocf, write_ocf
+    from databricks_end_to_end_streaming_spark.schemas import PRODUCT_V2_JSON
+    from databricks_end_to_end_streaming_spark.sources.generator import (
+        generate_events,
+    )
+
+    recs = [
+        {k: v for k, v in e.items() if k != "_version"}
+        for e in generate_events(n_records, seed=13, v1_ratio=0.0)
+    ]
+    tmp = tempfile.mkdtemp(prefix="bench_ocf_")
+    try:
+        p = os.path.join(tmp, "bench.avro")
+        write_ocf(p, recs, PRODUCT_V2_JSON, codec="deflate")
+        data = open(p, "rb").read()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _schema, out = read_ocf(data)
+            best = min(best, time.time() - t0)
+        assert len(out) == n_records
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "ocf_deflate_decode_sec": round(best, 3),
+        "ocf_records_per_sec": round(n_records / best),
     }
 
 

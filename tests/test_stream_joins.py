@@ -95,3 +95,43 @@ def test_stream_stream_left_outer_emits_unmatched(spark, workdir):
     assert ("k2", "req2", None) in got                # in-key, out-of-window
     assert ("k4", "req4", None) in got                # unmatched key
     assert not any(k == "k2" and t is not None for k, _, t in got)
+
+
+def test_stream_stream_full_outer_emits_both_sides(spark, workdir):
+    """Full-outer: unmatched rows from BOTH sides emit null-extended
+    after the watermark passes (same sentinel technique as left-outer)."""
+    far = ts(0).replace(hour=12)
+    left_rows = [
+        ("k1", ts(0), "req1"),      # matched
+        ("k4", ts(20), "req4"),     # left-only
+        ("wm", far, "l-sentinel"),
+    ]
+    right_rows = [
+        ("k1", ts(15), "conf-in"),
+        ("k7", ts(10), "conf-only"),  # right-only
+        ("wm2", far, "r-sentinel"),
+    ]
+    schema = "key string, event_time timestamp, tag string"
+    spark.createDataFrame(left_rows, schema).write.parquet(f"{workdir}/l3")
+    spark.createDataFrame(right_rows, schema).write.parquet(f"{workdir}/r3")
+
+    joined = stream_stream_time_join(
+        spark.readStream.schema(schema).parquet(f"{workdir}/l3"),
+        spark.readStream.schema(schema).parquet(f"{workdir}/r3"),
+        key="key", within="30 minutes",
+        watermark="10 minutes", how="full_outer",
+    )
+    sink = ParquetTable(f"{workdir}/joined3")
+    (
+        joined.writeStream.foreachBatch(lambda b, _i: sink.append(b))
+        .option("checkpointLocation", f"{workdir}/cp3")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["l_tag"], r["r_tag"]) for r in sink.read(spark).collect()
+    }
+    assert ("req1", "conf-in") in got       # matched
+    assert ("req4", None) in got            # left-only null-extended
+    assert (None, "conf-only") in got       # right-only null-extended

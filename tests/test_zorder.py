@@ -61,3 +61,43 @@ def test_constant_column_degenerates(spark):
     df = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
     z = zorder_by(df, ["x", "y"], bits=4, num_partitions=2)
     assert sorted(map(tuple, z.collect())) == [(1, 5), (2, 5)]
+
+
+def test_zorder_rowgroup_skipping_on_second_dim(spark, workdir):
+    """The actual data-skipping payoff, measured on parquet row-group
+    statistics: for a filter on y (the NON-prefix dimension), most
+    z-ordered row groups are prunable by their min/max stats, while the
+    sort-by-x stripe layout leaves every row group overlapping the
+    predicate."""
+    import pyarrow.parquet as pq
+
+    df = _grid(spark, side=64)  # 4096 rows
+    small = {"parquet.block.size": 64 * 1024}  # force several row groups
+
+    z = zorder_by(df, ["x", "y"], bits=6, num_partitions=4)
+    z.write.options(**small).parquet(f"{workdir}/zlay")
+    stripes = df.repartitionByRange(4, "x").sortWithinPartitions("x")
+    stripes.write.options(**small).parquet(f"{workdir}/slay")
+
+    def overlap_fraction(path, lo=0, hi=7):
+        import os
+
+        total = hit = 0
+        for root, _d, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                ycol = md.schema.to_arrow_schema().get_field_index("y")
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(ycol).statistics
+                    total += 1
+                    if st.min <= hi and st.max >= lo:
+                        hit += 1
+        assert total >= 4  # enough row groups for the comparison to mean anything
+        return hit / total
+
+    z_frac = overlap_fraction(f"{workdir}/zlay")
+    s_frac = overlap_fraction(f"{workdir}/slay")
+    assert s_frac == 1.0  # stripes: y spans the domain in every row group
+    assert z_frac <= 0.5  # z-order: most row groups prunable on y
