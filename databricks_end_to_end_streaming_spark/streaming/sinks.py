@@ -193,7 +193,10 @@ class ParquetTable:
             shutil.rmtree(staging)
 
     def compact(
-        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        zorder: list[str] | None = None,
     ) -> dict:
         """Small-file compaction (Delta ``OPTIMIZE`` stand-in): streaming
         appends write a few files per micro-batch, and a month of
@@ -225,7 +228,14 @@ class ParquetTable:
         n_parts = max(1, -(-total_bytes // target_file_bytes))
 
         df = self.read(spark)
-        if self.partition_by:
+        if zorder:
+            # OPTIMIZE ... ZORDER BY analog: cluster rows along the
+            # Morton curve while compacting, so the rewritten files are
+            # min/max-prunable on every clustered column.
+            from ..operators.layout import zorder_by
+
+            df = zorder_by(df, zorder, num_partitions=n_parts)
+        elif self.partition_by:
             df = df.repartition(n_parts, *self.partition_by)
         else:
             df = df.repartition(n_parts)

@@ -48,3 +48,45 @@ def test_compact_survives_swap_crash_window(spark, workdir):
     stats = t.compact(spark)
     assert stats["files_after"] >= 1
     assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(10))
+
+
+def test_compact_with_zorder_clusters_files(spark, workdir):
+    """compact(zorder=[...]) rewrites into Morton-clustered files whose
+    per-file min/max bounds are tight on BOTH clustered columns."""
+    import pyarrow.parquet as pq
+    import os
+
+    def file_spans(path):
+        spans = []
+        for r, _d, fs in os.walk(path):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(r, f)).metadata
+                sch = md.schema.to_arrow_schema()
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    sx = rg.column(sch.get_field_index("x")).statistics
+                    sy = rg.column(sch.get_field_index("y")).statistics
+                    spans.append((sx.max - sx.min, sy.max - sy.min))
+        return spans
+
+    side = 64
+    rows = [(x, y) for x in range(side) for y in range(side)]
+
+    t = ParquetTable(f"{workdir}/z")
+    t.append(spark.createDataFrame(rows, "x long, y long").repartition(8))
+    stats = t.compact(spark, target_file_bytes=4096, zorder=["x", "y"])
+    assert stats["files_after"] >= 4
+
+    s = ParquetTable(f"{workdir}/s")
+    s.append(spark.createDataFrame(rows, "x long, y long").repartition(8))
+    s.compact(spark, target_file_bytes=4096)  # plain compaction baseline
+
+    z_spans, base_spans = file_spans(f"{workdir}/z"), file_spans(f"{workdir}/s")
+    mean = lambda sp: sum(dx + dy for dx, dy in sp) / len(sp)  # noqa: E731
+    # Morton clustering tightens the average per-row-group bounding box
+    # versus unclustered compaction by a wide margin
+    assert mean(z_spans) < 0.7 * mean(base_spans), (z_spans, base_spans)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == sorted(rows)
