@@ -120,3 +120,25 @@ def learn_bpe_from_texts(
         .agg(F.count("*").alias("freq"))
     )
     return learn_bpe_merges(vocab, num_merges)
+
+
+def bpe_token_counts(
+    vocab: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a learned merge table to the word VOCABULARY and return
+    (word, n_bpe_tokens). The scalable corpus-tokenization shape: the
+    merge folds run once per DISTINCT word (vocabulary-sized, not
+    corpus-sized); callers join the result back to exploded corpus words
+    — broadcastable, since a word vocabulary is tiny next to the corpus.
+    Lineage is checkpointed per merge so expression depth stays flat."""
+    df = words_to_symbols(vocab.select(word_col), word_col)
+    for m in merges:
+        left, right = m[0], m[1]
+        df = df.withColumn("symbols", _apply_merge(left, right)).localCheckpoint(
+            eager=True
+        )
+    return df.select(
+        word_col, F.size("symbols").cast("long").alias("n_bpe_tokens")
+    )

@@ -638,3 +638,36 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, left string, right string, n long"
     )
+
+
+@query("bpe_corpus_compression")  # rows-only: merge table is iterative
+def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE usage: learn 6 merges, tokenize the corpus, and
+    report per-language compression (chars per BPE token — the metric a
+    tokenizer-building pipeline tracks). Scale shape: the merge folds run
+    on the DISTINCT word vocabulary only; per-word token counts join
+    back to exploded corpus words via broadcast, then one partial-agg'd
+    (lang) rollup. pytest-verified exactly vs the sequential Python
+    reference (tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_token_counts, learn_bpe_from_texts
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_from_texts(d, "text", num_merges=6)
+    words = d.select(
+        "lang", F.explode(F.split(F.trim("text"), " +")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    counts = bpe_token_counts(vocab, merges)
+    return (
+        words.join(F.broadcast(counts), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )

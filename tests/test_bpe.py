@@ -105,3 +105,34 @@ def test_random_vocab_sweep_matches_reference(spark):
             trial,
             vocab,
         )
+
+
+def test_bpe_token_counts_match_reference_apply(spark):
+    """Applying the learned merges via the vocabulary join must give the
+    same per-word token counts as the sequential reference tokenizer."""
+    from databricks_end_to_end_streaming_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 1}
+    merges = ref_learn(vocab, 4)
+    df = spark.createDataFrame([(w,) for w in vocab], "word string")
+    got = {
+        r["word"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(df, merges).collect()
+    }
+
+    # reference apply
+    for w in vocab:
+        s = list(w[:-1]) + [w[-1] + END_OF_WORD]
+        for left, right, _n in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        assert got[w] == len(s), (w, s)
