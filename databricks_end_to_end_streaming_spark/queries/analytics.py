@@ -682,3 +682,28 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("e.percentile").alias("percentile"), F.col("e.value").alias("value"))
         .orderBy("percentile")
     )
+
+
+@query(
+    "zorder_events_row_preservation",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def zorder_events_row_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (operators/layout.py) on (user_id, value) is a
+    pure LAYOUT transformation — this query routes the events table
+    through the full Morton pipeline (bucketize -> bit-interleave ->
+    repartitionByRange on z -> sort-within-partitions) and returns the
+    data columns, with the raw table as the oracle: the hash-match
+    proves the curve reorders and NEVER drops, duplicates, or mutates a
+    row. The clustering quality itself (row-group min/max pruning on
+    both dimensions) is measured in tests/test_zorder.py and
+    tests/test_compact.py."""
+    from ..operators.layout import zorder_by
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return zorder_by(ev, ["user_id", "value"], bits=8)
