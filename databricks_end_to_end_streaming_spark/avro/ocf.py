@@ -190,3 +190,28 @@ def _header_schema(data: bytes) -> str:
             if k == b"avro.schema":
                 return v.decode()
     raise ValueError("OCF header missing avro.schema")
+
+
+def write_avro_files(df, path: str, schema_json: str | dict) -> None:
+    """Distributed `.avro` directory EXPORT: each partition writes its
+    own OCF file executor-side (foreachPartition — no driver collect, no
+    shuffle), so exporting a 100 TB table parallelizes like any other
+    write. File names are partition-indexed; re-running overwrites the
+    same names (idempotent for a deterministic upstream plan). Fields
+    not in the schema are dropped; missing nullable fields encode as
+    None via the codec's union handling."""
+    schema_str = (
+        schema_json if isinstance(schema_json, str) else json.dumps(schema_json)
+    )
+    field_names = [f["name"] for f in json.loads(schema_str)["fields"]]
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = [{n: row[n] for n in field_names} for row in it]
+        if recs:
+            write_ocf(os.path.join(path, f"part-{pid:05d}.avro"), recs, schema_str)
+
+    df.foreachPartition(write_partition)

@@ -81,3 +81,32 @@ def test_read_avro_files_distributed(spark, workdir):
         (r["id"], r["kind"], r["score"]) for r in RECORDS[:150]
     )
     assert got == want
+
+
+def test_write_avro_files_roundtrip(spark, workdir):
+    """Executor-side .avro export -> distributed read -> same rows."""
+    from databricks_end_to_end_streaming_spark.avro.ocf import write_avro_files
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "ev",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "kind", "type": "string"},
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(500)], "id long, kind string"
+    ).repartition(4)
+    write_avro_files(df, f"{workdir}/export", schema)
+
+    import os
+
+    files = [f for f in os.listdir(f"{workdir}/export") if f.endswith(".avro")]
+    assert len(files) >= 2  # parallel, one file per non-empty partition
+
+    back = read_avro_files(spark, f"{workdir}/export")
+    got = sorted((r["id"], r["kind"]) for r in back.collect())
+    assert got == sorted((i, f"k{i % 3}") for i in range(500))
