@@ -160,3 +160,42 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_exact_n_per_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    ORDER BY source, doc_id
+    """,
+)
+def sample_exact_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget sampling: exactly 10 documents per source, chosen by
+    md5 hash-rank — the deterministic complement to the rate-based
+    ``sample_mixture_weighted`` for when a mixture recipe specifies
+    absolute counts ("10k docs from wiki"). Hash-rank = a fixed random
+    permutation per source, so the selection is uniform-like yet
+    reproducible across reruns, engines, and cluster sizes. Plan: one
+    partial-agg'd per-source top-k window over (source, hash) — the
+    document text never moves."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
