@@ -671,3 +671,66 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "bigram_conditional_probs",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+      WHERE len(string_split_regex(trim(text), ' +')) >= 2
+    ), pairs AS (
+      SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+      FROM toks
+    ), bi AS (
+      SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT w1, w2,
+           CAST(c12 AS BIGINT) AS c12,
+           CAST(c1 AS BIGINT) AS c1,
+           CAST(c12 AS DOUBLE) / c1 AS p
+    FROM (
+      SELECT w1, w2, c12,
+             CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+      FROM bi
+    )
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: P(w2|w1) = c(w1 w2) / c(w1 ·) for
+    the 50 most frequent bigrams (the statistic behind n-gram LMs and
+    phrase-mining filters). Order-safe across engines: adjacent pairs
+    come from zipping the token array against its own tail — never from
+    re-sorting an exploded relation — and c1 is the sum of bigram counts
+    per head word (one window over the vocabulary-sized counts
+    relation), so P is a single IEEE division of exact int64s. Plan:
+    explode collapses into a partial-agg'd (w1, w2) count; the corpus
+    never reaches the window or the top-k."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.trim("text"), " +").alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+            )
+        ).alias("pr")
+    )
+    bi = pairs.groupBy(
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    ).agg(F.count("*").alias("c12"))
+    c1 = F.sum("c12").over(Window.partitionBy("w1")).cast("long")
+    return (
+        bi.withColumn("c1", c1)
+        .withColumn("p", F.col("c12").cast("double") / F.col("c1"))
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(50)
+    )
