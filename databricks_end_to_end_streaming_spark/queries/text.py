@@ -734,3 +734,94 @@ def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "pmi_phrase_mining",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+      WHERE len(string_split_regex(trim(text), ' +')) >= 2
+    ), pairs AS (
+      SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+      FROM toks
+    ), bi AS (
+      SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12
+      FROM pairs GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(c12) AS BIGINT) AS n FROM bi
+    ), uni AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM (
+        SELECT w1 AS w, c12 AS c FROM bi
+        UNION ALL
+        SELECT w2 AS w, c12 AS c FROM bi
+      ) GROUP BY w
+    )
+    SELECT w1, w2, c12, lift
+    FROM (
+      SELECT bi.w1, bi.w2,
+             CAST(bi.c12 AS BIGINT) AS c12,
+             CAST(bi.c12 * tot.n AS DOUBLE) / (u1.cw * u2.cw) AS lift
+      FROM bi
+      JOIN uni u1 ON bi.w1 = u1.w
+      JOIN uni u2 ON bi.w2 = u2.w
+      CROSS JOIN tot
+      WHERE bi.c12 >= 5
+    )
+    ORDER BY lift DESC, w1, w2
+    LIMIT 25
+    """,
+)
+def pmi_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining by PMI lift: P(w1 w2)/(P(w1·)P(·w2))
+    = c12 * N / (c(w1,·) * c(·,w2)), support-filtered (c12 >= 5) and
+    top-25 by lift — the statistic behind phrase detectors (Mikolov
+    et al. word2phrase, public literature). Log-free rational form: the
+    numerator and denominator stay exact int64 products, ONE double
+    division makes the score hash-checkable cross-engine (the log in
+    textbook PMI is monotone, so the lift ranking is the PMI ranking).
+    Plan: one (w1,w2) bigram agg; marginals are re-aggregations of the
+    vocabulary-sized counts relation, never the corpus; 1-row total
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.trim("text"), " +").alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+            )
+        ).alias("pr")
+    )
+    bi = pairs.groupBy(
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    ).agg(F.count("*").alias("c12"))
+    tot = bi.select(F.sum("c12").cast("long").alias("n"))
+    uni = (
+        bi.select(F.col("w1").alias("w"), "c12")
+        .unionAll(bi.select(F.col("w2").alias("w"), "c12"))
+        .groupBy("w")
+        .agg(F.sum("c12").cast("long").alias("cw"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    return (
+        bi.where(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                (F.col("c12") * F.col("n")).cast("double")
+                / (F.col("cw1") * F.col("cw2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(25)
+    )
