@@ -707,3 +707,109 @@ def zorder_events_row_preservation(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id", "user_id", "event_type", "value"
     )
     return zorder_by(ev, ["user_id", "value"], bits=8)
+
+
+@query(
+    "event_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bin_lo,
+           count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS bin_min,
+           CAST(max(value) AS DOUBLE) AS bin_max
+    FROM events
+    GROUP BY 1
+    ORDER BY bin_lo
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bin width 50, schema-level
+    domain — no data-dependent bounds, so the query is scale-factor
+    robust). One partial-agg'd shuffle on the bin key; the per-bin
+    min/max double as the exactness check that binning assigned every
+    row to the right bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_lo = (F.floor(F.col("value") / 50.0) * 50).cast("long")
+    return (
+        ev.groupBy(bin_lo.alias("bin_lo"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("bin_min"),
+            F.max("value").cast("double").alias("bin_max"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    WITH one AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+             count(DISTINCT o_custkey) AS nd_cust,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_stat,
+             count(DISTINCT o_orderstatus) AS nd_stat,
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null_prio,
+             count(DISTINCT o_orderpriority) AS nd_prio
+      FROM orders
+    )
+    SELECT col, n_rows, n_null, n_distinct FROM (
+      SELECT 'o_custkey' AS col, CAST(n AS BIGINT) AS n_rows,
+             CAST(null_cust AS BIGINT) AS n_null,
+             CAST(nd_cust AS BIGINT) AS n_distinct FROM one
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(null_prio AS BIGINT),
+             CAST(nd_prio AS BIGINT) FROM one
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(null_stat AS BIGINT),
+             CAST(nd_stat AS BIGINT) FROM one
+    )
+    ORDER BY col
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling ("describe" for data engineers): row count, null
+    count, and exact distinct count for several columns in ONE
+    aggregation pass (Spark plans the multi-distinct via a single Expand
+    — no per-column rescan), exploded into one report row per column —
+    the same one-scan discipline as dq_expectations_lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    one = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_cust"),
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_stat"),
+        F.count_distinct("o_orderstatus").alias("nd_stat"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col"),
+                F.col(nl).alias("n_null"),
+                F.col(nd).alias("n_distinct"),
+            )
+            for col, nl, nd in (
+                ("o_custkey", "null_cust", "nd_cust"),
+                ("o_orderpriority", "null_prio", "nd_prio"),
+                ("o_orderstatus", "null_stat", "nd_stat"),
+            )
+        ]
+    )
+    return (
+        one.select(F.col("n"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.col").alias("col"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("e.n_null").alias("n_null"),
+            F.col("e.n_distinct").alias("n_distinct"),
+        )
+        .orderBy("col")
+    )
