@@ -825,3 +825,46 @@ def pmi_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(25)
     )
+
+
+@query(
+    "source_lang_diversity_gini",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang
+    ), s AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(n * n) AS BIGINT) AS sumsq,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY source
+    )
+    SELECT source, total, n_langs,
+           CAST(total * total - sumsq AS DOUBLE) / (total * total) AS gini
+    FROM s
+    ORDER BY source
+    """,
+)
+def source_lang_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity per source as Gini impurity
+    1 - Σ p_l² = (total² - Σ n_l²) / total² — the log-free diversity
+    metric (Shannon entropy needs ln, which is not IEEE-reproducible
+    cross-engine; Gini ranks mixes the same way and stays a single
+    division of exact int64s, so the driver hash-checks the score
+    itself). Two cheap aggregations over (source, lang) counts; the
+    corpus shuffles once."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sumsq"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    tt = F.col("total") * F.col("total")
+    return s.select(
+        "source",
+        "total",
+        "n_langs",
+        ((tt - F.col("sumsq")).cast("double") / tt).alias("gini"),
+    ).orderBy("source")
