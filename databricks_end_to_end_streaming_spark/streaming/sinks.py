@@ -14,8 +14,15 @@ contract on a parquet directory:
   (the parquet stand-in for Delta's txnAppId/txnVersion — SURVEY T7);
 * batch & streaming reads of the same table.
 
-On a Delta-enabled cluster this class collapses to format("delta") with
-mergeSchema=true; the call sites wouldn't change.
+On a Delta-enabled cluster the class upgrades ITSELF: every entry point
+probes once for OSS delta-spark (the `avro/functions.py` JVM-probe
+pattern) and, when present, routes to format("delta") — mergeSchema
+appends, txnAppId/txnVersion idempotent writes (replacing the manual
+token directories), transactional MERGE upserts, OPTIMIZE/ZORDER
+compaction. Call sites don't change; the same suite runs in both modes
+(Delta mode is skip-marked where the library is absent, as here).
+Set SPARK_GRAFT_TABLE_FORMAT=parquet to pin the stand-in on a
+Delta-enabled cluster (or =delta to fail fast when Delta is missing).
 """
 
 from __future__ import annotations
@@ -27,10 +34,87 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+_DELTA_OK: bool | None = None
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True iff OSS delta-spark is usable in THIS session: the Python
+    package imports, the JVM class is on the classpath, and the session
+    was built with the Delta extension + catalog (without which writes
+    analyze but commits fail). Probed once per process, like
+    ``avro.functions._jvm_from_avro_available``. The
+    SPARK_GRAFT_TABLE_FORMAT env var overrides: ``parquet`` forces the
+    stand-in, ``delta`` asserts Delta must be present."""
+    forced = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "").lower()
+    if forced == "parquet":
+        return False
+    global _DELTA_OK
+    if _DELTA_OK is None:
+        try:
+            import delta  # noqa: F401
+
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.spark.sql.delta.DeltaLog"
+            )
+            extensions = spark.conf.get("spark.sql.extensions", "") or ""
+            _DELTA_OK = "DeltaSparkSessionExtension" in extensions
+        except Exception:
+            _DELTA_OK = False
+    if forced == "delta" and not _DELTA_OK:
+        raise RuntimeError(
+            "SPARK_GRAFT_TABLE_FORMAT=delta but delta-spark is not usable "
+            "in this session (install delta-spark and build the session "
+            "with configure_spark_with_delta_pip / the Delta extension)"
+        )
+    return _DELTA_OK
+
+
+def parse_txn_token(token: str) -> tuple[str, int]:
+    """Map an idempotent-append replay token (``batchid=7/schemaid=2``,
+    ``batchid=7/side=good`` — streaming/ingest.py:121,
+    streaming/medallion.py:305) to Delta's (txnAppId, txnVersion) pair:
+    the batch id is the monotonically-increasing version, everything
+    else identifies the writer stream. Pure + deterministic so replays
+    of the same token always collide (which is the point)."""
+    parts = [p for p in token.split("/") if p]
+    version: int | None = None
+    app_bits: list[str] = []
+    for p in parts:
+        k, _, v = p.partition("=")
+        if k == "batchid" and version is None:
+            version = int(v)
+        else:
+            app_bits.append(p)
+    if version is None:
+        raise ValueError(f"replay token {token!r} carries no batchid=N part")
+    return ("/".join(app_bits) or "default", version)
+
+
 class ParquetTable:
     def __init__(self, path: str, partition_by: list[str] | None = None):
         self.path = path
         self.partition_by = partition_by or []
+
+    # -- Delta-mode routing -------------------------------------------
+
+    def _delta(self, spark: SparkSession) -> bool:
+        return delta_available(spark)
+
+    def _delta_table(self, spark: SparkSession):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(spark, self.path)
+
+    def _delta_write(self, df: DataFrame, mode: str, **options: str) -> None:
+        w = df.write.format("delta").mode(mode)
+        for k, v in options.items():
+            w = w.option(k, v)
+        # Delta persists partitioning in the log; passing partitionBy on
+        # an append to an existing table is a metadata conflict, so only
+        # declare it at table creation.
+        if self.partition_by and not self.exists():
+            w = w.partitionBy(*self.partition_by)
+        w.save(self.path)
 
     def _recover_swap(self) -> None:
         """Heal a crash inside upsert's swap window: if the live dir is
@@ -47,14 +131,23 @@ class ParquetTable:
         self._recover_swap()
         if not os.path.isdir(self.path):
             return False
+        # a Delta table is "a directory with a _delta_log" — checkable
+        # without a session, so both modes share this predicate
+        if os.path.isdir(os.path.join(self.path, "_delta_log")):
+            return True
         for _root, _dirs, files in os.walk(self.path):
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
 
     def append(self, df: DataFrame) -> None:
-        """Plain append with evolution-by-mergeSchema-on-read."""
+        """Plain append with evolution-by-mergeSchema-on-read (Delta
+        mode: format("delta") with mergeSchema=true, the reference's
+        exact sink shape — ingest_raw.scala:145-150, bronze.py:20-27)."""
         self._recover_swap()
+        if self._delta(df.sparkSession):
+            self._delta_write(df, "append", mergeSchema="true")
+            return
         w = df.write.mode("append")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
@@ -62,13 +155,28 @@ class ParquetTable:
 
     def idempotent_append(self, df: DataFrame, token: str) -> None:
         """Append keyed by a replay token (e.g. 'batchid=7/schemaid=2'):
-        a re-run with the same token overwrites its own output."""
+        a re-run with the same token overwrites its own output. Delta
+        mode maps the token to txnAppId/txnVersion, whose log-level
+        dedup is the real transactional form of the same contract."""
         self._recover_swap()
+        if self._delta(df.sparkSession):
+            app_id, version = parse_txn_token(token)
+            self._delta_write(
+                df,
+                "append",
+                mergeSchema="true",
+                txnAppId=f"{self.path}#{app_id}",
+                txnVersion=str(version),
+            )
+            return
         df.write.mode("overwrite").parquet(os.path.join(self.path, token))
 
     def overwrite(self, df: DataFrame) -> None:
         """Full rewrite — complete-output-mode sink (gold, SURVEY K3)."""
         self._recover_swap()
+        if self._delta(df.sparkSession):
+            self._delta_write(df, "overwrite", overwriteSchema="true")
+            return
         df.write.mode("overwrite").parquet(self.path)
 
     def upsert(self, spark: SparkSession, updates: DataFrame, keys: list[str]) -> None:
@@ -93,6 +201,28 @@ class ParquetTable:
         """
         if not self.exists():
             self.append(updates)
+            return
+        if self._delta(spark):
+            # Real transactional MERGE: only files whose stats match the
+            # keys are rewritten — no staging-dir swap needed.
+            evolve_key = "spark.databricks.delta.schema.autoMerge.enabled"
+            prior = spark.conf.get(evolve_key, None)
+            spark.conf.set(evolve_key, "true")
+            try:
+                cond = " AND ".join(f"cur.{k} <=> upd.{k}" for k in keys)
+                (
+                    self._delta_table(spark)
+                    .alias("cur")
+                    .merge(updates.alias("upd"), cond)
+                    .whenMatchedUpdateAll()
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+            finally:
+                if prior is None:
+                    spark.conf.unset(evolve_key)
+                else:
+                    spark.conf.set(evolve_key, prior)
             return
         current = self.read(spark)
         # Null-safe key match: grouping keys can legitimately be NULL
@@ -129,6 +259,8 @@ class ParquetTable:
 
     def read(self, spark: SparkSession) -> DataFrame:
         self._recover_swap()
+        if self._delta(spark):
+            return spark.read.format("delta").load(self.path)
         try:
             return (
                 spark.read.option("mergeSchema", "true")
@@ -220,8 +352,26 @@ class ParquetTable:
         def _files(root: str) -> list[str]:
             out = []
             for r, _d, fs in os.walk(root):
+                if os.path.sep + "_delta_log" in r:
+                    continue
                 out += [os.path.join(r, f) for f in fs if f.endswith(".parquet")]
             return out
+
+        if self._delta(spark):
+            # The real OPTIMIZE / OPTIMIZE ZORDER BY — log-transactional,
+            # no swap protocol, concurrent readers unaffected.
+            before = _files(self.path)
+            total_bytes = sum(os.path.getsize(f) for f in before)
+            opt = self._delta_table(spark).optimize()
+            if zorder:
+                opt.executeZOrderBy(*zorder)
+            else:
+                opt.executeCompaction()
+            return {
+                "files_before": len(before),
+                "files_after": len(_files(self.path)),
+                "bytes": total_bytes,
+            }
 
         before = _files(self.path)
         total_bytes = sum(os.path.getsize(f) for f in before)
@@ -260,7 +410,15 @@ class ParquetTable:
     def stream(self, spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
         """Incremental read as a stream (Delta-streaming-source stand-in,
         SURVEY S3). Schema is pinned from a batch read (the union-widened
-        shape) so late-arriving columns surface as NULLs."""
+        shape) so late-arriving columns surface as NULLs. Delta mode
+        returns the real Delta streaming source (bronze.py:14-17)."""
+        if self._delta(spark):
+            reader = spark.readStream.format("delta")
+            if max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", str(max_files_per_trigger)
+                )
+            return reader.load(self.path)
         schema = self.read(spark).schema
         reader = spark.readStream.schema(schema).option("mergeSchema", "true")
         if max_files_per_trigger:

@@ -1,0 +1,106 @@
+"""ParquetTable's delta-spark probe (VERDICT r3 item 1).
+
+The probe itself, the token->txn mapping, and the forced-parquet
+override are exercised in every environment; the Delta-backed contract
+tests run only where OSS delta-spark is installed (skip-marked here —
+this container ships no delta jars), mirroring how the Pillow media
+tests and the JVM from_avro probe are gated.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+import databricks_end_to_end_streaming_spark.streaming.sinks as sinks
+from databricks_end_to_end_streaming_spark.streaming.sinks import (
+    ParquetTable,
+    delta_available,
+    parse_txn_token,
+)
+
+_HAS_DELTA = importlib.util.find_spec("delta") is not None
+
+
+def test_parse_txn_token_ingest_shape():
+    assert parse_txn_token("batchid=7/schemaid=2") == ("schemaid=2", 7)
+
+
+def test_parse_txn_token_side_shape():
+    assert parse_txn_token("batchid=12/side=quarantine") == (
+        "side=quarantine",
+        12,
+    )
+
+
+def test_parse_txn_token_multi_key_appid_is_order_stable():
+    app, ver = parse_txn_token("batchid=3/role=bands/shard=1")
+    assert (app, ver) == ("role=bands/shard=1", 3)
+
+
+def test_parse_txn_token_requires_batchid():
+    with pytest.raises(ValueError):
+        parse_txn_token("role=docs")
+
+
+def test_forced_parquet_overrides_probe(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+    # env override short-circuits before the cached probe is consulted
+    monkeypatch.setattr(sinks, "_DELTA_OK", True)
+    assert delta_available(spark=None) is False
+
+
+def test_forced_delta_raises_when_unavailable(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "delta")
+    monkeypatch.setattr(sinks, "_DELTA_OK", False)
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        delta_available(spark=None)
+
+
+def test_probe_caches_false_in_this_container(spark):
+    sinks._DELTA_OK = None
+    try:
+        assert delta_available(spark) is _HAS_DELTA
+        assert sinks._DELTA_OK is _HAS_DELTA
+    finally:
+        sinks._DELTA_OK = None
+
+
+def test_exists_recognizes_delta_log_dir(tmp_path):
+    t = ParquetTable(str(tmp_path / "tbl"))
+    assert not t.exists()
+    (tmp_path / "tbl" / "_delta_log").mkdir(parents=True)
+    assert t.exists()
+
+
+@pytest.mark.skipif(not _HAS_DELTA, reason="delta-spark not installed")
+class TestDeltaBackedContract:
+    """Same observable contract as the parquet stand-in, on real Delta.
+
+    Runs only on a delta-enabled deployment; the session fixture there
+    must carry the Delta extension + catalog."""
+
+    def test_append_evolves_schema(self, spark, tmp_path):
+        t = ParquetTable(str(tmp_path / "d1"))
+        t.append(spark.createDataFrame([(1, "a")], "id int, v string"))
+        t.append(
+            spark.createDataFrame([(2, "b", 9.0)], "id int, v string, x double")
+        )
+        got = t.read(spark)
+        assert set(got.columns) == {"id", "v", "x"}
+        assert got.count() == 2
+
+    def test_idempotent_append_dedups_replays(self, spark, tmp_path):
+        t = ParquetTable(str(tmp_path / "d2"))
+        df = spark.createDataFrame([(1,)], "id int")
+        t.idempotent_append(df, "batchid=0/schemaid=1")
+        t.idempotent_append(df, "batchid=0/schemaid=1")  # replay
+        assert t.read(spark).count() == 1
+
+    def test_upsert_merges(self, spark, tmp_path):
+        t = ParquetTable(str(tmp_path / "d3"))
+        t.append(spark.createDataFrame([(1, "old"), (2, "keep")], "id int, v string"))
+        t.upsert(spark, spark.createDataFrame([(1, "new"), (3, "ins")], "id int, v string"), ["id"])
+        rows = {r.id: r.v for r in t.read(spark).collect()}
+        assert rows == {1: "new", 2: "keep", 3: "ins"}
