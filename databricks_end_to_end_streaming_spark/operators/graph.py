@@ -91,6 +91,7 @@ def pagerank(
     weight: str | None = None,
     iters: int = 10,
     damping: float = 0.85,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Weighted PageRank by synchronous power iteration — the textbook
     formulation (Page/Brin/Motwani/Winograd 1999, public literature),
@@ -109,6 +110,17 @@ def pagerank(
     executors. N is the single driver-side scalar (one count). Lineage
     is truncated per round (localCheckpoint), the same iterative-algo
     hygiene as ``connected_components`` above. Returns (node, rank).
+
+    ``deterministic=True`` makes every float reduction a LEFT FOLD in
+    sorted key order (collect_list -> array_sort -> F.aggregate) instead
+    of the algebraic partial-agg sum, so the result is bit-identical
+    across runs, partitionings, AND engines that replay the same fold
+    (the DuckDB oracle does, via ``list(x ORDER BY k)`` +
+    ``list_reduce``). IEEE addition is not associative, so this is the
+    only way to cross-check iterated float state exactly. The cost is a
+    per-node list materialization — fine for the small graphs this mode
+    exists for (type-level transition graphs, cross-engine verification);
+    leave it False for big graphs to keep map-side partial aggregation.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
@@ -134,15 +146,45 @@ def pagerank(
     has_out = e.select(F.col("e_src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
-        contrib = (
-            ranks.join(e, ranks["node"] == e["e_src"])
-            .groupBy(F.col("e_dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
-        )
+        if deterministic:
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("node", "rank"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["rank"],
+                    ).alias("dmass")
+                )
+            )
+            contrib = (
+                ranks.join(e, ranks["node"] == e["e_src"])
+                .select(
+                    "e_dst",
+                    F.struct(
+                        F.col("e_src").alias("s"),
+                        (F.col("rank") * F.col("p")).alias("c"),
+                    ).alias("sc"),
+                )
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list("sc")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["c"],
+                    ).alias("inflow")
+                )
+            )
+        else:
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            )
+            contrib = (
+                ranks.join(e, ranks["node"] == e["e_src"])
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+            )
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))

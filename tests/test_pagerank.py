@@ -106,3 +106,32 @@ def test_random_graph_sweep_matches_numpy(spark):
         for node in got:
             assert abs(got[node] - ref[node]) < 1e-9, (trial, node)
         assert abs(sum(got.values()) - 1.0) < 1e-9, trial
+
+
+def test_deterministic_mode_matches_default_and_numpy(spark):
+    """deterministic=True changes only the float summation ORDER (sorted
+    left fold vs algebraic partial agg) — ranks must agree with the
+    default mode and the NumPy reference to well under rounding noise,
+    and dangling mass must still be redistributed."""
+    edges = [
+        ("a", "b", 3.0),
+        ("a", "c", 1.0),
+        ("b", "c", 2.0),
+        ("c", "a", 1.0),
+        ("c", "d", 5.0),  # d is dangling
+    ]
+    ref = ref_pagerank(edges, iters=10)
+    e = spark.createDataFrame(edges, "src string, dst string, n double")
+    det = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight="n", iters=10, deterministic=True).collect()
+    }
+    dflt = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight="n", iters=10).collect()
+    }
+    assert set(det) == set(ref)
+    for node in det:
+        assert abs(det[node] - ref[node]) < 1e-9, node
+        assert abs(det[node] - dflt[node]) < 1e-12, node
+    assert abs(sum(det.values()) - 1.0) < 1e-9
