@@ -2,13 +2,14 @@
 
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
 signatures, partitioning — is real and tested. The codec step decodes
-real jpeg/png (Pillow) and wav (soundfile) when those optional libraries
-are importable; in environments without them (like this container) real
-formats raise an explicit NotImplementedError and only the synthetic
-`fake/raw` format decodes (deterministically: bytes are the row-major
-buffer). mp3/mp4/webm would additionally need pyav and always raise
-here. Either way the distributed shape is identical — only the scalar
-`_decode_payload` changes with the environment.
+real jpeg/png (Pillow) and wav (soundfile, with a stdlib `wave`-module
+fallback for 8/16-bit PCM so the wav path is exercised in EVERY
+environment, this container included); jpeg/png without Pillow raise an
+explicit NotImplementedError, and the synthetic `fake/raw` format always
+decodes (deterministically: bytes are the row-major buffer). mp3/mp4/
+webm would additionally need pyav and always raise here. Either way the
+distributed shape is identical — only the scalar `_decode_payload`
+changes with the environment.
 
 Batch-shape rationale (100 TB): media rows are large (payload-dominated),
 so every operator streams Arrow record batches (mapInPandas) instead of
@@ -77,17 +78,39 @@ def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
 
         arr = np.asarray(_pil_image.open(io.BytesIO(payload)))
         return arr if arr.ndim == 3 else arr[:, :, np.newaxis]
-    if fmt == "wav" and _soundfile is not None:
+    if fmt == "wav":
         import io
 
-        samples, _rate = _soundfile.read(io.BytesIO(payload), dtype="int16")
-        if samples.ndim == 1:
-            samples = samples[:, np.newaxis]
-        return samples[:, np.newaxis, :]  # (n_samples, 1, channels)
+        if _soundfile is not None:
+            samples, _rate = _soundfile.read(io.BytesIO(payload), dtype="int16")
+            if samples.ndim == 1:
+                samples = samples[:, np.newaxis]
+            return samples[:, np.newaxis, :]  # (n_samples, 1, channels)
+        # stdlib fallback: the `wave` module reads PCM WAV with no
+        # third-party dependency, so at least one REAL media format is
+        # exercised in every environment. Sample conversion matches
+        # soundfile's int16 convention (u8 -> (x-128)<<8).
+        import wave as _wave
+
+        with _wave.open(io.BytesIO(payload), "rb") as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        if width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+        elif width == 1:
+            u8 = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+            samples = (u8 - 128) << 8
+        else:
+            raise NotImplementedError(
+                f"stdlib WAV fallback handles 8/16-bit PCM; {8 * width}-bit "
+                "needs soundfile"
+            )
+        return samples.reshape(-1, n_ch)[:, np.newaxis, :]
     if fmt in _REAL_FORMATS:
         raise NotImplementedError(
             f"decoding {fmt!r} requires a media library (Pillow for "
-            "jpeg/png, soundfile for wav, pyav for mp3/mp4/webm); "
+            "jpeg/png, pyav for mp3/mp4/webm); "
             "not installed in this environment"
         )
     if fmt != "fake/raw":

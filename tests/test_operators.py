@@ -188,9 +188,6 @@ def test_real_format_decode_raises_without_codec():
     if multimodal._pil_image is None:
         with pytest.raises(NotImplementedError, match="media library"):
             decode_stub(b"\xff\xd8", {"format": "jpeg"})
-    if multimodal._soundfile is None:
-        with pytest.raises(NotImplementedError, match="media library"):
-            decode_stub(b"RIFF", {"format": "wav"})
     # pyav formats always raise here (never probed)
     with pytest.raises(NotImplementedError, match="media library"):
         decode_stub(b"\x00", {"format": "mp4"})
@@ -214,17 +211,78 @@ def test_real_png_decodes_with_pillow():
     assert (arr[0, 0] == np.asarray([10, 20, 30])).all()
 
 
-def test_real_wav_decodes_with_soundfile():
-    """Runs only on soundfile-equipped environments (skipped here)."""
-    sf = pytest.importorskip("soundfile")
+def _pcm16_wav_bytes(samples, rate=16000):
+    """Write (n, ch) int16 samples to WAV via the stdlib encoder."""
     import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_wav_decodes_in_every_environment():
+    """The stdlib `wave` fallback makes real 16-bit PCM WAV decode with
+    no third-party codec — exercised in-container, not skipped."""
+    import numpy as np
+
+    samples = (np.arange(16, dtype=np.int16) - 8).reshape(8, 2)
+    arr = decode_stub(_pcm16_wav_bytes(samples), {"format": "wav"})
+    assert arr.shape == (8, 1, 2)
+    assert (arr[:, 0, :] == samples).all()
+
+
+def test_real_wav_8bit_matches_soundfile_convention():
+    """8-bit unsigned PCM maps to int16 as (x-128)<<8 — soundfile's
+    convention, so the two wav paths agree where both exist."""
+    import io
+    import wave
 
     import numpy as np
 
     buf = io.BytesIO()
-    sf.write(buf, np.zeros((8, 2), dtype=np.int16), 16000, format="WAV")
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([0, 128, 255]))
     arr = decode_stub(buf.getvalue(), {"format": "wav"})
-    assert arr.shape == (8, 1, 2)
+    assert arr.shape == (3, 1, 1)
+    assert arr[:, 0, 0].tolist() == [-32768, 0, 32512]
+
+
+def test_real_wav_in_feature_stats_pipeline(spark):
+    """End-to-end: a REAL wav payload through the Arrow-batched
+    image_feature_stats operator (moments over int16 samples)."""
+    import numpy as np
+
+    from databricks_end_to_end_streaming_spark.operators.multimodal import (
+        image_feature_stats,
+    )
+
+    samples = np.array([[0], [100], [200], [50]], dtype=np.int16)
+    payload = _pcm16_wav_bytes(samples)
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                "audio",
+                bytearray(payload),
+                {"sample_rate": 16000, "channels": 1, "format": "wav"},
+            )
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<sample_rate:int, channels:int, format:string>",
+    )
+    row = image_feature_stats(media).collect()[0]
+    assert row["media_id"] == 1
+    assert row["mean_intensity"] == pytest.approx(87.5)
+    assert row["min_intensity"] == 0
+    assert row["max_intensity"] == 200
 
 
 def test_approx_percentiles_within_rank_bound(spark):
