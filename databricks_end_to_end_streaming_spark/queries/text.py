@@ -720,9 +720,11 @@ def _bpe_compression_oracle(num_merges: int = 6) -> str:
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first 8 learned BPE merges over the document corpus
     (operators/bpe.py): per round, one vocabulary-sized pair count and a
-    TakeOrderedAndProject argmax — one row to the driver per round. The
-    merge table itself is bounded (8 rows), so materializing it driver-
-    side is by-construction safe. Deterministic (lexicographic pair
+    bounded-pool argmax; batch_k=4 accepts provably-compatible merges
+    together, so the driver-paced loop runs ~4x fewer rounds with a
+    bit-identical merge table (operators/bpe.py safety rule). The merge
+    table itself is bounded (8 rows), so materializing it driver-side is
+    by-construction safe. Deterministic (lexicographic pair
     tiebreak), so the whole iteration replays in DuckDB as unrolled
     string-replace rounds (``_bpe_chain_sql``) — a green hash row, not
     rows-only. Exactness vs a pure-Python sequential BPE on the same
@@ -730,7 +732,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import learn_bpe_from_texts
 
     d = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_from_texts(d, "text", num_merges=8)
+    merges = learn_bpe_from_texts(d, "text", num_merges=8, batch_k=4)
     rows = [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "step int, left string, right string, n long"
@@ -751,7 +753,7 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_token_counts, learn_bpe_from_texts
 
     d = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_from_texts(d, "text", num_merges=6)
+    merges = learn_bpe_from_texts(d, "text", num_merges=6, batch_k=4)
     words = d.select(
         "lang", F.explode(F.split(F.trim("text"), " +")).alias("word")
     ).where(F.col("word") != "")
