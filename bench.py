@@ -74,11 +74,65 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extras": {**_bench_avro_demux(spark), **_bench_ocf()},
+                "extras": {
+                    **_bench_avro_demux(spark),
+                    **_bench_ocf(),
+                    **_bench_sf1(spark, sf_dir),
+                },
             }
         )
     )
     spark.stop()
+
+
+# The 5 heaviest headline queries by the round-3 driver bench — the sf1
+# super-linearity canary set (VERDICT r3 item 7).
+SF1_QUERIES = [
+    "dedup_minhash_lsh",
+    "tpch_q1_pricing_summary",
+    "medallion_end_to_end",
+    "knn_bruteforce_cosine",
+    "tpch_q3_shipping_priority",
+]
+
+
+def _bench_sf1(spark, sf_dir: str, k: int = 10) -> dict:
+    """sf1 canary: the 5 heaviest headline queries at 10× the bench data
+    (~6M lineitem rows — no sf1 testdata ships, so sf0.1 is replicated
+    with shifted keys exactly like tools/scale_probe.py, which makes
+    join/group cardinalities scale too, not just row counts). Catches
+    super-linear surprises the sf0.1 bench can't: a query that is
+    O(n log n)-or-better should land well under ~12× its sf0.1 time on
+    32 cores. The replica is built once and cached under .scratch/
+    (per-table _SUCCESS markers), so steady-state bench runs pay only
+    the query time. Runs only for the default sf0.1 bench dir (the
+    iterate-at-sf0.01 loop stays fast); SPARK_GRAFT_SKIP_SF1=1 skips."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
+        return {}
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return {}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from scale_probe import replicate
+
+    dest = os.path.join(repo, ".scratch", f"bench_sf1_x{k}")
+    replicate(spark, k, dest)
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        best = float("inf")
+        for _trial in range(2):
+            t0 = time.time()
+            qs[name](spark, dest).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+    return {
+        "sf1": {
+            "replication_of_sf0.1": k,
+            "queries": timings,
+            "total_sec": round(sum(timings.values()), 3),
+        }
+    }
 
 
 def _bench_avro_demux(spark, n_events: int = 50_000) -> dict:

@@ -101,3 +101,23 @@ def test_zorder_rowgroup_skipping_on_second_dim(spark, workdir):
     s_frac = overlap_fraction(f"{workdir}/slay")
     assert s_frac == 1.0  # stripes: y spans the domain in every row group
     assert z_frac <= 0.5  # z-order: most row groups prunable on y
+
+
+def test_precomputed_col_ranges_skip_stats_scan(spark):
+    """col_ranges must yield the identical layout to the stats-scan path
+    when given the true min/max (single-scan OPTIMIZE), and still
+    bucketize sanely with wider-than-actual ranges."""
+    from databricks_end_to_end_streaming_spark.operators.layout import (
+        zorder_value,
+    )
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS a", "(id * 37) % 1000 AS b"
+    )
+    scanned, zc = zorder_value(df, ["a", "b"], bits=4)
+    supplied, _ = zorder_value(
+        df, ["a", "b"], bits=4, col_ranges={"a": (0.0, 999.0), "b": (0.0, 999.0)}
+    )
+    got_scan = {r["a"]: r[zc] for r in scanned.collect()}
+    got_sup = {r["a"]: r[zc] for r in supplied.collect()}
+    assert got_scan == got_sup

@@ -36,6 +36,14 @@ PROBES = [
     "ann_lsh_cosine_topk",
     "rolling_7day_active_users",
     "tfidf_top_terms_per_lang",
+    # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
+    # samplers, histogram/profile
+    "zorder_events_row_preservation",
+    "dq_expectations_lineitem",
+    "sample_mixture_weighted",
+    "sample_exact_n_per_source",
+    "event_value_histogram",
+    "profile_orders_columns",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
@@ -92,10 +100,17 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dest = os.path.join(REPO, ".scratch", f"sf0.1x{k}")
+    # same cache dir bench.py's sf1 block uses: replicate once, reuse
+    # everywhere; `rm -rf .scratch` reclaims the disk
+    dest = os.path.join(REPO, ".scratch", f"bench_sf1_x{k}")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     replicate(spark, k, dest)
+    # Warmup pass: the first execution of each plan pays whole-stage
+    # codegen + JIT; without it the 1x baseline absorbs that cost and
+    # ratios come out absurdly low (observed <1.0, which a genuine 10x
+    # input can't produce).
+    time_queries(spark, SRC)
     base = time_queries(spark, SRC)
     big = time_queries(spark, dest)
     print(f"\nscale probe: sf0.1 -> {k}x replicated ({k * 0.6:.0f}M lineitem rows)")
@@ -103,7 +118,6 @@ def main() -> None:
         ratio = big[name] / base[name] if base[name] else float("nan")
         print(f"  {name:36s} 1x={base[name]:7.3f}s  {k}x={big[name]:7.3f}s  ratio={ratio:4.1f}")
     spark.stop()
-    shutil.rmtree(dest, ignore_errors=True)
 
 
 if __name__ == "__main__":
