@@ -2,12 +2,14 @@
 
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
 signatures, partitioning — is real and tested. The codec step decodes
-real jpeg/png (Pillow) and wav (soundfile, with a stdlib `wave`-module
-fallback for 8/16-bit PCM so the wav path is exercised in EVERY
-environment, this container included); jpeg/png without Pillow raise an
-explicit NotImplementedError, and the synthetic `fake/raw` format always
-decodes (deterministically: bytes are the row-major buffer). mp3/mp4/
-webm would additionally need pyav and always raise here. Either way the
+real jpeg/png (Pillow) and wav (soundfile), with stdlib fallbacks so
+BOTH real image and real audio formats are exercised in EVERY
+environment, this container included: 8/16-bit PCM WAV via the `wave`
+module and 8-bit non-interlaced gray/RGB/GA/RGBA PNG via the zlib-only
+decoder in `png_stdlib.py`. jpeg without Pillow raises an explicit
+NotImplementedError, and the synthetic `fake/raw` format always decodes
+(deterministically: bytes are the row-major buffer). mp3/mp4/webm would
+additionally need pyav and always raise here. Either way the
 distributed shape is identical — only the scalar `_decode_payload`
 changes with the environment.
 
@@ -78,6 +80,14 @@ def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
 
         arr = np.asarray(_pil_image.open(io.BytesIO(payload)))
         return arr if arr.ndim == 3 else arr[:, :, np.newaxis]
+    if fmt == "png":
+        # stdlib fallback (zlib-only minimal decoder): real 8-bit
+        # gray/RGB/GA/RGBA PNGs decode in every environment; palette/
+        # 16-bit/interlaced raise NotImplementedError inside and need
+        # Pillow.
+        from .png_stdlib import decode_png
+
+        return decode_png(payload)
     if fmt == "wav":
         import io
 
@@ -110,7 +120,7 @@ def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
     if fmt in _REAL_FORMATS:
         raise NotImplementedError(
             f"decoding {fmt!r} requires a media library (Pillow for "
-            "jpeg/png, pyav for mp3/mp4/webm); "
+            "jpeg, pyav for mp3/mp4/webm); "
             "not installed in this environment"
         )
     if fmt != "fake/raw":
