@@ -890,3 +890,85 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@query(
+    "corr_value_day_per_type",
+    oracle="""
+    WITH d0 AS (
+      SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0 FROM events
+    ), moments AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(cents) AS BIGINT)        AS sx,
+             CAST(sum(day)  AS BIGINT)         AS sy,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx,
+             CAST(sum(day * day) AS BIGINT)     AS syy,
+             CAST(sum(cents * day) AS BIGINT)   AS sxy
+      FROM (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(datediff('day', d0,
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                 AS day
+        FROM events CROSS JOIN d0
+      )
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_day,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * syy - sy * sy AS DOUBLE) AS slope_cents_per_day,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / (100.0 * CAST(n AS DOUBLE)) AS stddev_value
+    FROM moments
+    ORDER BY event_type
+    """,
+)
+def corr_value_day_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate family (corr / regression slope / population
+    stddev) per event type, via EXACT integer moments: value goes
+    through the corpus-standard DECIMAL(18,2) cast to integer cents, the
+    time axis is whole days since the corpus start (one broadcast 1-row
+    scalar), and n/sx/sy/sxx/syy/sxy are int64 sums — order-independent
+    and partial-agg'd map-side, the same shuffle shape as any groupBy.
+    The final corr/slope/stddev are fixed IEEE expressions over those
+    exact integers (int64->double conversion is round-to-nearest in both
+    engines), so DuckDB reproduces them bit-for-bit — unlike the
+    built-in corr()/stddev(), whose streaming float accumulation is
+    engine- and order-dependent (the reason this query doesn't use
+    them; a plain F.corr is available when parity isn't needed).
+
+    Scale note: the n*sxx term bounds int64 headroom at ~2M rows per
+    group for 5-digit cents; beyond that, widen the moment casts to
+    DECIMAL(38,0) (ANSI mode fails loudly at the boundary rather than
+    wrapping)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    day = F.datediff(F.to_date("ts"), F.col("d0")).cast("long")
+    base = ev.crossJoin(F.broadcast(d0)).select(
+        "event_type", cents.alias("cents"), day.alias("day")
+    )
+    m = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum("day").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("day") * F.col("day")).alias("syy"),
+        F.sum(F.col("cents") * F.col("day")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (num / (F.sqrt(dxx) * F.sqrt(dyy))).alias("corr_value_day"),
+        (num / dyy).alias("slope_cents_per_day"),
+        (F.sqrt(dxx) / (F.lit(100.0) * F.col("n").cast("double"))).alias(
+            "stddev_value"
+        ),
+    ).orderBy("event_type")

@@ -310,3 +310,36 @@ def test_approx_percentiles_within_rank_bound(spark):
         target = math.ceil(q * n)
         got_rank = exact_rows.index(approx[label]) + 1
         assert abs(got_rank - target) <= 1, (label, got_rank, target)
+
+
+def test_corr_query_matches_numpy(spark):
+    """The exact-integer-moment corr/slope/stddev must agree with
+    NumPy's float implementations to well under 1e-9 relative (the
+    moments are exact; only the final IEEE expression differs)."""
+    import numpy as np
+
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["corr_value_day_per_type"](spark, sf).collect()
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "value", "ts"
+    ).collect()
+    d0 = min(r["ts"].date() for r in ev)
+    by_type: dict = {}
+    for r in ev:
+        cents = round(r["value"] * 100)
+        day = (r["ts"].date() - d0).days
+        by_type.setdefault(r["event_type"], []).append((cents, day))
+    assert rows, "query returned nothing"
+    for row in rows:
+        xs, ys = zip(*by_type[row["event_type"]])
+        x, y = np.array(xs, dtype=float), np.array(ys, dtype=float)
+        ref_corr = np.corrcoef(x, y)[0, 1]
+        ref_slope = np.polyfit(y, x, 1)[0]
+        ref_std = x.std() / 100.0
+        assert row["n"] == len(xs)
+        assert abs(row["corr_value_day"] - ref_corr) < 1e-9
+        assert abs(row["slope_cents_per_day"] - ref_slope) < 1e-6
+        assert abs(row["stddev_value"] - ref_std) < 1e-9
