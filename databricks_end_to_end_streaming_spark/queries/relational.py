@@ -395,3 +395,92 @@ def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_user_type_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(count(*) AS BIGINT) AS total
+    FROM events
+    WHERE user_id < 200
+    GROUP BY user_id
+    """,
+)
+def pivot_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT family: per-user event counts spread into one column per
+    event type (the user-feature-matrix shape ML pipelines export).
+    Spark's native ``groupBy().pivot(col, values)`` — values listed
+    explicitly, so no extra distinct-collection pass runs and the plan
+    is a single partial-agg'd shuffle on user_id, exactly like any
+    groupBy (the pivot becomes CASE-WHEN aggregates inside codegen).
+    The oracle states that desugaring literally. The user_id < 200 cut
+    keeps the driver compare small; counts NULL-fill to 0 so the matrix
+    is dense."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    totals = ev.groupBy("user_id").agg(F.count("*").alias("total"))
+    out = counts.join(totals, "user_id")
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in _EVENT_TYPES
+        ],
+        "total",
+    )
+
+
+@query(
+    "unpivot_profile_metrics",
+    oracle="""
+    SELECT doc_id, metric, CAST(val AS BIGINT) AS val
+    FROM (
+      SELECT doc_id, 'n_chars' AS metric, n_chars AS val FROM documents
+      UNION ALL
+      SELECT doc_id, 'n_tokens_ws',
+             len(string_split_regex(trim(text), ' +')) FROM documents
+      UNION ALL
+      SELECT doc_id, 'n_uppercase',
+             length(text) - length(lower(text))
+             + len(regexp_extract_all(text, '[A-Z]')) -
+               len(regexp_extract_all(lower(text), '[A-Z]'))
+      FROM documents
+    )
+    WHERE doc_id < 100
+    """,
+)
+def unpivot_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt family: wide per-document metrics to long
+    (doc_id, metric, val) rows — the shape metric stores and plotting
+    layers ingest. Uses Spark's native ``unpivot`` (Expand-based: one
+    scan fans out to N rows per input row, no shuffle at all); the
+    oracle desugars to the equivalent UNION ALL. The uppercase counter
+    is regex-count arithmetic that is dialect-identical (ASCII class)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    wide = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Z]"), F.lit(0)))
+        .cast("long")
+        .alias("n_uppercase"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_chars", "n_tokens_ws", "n_uppercase"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

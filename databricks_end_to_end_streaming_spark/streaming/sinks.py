@@ -407,6 +407,34 @@ class ParquetTable:
             "bytes": total_bytes,
         }
 
+    def vacuum(self) -> dict:
+        """Delta ``VACUUM`` analog for the parquet stand-in: remove
+        crash leftovers that no reader references — a ``._staging`` dir
+        from a compact/upsert killed mid-write, a ``._rewrite`` dir from
+        an interrupted column migration, and Spark's own temporary
+        ``_temporary`` dirs from killed write jobs. The live-table swap
+        artifact (``._old``) is NOT removed here: ``_recover_swap`` may
+        still need it, and every entry point (this one included) heals
+        it first. Delta mode needs none of this (the log never
+        references uncommitted files), so there it only clears the same
+        local scratch dirs, and real retention-based VACUUM remains the
+        platform's own command. Returns {removed: [paths]}."""
+        self._recover_swap()
+        removed = []
+        for suffix in ("._staging", "._rewrite"):
+            p = self.path.rstrip("/") + suffix
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                removed.append(p)
+        for root, dirs, _files in os.walk(self.path):
+            for d in list(dirs):
+                if d == "_temporary":
+                    p = os.path.join(root, d)
+                    shutil.rmtree(p, ignore_errors=True)
+                    dirs.remove(d)
+                    removed.append(p)
+        return {"removed": removed}
+
     def stream(self, spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
         """Incremental read as a stream (Delta-streaming-source stand-in,
         SURVEY S3). Schema is pinned from a batch read (the union-widened

@@ -274,3 +274,28 @@ def test_mixed_int_widths_fail_fast_and_migrate(spark, workdir):
     got = {(r["valueSchemaId"], r["batchid"]) for r in df.collect()}
     assert got == {(1, 0), (2, 1)}  # partition dirs survived the rewrite
     assert not os.path.isdir(t.path + "._rewrite")
+
+
+def test_vacuum_removes_crash_leftovers_only(spark, workdir):
+    """vacuum drops ._staging/._rewrite/_temporary leftovers but never
+    the live table, and composes with _recover_swap (._old heals, not
+    deleted blindly)."""
+    import os
+
+    t = ParquetTable(f"{workdir}/vac")
+    t.append(spark.createDataFrame([(1,)], "id int"))
+    # simulate crash leftovers
+    os.makedirs(f"{workdir}/vac._staging/x", exist_ok=True)
+    os.makedirs(f"{workdir}/vac._rewrite", exist_ok=True)
+    os.makedirs(f"{workdir}/vac/_temporary/0", exist_ok=True)
+    res = t.vacuum()
+    assert len(res["removed"]) == 3
+    assert not os.path.exists(f"{workdir}/vac._staging")
+    assert not os.path.exists(f"{workdir}/vac/_temporary")
+    assert t.read(spark).count() == 1
+
+    # crash window: live dir renamed aside, then vacuum is called —
+    # it must heal the swap first, not strand the table
+    os.rename(f"{workdir}/vac", f"{workdir}/vac._old")
+    t.vacuum()
+    assert t.read(spark).count() == 1
