@@ -419,28 +419,31 @@ def pivot_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT family: per-user event counts spread into one column per
     event type (the user-feature-matrix shape ML pipelines export).
     Spark's native ``groupBy().pivot(col, values)`` — values listed
-    explicitly, so no extra distinct-collection pass runs and the plan
-    is a single partial-agg'd shuffle on user_id, exactly like any
-    groupBy (the pivot becomes CASE-WHEN aggregates inside codegen).
+    explicitly, so no extra distinct-collection pass runs. Spark plans
+    it two-phase: a (user_id, event_type) count, then a pivotfirst
+    aggregate spreading the five values into columns — two exchanges,
+    BOTH fed by map-side partial aggregates, so what crosses each wire
+    is already collapsed.
     The oracle states that desugaring literally. The user_id < 200 cut
     keeps the driver compare small; counts NULL-fill to 0 so the matrix
-    is dense."""
+    is dense, and the row total is the SUM OF THE PIVOT COLUMNS (the
+    listed values are the full event_type domain), so no second
+    aggregation or join exists — one scan, plan-guarded."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
     counts = (
         ev.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
         .agg(F.count(F.lit(1)))
     )
-    totals = ev.groupBy("user_id").agg(F.count("*").alias("total"))
-    out = counts.join(totals, "user_id")
-    return out.select(
-        "user_id",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
-            for t in _EVENT_TYPES
-        ],
-        "total",
+    dense = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+        for t in _EVENT_TYPES
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)).cast("long") for t in _EVENT_TYPES),
+        F.lit(0).cast("long"),
     )
+    return counts.select("user_id", *dense, total.alias("total"))
 
 
 @query(

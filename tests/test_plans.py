@@ -195,3 +195,29 @@ def test_rolling_active_users_no_range_join(spark):
     plan = plan_of(spark, "rolling_7day_active_users")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_two_partial_agg_exchanges_no_join(spark):
+    """pivot with explicit values plans as pair-count -> pivotfirst:
+    two exchanges, each preceded by a map-side partial aggregate, one
+    scan, and (since the total is a row-sum of pivot columns) no join."""
+    plan = plan_of(spark, "pivot_user_type_matrix")
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert "partial_pivotfirst" in plan and "partial_count" in plan
+
+
+def test_unpivot_metrics_is_expand_without_exchange(spark):
+    plan = plan_of(spark, "unpivot_profile_metrics")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_corr_single_agg_shuffle_and_broadcast_scalar(spark):
+    """corr query: the day-zero scalar broadcasts (no shuffle for the
+    cross join) and the moments are one partial-agg'd exchange."""
+    plan = plan_of(spark, "corr_value_day_per_type")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exchanges: broadcast of the 1-row scalar + the groupBy agg + sort
+    assert "HashAggregate" in plan
