@@ -183,3 +183,25 @@ def test_real_png_through_decode_stub_and_feature_stats(spark):
     assert row["min_intensity"] == 10
     assert row["max_intensity"] == 60
     assert row["mean_intensity"] == pytest.approx(35.0)
+
+
+def test_hypothesis_roundtrip_random_images():
+    """Property sweep: arbitrary sizes/channels/content round-trip
+    through encode -> decode bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(w, h, ch, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        got = decode_png(encode_png(arr))
+        assert got.shape == arr.shape and (got == arr).all()
+
+    roundtrip()
