@@ -111,28 +111,36 @@ def _bench_sf1(spark, sf_dir: str, k: int = 10) -> dict:
         return {}
     if not sf_dir.rstrip("/").endswith("sf0.1"):
         return {}
-    repo = os.path.dirname(os.path.abspath(__file__))
-    sys.path.insert(0, os.path.join(repo, "tools"))
-    from scale_probe import replicate
+    # A canary must never break the headline artifact: any failure here
+    # (cold cache + tight time budget, disk pressure, a killed prior
+    # replication) degrades to an explanatory extras entry instead.
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        from scale_probe import replicate
 
-    dest = os.path.join(repo, ".scratch", f"bench_sf1_x{k}")
-    replicate(spark, k, dest)
-    qs = all_queries()
-    timings: dict[str, float] = {}
-    for name in SF1_QUERIES:
-        best = float("inf")
-        for _trial in range(2):
-            t0 = time.time()
-            qs[name](spark, dest).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-    return {
-        "sf1": {
-            "replication_of_sf0.1": k,
-            "queries": timings,
-            "total_sec": round(sum(timings.values()), 3),
+        dest = os.path.join(repo, ".scratch", f"bench_sf1_x{k}")
+        replicate(spark, k, dest)
+        qs = all_queries()
+        timings: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            best = float("inf")
+            for _trial in range(2):
+                t0 = time.time()
+                qs[name](spark, dest).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        return {
+            "sf1": {
+                "replication_of_sf0.1": k,
+                "queries": timings,
+                "total_sec": round(sum(timings.values()), 3),
+            }
         }
-    }
+    except Exception as e:  # noqa: BLE001 - canary, not the gate
+        return {"sf1": {"error": str(e)[:300]}}
 
 
 def _bench_avro_demux(spark, n_events: int = 50_000) -> dict:
