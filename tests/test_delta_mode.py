@@ -104,3 +104,64 @@ class TestDeltaBackedContract:
         t.upsert(spark, spark.createDataFrame([(1, "new"), (3, "ins")], "id int, v string"), ["id"])
         rows = {r.id: r.v for r in t.read(spark).collect()}
         assert rows == {1: "new", 2: "keep", 3: "ins"}
+
+
+class TestDeltaRouting:
+    """The delta branch is structurally verifiable WITHOUT delta-spark:
+    force the probe true and record what the writers would do."""
+
+    @pytest.fixture
+    def routed(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(
+            ParquetTable, "_delta", lambda self, spark: True
+        )
+        monkeypatch.setattr(
+            ParquetTable,
+            "_delta_write",
+            lambda self, df, mode, **opts: calls.append((mode, opts)),
+        )
+        return calls
+
+    def test_append_routes_to_delta_with_merge_schema(
+        self, spark, tmp_path, routed
+    ):
+        t = ParquetTable(str(tmp_path / "r1"))
+        t.append(spark.createDataFrame([(1,)], "id int"))
+        assert routed == [("append", {"mergeSchema": "true"})]
+        # and nothing was written as parquet
+        assert not t.exists()
+
+    def test_idempotent_append_maps_token_to_txn(
+        self, spark, tmp_path, routed
+    ):
+        t = ParquetTable(str(tmp_path / "r2"))
+        df = spark.createDataFrame([(1,)], "id int")
+        t.idempotent_append(df, "batchid=7/schemaid=2")
+        (mode, opts), = routed
+        assert mode == "append"
+        assert opts["txnVersion"] == "7"
+        assert opts["txnAppId"].endswith("#schemaid=2")
+        assert opts["mergeSchema"] == "true"
+
+    def test_overwrite_routes_with_overwrite_schema(
+        self, spark, tmp_path, routed
+    ):
+        t = ParquetTable(str(tmp_path / "r3"))
+        t.overwrite(spark.createDataFrame([(1,)], "id int"))
+        assert routed == [("overwrite", {"overwriteSchema": "true"})]
+
+    def test_read_and_stream_route_to_delta_format(
+        self, spark, tmp_path, monkeypatch
+    ):
+        monkeypatch.setattr(
+            ParquetTable, "_delta", lambda self, spark: True
+        )
+        t = ParquetTable(str(tmp_path / "r4"))
+        # format("delta") is unresolvable without the jar: reaching the
+        # DATA_SOURCE_NOT_FOUND error proves routing left the parquet
+        # path (a parquet read of a missing dir errors differently)
+        with pytest.raises(Exception, match="delta|DATA_SOURCE"):
+            t.read(spark).collect()
+        with pytest.raises(Exception, match="delta|DATA_SOURCE"):
+            t.stream(spark)
