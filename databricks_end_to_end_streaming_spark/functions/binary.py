@@ -58,6 +58,18 @@ def glue_schema_uuid(value_col: str = "value") -> F.Column:
     return F.lower(F.hex(F.expr(f"substring({value_col}, 3, 16)")))
 
 
+def glue_compression(value_col: str = "value") -> F.Column:
+    """The Glue compression byte (byte 2): 0 = none, 5 = zlib. The
+    reference slices it into the opaque header and never interprets it
+    (ingest.scala:33-45), so a compression-enabled Glue producer breaks
+    the reference pipeline; our demux inflates when it sees 5."""
+    return be_int_from_bytes(F.expr(f"substring({value_col}, 2, 1)"))
+
+
+GLUE_COMPRESSION_NONE = 0
+GLUE_COMPRESSION_ZLIB = 5
+
+
 def glue_payload(value_col: str = "value") -> F.Column:
     """Avro payload after the Glue header (mirrors
     `value.substr(lit(19), length(value) - 18)`, ingest.scala:63)."""

@@ -86,11 +86,15 @@ def events_to_wire(
     topic: str = "product-events",
     seed: int = 7,
     corrupt_offsets: set[int] | None = None,
+    glue_compression: int = 0,
 ) -> list[WireRecord]:
     """Avro-encode + frame events into Kafka-source-shaped records.
 
     ``corrupt_offsets``: offsets whose Avro payload is truncated to
     exercise PERMISSIVE/FAILFAST handling (FIXTURES.md §A3).
+    ``glue_compression``: 5 zlib-compresses glue-framed payloads (the
+    Glue SerDe's optional codec; the reference can't read these —
+    ingest.scala:33-45 treats the byte as opaque).
     """
     rng = random.Random(seed)
     out: list[WireRecord] = []
@@ -104,7 +108,13 @@ def events_to_wire(
         if framing == "confluent":
             value = _confluent_frame(payload, version)
         elif framing == "glue":
-            value = _glue_frame(payload, GLUE_UUIDS[version])
+            if glue_compression == 5:
+                import zlib
+
+                payload = zlib.compress(payload)
+            value = _glue_frame(
+                payload, GLUE_UUIDS[version], compression=glue_compression
+            )
         else:
             raise ValueError(f"unknown framing {framing!r}")
         key = str(rng.randint(0, 3)).encode()  # producer.py:175

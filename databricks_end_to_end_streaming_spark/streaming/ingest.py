@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame
 
 from ..avro.functions import decode_avro
 from ..functions.binary import (
+    GLUE_COMPRESSION_ZLIB,
     confluent_payload,
     confluent_schema_id,
+    glue_compression,
     glue_payload,
     glue_schema_uuid,
 )
@@ -50,11 +52,14 @@ RAW_COLUMNS = [
 @dataclass
 class Framing:
     """Wire-format codec: how to slice the demux id + Avro payload out of
-    the Kafka value bytes."""
+    the Kafka value bytes. ``compression_col`` (framings that carry a
+    compression marker) selects rows whose payload must be inflated
+    before Avro decode."""
 
     name: str
     schema_id_col: F.Column
     payload_col: F.Column
+    compression_col: F.Column | None = None
 
 
 def confluent_framing() -> Framing:
@@ -70,7 +75,45 @@ def glue_framing() -> Framing:
         "glue",
         schema_id_col=glue_schema_uuid("value"),
         payload_col=glue_payload("value"),
+        compression_col=glue_compression("value"),
     )
+
+
+def _inflate_compressed(df: DataFrame, compression_col: str) -> DataFrame:
+    """zlib-inflate payloads whose compression marker says so (Glue
+    compression byte 5) — a robustness EXTENSION over the reference,
+    which slices the byte into its opaque header and would feed
+    compressed bytes to from_avro (ingest.scala:33-45,62-63). Arrow-
+    batched like the codec itself; rows without the marker pass through
+    untouched. Callers gate on a cheap cached-batch probe so the common
+    uncompressed case never pays this pass."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = df.schema
+
+    def inflate(p) -> bytes:
+        # A truncated/garbled stream keeps its original bytes: the Avro
+        # decode then fails on them, so corruption flows into the
+        # PERMISSIVE/FAILFAST contract instead of crashing this stage.
+        try:
+            return zlib.decompress(bytes(p))
+        except zlib.error:
+            return bytes(p)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flags = pdf[compression_col] == GLUE_COMPRESSION_ZLIB
+            if flags.any():
+                pdf = pdf.copy()
+                pdf.loc[flags, "payload"] = [
+                    inflate(p) for p in pdf.loc[flags, "payload"]
+                ]
+            yield pdf
+
+    return df.mapInPandas(mapper, schema)
 
 
 def demux_decode_batch(
@@ -95,8 +138,22 @@ def demux_decode_batch(
     sliced = batch_df.withColumn("valueSchemaId", framing.schema_id_col).withColumn(
         "payload", framing.payload_col
     )
-    sliced.persist()
+    if framing.compression_col is not None:
+        sliced = sliced.withColumn("_compression", framing.compression_col)
+    cached = sliced  # unpersist target — `sliced` may be rewrapped below
+    cached.persist()
     try:
+        if framing.compression_col is not None:
+            # one cheap probe on the cached batch; inflate only if the
+            # batch actually carries compressed payloads
+            has_compressed = (
+                cached.where(
+                    F.col("_compression") == GLUE_COMPRESSION_ZLIB
+                ).limit(1).count()
+                > 0
+            )
+            if has_compressed:
+                sliced = _inflate_compressed(cached, "_compression")
         # Driver-side demux: distinct ids -> one decode+write pass per id
         # (ingest.scala:139-142). At scale this is N cheap passes over a
         # cached batch, each pruned by the id filter.
@@ -124,7 +181,7 @@ def demux_decode_batch(
             else:
                 target.append(out)
     finally:
-        sliced.unpersist()
+        cached.unpersist()
     return ids
 
 
