@@ -117,15 +117,35 @@ class ParquetTable:
         w.save(self.path)
 
     def _recover_swap(self) -> None:
-        """Heal a crash inside upsert's swap window: if the live dir is
-        gone but the renamed-aside copy survived, rename it back. Called
-        at the top of EVERY entry point (reads, existence checks, and all
-        writers) — a post-crash append/overwrite would otherwise recreate
-        the live dir itself and permanently strand the pre-crash table in
-        ._old as a silent fresh start."""
+        """Heal a crash inside a swap window: if a live dir is gone but
+        its renamed-aside copy survived, rename it back. Called at the
+        top of EVERY entry point (reads, existence checks, and all
+        writers) — a post-crash append/overwrite would otherwise
+        recreate the live dir itself and permanently strand the
+        pre-crash data in ._old as a silent fresh start. Covers the
+        table root (upsert/compact) and partition dirs inside it
+        (partition-scoped compact)."""
         old = self.path.rstrip("/") + "._old"
         if not os.path.isdir(self.path) and os.path.isdir(old):
             os.rename(old, self.path)
+        if not os.path.isdir(self.path):
+            return
+        for root, dirs, _files in os.walk(self.path):
+            for d in list(dirs):
+                if d.endswith("._old"):
+                    live = os.path.join(root, d[: -len("._old")])
+                    aside = os.path.join(root, d)
+                    if not os.path.isdir(live):
+                        # crashed between rename-aside and rename-in:
+                        # the aside copy is the table — restore it
+                        os.rename(aside, live)
+                    else:
+                        # crashed after the new dir landed: the aside is
+                        # a stale duplicate INSIDE the table tree, which
+                        # partition discovery would read as a bogus
+                        # partition value — drop it
+                        shutil.rmtree(aside)
+                    dirs.remove(d)
 
     def exists(self) -> bool:
         self._recover_swap()
@@ -324,6 +344,72 @@ class ParquetTable:
         if os.path.isdir(staging):
             shutil.rmtree(staging)
 
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        values: list[str],
+        target_file_bytes: int = 128 << 20,
+    ) -> dict:
+        """Partition-scoped compaction (Delta ``OPTIMIZE ... WHERE``):
+        rewrites ONLY the named partition values of the first
+        partition_by column, leaving every other partition's files
+        untouched — at 100 TB a maintenance job compacts the partitions
+        the last ingest window touched, never the whole table. Each
+        partition dir is rewritten to staging and swapped with the same
+        aside protocol as upsert; ``_recover_swap`` heals partition-
+        level crashes in both windows (aside-only -> restore; aside
+        beside a complete new dir -> drop the stale duplicate before
+        partition discovery can read it as a bogus value).
+
+        Returns {partition: {files_before, files_after, bytes}}.
+        """
+        if not self.partition_by:
+            raise ValueError("compact_partitions needs a partitioned table")
+        self._recover_swap()
+        key = self.partition_by[0]
+        report: dict[str, dict] = {}
+        for value in values:
+            pdir = os.path.join(self.path, f"{key}={value}")
+            if not os.path.isdir(pdir):
+                report[value] = {"files_before": 0, "files_after": 0, "bytes": 0}
+                continue
+            files = [
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(pdir)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            total = sum(os.path.getsize(f) for f in files)
+            n_parts = max(1, -(-total // target_file_bytes))
+            # read WITHOUT basePath so the partition column is constant
+            # and dropped from the files, matching partitionBy layout
+            df = spark.read.option("mergeSchema", "true").parquet(pdir)
+            # staging lives OUTSIDE the table root: an in-table staging
+            # dir named `key=value._staging` would be picked up by
+            # partition discovery as a bogus value mid-write
+            staging = (
+                self.path.rstrip("/") + f"._staging_{key}={value}"
+            )
+            df.repartition(n_parts).write.mode("overwrite").parquet(staging)
+            old = pdir + "._old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(pdir, old)
+            os.rename(staging, pdir)
+            shutil.rmtree(old)
+            after = [
+                f
+                for r, _d, fs in os.walk(pdir)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            report[value] = {
+                "files_before": len(files),
+                "files_after": len(after),
+                "bytes": total,
+            }
+        return report
+
     def compact(
         self,
         spark: SparkSession,
@@ -426,6 +512,16 @@ class ParquetTable:
             if os.path.isdir(p):
                 shutil.rmtree(p)
                 removed.append(p)
+        # partition-scoped compact staging leftovers (siblings named
+        # <table>._staging_<key>=<value>)
+        parent = os.path.dirname(self.path.rstrip("/")) or "."
+        base = os.path.basename(self.path.rstrip("/"))
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith(base + "._staging_"):
+                    p = os.path.join(parent, d)
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
         for root, dirs, _files in os.walk(self.path):
             for d in list(dirs):
                 if d == "_temporary":

@@ -90,3 +90,85 @@ def test_compact_with_zorder_clusters_files(spark, workdir):
     assert mean(z_spans) < 0.7 * mean(base_spans), (z_spans, base_spans)
     got = sorted(map(tuple, t.read(spark).collect()))
     assert got == sorted(rows)
+
+
+def test_compact_partitions_rewrites_only_selected(spark, workdir):
+    """OPTIMIZE ... WHERE analog: the named partition collapses to few
+    files, other partitions' files are byte-identical and untouched."""
+    import os
+
+    t = ParquetTable(f"{workdir}/psel", partition_by=["k"])
+    for i in range(4):  # 4 appends -> many small files per partition
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, "a" if j % 2 else "b") for j in range(10)],
+                "id int, k string",
+            )
+        )
+    before_rows = sorted(r["id"] for r in t.read(spark).collect())
+
+    def files_of(part):
+        d = f"{workdir}/psel/k={part}"
+        return sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    b_files_before = files_of("b")
+    b_sig_before = [(f, os.path.getsize(f)) for f in b_files_before]
+    a_before = len(files_of("a"))
+    assert a_before >= 4
+
+    report = t.compact_partitions(spark, ["a"])
+    assert report["a"]["files_before"] == a_before
+    assert report["a"]["files_after"] < a_before
+
+    # untouched partition: identical file list and sizes
+    assert [(f, os.path.getsize(f)) for f in files_of("b")] == b_sig_before
+    # table content and partition values preserved
+    got = t.read(spark)
+    assert sorted(r["id"] for r in got.collect()) == before_rows
+    assert got.where("k = 'a'").count() == 20
+    # absent partition value reports zeros instead of failing
+    rep2 = t.compact_partitions(spark, ["zzz"])
+    assert rep2["zzz"]["files_before"] == 0
+
+
+def test_partition_swap_crash_windows_heal(spark, workdir):
+    """Both partition-level crash windows recover on next access:
+    aside-only restores the data; aside+complete-live drops the stale
+    duplicate before partition discovery can read it."""
+    import os
+    import shutil
+
+    t = ParquetTable(f"{workdir}/pcrash", partition_by=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "id int, k string"
+        )
+    )
+    pdir = f"{workdir}/pcrash/k=a"
+
+    # window 1: renamed aside, new dir never landed
+    os.rename(pdir, pdir + "._old")
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
+    assert os.path.isdir(pdir) and not os.path.isdir(pdir + "._old")
+
+    # window 2: new dir landed, stale aside left behind
+    shutil.copytree(pdir, pdir + "._old")
+    got = t.read(spark)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]  # no dupes
+    assert not os.path.isdir(pdir + "._old")
+
+
+def test_vacuum_cleans_partition_staging_leftovers(spark, workdir):
+    import os
+
+    t = ParquetTable(f"{workdir}/pvac", partition_by=["k"])
+    t.append(spark.createDataFrame([(1, "a")], "id int, k string"))
+    os.makedirs(f"{workdir}/pvac._staging_k=a", exist_ok=True)
+    res = t.vacuum()
+    assert any("._staging_k=a" in p for p in res["removed"])
+    assert not os.path.exists(f"{workdir}/pvac._staging_k=a")
