@@ -44,6 +44,11 @@ PROBES = [
     "sample_exact_n_per_source",
     "event_value_histogram",
     "profile_orders_columns",
+    # round-4 queries: exact-moment statistics, pivot matrix, PageRank
+    # in deterministic-fold mode
+    "corr_value_day_per_type",
+    "pivot_user_type_matrix",
+    "pagerank_event_transitions",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
