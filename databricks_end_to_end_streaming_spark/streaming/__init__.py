@@ -8,6 +8,12 @@ from .medallion import (
     silver_stage,
     upsert_stage,
 )
+from .moments import (
+    finalize_stats,
+    moments_stage,
+    partial_moments,
+    summed_moments,
+)
 from .sinks import ParquetTable
 
 __all__ = [
@@ -21,4 +27,8 @@ __all__ = [
     "dq_split_stage",
     "neardup_batch",
     "neardup_stage",
+    "moments_stage",
+    "partial_moments",
+    "summed_moments",
+    "finalize_stats",
 ]

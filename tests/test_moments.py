@@ -1,0 +1,83 @@
+"""Incremental moment statistics: cross-batch accumulation equals the
+one-shot batch computation bit-for-bit, and replays never double-add."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+from databricks_end_to_end_streaming_spark.streaming.moments import (
+    finalize_stats,
+    moments_stage,
+    partial_moments,
+    summed_moments,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, cents long, day long")
+
+
+ROWS = [
+    ("a", 100, 0), ("a", 250, 1), ("a", 175, 2), ("a", 300, 3),
+    ("b", 50, 0), ("b", 60, 1), ("b", 75, 2),
+]
+
+
+def test_incremental_equals_batch_bitwise(spark, workdir):
+    t = ParquetTable(f"{workdir}/moments")
+    stage = moments_stage(t, "event_type", F.col("cents"), F.col("day"))
+    # three micro-batches
+    stage(_events(spark, ROWS[:3]), 0)
+    stage(_events(spark, ROWS[3:5]), 1)
+    stage(_events(spark, ROWS[5:]), 2)
+
+    inc = {
+        r["key"]: r
+        for r in finalize_stats(
+            summed_moments(spark, t), scale=100.0
+        ).collect()
+    }
+    batch = {
+        r["key"]: r
+        for r in finalize_stats(
+            partial_moments(
+                _events(spark, ROWS), "event_type", F.col("cents"), F.col("day")
+            ),
+            scale=100.0,
+        ).collect()
+    }
+    assert set(inc) == {"a", "b"}
+    for k in inc:
+        assert inc[k]["n"] == batch[k]["n"]
+        # bit-for-bit: moments are exact integers, finalize is the same
+        # IEEE expression on both paths
+        assert inc[k]["corr_xy"] == batch[k]["corr_xy"], k
+        assert inc[k]["slope_x_per_y"] == batch[k]["slope_x_per_y"], k
+        assert inc[k]["stddev_x"] == batch[k]["stddev_x"], k
+
+
+def test_replay_does_not_double_add(spark, workdir):
+    t = ParquetTable(f"{workdir}/moments_replay")
+    stage = moments_stage(t, "event_type", F.col("cents"), F.col("day"))
+    stage(_events(spark, ROWS[:4]), 0)
+    before = summed_moments(spark, t).collect()
+    stage(_events(spark, ROWS[:4]), 0)  # foreachBatch replay, same id
+    after = summed_moments(spark, t).collect()
+    assert sorted(map(str, before)) == sorted(map(str, after))
+    row = {r["key"]: r for r in after}["a"]
+    assert row["n"] == 4
+    assert row["sx"] == 100 + 250 + 175 + 300
+
+
+def test_compaction_preserves_the_fold(spark, workdir):
+    """Compacting the partial log (many tiny batch files -> few) must
+    not change the summed moments."""
+    t = ParquetTable(f"{workdir}/moments_compact")
+    stage = moments_stage(t, "event_type", F.col("cents"), F.col("day"))
+    for i in range(6):
+        stage(_events(spark, [ROWS[i % len(ROWS)]]), i)
+    before = sorted(map(str, summed_moments(spark, t).collect()))
+    t.compact(spark)
+    after = sorted(map(str, summed_moments(spark, t).collect()))
+    assert before == after
