@@ -972,3 +972,37 @@ def corr_value_day_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stddev_value"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "user_event_type_sequences",
+    oracle="""
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS type_seq,
+           CAST(len(list(event_type ORDER BY ts, event_id)) AS INTEGER)
+             AS seq_len
+    FROM events
+    WHERE user_id < 100
+    GROUP BY user_id
+    """,
+)
+def user_event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequences (the behavioral-modeling /
+    session-LM preprocessing shape). Deterministic ordered-list
+    discipline: collect_list order is undefined under parallel
+    aggregation, so the elements are collected as (ts, event_id, type)
+    structs and array_sort'd on the unique (ts, event_id) prefix before
+    projecting the types — bit-stable across partitionings and engines
+    (DuckDB: list(x ORDER BY ...)). One partial-agg'd shuffle; the
+    user_id < 100 cut keeps driver-compare rows bounded."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("type_seq"),
+        F.size(seq).alias("seq_len"),
+    )

@@ -81,3 +81,52 @@ def test_compaction_preserves_the_fold(spark, workdir):
     t.compact(spark)
     after = sorted(map(str, summed_moments(spark, t).collect()))
     assert before == after
+
+
+def test_moments_stage_over_real_stream(spark, workdir):
+    """Wired into an actual readStream -> foreachBatch -> availableNow
+    query: two drains over a growing directory accumulate to the same
+    statistics as one batch pass over everything."""
+    data_dir = f"{workdir}/stream_src"
+    t = ParquetTable(f"{workdir}/stream_moments")
+
+    def write(rows):
+        _events(spark, rows).write.mode("append").parquet(data_dir)
+
+    def drain():
+        schema = "event_type string, cents long, day long"
+        stream = spark.readStream.schema(schema).parquet(data_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                moments_stage(t, "event_type", F.col("cents"), F.col("day"))
+            )
+            .option("checkpointLocation", f"{workdir}/ckpt_moments")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(ROWS[:4])
+    drain()
+    write(ROWS[4:])
+    drain()
+
+    inc = {
+        r["key"]: r
+        for r in finalize_stats(
+            summed_moments(spark, t), scale=100.0
+        ).collect()
+    }
+    batch = {
+        r["key"]: r
+        for r in finalize_stats(
+            partial_moments(
+                _events(spark, ROWS), "event_type", F.col("cents"), F.col("day")
+            ),
+            scale=100.0,
+        ).collect()
+    }
+    assert set(inc) == set(batch)
+    for k in inc:
+        assert inc[k]["n"] == batch[k]["n"]
+        assert inc[k]["corr_xy"] == batch[k]["corr_xy"], k
