@@ -60,6 +60,7 @@ class Framing:
     schema_id_col: F.Column
     payload_col: F.Column
     compression_col: F.Column | None = None
+    valid_col: F.Column | None = None
 
 
 def confluent_framing() -> Framing:
@@ -67,6 +68,14 @@ def confluent_framing() -> Framing:
         "confluent",
         schema_id_col=confluent_schema_id("value"),
         payload_col=confluent_payload("value"),
+        # wire-format sanity: magic byte 0x00 + room for the 5-byte
+        # header (ingest_raw.scala:70-74 documents the magic byte; the
+        # reference never checks it, so one foreign record would demux
+        # into a garbage schema id and kill the stream)
+        valid_col=(
+            (F.length("value") >= 6)
+            & (F.expr("substring(value, 1, 1)") == F.lit(b"\x00"))
+        ),
     )
 
 
@@ -76,6 +85,12 @@ def glue_framing() -> Framing:
         schema_id_col=glue_schema_uuid("value"),
         payload_col=glue_payload("value"),
         compression_col=glue_compression("value"),
+        # header version byte is 3 (ingest.scala:33-45) + room for the
+        # 18-byte header
+        valid_col=(
+            (F.length("value") >= 19)
+            & (F.expr("substring(value, 1, 1)") == F.lit(b"\x03"))
+        ),
     )
 
 
@@ -116,6 +131,36 @@ def _inflate_compressed(df: DataFrame, compression_col: str) -> DataFrame:
     return df.mapInPandas(mapper, schema)
 
 
+def _quarantine(
+    df: DataFrame,
+    table: ParquetTable,
+    reason: str,
+    batch_id: int | None,
+    sid: int | str | None = None,
+) -> None:
+    """Land undecodable records raw: Kafka metadata, the ORIGINAL value
+    bytes, the (stringified — framings differ in id type) schema id,
+    and the reason. Idempotent per (batch, reason, id) token."""
+    out = df.select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        "timestampType",
+        F.col("valueSchemaId").cast("string").alias("valueSchemaId"),
+        F.lit(reason).alias("quarantineReason"),
+    )
+    if batch_id is not None:
+        # uniform token depth: mixed-depth key=value dirs would conflict
+        # in partition discovery on read
+        token = f"batchid={batch_id}/reason={reason}/sid={sid if sid is not None else 'any'}"
+        table.idempotent_append(out, token)
+    else:
+        table.append(out)
+
+
 def demux_decode_batch(
     batch_df: DataFrame,
     registry: SchemaRegistry,
@@ -124,6 +169,7 @@ def demux_decode_batch(
     mode: str = "PERMISSIVE",
     batch_id: int | None = None,
     reader_schema_id: int | str | None = None,
+    quarantine: ParquetTable | None = None,
 ) -> list[int | str]:
     """The foreachBatch body, callable on any batch DataFrame (so pytest
     can drive it without a streaming query). Returns schema ids seen.
@@ -134,7 +180,16 @@ def demux_decode_batch(
     reader id, every subset is schema-RESOLVED to that reader's shape,
     absent fields taking their Avro defaults — the compatibility-mode
     read Glue FULL implies (producer.scala:60-61). The raw table is then
-    uniformly typed regardless of which writer versions appear."""
+    uniformly typed regardless of which writer versions appear.
+
+    ``quarantine`` handles poison pills — records that fail the
+    framing's wire-format check (wrong magic byte / too short) or whose
+    schema id the registry doesn't know. With a quarantine table, such
+    subsets land there RAW (Kafka metadata + id + undecoded payload,
+    tagged with the reason) and the stream keeps running — the classic
+    one-bad-record-kills-the-topic outage, which the reference is open
+    to, becomes an operational table to inspect. Without one, they
+    raise loudly; silently dropping data is never an option."""
     sliced = batch_df.withColumn("valueSchemaId", framing.schema_id_col).withColumn(
         "payload", framing.payload_col
     )
@@ -154,6 +209,18 @@ def demux_decode_batch(
             )
             if has_compressed:
                 sliced = _inflate_compressed(cached, "_compression")
+        if framing.valid_col is not None:
+            bad = sliced.where(~framing.valid_col)
+            if bad.limit(1).count() > 0:
+                if quarantine is None:
+                    n_bad = bad.count()
+                    raise RuntimeError(
+                        f"{n_bad} record(s) fail the {framing.name} "
+                        "wire-format check (magic byte / length); pass a "
+                        "quarantine table to capture them instead"
+                    )
+                _quarantine(bad, quarantine, "bad_framing", batch_id)
+            sliced = sliced.where(framing.valid_col)
         # Driver-side demux: distinct ids -> one decode+write pass per id
         # (ingest.scala:139-142). At scale this is N cheap passes over a
         # cached batch, each pruned by the id filter.
@@ -163,8 +230,22 @@ def demux_decode_batch(
             if reader_schema_id is not None
             else None
         )
+        known: list[int | str] = []
         for sid in sorted(ids, key=str):
-            schema_json = registry.get_schema_json(sid)  # driver-side lookup (U2)
+            try:
+                schema_json = registry.get_schema_json(sid)  # driver-side (U2)
+            except Exception:
+                # valid framing, unknown id: a producer ahead of the
+                # registry mirror, or a foreign topic — quarantine the
+                # subset rather than killing every other schema's data
+                subset = sliced.filter(F.col("valueSchemaId") == F.lit(sid))
+                if quarantine is None:
+                    raise
+                _quarantine(
+                    subset, quarantine, "unknown_schema_id", batch_id, sid=sid
+                )
+                continue
+            known.append(sid)
             subset = sliced.filter(F.col("valueSchemaId") == F.lit(sid))
             decoded = decode_avro(
                 subset,

@@ -354,3 +354,76 @@ def test_glue_corrupt_compressed_payload_follows_permissive(spark, workdir):
     assert got.count() == 20
     nulls = got.where(F.col("parsedValue.productId").isNull())
     assert sorted(r["offset"] for r in nulls.collect()) == [3, 5]
+
+
+def test_poison_pills_quarantine_instead_of_killing_the_batch(spark, workdir):
+    """A foreign-format record and an unknown schema id land raw in the
+    quarantine table (tagged with reasons) while every valid record
+    still decodes — the one-bad-record-kills-the-topic outage becomes
+    an inspectable table."""
+    import dataclasses
+    import struct as _struct
+    from datetime import datetime, timezone
+
+    from databricks_end_to_end_streaming_spark.registry import (
+        InMemorySchemaRegistry,
+    )
+    from databricks_end_to_end_streaming_spark.schemas import PRODUCT_V1_JSON
+    from databricks_end_to_end_streaming_spark.sources import (
+        events_to_wire,
+        generate_events,
+    )
+    from databricks_end_to_end_streaming_spark.sources.files import WIRE_SCHEMA
+    from databricks_end_to_end_streaming_spark.sources.generator import (
+        WireRecord,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        confluent_framing,
+        demux_decode_batch,
+    )
+
+    events = generate_events(10, seed=33, v1_ratio=1.0)
+    recs = list(events_to_wire(events, framing="confluent"))
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    # poison 1: foreign bytes (no 0x00 magic)
+    recs.append(
+        WireRecord(b"k", b"\xde\xad\xbe\xef-not-avro", "t", 0, 100, ts, 0)
+    )
+    # poison 2: valid framing, schema id 99 unknown to the registry
+    recs.append(
+        WireRecord(
+            b"k", b"\x00" + _struct.pack(">I", 99) + b"\x02", "t", 0, 101, ts, 0
+        )
+    )
+    registry = InMemorySchemaRegistry({1: PRODUCT_V1_JSON})
+    rows = [
+        (r.key, r.value, r.topic, r.partition, r.offset, r.timestamp,
+         r.timestampType)
+        for r in recs
+    ]
+    batch = spark.createDataFrame(rows, WIRE_SCHEMA)
+    raw = ParquetTable(f"{workdir}/pp_raw")
+    quarantine = ParquetTable(f"{workdir}/pp_quarantine")
+
+    # without a quarantine table the batch must fail LOUDLY
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="wire-format"):
+        demux_decode_batch(batch, registry, confluent_framing(), raw, batch_id=0)
+
+    demux_decode_batch(
+        batch, registry, confluent_framing(), raw, batch_id=0,
+        quarantine=quarantine,
+    )
+    got = raw.read(spark)
+    assert got.count() == 10  # all valid records decoded
+    assert got.where(F.col("parsedValue.productId").isNull()).count() == 0
+    q = {r["offset"]: r["quarantineReason"] for r in quarantine.read(spark).collect()}
+    assert q == {100: "bad_framing", 101: "unknown_schema_id"}
+    # replay: same batch id overwrites, no duplicates anywhere
+    demux_decode_batch(
+        batch, registry, confluent_framing(), raw, batch_id=0,
+        quarantine=quarantine,
+    )
+    assert raw.read(spark).count() == 10
+    assert quarantine.read(spark).count() == 2
