@@ -275,10 +275,13 @@ def ingest_avro_stream(
     mode: str = "PERMISSIVE",
     query_name: str = "ingest_raw",
     reader_schema_id: int | str | None = None,
+    quarantine: ParquetTable | None = None,
 ):
     """Wire a Kafka-shaped streaming DataFrame through the demux into the
     raw table; drains available data and stops (Trigger-Once semantics,
-    SURVEY T1)."""
+    SURVEY T1). ``quarantine`` captures poison pills (bad framing /
+    unknown schema id) instead of failing the stream — see
+    ``demux_decode_batch``."""
     framing = framing or confluent_framing()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -290,6 +293,7 @@ def ingest_avro_stream(
             mode=mode,
             batch_id=batch_id,
             reader_schema_id=reader_schema_id,
+            quarantine=quarantine,
         )
 
     query = (
