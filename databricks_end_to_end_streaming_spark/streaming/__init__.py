@@ -14,6 +14,7 @@ from .moments import (
     partial_moments,
     summed_moments,
 )
+from .sampling import finalize_sample, sample_stage
 from .sinks import ParquetTable
 
 __all__ = [
@@ -31,4 +32,6 @@ __all__ = [
     "partial_moments",
     "summed_moments",
     "finalize_stats",
+    "sample_stage",
+    "finalize_sample",
 ]

@@ -230,7 +230,6 @@ def demux_decode_batch(
             if reader_schema_id is not None
             else None
         )
-        known: list[int | str] = []
         for sid in sorted(ids, key=str):
             try:
                 schema_json = registry.get_schema_json(sid)  # driver-side (U2)
@@ -245,7 +244,6 @@ def demux_decode_batch(
                     subset, quarantine, "unknown_schema_id", batch_id, sid=sid
                 )
                 continue
-            known.append(sid)
             subset = sliced.filter(F.col("valueSchemaId") == F.lit(sid))
             decoded = decode_avro(
                 subset,
