@@ -1,0 +1,107 @@
+"""Exact duplicated-n-gram-span removal (boilerplate scrubbing).
+
+The corpus-level cousin of document dedup: instead of dropping whole
+near-duplicate documents, remove the REPEATED SPANS themselves — header/
+footer boilerplate, license blurbs, navigation chrome — that exact
+substring deduplication identifies ("Deduplicating Training Data Makes
+Language Models Better", Lee et al. 2022, public method; here at word
+k-gram granularity rather than BPE-token granularity so the semantics
+stay string-exact and SQL-replayable).
+
+Semantics (deterministic, engine-portable):
+
+* tokenize each document on whitespace;
+* every word k-gram whose DOCUMENT frequency (number of distinct docs
+  containing it) reaches ``min_df`` is boilerplate;
+* a token position is covered if any boilerplate k-gram occurrence
+  overlaps it; covered tokens are dropped, the survivors re-join in
+  their original order.
+
+Scale shape (the 100 TB lens): the only corpus-sized shuffle is the
+k-gram document-frequency aggregation (partial countDistinct on the
+gram key — the same shape as any n-gram counting job). The hot-gram set
+is small BY CONSTRUCTION (a gram must recur across >= min_df documents,
+and natural-language boilerplate vocabularies are tiny next to the
+corpus), so membership is a broadcast semi-join. Start positions
+collapse to one short array per affected document, and the removal
+itself is a per-row higher-order-function expression — whole-stage
+codegen, no UDF, nothing quadratic anywhere. The reference engine has
+no counterpart operator (its surface is the streaming medallion
+pipeline); this extends the LLM-pipeline family in queries/dedup.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, pos, gram) for every word ``k``-gram occurrence; ``pos`` is
+    the 1-based token index of the gram's first word. Documents shorter
+    than ``k`` tokens contribute nothing (the sequence() guard — Spark's
+    ``sequence(1, 0)`` would otherwise DESCEND)."""
+    toks = docs.select(
+        id_col, F.split(F.trim(text_col), " +").alias("ws")
+    )
+    return toks.select(
+        id_col,
+        F.explode(
+            F.expr(f"if(size(ws) >= {k}, sequence(1, size(ws) - {k} + 1), array())")
+        ).alias("pos"),
+        "ws",
+    ).select(
+        id_col,
+        "pos",
+        F.expr(f"concat_ws(' ', slice(ws, pos, {k}))").alias("gram"),
+    )
+
+
+def remove_duplicate_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Scrub every word ``k``-gram span that occurs in >= ``min_df``
+    distinct documents. Returns one row per input document:
+    (id, n_tokens, n_removed, cleaned_text) — exact ints + strings, so
+    the result is value-hash comparable across engines."""
+    grams = ngram_spans(docs, text_col, id_col, k)
+
+    # Corpus-sized shuffle #1 (the only one): gram -> document frequency.
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+
+    # Hot set is small by construction -> broadcast membership probe.
+    starts = (
+        grams.join(F.broadcast(hot), "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+
+    toks = docs.select(id_col, F.split(F.trim(text_col), " +").alias("ws"))
+    out = toks.join(starts, id_col, "left").select(
+        id_col,
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.expr(
+            "filter(ws, (w, i) -> NOT exists(coalesce(starts, array()), "
+            f"s -> s <= i + 1 AND i + 1 <= s + {k} - 1))"
+        ).alias("kept"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", "kept").alias("cleaned_text"),
+    )

@@ -376,3 +376,47 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_hits") >= 3)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_ngram_span_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+    ), covered AS (
+      SELECT DISTINCT s.doc_id, s.pos + u.d AS p
+      FROM (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM hot)) s,
+           unnest(generate_series(0, 2)) AS u(d)
+    ), words AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM toks, unnest(generate_series(1, len(ws))) AS t(i)
+    ), kept AS (
+      SELECT w.doc_id, w.pos, w.w FROM words w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c WHERE c.doc_id = w.doc_id AND c.p = w.pos
+      )
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(len(t.ws) - count(k.w) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS cleaned_text
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, t.ws
+    """,
+)
+def dedup_ngram_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN scrubbing (Lee et al. 2022 at word-trigram
+    granularity): drop every token covered by a trigram that recurs in
+    >= 5 distinct documents — boilerplate removal, the complement of
+    whole-document dedup. One corpus-sized shuffle (gram document
+    frequency, partial-agg'd); the hot-gram set broadcasts; removal is a
+    per-row HOF expression. See operators/spans.py."""
+    from ..operators.spans import remove_duplicate_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_ngram_spans(d, "text", "doc_id", k=3, min_df=5)

@@ -969,3 +969,54 @@ def source_lang_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         ((tt - F.col("sumsq")).cast("double") / tt).alias("gini"),
     ).orderBy("source")
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    ), dfs AS (
+      SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS novelty_rate
+    FROM grams JOIN dfs USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's word
+    trigram occurrences that exist in NO other document — the document-
+    level novelty/memorization signal dedup-aware data curation ranks by
+    (a doc made of corpus-unique trigrams is fresh content; a doc of
+    df>1 trigrams is recombined boilerplate). Deterministic: exact int64
+    counts, one IEEE division per row.
+
+    Scale shape: trigram document frequencies are one partial-agg'd
+    corpus shuffle on the gram key; the occurrence->df join co-partitions
+    on the same key (AQE), then collapses to a per-doc partial agg.
+    Nothing quadratic, no UDFs, no driver round-trips."""
+    from ..operators.spans import ngram_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = ngram_spans(d, "text", "doc_id", 3).select("doc_id", "gram")
+    dfs = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        grams.join(dfs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.col("n_novel").cast("double") / F.col("n_grams"),
+        )
+    )
