@@ -49,6 +49,9 @@ PROBES = [
     "corr_value_day_per_type",
     "pivot_user_type_matrix",
     "pagerank_event_transitions",
+    # round-4 span family: duplicated-span scrubbing + per-doc novelty
+    "dedup_ngram_span_removal",
+    "doc_ngram_novelty",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
