@@ -85,3 +85,45 @@ def test_candidate_log_is_bounded_and_deterministic(spark, workdir):
     assert sorted((r["item"], r["_batch_id"]) for r in rows) == sorted(
         (r["item"], r["_batch_id"]) for r in cand2.read(spark).collect()
     )
+
+
+def test_heavy_hitters_over_real_stream(spark, workdir):
+    """Wired into an actual readStream -> foreachBatch -> availableNow
+    query: two drains over a growing directory yield the same merged
+    grid as one batch sketch over everything."""
+    data_dir = f"{workdir}/hh_stream_src"
+    grid = ParquetTable(f"{workdir}/hh_stream_grid")
+    cand = ParquetTable(f"{workdir}/hh_stream_cand")
+
+    def write(tokens):
+        _items(spark, tokens).write.mode("append").parquet(data_dir)
+
+    def drain():
+        stream = spark.readStream.schema("item string").parquet(data_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                heavy_hitters_stage(grid, cand, m_per_batch=4)
+            )
+            .option("checkpointLocation", f"{workdir}/ckpt_hh")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(BATCHES[0])
+    drain()
+    write(BATCHES[1] + BATCHES[2])
+    drain()
+
+    inc = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in merged_grid(spark, grid).collect()
+    }
+    all_tokens = [t for b in BATCHES for t in b]
+    batch = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in cms_build(_items(spark, all_tokens)).collect()
+    }
+    assert inc == batch
+    top = estimate_heavy_hitters(spark, grid, cand, k=1).collect()
+    assert top[0]["item"] == "spark"
