@@ -1006,3 +1006,117 @@ def user_event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.alias("type_seq"),
         F.size(seq).alias("seq_len"),
     )
+
+
+@query(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(CASE WHEN lead(valid_from) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: collapse
+    each user's consecutive identical event_types into versioned validity
+    intervals (valid_from, valid_to, is_current) — the standard
+    warehouse history-table derivation (Kimball SCD2), as one pass of
+    window functions. Deterministic: every window orders on the unique
+    (ts, event_id) prefix, so change detection, lead() and row_number()
+    are total-order-stable across engines and partitionings.
+
+    Scale shape: both windows partition by user_id — one shuffle on the
+    key, then linear per-partition scans; change rows (the second
+    window's input) are a collapsed subset. No joins, no driver work.
+    The streaming twin of this derivation is ParquetTable.upsert
+    (SCD type-1); type-2 needs the full ordered log, hence batch."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("valid_from").over(w2).isNull().cast("long").alias("is_current"),
+    )
+
+
+@query(
+    "forward_fill_event_values",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type <> 'error' THEN value END AS value_masked
+      FROM events
+    )
+    SELECT user_id, event_id, ts, value_masked,
+           last_value(value_masked IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM masked
+    """,
+)
+def forward_fill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (last-observation-carried-forward): treat
+    'error' events' readings as missing and carry each user's most
+    recent valid reading forward — the standard time-series gap-repair
+    operator. The fill is F.last(ignorenulls=True) over an
+    unbounded-preceding row frame on the unique (ts, event_id) order;
+    values pass through untouched (no float arithmetic), so results are
+    bit-identical across engines. Leading missing rows stay NULL in both.
+
+    Scale shape: one shuffle on user_id, then a linear per-partition
+    window scan. No joins, no state beyond the running last value."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    masked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias(
+            "value_masked"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return masked.withColumn(
+        "value_filled", F.last("value_masked", ignorenulls=True).over(w)
+    )

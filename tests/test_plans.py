@@ -221,3 +221,28 @@ def test_corr_single_agg_shuffle_and_broadcast_scalar(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # exchanges: broadcast of the 1-row scalar + the groupBy agg + sort
     assert "HashAggregate" in plan
+
+
+def test_scd2_single_exchange_single_sort(spark):
+    """Both SCD2 windows (change detection, then lead/row_number over the
+    collapsed change rows) must share ONE user_id exchange and ONE sort —
+    the filter preserves the (user_id; ts, event_id) clustering, so a
+    second shuffle or re-sort is a plan regression."""
+    plan = plan_of(spark, "scd2_user_state_history")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") + plan.count("Sort\n") <= 2  # one logical sort (AQE may print reused node)
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_forward_fill_single_window_pass(spark):
+    plan = plan_of(spark, "forward_fill_event_values")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_span_removal_broadcasts_hot_grams(spark):
+    """The hot-gram membership probe must be a broadcast join — if the
+    hot set ever shuffles the corpus-sized gram relation, the operator
+    loses its 100 TB shape."""
+    plan = plan_of(spark, "dedup_ngram_span_removal")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
