@@ -72,7 +72,13 @@ def remove_duplicate_ngram_spans(
     """Scrub every word ``k``-gram span that occurs in >= ``min_df``
     distinct documents. Returns one row per input document:
     (id, n_tokens, n_removed, cleaned_text) — exact ints + strings, so
-    the result is value-hash comparable across engines."""
+    the result is value-hash comparable across engines.
+
+    Convention: an empty/whitespace-only text splits to ONE empty token
+    (Spark and DuckDB agree: ``split(trim(''), ' +') = ['']``), so such
+    a doc reports n_tokens=1, n_removed=0, cleaned_text='' — it can
+    never collide with real grams because non-empty docs produce no
+    empty tokens."""
     grams = ngram_spans(docs, text_col, id_col, k)
 
     # Corpus-sized shuffle #1 (the only one): gram -> document frequency.

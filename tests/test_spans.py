@@ -12,8 +12,12 @@ from databricks_end_to_end_streaming_spark.operators.spans import (
 
 
 def _py_remove(texts: dict[int, str], k: int, min_df: int) -> dict[int, tuple]:
-    """Sequential reference: same semantics, no Spark."""
-    toks = {i: t.split() for i, t in texts.items()}
+    """Sequential reference: same semantics, no Spark. Mirrors the
+    engine convention (shared by Spark and DuckDB) that splitting an
+    empty/whitespace-only text yields one empty token."""
+    toks = {
+        i: (t.split() if t.strip() else [""]) for i, t in texts.items()
+    }
     df: dict[tuple, set] = {}
     for i, ws in toks.items():
         for p in range(len(ws) - k + 1):
@@ -133,3 +137,32 @@ def test_multispace_and_padding_normalization(spark):
         sdf, "text", "doc_id", k=3, min_df=5
     ).collect()
     assert all(r["cleaned_text"] == "" and r["n_removed"] == 3 for r in rows)
+
+
+def test_seeded_randomized_sweep(spark):
+    """Random corpora with planted repeated spans: Spark result equals
+    the sequential reference on every one (seeded, deterministic)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(12)]
+    for trial in range(4):
+        boiler = " ".join(rng.choices(vocab, k=rng.randint(3, 5)))
+        docs = {}
+        for i in range(14):
+            words = rng.choices(vocab, k=rng.randint(0, 9))
+            if rng.random() < 0.6:
+                words.insert(rng.randrange(len(words) + 1), boiler)
+            docs[i] = " ".join(" ".join(words).split())
+        k = rng.choice([2, 3])
+        min_df = rng.choice([3, 4])
+        sdf = spark.createDataFrame(
+            [(i, t) for i, t in docs.items()], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+            for r in remove_duplicate_ngram_spans(
+                sdf, "text", "doc_id", k=k, min_df=min_df
+            ).collect()
+        }
+        assert got == _py_remove(docs, k=k, min_df=min_df), (trial, k, min_df)
