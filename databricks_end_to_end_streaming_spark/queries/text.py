@@ -1033,3 +1033,78 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel_mass.alias("n_novel"),
         (novel_mass.cast("double") / F.sum("c")).alias("novelty_rate"),
     )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH decorated AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                               || '@corp.net'
+                          ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+',
+                            '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM decorated
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers) — the redaction pass every
+    public-web training corpus runs (cf. the public Dolma / DataTrove /
+    CCNet pipelines). The synthetic corpus carries no PII, so each doc
+    is first DECORATED with deterministic doc_id-derived contact strings
+    (1-2 emails + 1 phone) — the decoration is part of the query in both
+    engines, so the redactor always has real work at any SF and the
+    result stays hash-comparable.
+
+    Regex discipline: patterns restricted to the dialect-neutral subset
+    (character classes, counted repeats — no lookaround, no \\d//\\w
+    class shorthand differences) so Java (Spark) and RE2 (DuckDB) match
+    identically; counts via regexp_count / len(regexp_extract_all).
+
+    Scale shape: stateless per-row projection — no shuffle at all; at
+    100 TB this runs entirely map-side inside whole-stage codegen."""
+    email_re = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    phone_re = "555-[0-9]{4}"
+    d = load_table(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" cc admin"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp.net"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return decorated.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
