@@ -77,12 +77,41 @@ def main() -> None:
                 "extras": {
                     **_bench_avro_demux(spark),
                     **_bench_ocf(),
+                    **_bench_new_ops(spark, sf_dir, qs),
                     **_bench_sf1(spark, sf_dir),
                 },
             }
         )
     )
     spark.stop()
+
+
+# Round-4 operators measured under "extras" so the 14-query headline
+# total stays apples-to-apples with BENCH_r02/r03.
+NEW_OP_QUERIES = [
+    "dedup_ngram_span_removal",
+    "doc_ngram_novelty",
+    "scd2_user_state_history",
+    "forward_fill_event_values",
+    "text_pii_redaction",
+]
+
+
+def _bench_new_ops(spark, sf_dir: str, qs) -> dict:
+    out = {}
+    for name in NEW_OP_QUERIES:
+        try:
+            best = float("inf")
+            for _trial in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            out[f"{name}_sec"] = round(best, 3)
+        except Exception as e:  # pragma: no cover - never break the headline
+            out[f"{name}_sec"] = f"error: {str(e)[:120]}"
+    return out
 
 
 # The 5 heaviest headline queries by the round-3 driver bench — the sf1
