@@ -168,3 +168,105 @@ def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         kept.unpersist()
+
+
+@query(
+    "llm_clean_corpus_v2",
+    # The full round-4 preprocessing DAG in SQL: the span-scrub CTE is
+    # the dedup_ngram_span_removal oracle, then gate -> exact dedup on
+    # the CLEANED fingerprint -> per-lang accounting.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+    ), covered AS (
+      SELECT DISTINCT s.doc_id, s.pos + u.d AS p
+      FROM (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM hot)) s,
+           unnest(generate_series(0, 2)) AS u(d)
+    ), words AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM toks, unnest(generate_series(1, len(ws))) AS t(i)
+    ), kept AS (
+      SELECT w.doc_id, w.pos, w.w FROM words w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c WHERE c.doc_id = w.doc_id AND c.p = w.pos
+      )
+    ), scrubbed AS (
+      SELECT t.doc_id,
+             CAST(count(k.w) AS BIGINT) AS n_tokens_clean,
+             CAST(len(t.ws) - count(k.w) AS BIGINT) AS n_removed,
+             coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS cleaned_text
+      FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      GROUP BY t.doc_id, t.ws
+    ), gated AS (
+      SELECT s.doc_id, d.lang, s.n_tokens_clean, s.n_removed,
+             md5(s.cleaned_text) AS fingerprint
+      FROM scrubbed s JOIN documents d USING (doc_id)
+      WHERE s.n_tokens_clean >= {MIN_TOKENS}
+        AND s.n_tokens_clean <= {MAX_TOKENS}
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT gated.*, row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens_clean) AS BIGINT) AS total_tokens,
+           CAST(sum(n_removed) AS BIGINT) AS boilerplate_tokens_removed,
+           CAST(sum(n_tokens_clean) AS DOUBLE) / count(*) AS avg_tokens
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def llm_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 cleaning DAG: duplicated-SPAN scrubbing first (so shared
+    boilerplate can't glue distinct docs into near-dups or inflate token
+    budgets), THEN the token-count gate on the cleaned length, THEN
+    exact dedup on the cleaned fingerprint (boilerplate-only differences
+    collapse to one copy), per-language accounting last. Order matters
+    and is the order real pipelines use: scrub -> gate -> dedup.
+
+    Scale shape: the span stage's one gram-DF shuffle + broadcast probe
+    (operators/spans.py), a doc-keyed join back for lang, one
+    fingerprint window, one partial-agg rollup. Text leaves the plan at
+    the fingerprint step; nothing quadratic anywhere."""
+    from ..operators.spans import remove_duplicate_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = remove_duplicate_ngram_spans(d, "text", "doc_id", k=3, min_df=5)
+    gated = (
+        scrubbed.withColumn(
+            "n_tokens_clean", F.col("n_tokens") - F.col("n_removed")
+        )
+        .where(
+            (F.col("n_tokens_clean") >= MIN_TOKENS)
+            & (F.col("n_tokens_clean") <= MAX_TOKENS)
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens_clean",
+            "n_removed",
+            F.md5(F.col("cleaned_text").cast("binary")).alias("fingerprint"),
+        )
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens_clean").alias("total_tokens"),
+        F.sum("n_removed").alias("boilerplate_tokens_removed"),
+        (F.sum("n_tokens_clean").cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
+    )
