@@ -68,11 +68,22 @@ def remove_duplicate_ngram_spans(
     id_col: str = "doc_id",
     k: int = 3,
     min_df: int = 5,
+    min_df_pct: int = 1,
 ) -> DataFrame:
-    """Scrub every word ``k``-gram span that occurs in >= ``min_df``
-    distinct documents. Returns one row per input document:
+    """Scrub every word ``k``-gram span whose document frequency reaches
+    ``max(min_df, ceil(min_df_pct% of corpus size))`` distinct documents.
+    Returns one row per input document:
     (id, n_tokens, n_removed, cleaned_text) — exact ints + strings, so
     the result is value-hash comparable across engines.
+
+    The threshold SCALES WITH THE CORPUS: boilerplate means "recurs
+    across a meaningful fraction of documents", not "recurs 5 times" —
+    a fixed absolute cutoff flags ordinary collocations once the corpus
+    is large enough (at 10x the dev corpus it scrubbed entire documents)
+    while ``min_df`` alone keeps tiny corpora from flagging nothing.
+    The percentage term uses exact integer ceil-division
+    ``(n_docs * pct + 99) div 100`` — no float ceil, so Spark and SQL
+    engines agree bit-for-bit at every corpus size.
 
     Convention: an empty/whitespace-only text splits to ONE empty token
     (Spark and DuckDB agree: ``split(trim(''), ' +') = ['']``), so such
@@ -81,11 +92,21 @@ def remove_duplicate_ngram_spans(
     empty tokens."""
     grams = ngram_spans(docs, text_col, id_col, k)
 
+    # 1-row corpus size, broadcast into the threshold expression.
+    n_docs = docs.select(F.count("*").alias("n_total"))
+
     # Corpus-sized shuffle #1 (the only one): gram -> document frequency.
     hot = (
         grams.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("df"))
-        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("df")
+            >= F.greatest(
+                F.lit(min_df).cast("long"),
+                F.expr(f"(n_total * {min_df_pct} + 99) div 100"),
+            )
+        )
         .select("gram")
     )
 

@@ -387,7 +387,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
       FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
     ), hot AS (
-      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= greatest(
+        5, (SELECT (count(*) * 1 + 99) // 100 FROM documents))
     ), covered AS (
       SELECT DISTINCT s.doc_id, s.pos + u.d AS p
       FROM (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM hot)) s,
@@ -411,12 +413,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-SPAN scrubbing (Lee et al. 2022 at word-trigram
-    granularity): drop every token covered by a trigram that recurs in
-    >= 5 distinct documents — boilerplate removal, the complement of
-    whole-document dedup. One corpus-sized shuffle (gram document
-    frequency, partial-agg'd); the hot-gram set broadcasts; removal is a
-    per-row HOF expression. See operators/spans.py."""
+    granularity): drop every token covered by a trigram whose document
+    frequency reaches max(5, 1% of the corpus) — boilerplate removal,
+    the complement of whole-document dedup. The corpus-relative
+    threshold keeps the semantics stable across scale factors (a fixed
+    absolute cutoff scrubbed whole documents at 10x the dev corpus).
+    One corpus-sized shuffle (gram document frequency, partial-agg'd);
+    the hot-gram set broadcasts; removal is a per-row HOF expression.
+    See operators/spans.py."""
     from ..operators.spans import remove_duplicate_ngram_spans
 
     d = load_table(spark, sf_dir, "documents")
-    return remove_duplicate_ngram_spans(d, "text", "doc_id", k=3, min_df=5)
+    return remove_duplicate_ngram_spans(
+        d, "text", "doc_id", k=3, min_df=5, min_df_pct=1
+    )

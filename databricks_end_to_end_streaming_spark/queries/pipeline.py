@@ -182,7 +182,9 @@ def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
       FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
     ), hot AS (
-      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= greatest(
+        5, (SELECT (count(*) * 1 + 99) // 100 FROM documents))
     ), covered AS (
       SELECT DISTINCT s.doc_id, s.pos + u.d AS p
       FROM (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM hot)) s,

@@ -11,7 +11,9 @@ from databricks_end_to_end_streaming_spark.operators.spans import (
 )
 
 
-def _py_remove(texts: dict[int, str], k: int, min_df: int) -> dict[int, tuple]:
+def _py_remove(
+    texts: dict[int, str], k: int, min_df: int, min_df_pct: int = 1
+) -> dict[int, tuple]:
     """Sequential reference: same semantics, no Spark. Mirrors the
     engine convention (shared by Spark and DuckDB) that splitting an
     empty/whitespace-only text yields one empty token."""
@@ -22,7 +24,8 @@ def _py_remove(texts: dict[int, str], k: int, min_df: int) -> dict[int, tuple]:
     for i, ws in toks.items():
         for p in range(len(ws) - k + 1):
             df.setdefault(tuple(ws[p : p + k]), set()).add(i)
-    hot = {g for g, docs in df.items() if len(docs) >= min_df}
+    threshold = max(min_df, -(-len(texts) * min_df_pct // 100))
+    hot = {g for g, docs in df.items() if len(docs) >= threshold}
     out = {}
     for i, ws in toks.items():
         covered = set()
