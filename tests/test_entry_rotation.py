@@ -88,7 +88,16 @@ def test_live_registry_orders_unchecked_queries_first():
     qs = entry.queries()
     names = list(qs)
     green, rows_only = entry._evidence_rounds()
-    seen = set(green) | set(rows_only)
+    oracled = set(entry.oracle_sql())
+    # mirror the rotation's evidence rule: an ORACLED query counts as
+    # seen only with a green hash row (a rows-only record from before
+    # it was upgraded to oracled doesn't exercise the oracle); rows-only
+    # queries count their rows-only record
+    seen = {
+        n
+        for n in names
+        if ((n in green) if n in oracled else (n in rows_only))
+    }
     head_unseen = [n for n in names[:10] if n not in seen]
     tail_unseen = [n for n in names[10:] if n not in seen]
     # all unseen queries (if any) must be at the head, never after
