@@ -13,9 +13,50 @@ from __future__ import annotations
 
 import json
 import os
+import time
+from collections.abc import Callable
 from typing import Protocol
 
 from .avro.schema import RecordSchema, parse_schema
+
+
+def _open_with_retries(
+    do_request: Callable[[], object],
+    attempts: int = 3,
+    backoff_sec: float = 0.5,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """Run an HTTP request with exponential-backoff retries on TRANSIENT
+    failures only: network-level URLError (connection refused/reset,
+    DNS, timeout) and HTTP 429/5xx. Definitive answers — 2xx, 404,
+    other 4xx — pass through on the first try, so "schema not found"
+    is never retried into extra latency.
+
+    Why here: lookups run on the DRIVER inside foreachBatch; without
+    retries one registry blip fails the whole micro-batch and trips the
+    stream's restart policy for what a 0.5 s backoff would have
+    absorbed. Backoff doubles per attempt (0.5, 1, 2, ...); ``sleep``
+    is injectable so tests assert the schedule without waiting."""
+    import urllib.error
+
+    last_err: Exception | None = None
+    for attempt in range(attempts):
+        if attempt:
+            sleep(backoff_sec * (2 ** (attempt - 1)))
+        try:
+            return do_request()
+        except urllib.error.HTTPError as e:
+            if e.code == 429 or e.code >= 500:
+                # drain the body so the stub/server connection can close
+                e.read()
+                last_err = e
+                continue
+            raise
+        except urllib.error.URLError as e:
+            last_err = e
+            continue
+    assert last_err is not None
+    raise last_err
 
 
 class SchemaRegistry(Protocol):
@@ -70,9 +111,13 @@ class ConfluentRestRegistry:
         base_url: str,
         auth_user_info: str | None = None,
         timeout_sec: float = 10.0,
+        retry_attempts: int = 3,
+        retry_backoff_sec: float = 0.5,
     ):
         self.base_url = base_url.rstrip("/")
         self.timeout_sec = timeout_sec
+        self.retry_attempts = retry_attempts
+        self.retry_backoff_sec = retry_backoff_sec
         self._headers = {
             "Accept": "application/vnd.schemaregistry.v1+json, application/json"
         }
@@ -97,9 +142,15 @@ class ConfluentRestRegistry:
             f"{urllib.parse.quote(str(schema_id), safe='')}"
         )
         req = urllib.request.Request(url, headers=self._headers)
-        try:
+
+        def _do():
             with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
-                body = json.loads(resp.read().decode("utf-8"))
+                return json.loads(resp.read().decode("utf-8"))
+
+        try:
+            body = _open_with_retries(
+                _do, self.retry_attempts, self.retry_backoff_sec
+            )
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 raise KeyError(f"schema id {schema_id!r} not in registry") from e
@@ -140,6 +191,8 @@ class GlueRestRegistry:
         secret_key: str | None = None,
         session_token: str | None = None,
         timeout_sec: float = 10.0,
+        retry_attempts: int = 3,
+        retry_backoff_sec: float = 0.5,
     ):
         self.endpoint = endpoint.rstrip("/")
         self.region = region
@@ -147,6 +200,8 @@ class GlueRestRegistry:
         self.secret_key = secret_key
         self.session_token = session_token
         self.timeout_sec = timeout_sec
+        self.retry_attempts = retry_attempts
+        self.retry_backoff_sec = retry_backoff_sec
         self._cache: dict[str, str] = {}
 
     @staticmethod
@@ -230,9 +285,15 @@ class GlueRestRegistry:
         req = urllib.request.Request(
             self.endpoint + "/", data=body, headers=headers, method="POST"
         )
-        try:
+
+        def _do():
             with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
-                payload = json.loads(resp.read().decode("utf-8"))
+                return json.loads(resp.read().decode("utf-8"))
+
+        try:
+            payload = _open_with_retries(
+                _do, self.retry_attempts, self.retry_backoff_sec
+            )
         except urllib.error.HTTPError as e:
             detail = e.read().decode("utf-8", "replace")
             if e.code in (400, 404) and "EntityNotFoundException" in detail:

@@ -107,3 +107,96 @@ def test_rest_registry_quotes_weird_ids(stub_server):
     # each request stayed a single quoted path segment
     weird_hits = [h for h in _Stub.hits if h.startswith("/schemas/ids/a%2Fb")]
     assert weird_hits
+
+
+class _FlakyStub(BaseHTTPRequestHandler):
+    """503s for the first N requests per path, then serves schema 1."""
+
+    fail_first: int = 2
+    hits: list[str] = []
+
+    def do_GET(self):  # noqa: N802
+        _FlakyStub.hits.append(self.path)
+        n_prior = _FlakyStub.hits.count(self.path) - 1
+        if n_prior < _FlakyStub.fail_first:
+            self.send_response(503)
+            self.end_headers()
+            self.wfile.write(b"try later")
+        elif self.path == "/schemas/ids/1":
+            body = json.dumps({"schema": V1}).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture()
+def flaky_server():
+    _FlakyStub.hits = []
+    srv = HTTPServer(("127.0.0.1", 0), _FlakyStub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+
+
+def test_transient_5xx_is_retried_through(flaky_server):
+    """Two 503s then success: the client absorbs the blips instead of
+    failing the whole foreachBatch micro-batch."""
+    reg = ConfluentRestRegistry(flaky_server, retry_backoff_sec=0.01)
+    assert json.loads(reg.get_schema_json(1)) == json.loads(V1)
+    assert _FlakyStub.hits.count("/schemas/ids/1") == 3
+
+
+def test_retries_exhausted_raises_the_5xx(flaky_server):
+    import urllib.error
+
+    _FlakyStub.fail_first = 10
+    try:
+        reg = ConfluentRestRegistry(
+            flaky_server, retry_attempts=2, retry_backoff_sec=0.01
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            reg.get_schema_json(1)
+        assert _FlakyStub.hits.count("/schemas/ids/1") == 2
+    finally:
+        _FlakyStub.fail_first = 2
+
+
+def test_404_is_never_retried(stub_server):
+    reg = ConfluentRestRegistry(stub_server, retry_backoff_sec=0.01)
+    with pytest.raises(KeyError):
+        reg.get_schema_json(42)
+    assert _Stub.hits.count("/schemas/ids/42") == 1
+
+
+def test_backoff_schedule_is_exponential():
+    """Unit-level: the helper sleeps 0 times on first-try success and
+    doubles the delay per retry; sleep is injected so no real waiting."""
+    import urllib.error
+
+    from databricks_end_to_end_streaming_spark.registry import _open_with_retries
+
+    slept: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise urllib.error.URLError("conn reset")
+        return "ok"
+
+    out = _open_with_retries(
+        flaky, attempts=4, backoff_sec=0.5, sleep=slept.append
+    )
+    assert out == "ok"
+    assert slept == [0.5, 1.0]
