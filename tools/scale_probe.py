@@ -52,6 +52,11 @@ PROBES = [
     # round-4 span family: duplicated-span scrubbing + per-doc novelty
     "dedup_ngram_span_removal",
     "doc_ngram_novelty",
+    # round-4 warehouse/pipeline family
+    "scd2_user_state_history",
+    "forward_fill_event_values",
+    "text_pii_redaction",
+    "llm_clean_corpus_v2",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
