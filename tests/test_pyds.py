@@ -168,3 +168,29 @@ def test_ocf_datasource_roundtrip(sim, workdir):
     # one input partition per file -> executor-parallel scan
     n_files = len([f for f in os.listdir(path) if f.endswith(".avro")])
     assert via_ds.rdd.getNumPartitions() == n_files
+
+
+def test_kafkasim_drives_full_medallion_dag(sim, workdir):
+    """The reference's whole 4-task job DAG (SURVEY §3.4) from a real
+    readStream source: kafkasim -> ingest demux -> bronze -> silver ->
+    gold, each stage availableNow. Gold equals the batch recompute of
+    the same corpus."""
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        run_pipeline,
+    )
+
+    broker = f"{workdir}/broker_m"
+    n = _fill(broker, 40)
+    registry = InMemorySchemaRegistry({1: PRODUCT_V1_JSON, 2: PRODUCT_V2_JSON})
+    raw = ParquetTable(f"{workdir}/raw_m")
+    stream = sim.readStream.format("kafkasim").option("path", broker).load()
+    ingest_avro_stream(stream, registry, raw, f"{workdir}/ckpt_m")
+
+    tables = run_pipeline(sim, workdir, raw, cutoff="2024-01-01 00:00:00")
+    silver = tables["silver"].read(sim)
+    gold = tables["gold"].read(sim)
+    # silver deduplicates on eventId; the generator made n unique events
+    assert silver.count() == n
+    # gold aggregates every (type, color, size) group present in silver
+    assert gold.count() == silver.select("type", "color", "size").distinct().count()
+    assert gold.agg({"count_type": "sum"}).collect()[0][0] == n
