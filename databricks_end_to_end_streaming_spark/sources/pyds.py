@@ -36,8 +36,11 @@ from datetime import datetime, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -191,6 +194,117 @@ class _KafkaSimBatchReader(DataSourceReader):
             yield _row(line, self.topic, pid, i)
 
 
+class _ProduceCommit(WriterCommitMessage):
+    def __init__(self, staged_file: str, task_id: int):
+        self.staged_file = staged_file
+        self.task_id = task_id
+
+
+class _KafkaSimWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Produce INTO the simulated broker — the Kafka-sink side of the
+    reference's producers (K4), as a real two-phase Spark sink:
+    executors stage their rows to uniquely-named files (``write``),
+    the driver appends staged content to the per-partition logs in
+    task order (``commit``) and records the batch id, so a replayed
+    micro-batch commit is a no-op — exactly-once produce, the semantics
+    Kafka itself only gets with transactions."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafkasim needs .option('path', <broker dir>)")
+        self.topic = options.get("topic", os.path.basename(self.path.rstrip("/")))
+        self.n_partitions = int(options.get("numPartitions", "4"))
+
+    # -- executor side --------------------------------------------------
+    def write(self, iterator) -> _ProduceCommit:
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        task_id = tc.partitionId() if tc else 0
+        staged_dir = os.path.join(self.path, ".staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        staged = os.path.join(staged_dir, f"task-{task_id}-{_uuid.uuid4().hex}")
+        lines = []
+        for row in iterator:
+            rec = row.asDict() if hasattr(row, "asDict") else dict(row)
+            value = rec.get("value")
+            if value is None:
+                raise ValueError("kafkasim produce needs a binary 'value'")
+            key = rec.get("key")
+            pid = rec.get("partition")
+            if pid is None:
+                # keyed partitioning like Kafka's default partitioner;
+                # hash must be deterministic across processes -> md5
+                import hashlib
+
+                basis = key if key is not None else value
+                pid = int(
+                    hashlib.md5(bytes(basis)).hexdigest()[:8], 16
+                ) % self.n_partitions
+            ts = rec.get("timestamp")
+            ts_us = (
+                int(ts.timestamp() * 1_000_000)
+                if ts is not None
+                else 0
+            )
+            lines.append(
+                json.dumps(
+                    {
+                        "pid": int(pid),
+                        "key": base64.b64encode(bytes(key)).decode()
+                        if key is not None
+                        else None,
+                        "value": base64.b64encode(bytes(value)).decode(),
+                        "topic": rec.get("topic") or self.topic,
+                        "ts_us": ts_us,
+                        "timestampType": rec.get("timestampType", 1),
+                    }
+                )
+            )
+        with open(staged, "w") as f:
+            f.write("\n".join(lines))
+        return _ProduceCommit(staged, task_id)
+
+    # -- driver side ----------------------------------------------------
+    def _committed_marker(self) -> str:
+        return os.path.join(self.path, "_committed_batches.json")
+
+    def commit(self, messages, batchId: int = -1) -> None:  # noqa: N803
+        committed: set[int] = set()
+        if os.path.exists(self._committed_marker()):
+            with open(self._committed_marker()) as f:
+                committed = set(json.load(f))
+        replay = batchId >= 0 and batchId in committed
+        for msg in sorted(
+            (m for m in messages if m is not None), key=lambda m: m.task_id
+        ):
+            if not replay:
+                by_pid: dict[int, list[str]] = {}
+                with open(msg.staged_file) as f:
+                    for line in f.read().splitlines():
+                        if not line:
+                            continue
+                        rec = json.loads(line)
+                        pid = rec.pop("pid")
+                        by_pid.setdefault(pid, []).append(json.dumps(rec))
+                for pid, lines in sorted(by_pid.items()):
+                    with open(_partition_file(self.path, pid), "a") as f:
+                        f.write("\n".join(lines) + "\n")
+            os.remove(msg.staged_file)
+        if batchId >= 0 and not replay:
+            committed.add(batchId)
+            with open(self._committed_marker(), "w") as f:
+                json.dump(sorted(committed), f)
+
+    def abort(self, messages, batchId: int = -1) -> None:  # noqa: N803
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.staged_file):
+                os.remove(msg.staged_file)
+
+
 class KafkaSimDataSource(DataSource):
     """``spark.readStream.format("kafkasim").option("path", dir)`` — see
     module docstring."""
@@ -207,6 +321,12 @@ class KafkaSimDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _KafkaSimBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _KafkaSimWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802 (Spark API)
+        return _KafkaSimWriter(self.options)
 
 
 # ------------------------------------------------------------------ ocf

@@ -194,3 +194,94 @@ def test_kafkasim_drives_full_medallion_dag(sim, workdir):
     # gold aggregates every (type, color, size) group present in silver
     assert gold.count() == silver.select("type", "color", "size").distinct().count()
     assert gold.agg({"count_type": "sum"}).collect()[0][0] == n
+
+
+def test_batch_produce_then_read_back(sim, workdir):
+    """K4 as a real Spark sink: df.write.format('kafkasim') stages on
+    executors and commits on the driver; the broker then serves the
+    records back with dense per-partition offsets."""
+    from databricks_end_to_end_streaming_spark.schemas import PRODUCT_V1_JSON
+    from databricks_end_to_end_streaming_spark.sources.spark_producer import (
+        to_confluent_wire,
+    )
+
+    broker = f"{workdir}/broker_w"
+    events = sim.createDataFrame(
+        [(f"p{i}", f"e{i:04d}", "created", 1704067200 + i) for i in range(24)],
+        "productId string, eventId string, type string, timestamp long",
+    )
+    wire = to_confluent_wire(events, 1, PRODUCT_V1_JSON, topic="t")
+    wire.write.format("kafkasim").option("path", broker).mode("append").save()
+    back = sim.read.format("kafkasim").option("path", broker).load()
+    assert back.count() == 24
+    for row in back.groupBy("partition").count().collect():
+        offs = sorted(
+            r["offset"]
+            for r in back.where(f"partition = {row['partition']}").collect()
+        )
+        assert offs == list(range(len(offs)))
+
+
+def test_stream_produce_is_exactly_once_across_drains(sim, workdir):
+    """readStream from one broker -> writeStream.format('kafkasim') into
+    another: records relay once per drain; a second drain with no new
+    input produces nothing (streaming commit log + batch marker)."""
+    src, dst = f"{workdir}/broker_src", f"{workdir}/broker_dst"
+    ckpt = f"{workdir}/ckpt_relay"
+    n1 = _fill(src, 18)
+
+    def relay():
+        q = (
+            sim.readStream.format("kafkasim").option("path", src).load()
+            .writeStream.format("kafkasim")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    relay()
+    assert sim.read.format("kafkasim").option("path", dst).load().count() == n1
+    relay()  # no new input -> no duplicates
+    assert sim.read.format("kafkasim").option("path", dst).load().count() == n1
+    n2 = _fill(src, 7, seed=3)
+    relay()
+    out = sim.read.format("kafkasim").option("path", dst).load()
+    assert out.count() == n1 + n2
+    # the relayed topic is fully ingestible (values survived bit-exact)
+    registry = InMemorySchemaRegistry({1: PRODUCT_V1_JSON, 2: PRODUCT_V2_JSON})
+    raw = ParquetTable(f"{workdir}/raw_relay")
+    ingest_avro_stream(
+        sim.readStream.format("kafkasim").option("path", dst).load(),
+        registry,
+        raw,
+        f"{workdir}/ckpt_relay_ingest",
+    )
+    assert raw.read(sim).select("parsedValue.eventId").distinct().count() == n1 + n2
+
+
+def test_produce_without_partition_uses_key_hash(sim, workdir):
+    broker = f"{workdir}/broker_h"
+    rows = sim.createDataFrame(
+        [(f"k{i}".encode(), f"v{i}".encode()) for i in range(40)],
+        "key binary, value binary",
+    )
+    rows.write.format("kafkasim").option("path", broker).option(
+        "numPartitions", "3"
+    ).mode("append").save()
+    back = sim.read.format("kafkasim").option("path", broker).load()
+    assert back.count() == 40
+    parts = {r["partition"] for r in back.select("partition").distinct().collect()}
+    assert parts <= {0, 1, 2} and len(parts) > 1
+    # same key -> same partition (Kafka's contract)
+    again = f"{workdir}/broker_h2"
+    rows.write.format("kafkasim").option("path", again).option(
+        "numPartitions", "3"
+    ).mode("append").save()
+    a = {r["key"]: r["partition"] for r in back.collect()}
+    b = {
+        r["key"]: r["partition"]
+        for r in sim.read.format("kafkasim").option("path", again).load().collect()
+    }
+    assert {bytes(k): v for k, v in a.items()} == {bytes(k): v for k, v in b.items()}
