@@ -303,3 +303,74 @@ def ingest_avro_stream(
     )
     query.awaitTermination()
     return query
+
+
+def replay_quarantined(
+    spark,
+    quarantine: ParquetTable,
+    registry: SchemaRegistry,
+    target: ParquetTable,
+    framing: Framing | None = None,
+    mode: str = "PERMISSIVE",
+    reader_schema_id: int | str | None = None,
+    replay_batch_id: int = 1_000_000,
+) -> dict:
+    """Drain the dead-letter table back through the demux — the recovery
+    half of the quarantine story: a schema id that was unknown at ingest
+    time (a producer deployed ahead of the registry mirror) becomes
+    decodable once the registry catches up, so the captured raw records
+    re-enter the SAME decode path and land in the target; records that
+    still fail (bad framing, still-unknown ids) stay quarantined.
+
+    Protocol: rows replay under ``replay_batch_id`` replay tokens, so
+    re-running a replay overwrites itself instead of double-appending
+    (give each distinct replay wave its own id). The residual is staged
+    beside the quarantine and swapped in with the same aside protocol as
+    upsert/compact — a crash leaves either the old or the new dead-letter
+    set, never half. Returns {"attempted", "still_quarantined",
+    "replayed"} counts for the operator's runbook."""
+    import os
+    import shutil
+
+    framing = framing or confluent_framing()
+    if not quarantine.exists():
+        return {"attempted": 0, "replayed": 0, "still_quarantined": 0}
+    wire = quarantine.read(spark).select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        "timestampType",
+    )
+    attempted = wire.count()
+    staging_path = quarantine.path.rstrip("/") + "._staging"
+    if os.path.isdir(staging_path):
+        shutil.rmtree(staging_path)
+    residual = ParquetTable(staging_path)
+    demux_decode_batch(
+        wire,
+        registry,
+        framing,
+        target,
+        mode=mode,
+        batch_id=replay_batch_id,
+        reader_schema_id=reader_schema_id,
+        quarantine=residual,
+    )
+    still = residual.read(spark).count() if residual.exists() else 0
+    old = quarantine.path.rstrip("/") + "._old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(quarantine.path, old)
+    if residual.exists():
+        os.rename(staging_path, quarantine.path)
+    elif os.path.isdir(staging_path):
+        shutil.rmtree(staging_path)
+    shutil.rmtree(old)
+    return {
+        "attempted": attempted,
+        "replayed": attempted - still,
+        "still_quarantined": still,
+    }

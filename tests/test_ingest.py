@@ -427,3 +427,88 @@ def test_poison_pills_quarantine_instead_of_killing_the_batch(spark, workdir):
     )
     assert raw.read(spark).count() == 10
     assert quarantine.read(spark).count() == 2
+
+
+def test_quarantine_replay_after_registry_catches_up(spark, workdir):
+    """The recovery half of the dead-letter story: once the registry
+    learns the schema id that poisoned ingestion, replay_quarantined
+    drains those records through the SAME decode path into the target;
+    the genuinely-bad record stays quarantined, and replaying twice
+    never double-appends."""
+    import struct as _struct
+    from datetime import datetime, timezone
+
+    from databricks_end_to_end_streaming_spark.registry import (
+        InMemorySchemaRegistry,
+    )
+    from databricks_end_to_end_streaming_spark.schemas import PRODUCT_V1_JSON
+    from databricks_end_to_end_streaming_spark.sources import (
+        events_to_wire,
+        generate_events,
+    )
+    from databricks_end_to_end_streaming_spark.sources.files import WIRE_SCHEMA
+    from databricks_end_to_end_streaming_spark.sources.generator import (
+        WireRecord,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        confluent_framing,
+        demux_decode_batch,
+        replay_quarantined,
+    )
+
+    events = generate_events(8, seed=5, v1_ratio=1.0)
+    recs = list(events_to_wire(events, framing="confluent"))
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    recs.append(WireRecord(b"k", b"\xff-junk", "t", 0, 100, ts, 0))  # forever bad
+    # schema id 99: unknown NOW, registered later; payload = long 1
+    recs.append(
+        WireRecord(
+            b"k", b"\x00" + _struct.pack(">I", 99) + b"\x02", "t", 0, 101, ts, 0
+        )
+    )
+    registry = InMemorySchemaRegistry({1: PRODUCT_V1_JSON})
+    batch = spark.createDataFrame(
+        [
+            (r.key, r.value, r.topic, r.partition, r.offset, r.timestamp,
+             r.timestampType)
+            for r in recs
+        ],
+        WIRE_SCHEMA,
+    )
+    raw = ParquetTable(f"{workdir}/rp_raw")
+    quarantine = ParquetTable(f"{workdir}/rp_quarantine")
+    demux_decode_batch(
+        batch, registry, confluent_framing(), raw, batch_id=0,
+        quarantine=quarantine,
+    )
+    assert raw.read(spark).count() == 8
+    assert quarantine.read(spark).count() == 2
+
+    # replay BEFORE the registry knows 99: nothing drains
+    report = replay_quarantined(
+        spark, quarantine, registry, raw, replay_batch_id=1_000_001
+    )
+    assert report == {"attempted": 2, "replayed": 0, "still_quarantined": 2}
+
+    # the registry catches up; the late schema decodes payload 0x02
+    registry.register(
+        99,
+        '{"type": "record", "name": "flagged",'
+        ' "fields": [{"name": "flag", "type": "long"}]}',
+    )
+    report = replay_quarantined(
+        spark, quarantine, registry, raw, replay_batch_id=1_000_002
+    )
+    assert report == {"attempted": 2, "replayed": 1, "still_quarantined": 1}
+    got = raw.read(spark)
+    assert got.count() == 9
+    assert got.where("parsedValue.flag = 1").count() == 1
+    left = quarantine.read(spark).collect()
+    assert len(left) == 1 and left[0]["quarantineReason"] == "bad_framing"
+
+    # same replay wave id again: overwrites itself, no duplicates
+    report = replay_quarantined(
+        spark, quarantine, registry, raw, replay_batch_id=1_000_002
+    )
+    assert report["still_quarantined"] == 1
+    assert raw.read(spark).count() == 9
