@@ -67,3 +67,45 @@ def test_sample_is_split_invariant_across_batchings(spark, workdir):
     a = sorted(map(str, finalize_sample(spark, t1, "grp", "id", 3).collect()))
     b = sorted(map(str, finalize_sample(spark, t2, "grp", "id", 3).collect()))
     assert a == b
+
+
+def test_weighted_sample_incremental_equals_batch(spark, workdir):
+    """A-ES weighted sampling: cross-batch accumulation equals the
+    one-shot batch sample row-for-row, replays are no-ops, and heavy
+    rows really are favored."""
+    from databricks_end_to_end_streaming_spark.streaming.sampling import (
+        _weighted_ranked,
+        finalize_weighted_sample,
+        weighted_sample_stage,
+    )
+
+    rows = [
+        ("g1", i, 1000.0 if i % 10 == 0 else 0.1) for i in range(100)
+    ] + [("g2", i, float(i + 1)) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "grp string, rid long, w double")
+
+    t = ParquetTable(f"{workdir}/wsample")
+    stage = weighted_sample_stage(t, "grp", "rid", "w", k=5)
+    stage(df.where("rid < 50"), 0)
+    stage(df.where("rid >= 50 and rid < 110"), 1)
+    stage(df.where("rid >= 110"), 2)
+    stage(df.where("rid >= 110"), 2)  # replay, same id
+
+    inc = sorted(
+        (r["grp"], r["rid"])
+        for r in finalize_weighted_sample(
+            spark, t, "grp", "rid", "w", k=5
+        ).collect()
+    )
+    batch = sorted(
+        (r["grp"], r["rid"])
+        for r in _weighted_ranked(df, "grp", "rid", "w", 5)
+        .drop("_es")
+        .collect()
+    )
+    assert inc == batch
+    assert len(inc) == 10  # 5 per group
+    # weights bite: in g1 the 1000x-weighted ids (multiples of 10)
+    # dominate the sample
+    g1 = [rid for grp, rid in inc if grp == "g1"]
+    assert sum(1 for rid in g1 if rid % 10 == 0) >= 4
