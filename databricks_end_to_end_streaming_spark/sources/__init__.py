@@ -1,6 +1,7 @@
 from .files import file_stream, write_topic_files
 from .generator import generate_events, events_to_wire
 from .kafka import kafka_stream
+from .pyds import append_records, register_all
 
 __all__ = [
     "file_stream",
@@ -8,4 +9,6 @@ __all__ = [
     "generate_events",
     "events_to_wire",
     "kafka_stream",
+    "register_all",
+    "append_records",
 ]

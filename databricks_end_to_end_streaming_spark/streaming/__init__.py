@@ -14,7 +14,24 @@ from .moments import (
     partial_moments,
     summed_moments,
 )
-from .sampling import finalize_sample, sample_stage
+from .heavy_hitters import (
+    estimate_heavy_hitters,
+    heavy_hitters_stage,
+    merged_grid,
+)
+from .ingest import replay_quarantined
+from .observe import (
+    assert_expectations,
+    observe_batch,
+    observe_stream,
+    progress_metrics,
+)
+from .sampling import (
+    finalize_sample,
+    finalize_weighted_sample,
+    sample_stage,
+    weighted_sample_stage,
+)
 from .sinks import ParquetTable
 
 __all__ = [
@@ -34,4 +51,14 @@ __all__ = [
     "finalize_stats",
     "sample_stage",
     "finalize_sample",
+    "weighted_sample_stage",
+    "finalize_weighted_sample",
+    "heavy_hitters_stage",
+    "merged_grid",
+    "estimate_heavy_hitters",
+    "replay_quarantined",
+    "observe_batch",
+    "observe_stream",
+    "progress_metrics",
+    "assert_expectations",
 ]
