@@ -147,3 +147,40 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = lsh_neardup_pairs(emb, threshold=0.95, n_bits=10, n_tables=6)
     return pairs.select("id_a", "id_b")
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    SELECT vec_id,
+           label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           sqrt(list_reduce(
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (a, b) -> a + b)) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms + dimensionality — the sanity profile run
+    before any cosine/ANN stage (catches unnormalized or truncated
+    vectors). Bit-exact across engines because the fold order is the
+    ARRAY's own order on both sides: each float element promotes to
+    double exactly, each multiply/add is one correctly-rounded IEEE op
+    in the same sequence (Spark aggregate inits at 0.0; DuckDB
+    list_reduce inits at the first squared element — adding 0.0 first
+    is exact, so the sequences coincide), and sqrt is correctly
+    rounded. Stateless per-row projection: zero shuffles at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+    )
