@@ -72,7 +72,16 @@ def _run_append(
     target: ParquetTable,
     checkpoint: str,
     query_name: str,
-) -> None:
+    observe_rules: dict | None = None,
+) -> list[dict] | None:
+    """``observe_rules`` ({rule_name: Column condition}) attaches
+    Observation-API expectation counters to the MOVING stream — no
+    second scan — and returns one metrics dict per micro-batch
+    (streaming/observe.py). None when not observing."""
+    if observe_rules is not None:
+        from .observe import observe_stream
+
+        df = observe_stream(df, query_name, observe_rules)
     w = (
         df.writeStream.format("parquet")
         .outputMode("append")
@@ -83,14 +92,28 @@ def _run_append(
     )
     if target.partition_by:
         w = w.partitionBy(*target.partition_by)
-    w.start().awaitTermination()
+    q = w.start()
+    q.awaitTermination()
+    if observe_rules is not None:
+        from .observe import progress_metrics
+
+        return progress_metrics(q, query_name)
+    return None
 
 
 def bronze_stage(
-    spark: SparkSession, raw: ParquetTable, bronze: ParquetTable, checkpoint: str
-) -> None:
-    _run_append(
-        bronze_transform(raw.stream(spark)), bronze, checkpoint, "bronze_layer"
+    spark: SparkSession,
+    raw: ParquetTable,
+    bronze: ParquetTable,
+    checkpoint: str,
+    observe_rules: dict | None = None,
+) -> list[dict] | None:
+    return _run_append(
+        bronze_transform(raw.stream(spark)),
+        bronze,
+        checkpoint,
+        "bronze_layer",
+        observe_rules=observe_rules,
     )
 
 
@@ -100,12 +123,14 @@ def silver_stage(
     silver: ParquetTable,
     checkpoint: str,
     watermark: str | None = None,
-) -> None:
-    _run_append(
+    observe_rules: dict | None = None,
+) -> list[dict] | None:
+    return _run_append(
         silver_transform(bronze.stream(spark), watermark=watermark),
         silver,
         checkpoint,
         "silver_layer",
+        observe_rules=observe_rules,
     )
 
 

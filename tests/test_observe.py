@@ -79,3 +79,32 @@ def test_streaming_metrics_per_microbatch(spark, workdir):
         assert_expectations(rows[-1] if len(rows) == 1 else {
             k: sum(r[k] for r in rows) for k in rows[0]
         })
+
+
+def test_medallion_bronze_stage_observed(spark, workdir):
+    """The parity pipeline carries its own DQ counters when asked: the
+    bronze stage reports per-micro-batch rows/violations through the
+    streaming progress, with zero extra scans and unchanged output."""
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        bronze_stage,
+    )
+
+    raw = ParquetTable(f"{workdir}/obs_raw")
+    events = spark.createDataFrame(
+        [(f"p{i}", f"e{i}", "created" if i % 3 else "", 1704067200 + i)
+         for i in range(12)],
+        "productId string, eventId string, type string, timestamp long",
+    )
+    raw.append(events.select(F.struct(*events.columns).alias("parsedValue")))
+    bronze = ParquetTable(f"{workdir}/obs_bronze", partition_by=["type"])
+    metrics = bronze_stage(
+        spark,
+        raw,
+        bronze,
+        f"{workdir}/obs_bronze_ckpt",
+        observe_rules={"type_nonempty": F.col("type") != ""},
+    )
+    assert metrics is not None and sum(m["n_rows"] for m in metrics) == 12
+    assert sum(m["violations_type_nonempty"] for m in metrics) == 4
+    assert bronze.read(spark).count() == 12  # output unchanged
