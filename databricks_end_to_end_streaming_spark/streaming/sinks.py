@@ -367,6 +367,35 @@ class ParquetTable:
             raise ValueError("compact_partitions needs a partitioned table")
         self._recover_swap()
         key = self.partition_by[0]
+        if self._delta(spark):
+            # Delta mode: the directory-surgery protocol below would
+            # write files the transaction log never heard of (silent
+            # corruption) — route to the real ``OPTIMIZE ... WHERE``.
+            report_d: dict[str, dict] = {}
+            for value in values:
+                pdir = os.path.join(self.path, f"{key}={value}")
+
+                def _count(d: str) -> int:
+                    return sum(
+                        1
+                        for r, _dd, fs in os.walk(d)
+                        for f in fs
+                        if f.endswith(".parquet")
+                    ) if os.path.isdir(d) else 0
+
+                before = _count(pdir)
+                (
+                    self._delta_table(spark)
+                    .optimize()
+                    .where(f"{key} = '{value}'")
+                    .executeCompaction()
+                )
+                report_d[value] = {
+                    "files_before": before,
+                    "files_after": _count(pdir),
+                    "bytes": 0,
+                }
+            return report_d
         report: dict[str, dict] = {}
         for value in values:
             pdir = os.path.join(self.path, f"{key}={value}")

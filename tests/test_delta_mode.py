@@ -165,3 +165,31 @@ class TestDeltaRouting:
             t.read(spark).collect()
         with pytest.raises(Exception, match="delta|DATA_SOURCE"):
             t.stream(spark)
+
+
+def test_compact_partitions_routes_to_delta_optimize_where(monkeypatch, tmp_path):
+    """In Delta mode, partition-scoped compaction must go through the
+    transactional OPTIMIZE ... WHERE — the parquet protocol's directory
+    surgery would write files the Delta log never recorded."""
+    t = ParquetTable(str(tmp_path / "tbl"), partition_by=["type"])
+    (tmp_path / "tbl").mkdir()
+
+    calls = []
+
+    class _Opt:
+        def where(self, cond):
+            calls.append(cond)
+            return self
+
+        def executeCompaction(self):  # noqa: N802 (Delta API)
+            calls.append("compacted")
+
+    class _DT:
+        def optimize(self):
+            return _Opt()
+
+    monkeypatch.setattr(sinks, "_DELTA_OK", True)
+    monkeypatch.setattr(ParquetTable, "_delta_table", lambda self, s: _DT())
+    report = t.compact_partitions(spark=None, values=["a", "b"])
+    assert calls == ["type = 'a'", "compacted", "type = 'b'", "compacted"]
+    assert set(report) == {"a", "b"}
