@@ -307,7 +307,17 @@ class ParquetTable:
         merge needed), each group is re-written with the casts applied,
         and the new files replace the old ones inside the SAME
         directories — the idempotent token layout and partition dirs are
-        preserved, so replay semantics and pruning are unchanged."""
+        preserved, so replay semantics and pruning are unchanged.
+
+        Parquet-mode only: in Delta mode in-place file replacement would
+        bypass the transaction log (type migration there is ALTER TABLE
+        / column mapping), so this refuses loudly."""
+        if self._delta(spark):
+            raise RuntimeError(
+                "rewrite_columns is the parquet stand-in's migration tool; "
+                "on Delta use ALTER TABLE ... / column mapping so the "
+                "transaction log records the change"
+            )
         import pyarrow.parquet as pq
 
         # group by (footer schema, directory): one rewrite per uniform

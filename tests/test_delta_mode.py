@@ -193,3 +193,10 @@ def test_compact_partitions_routes_to_delta_optimize_where(monkeypatch, tmp_path
     report = t.compact_partitions(spark=None, values=["a", "b"])
     assert calls == ["type = 'a'", "compacted", "type = 'b'", "compacted"]
     assert set(report) == {"a", "b"}
+
+
+def test_rewrite_columns_refuses_in_delta_mode(monkeypatch, tmp_path):
+    t = ParquetTable(str(tmp_path / "tbl"))
+    monkeypatch.setattr(sinks, "_DELTA_OK", True)
+    with pytest.raises(RuntimeError, match="ALTER TABLE"):
+        t.rewrite_columns(spark=None, cast_map={"x": "bigint"})
