@@ -1108,3 +1108,68 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+@query(
+    "source_lang_drift",
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ), src AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM cell GROUP BY source
+    ), corp AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cell GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cell
+    ), full_grid AS (
+      -- a source missing a language still contributes |0 - expected|
+      SELECT s.source, c.lang, s.n_src, c.n_lang,
+             coalesce(cell.n, 0) AS n
+      FROM src s CROSS JOIN corp c
+      LEFT JOIN cell ON cell.source = s.source AND cell.lang = c.lang
+    )
+    SELECT g.source,
+           max(g.n_src) AS n_docs,
+           CAST(sum(abs(g.n * t.n_tot - g.n_lang * g.n_src)) AS DOUBLE)
+             / (max(g.n_src) * max(t.n_tot)) AS l1_drift
+    FROM full_grid g CROSS JOIN tot t
+    GROUP BY g.source
+    """,
+)
+def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mixture drift: the L1 distance between a
+    source's language distribution and the corpus marginal — the
+    mixture-monitoring statistic a curation pipeline alarms on when one
+    provider's crawl shifts. Exactness discipline: every |obs - expected|
+    term is an INTEGER cross-multiplication |n*N_tot - n_lang*n_src|
+    (no per-term division), summed exactly in int64; the single IEEE
+    division normalizes at the end, so the double hash-matches across
+    engines.
+
+    Scale shape: one partial-agg shuffle to (source, lang) cells; the
+    lang marginal (|langs| rows) broadcasts back; per-source rollup over
+    |langs| rows per source. The corpus itself is touched once."""
+    cell = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    src = cell.groupBy("source").agg(F.sum("n").alias("n_src"))
+    corp = cell.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    tot = cell.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        src.crossJoin(F.broadcast(corp))
+        .join(cell, ["source", "lang"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(
+        F.col("n") * F.col("n_tot") - F.col("n_lang") * F.col("n_src")
+    )
+    return grid.groupBy("source").agg(
+        F.max("n_src").alias("n_docs"),
+        (
+            F.sum(term).cast("double")
+            / (F.max("n_src") * F.max("n_tot"))
+        ).alias("l1_drift"),
+    )
