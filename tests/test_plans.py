@@ -246,3 +246,22 @@ def test_span_removal_broadcasts_hot_grams(spark):
     loses its 100 TB shape."""
     plan = plan_of(spark, "dedup_ngram_span_removal")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_clean_v2_broadcasts_hot_grams_no_cartesian(spark):
+    plan = plan_of(spark, "llm_clean_corpus_v2")
+    assert "BroadcastHashJoin" in plan  # hot-gram membership probe
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_drift_broadcasts_marginals(spark):
+    """The lang marginal and the 1-row total must reach the grid as
+    broadcasts — a shuffled cross join here would be a plan bug."""
+    plan = plan_of(spark, "source_lang_drift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_norm_profile_is_shuffle_free(spark):
+    plan = plan_of(spark, "embedding_norm_profile")
+    assert "Exchange" not in plan
