@@ -1120,3 +1120,26 @@ def forward_fill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masked.withColumn(
         "value_filled", F.last("value_masked", ignorenulls=True).over(w)
     )
+
+
+@query(
+    "hilbert_events_row_preservation",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def hilbert_events_row_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering (operators/layout.py, curve="hilbert")
+    routed over the events table with the raw table as the identity
+    oracle — same contract as ``zorder_events_row_preservation`` for the
+    Morton path: the Arrow-batched xy2d rotation recurrence reorders and
+    never drops, duplicates, or mutates a row. Curve quality (unit-step
+    property, bounding boxes vs Morton) is proven in
+    tests/test_zorder.py."""
+    from ..operators.layout import zorder_by
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return zorder_by(ev, ["user_id", "value"], bits=8, curve="hilbert")

@@ -197,3 +197,35 @@ def test_hilbert_preserves_rows(spark):
     df = _grid(spark, side=16)
     z = zorder_by(df, ["x", "y"], bits=4, num_partitions=4, curve="hilbert")
     assert sorted(map(tuple, z.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_hilbert_rowgroup_skipping_on_second_dim(spark, workdir):
+    """The Hilbert payoff measured the same way as Morton's: row groups
+    prunable on the NON-prefix dimension. Must at least match the
+    stripe layout's total overlap and Morton's pruning class."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = _grid(spark, side=64)
+    small = {"parquet.block.size": 64 * 1024}
+    h = zorder_by(df, ["x", "y"], bits=6, num_partitions=4, curve="hilbert")
+    h.write.options(**small).parquet(f"{workdir}/hlay")
+
+    def overlap_fraction(path, lo=0, hi=7):
+        total = hit = 0
+        for root, _d, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                ycol = md.schema.to_arrow_schema().get_field_index("y")
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(ycol).statistics
+                    total += 1
+                    if st.min <= hi and st.max >= lo:
+                        hit += 1
+        assert total >= 4
+        return hit / total
+
+    assert overlap_fraction(f"{workdir}/hlay") <= 0.5
