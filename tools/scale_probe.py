@@ -57,6 +57,9 @@ PROBES = [
     "forward_fill_event_values",
     "text_pii_redaction",
     "llm_clean_corpus_v2",
+    "source_lang_drift",
+    "embedding_norm_profile",
+    "hilbert_events_row_preservation",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
