@@ -199,3 +199,73 @@ def sample_exact_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the DQ check the
+    single-table expectations suite can't express: orphan counts for
+    every foreign-key edge of the star schema, one row per edge.
+
+    Scale shape: each edge is a LEFT ANTI join counting the child side;
+    parent KEY projections are narrow and the dimension parents
+    (nation, region, customer at this scale) broadcast, so the fact
+    tables stream through map-side. The counts are exact int64s."""
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for edge, child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        orphans = c.join(
+            F.broadcast(p), c[ck] == p[pk], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        row = (
+            c.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans)
+            .select(
+                F.lit(edge).alias("fk_edge"),
+                F.col("n_child"),
+                F.col("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
