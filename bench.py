@@ -94,6 +94,9 @@ NEW_OP_QUERIES = [
     "scd2_user_state_history",
     "forward_fill_event_values",
     "text_pii_redaction",
+    "zscore_event_anomalies",
+    "ewma_event_value_per_user",
+    "brand_basket_affinity",
 ]
 
 

@@ -1143,3 +1143,248 @@ def hilbert_events_row_preservation(spark: SparkSession, sf_dir: str) -> DataFra
         "event_id", "user_id", "event_type", "value"
     )
     return zorder_by(ev, ["user_id", "value"], bits=8, curve="hilbert")
+
+
+@query(
+    "zscore_event_anomalies",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx
+      FROM b GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.value,
+           CAST(b.cents * m.n - m.sx AS DOUBLE)
+             / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) AS zscore
+    FROM b JOIN m USING (event_type)
+    WHERE abs(CAST(b.cents * m.n - m.sx AS DOUBLE)
+              / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))) >= 3.0
+    ORDER BY event_id
+    """,
+)
+def zscore_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier detection per event type (|z| >= 3):
+    the row-level companion to ``corr_value_day_per_type``'s aggregate
+    moments, and the standard first-pass anomaly gate in a feature/DQ
+    pipeline.
+
+    Float discipline: z = (x*n - sx) / sqrt(n*sxx - sx^2) — algebra
+    keeps everything in exact int64 cents until ONE IEEE division and
+    one sqrt, so DuckDB lands on identical bits and the >= 3.0 boundary
+    cuts both result sets identically. The naive (x - mean)/stddev form
+    would accumulate engine-ordered float error in mean/stddev.
+
+    Shape at 100 TB: the per-type moment relation is 5 rows, so the
+    facts are scanned twice but shuffled ZERO times — pass 1 is a
+    partial-agg'd groupBy down to 5 rows, pass 2 joins those 5 rows
+    back by broadcast, keeping scoring map-side. A window over
+    partitionBy(event_type) would instead funnel the whole corpus
+    through 5 reducers (the skew worst-case). int64 headroom: n*sxx
+    caps at ~2M rows/group for 5-digit cents — widen to
+    DECIMAL(38,0) beyond that (same note as the corr query)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("event_id", "event_type", "value", cents.alias("cents"))
+    m = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    j = base.join(F.broadcast(m), "event_type")
+    num = (F.col("cents") * F.col("n") - F.col("sx")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return (
+        j.select(
+            "event_id", "event_type", "value", (num / den).alias("zscore")
+        )
+        .where(F.abs(F.col("zscore")) >= 3.0)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "ewma_event_value_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, count(*) AS n_events,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           list_reduce(vals,
+                       (a, b) -> CAST(0.5 AS DOUBLE) * b
+                                 + CAST(0.5 AS DOUBLE) * a) AS ewma_value,
+           vals[len(vals)] AS last_value
+    FROM seq ORDER BY user_id
+    """,
+)
+def ewma_event_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    (alpha = 0.5, s_0 = x_0, s_i = a*x_i + (1-a)*s_{i-1}) — the standard
+    time-series smoothing / recency feature in a training-data pipeline.
+
+    EWMA is a non-associative left fold, so it cannot be a partial-agg'd
+    built-in; the distributed shape is ONE groupBy(user) shuffle
+    carrying only (ts, event_id, value) structs, then sort_array +
+    F.aggregate fold entirely inside the JVM — per-user state never
+    leaves its executor and no per-row Python runs. The same
+    sorted-fold discipline as deterministic PageRank makes it
+    hash-matchable: DuckDB's list(... ORDER BY ts, event_id) +
+    list_reduce replays the identical operand order, and 0.5 scaling is
+    a power of two, so every intermediate is bit-exact in both engines.
+
+    Scale caveat (documented, inherent): the per-user array is bounded
+    by that user's event count. For unbounded streams use the
+    watermarked incremental moments stage (streaming/moments.py) or
+    cap the window (e.g. slice to the trailing N events) — the fold
+    shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+    )
+    vals = F.transform("seq", lambda s: s["value"])
+    half = F.lit(0.5)
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: half * x + half * acc,
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        ewma.alias("ewma_value"),
+        F.element_at(F.col("seq"), -1)["value"].alias("last_value"),
+    ).orderBy("user_id")
+
+
+@query(
+    "brand_basket_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tot AS (
+      SELECT count(DISTINCT ok) AS total_orders FROM ob
+    ), marg AS (
+      SELECT brand, count(*) AS n_orders FROM ob GROUP BY brand
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS pair_orders
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_orders,
+           CAST(p.pair_orders AS DOUBLE) / t.total_orders AS support,
+           CAST(p.pair_orders * t.total_orders AS DOUBLE)
+             / CAST(ma.n_orders * mb.n_orders AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN marg ma ON p.brand_a = ma.brand
+    JOIN marg mb ON p.brand_b = mb.brand
+    CROSS JOIN tot t
+    ORDER BY pair_orders DESC, brand_a, brand_b
+    """,
+)
+def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: for every pair of part brands,
+    how many orders contain both (support) and how much more often than
+    independence predicts (lift) — the pairwise-co-occurrence core of
+    frequent-itemset mining (the A-priori candidate-pair step).
+
+    Shape at 100 TB: lineitem collapses FIRST to one row per order — a
+    sorted brand-set via a partial-agg'd collect_set (the itemset
+    relation, <= ~25 brands per basket) — so the ONLY corpus-sized
+    shuffle is that single groupBy(order). Each basket then emits, with
+    pure JVM array arithmetic (no self-join — a naive alias self-join on
+    the order key planned 10 exchanges + a sort-merge join here):
+    (a) its pairwise combinations via nested transforms, quadratic only
+    per basket, (b) one singleton marker per member brand, and (c) one
+    basket marker — so pair counts, per-brand marginals, AND the order
+    total all come out of a SINGLE aggregation over <= C(25,2)+25+1 keys
+    (one exchange of tiny rows; Spark does not reuse exchanges under
+    collect_set subtrees, so separate branch plans would re-shuffle the
+    corpus three times). That <= 326-row result is localCheckpoint'ed
+    (eager, the pipeline.py discipline) and split three ways without
+    recompute. The brand dimension itself (part) broadcasts into the
+    initial map-side join. Baskets here are naturally bounded (TPC-H
+    orders have <= 7 lines); for heavy-tailed baskets the standard
+    mitigation is a per-basket item cap (slice after sort_array), which
+    bounds the quadratic term per row.
+
+    Exactness: support and lift are single IEEE divisions over exact
+    int64 counts (pair*total and n_a*n_b products stay integer), so
+    DuckDB hash-matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+    )
+    # collect_set dedups within the basket; sort_array gives the total
+    # order that makes (earlier, later) pairs well-defined
+    sets = ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("brands")
+    )
+    null_s = F.lit(None).cast("string")
+    # (a) pairwise combinations: element i with every later element
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size(F.col("brands"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
+    # (b) singleton markers (brand, NULL) and (c) one basket marker
+    # (NULL, NULL) — all three families share one struct type so a
+    # single explode + aggregation counts them together
+    single_arr = F.transform(
+        F.col("brands"),
+        lambda x: F.struct(x.alias("brand_a"), null_s.alias("brand_b")),
+    )
+    basket_arr = F.array(
+        F.struct(null_s.alias("brand_a"), null_s.alias("brand_b"))
+    )
+    counts = (
+        sets.select(
+            F.explode(F.concat(pair_arr, single_arr, basket_arr)).alias("p")
+        )
+        .groupBy("p.brand_a", "p.brand_b")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = counts.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNotNull()
+    ).select("brand_a", "brand_b", F.col("cnt").alias("pair_orders"))
+    marg = counts.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("brand"), F.col("cnt").alias("n_orders"))
+    tot = counts.where(F.col("brand_a").isNull()).select(
+        F.col("cnt").alias("total_orders")
+    )
+    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n_orders").alias("n_a"))
+    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n_orders").alias("n_b"))
+    res = (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    support = F.col("pair_orders").cast("double") / F.col("total_orders")
+    lift = (F.col("pair_orders") * F.col("total_orders")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return res.select(
+        "brand_a",
+        "brand_b",
+        "pair_orders",
+        support.alias("support"),
+        lift.alias("lift"),
+    ).orderBy(F.desc("pair_orders"), "brand_a", "brand_b")

@@ -265,3 +265,35 @@ def test_lang_drift_broadcasts_marginals(spark):
 def test_embedding_norm_profile_is_shuffle_free(spark):
     plan = plan_of(spark, "embedding_norm_profile")
     assert "Exchange" not in plan
+
+
+def test_zscore_broadcasts_moments_no_window(spark):
+    """Row-level z-scoring must join the 5-row moment relation back by
+    broadcast — a Window over partitionBy(event_type) would funnel the
+    whole corpus through 5 reducers."""
+    plan = plan_of(spark, "zscore_event_anomalies")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # the only shuffle is the partial-agg'd 5-row moment groupBy
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_single_user_exchange_no_python(spark):
+    """The EWMA fold runs inside the JVM on one groupBy(user) shuffle:
+    no Python eval in the plan, and no second corpus exchange."""
+    plan = plan_of(spark, "ewma_event_value_per_user")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "EvalPython" not in plan
+
+
+def test_basket_affinity_no_self_join_after_checkpoint(spark):
+    """Pair generation is per-basket array arithmetic aggregated once
+    into a checkpointed <=326-row relation; everything downstream of the
+    checkpoint must be broadcast-only — no corpus re-scan, no sort-merge
+    self-join, no shuffle."""
+    plan = plan_of(spark, "brand_basket_affinity")
+    assert "lineitem" not in plan  # corpus work done before checkpoint
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("BroadcastHashJoin") == 2

@@ -56,6 +56,9 @@ PROBES = [
     "scd2_user_state_history",
     "forward_fill_event_values",
     "text_pii_redaction",
+    "zscore_event_anomalies",
+    "ewma_event_value_per_user",
+    "brand_basket_affinity",
     "llm_clean_corpus_v2",
     "source_lang_drift",
     "embedding_norm_profile",
