@@ -1162,7 +1162,8 @@ def hilbert_events_row_preservation(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(b.cents * m.n - m.sx AS DOUBLE)
              / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) AS zscore
     FROM b JOIN m USING (event_type)
-    WHERE abs(CAST(b.cents * m.n - m.sx AS DOUBLE)
+    WHERE m.n * m.sxx - m.sx * m.sx > 0
+      AND abs(CAST(b.cents * m.n - m.sx AS DOUBLE)
               / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))) >= 3.0
     ORDER BY event_id
     """,
@@ -1195,11 +1196,12 @@ def zscore_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sx"),
         F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
     )
-    j = base.join(F.broadcast(m), "event_type")
+    # zero-variance types are excluded BEFORE the division: no outliers
+    # by definition, and under ANSI mode 0/0 would throw
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    j = base.join(F.broadcast(m), "event_type").where(var_num > 0)
     num = (F.col("cents") * F.col("n") - F.col("sx")).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    )
+    den = F.sqrt(var_num.cast("double"))
     return (
         j.select(
             "event_id", "event_type", "value", (num / den).alias("zscore")

@@ -8,6 +8,13 @@ from .medallion import (
     silver_stage,
     upsert_stage,
 )
+from .anomaly import (
+    anomaly_stage,
+    partial_scalar_moments,
+    score_zscore,
+    summed_scalar_moments,
+)
+from .ewma import current_ewma, ewma_stage
 from .moments import (
     finalize_stats,
     moments_stage,
@@ -45,6 +52,12 @@ __all__ = [
     "dq_split_stage",
     "neardup_batch",
     "neardup_stage",
+    "anomaly_stage",
+    "partial_scalar_moments",
+    "score_zscore",
+    "summed_scalar_moments",
+    "ewma_stage",
+    "current_ewma",
     "moments_stage",
     "partial_moments",
     "summed_moments",
