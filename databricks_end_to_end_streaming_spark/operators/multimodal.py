@@ -265,3 +265,108 @@ def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
 def decode_stub(payload: bytes, meta: dict) -> np.ndarray:
     """Public entry to the stubbed decoder (tests + documentation)."""
     return _decode_payload(payload, meta)
+
+
+def _sniff_header(payload: bytes) -> dict:
+    """Container-header metadata by magic bytes — NO decode: PNG IHDR,
+    JPEG SOF marker scan, RIFF/WAVE chunk walk. Returns the MEDIA_META
+    fields (None where the container doesn't carry the field) plus the
+    detected format, or format='unknown' for unrecognized bytes. Pure
+    stdlib, so every real container is exercised in every environment —
+    unlike full decode, which needs codec libraries for jpeg."""
+    import struct
+
+    out = {
+        "width": None, "height": None, "channels": None,
+        "sample_rate": None, "n_frames": None, "format": "unknown",
+    }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26:
+        # IHDR is mandatory-first: width/height BE u32 at 16/20,
+        # bit depth at 24, color type at 25
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        out.update(
+            width=w, height=h, format="png", n_frames=1,
+            channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
+        )
+        return out
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOF (C0-C3, C5-C7,
+        # C9-CB, CD-CF): precision u8, height/width BE u16, components
+        out["format"] = "jpeg"
+        i = 2
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        while i + 4 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xDA:  # start-of-scan: entropy data follows
+                break
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if marker in sof and i + 9 <= len(payload):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                out.update(
+                    width=w, height=h, n_frames=1,
+                    channels=payload[i + 9] if i + 9 < len(payload) else None,
+                )
+                break
+            i += 2 + seg_len
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # chunk walk (chunk order is NOT fixed by the spec): 'fmt ' for
+        # channels/rate/width, 'data' for byte length -> frame count
+        out["format"] = "wav"
+        i, n_ch, bytes_per, data_len = 12, None, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(payload):
+                n_ch, rate = struct.unpack("<HI", payload[i + 10:i + 16])
+                bits = struct.unpack("<H", payload[i + 22:i + 24])[0]
+                bytes_per = max(1, bits // 8)
+                out.update(channels=n_ch, sample_rate=rate)
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if n_ch and bytes_per and data_len is not None:
+            out["n_frames"] = data_len // (n_ch * bytes_per)
+        return out
+    return out
+
+
+def sniff_media_meta(media: DataFrame) -> DataFrame:
+    """(media_id, kind, declared meta, sniffed meta): container-header
+    metadata for every payload WITHOUT decoding — the realistic corpus-
+    profiling pass at 100 TB, where you want dimension/duration
+    distributions and declared-vs-actual mismatch flags over petabytes
+    of media but would never pay full decode for them. Arrow-batched
+    mapInPandas; headers live in the first KB, payloads never shuffle
+    (the operator is map-side only — zero exchanges), and the output
+    drops the payload column entirely."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("meta", MEDIA_META),
+            T.StructField("sniffed", MEDIA_META),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sniffed = _sniff_header(bytes(r["payload"] or b""))
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "meta": r["meta"],
+                        "sniffed": sniffed,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(mapper, out_schema)
