@@ -97,6 +97,7 @@ NEW_OP_QUERIES = [
     "zscore_event_anomalies",
     "ewma_event_value_per_user",
     "brand_basket_affinity",
+    "chi2_value_drift_per_type",
 ]
 
 

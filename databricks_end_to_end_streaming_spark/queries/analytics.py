@@ -1390,3 +1390,108 @@ def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         support.alias("support"),
         lift.alias("lift"),
     ).orderBy(F.desc("pair_orders"), "brand_a", "brand_b")
+
+
+@query(
+    "chi2_value_drift_per_type",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(floor(value / 50.0) * 50 AS BIGINT) AS bin_lo
+      FROM events
+    ), obs AS (
+      SELECT event_type, bin_lo, count(*) AS o FROM b GROUP BY 1, 2
+    ), bt AS (
+      SELECT bin_lo, CAST(sum(o) AS BIGINT) AS bt FROM obs GROUP BY 1
+    ), tt AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS tt FROM obs GROUP BY 1
+    ), g AS (
+      SELECT CAST(sum(o) AS BIGINT) AS g FROM obs
+    ), grid AS (
+      SELECT t.event_type, bn.bin_lo, t.tt, bn.bt,
+             COALESCE(o.o, 0) AS o
+      FROM tt t CROSS JOIN bt bn
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.bin_lo = bn.bin_lo
+    ), terms AS (
+      SELECT event_type, bin_lo, tt,
+             num * num / CAST(bt * tt AS DOUBLE) / CAST(g AS DOUBLE) AS term
+      FROM (
+        SELECT grid.*, g.g,
+               CAST(o * g.g - bt * tt AS DOUBLE) AS num
+        FROM grid CROSS JOIN g
+      )
+    )
+    SELECT event_type, tt AS n_events,
+           COALESCE(list_reduce(list(term ORDER BY bin_lo),
+                                (a, x) -> a + x), CAST(0.0 AS DOUBLE))
+             AS chi2,
+           count(*) AS n_bins
+    FROM terms
+    GROUP BY event_type, tt
+    ORDER BY event_type
+    """,
+)
+def chi2_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test of each event type's value
+    distribution against the corpus — the standard drift/segmentation
+    check in a data-quality pipeline (is this slice's distribution the
+    same as everyone else's?), over the same schema-level 50-unit bins
+    as ``event_value_histogram``.
+
+    Shape at 100 TB: ONE corpus shuffle (the partial-agg'd
+    (type, bin) contingency groupBy, <= types x bins rows), then the
+    tiny contingency table is localCheckpoint'ed and every derived
+    relation — bin totals, type totals, grand total, the dense grid
+    with zero cells restored (chi-square needs empty cells' expected
+    mass) — is arithmetic over <= 50 rows with broadcasts.
+
+    Float discipline: each cell's term is
+    (o*g - bt*tt)^2 / (bt*tt) / g with the numerator difference formed
+    EXACTLY in int64 (magnitudes < 2^53, so the double conversion is
+    exact), then three IEEE ops in fixed order; the per-type sum of
+    terms is non-associative, so it runs as the corpus-standard sorted
+    fold (sort_array + F.aggregate from +0.0) that DuckDB replays via
+    list ORDER BY + list_reduce — bit-identical. int64 headroom: o*g
+    caps at ~3e9 rows corpus-wide before the difference needs
+    DECIMAL(38,0) widening."""
+    ev = load_table(spark, sf_dir, "events")
+    binc = (F.floor(F.col("value") / 50.0) * 50).cast("long")
+    obs = (
+        ev.select("event_type", binc.alias("bin_lo"))
+        .groupBy("event_type", "bin_lo")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    bt = obs.groupBy("bin_lo").agg(F.sum("o").alias("bt"))
+    tt = obs.groupBy("event_type").agg(F.sum("o").alias("tt"))
+    g = obs.agg(F.sum("o").alias("g"))
+    grid = (
+        tt.crossJoin(F.broadcast(bt))
+        .join(obs, ["event_type", "bin_lo"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(g))
+    )
+    num = (F.col("o") * F.col("g") - F.col("bt") * F.col("tt")).cast("double")
+    term = (
+        num * num
+        / (F.col("bt") * F.col("tt")).cast("double")
+        / F.col("g").cast("double")
+    )
+    terms = grid.select("event_type", "bin_lo", "tt", term.alias("term"))
+    return (
+        terms.groupBy("event_type", "tt")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bin_lo", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("chi2"),
+            F.count("*").alias("n_bins"),
+        )
+        .select(
+            "event_type", F.col("tt").alias("n_events"), "chi2", "n_bins"
+        )
+        .orderBy("event_type")
+    )

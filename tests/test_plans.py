@@ -297,3 +297,13 @@ def test_basket_affinity_no_self_join_after_checkpoint(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_chi2_drift_tiny_after_contingency_checkpoint(spark):
+    """The corpus contributes exactly one shuffle (the contingency
+    groupBy, materialized at the checkpoint); everything downstream is
+    arithmetic over <= types x bins rows with broadcasts."""
+    plan = plan_of(spark, "chi2_value_drift_per_type")
+    assert "Scan parquet" not in plan  # corpus scanned only pre-checkpoint
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -59,6 +59,7 @@ PROBES = [
     "zscore_event_anomalies",
     "ewma_event_value_per_user",
     "brand_basket_affinity",
+    "chi2_value_drift_per_type",
     "llm_clean_corpus_v2",
     "source_lang_drift",
     "embedding_norm_profile",
