@@ -269,3 +269,78 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ), z AS (
+      SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source, lang),
+                         (a, x) -> a + x) AS z,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM c
+    )
+    SELECT c.source, c.lang, c.n,
+           sqrt(CAST(c.n AS DOUBLE)) / z.z AS weight,
+           sqrt(CAST(c.n AS DOUBLE)) / z.z
+             * CAST(z.total AS DOUBLE) / CAST(c.n AS DOUBLE) AS upsample
+    FROM c CROSS JOIN z
+    ORDER BY source, lang
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing weights per (source, lang):
+    w ∝ n^α with α = 0.5 — the standard exponential-smoothing scheme for
+    multilingual/multi-source corpora (downweights head groups, boosts
+    the tail; α = 1 is proportional sampling, α → 0 uniform). The
+    ``upsample`` column is each group's effective over/under-sampling
+    factor (weight x total / n) to feed straight into
+    ``sample_mixture_weighted``.
+
+    α is fixed at 0.5 because n^0.5 is sqrt — correctly rounded by IEEE
+    754 in every engine — whereas general pow() carries no cross-engine
+    rounding guarantee; the operator's arithmetic is oracle-verified at
+    this exponent and the scheme is exponent-generic. The normalizer
+    Σ sqrt(n) is a non-associative float sum over the (tiny) group
+    relation, so it runs as the corpus-standard sorted fold that DuckDB
+    replays bit-for-bit.
+
+    Shape at 100 TB: one partial-agg'd groupBy down to sources x langs
+    rows, checkpointed; the 1-row normalizer broadcasts back. Nothing
+    else touches the corpus — this is the planning step, the actual
+    resample is the downstream md5-threshold sampler (zero-shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    s = F.sqrt(F.col("n").cast("double"))
+    zrow = counts.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("source", "lang", s.alias("s")))
+                ),
+                lambda st: st["s"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z"),
+        F.sum("n").alias("total"),
+    )
+    weight = s / F.col("z")
+    upsample = weight * F.col("total").cast("double") / F.col("n").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(zrow))
+        .select(
+            "source",
+            "lang",
+            "n",
+            weight.alias("weight"),
+            upsample.alias("upsample"),
+        )
+        .orderBy("source", "lang")
+    )
