@@ -86,3 +86,42 @@ def test_replay_mid_stream_is_idempotent(spark, workdir):
     got = {r["key"]: r["ewma"] for r in current_ewma(spark, t).collect()}
     vals1 = [v for (u, _ts, v) in sorted(ROWS, key=lambda r: r[1]) if u == 1]
     assert got[1] == _python_ewma(vals1)
+
+
+def test_randomized_split_sweep_matches_python(spark, workdir):
+    """Seeded sweep: random corpora, random time-ordered batch splits,
+    random alpha — the cross-batch continuation always lands exactly on
+    the sequential Python fold."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        rows = []
+        ts = 0
+        for _ in range(rng.randint(8, 40)):
+            ts += rng.randint(1, 5)
+            rows.append(
+                (rng.randint(1, 4), ts, round(rng.uniform(0.0, 50.0), 3))
+            )
+        alpha = rng.choice([0.5, 0.25, 0.1])
+        cuts = sorted(
+            rng.sample(range(1, ts + 1), k=min(rng.randint(1, 3), ts))
+        )
+        bounds = [0, *cuts, ts + 1]
+        t = ParquetTable(f"{workdir}/ewma_s{seed}")
+        stage = ewma_stage(
+            t, key="user_id", value="value", order=("ts",), alpha=alpha
+        )
+        bid = 0
+        for lo, hi in zip(bounds, bounds[1:]):
+            chunk = [r for r in rows if lo < r[1] <= hi or (lo == 0 and r[1] == 0)]
+            if not chunk:
+                continue
+            stage(_events(spark, chunk), bid)
+            bid += 1
+        got = {r["key"]: r["ewma"] for r in current_ewma(spark, t).collect()}
+        for uid in sorted({u for (u, _t, _v) in rows}):
+            vals = [
+                v for (u, t_, v) in sorted(rows, key=lambda r: r[1]) if u == uid
+            ]
+            assert got[uid] == _python_ewma(vals, alpha), (seed, uid)
