@@ -184,3 +184,93 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("int").alias("dim"),
         F.sqrt(sq_sum).alias("l2_norm"),
     )
+
+
+EMB_DIM = 64
+_FP_SCALE = 1 << 20  # fixed-point quantization: exact power-of-two scaling
+
+
+@query(
+    "embedding_second_moment_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_FP_SCALE}.0) AS BIGINT))
+             AS q
+      FROM embeddings
+    ), n AS (
+      SELECT count(*) AS n FROM q
+    ), pairs AS (
+      SELECT i.i AS i, j.j AS j, q.q[i.i + 1] * q.q[j.j + 1] AS prod
+      FROM q,
+           unnest(range(0, {EMB_DIM})) AS i(i),
+           unnest(range(0, {EMB_DIM})) AS j(j)
+      WHERE j.j >= i.i
+    )
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           CAST(sum(p.prod) AS BIGINT) AS dot_q,
+           CAST(CAST(sum(p.prod) AS BIGINT) AS DOUBLE)
+             / CAST(n.n AS DOUBLE) / {float(_FP_SCALE * _FP_SCALE)} AS moment
+    FROM pairs p CROSS JOIN n
+    GROUP BY p.i, p.j, n.n
+    ORDER BY i, j
+    """,
+)
+def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment (un-centered Gram/covariance) matrix of
+    the embedding corpus — the E[x xᵀ] input to PCA / whitening /
+    covariance-shrinkage preprocessing. Upper triangle only (the matrix
+    is symmetric): d(d+1)/2 = 2080 cells for d = 64.
+
+    Exactness: embeddings quantize to fixed-point int64 at 2^20 — a
+    power-of-two scale, so float->double->scaled-floor is EXACT in both
+    engines — and every cell is then an exact int64 sum of products
+    (order-independent), with the reported double `moment` two fixed
+    IEEE divisions at the end. This is the corpus-standard "cents"
+    discipline applied to linear algebra; the quantization error is the
+    documented contract (bounded by 2^-20 per coordinate), which is what
+    makes the matrix hash-verifiable cross-engine, unlike float sums.
+
+    Shape at 100 TB: the per-row upper-triangle explode is O(d^2) CPU
+    map-side (inherent to Gram accumulation), and the partial agg
+    collapses every partition to <= 2080 cells BEFORE the single tiny
+    shuffle — the wire carries cells, never rows. int64 headroom:
+    |q| <= ~0.55 * 2^20, so cell sums overflow past ~3e7 rows; widen the
+    product sum to DECIMAL(38,0) beyond that (ANSI fails loudly at the
+    boundary rather than wrapping). At extreme d, replace the explode
+    with a mapInPandas per-partition NumPy int64 outer-product
+    accumulator — same cells shuffle, identical result."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
+            "long"
+        ),
+    )
+    n = e.agg(F.count("*").alias("n"))
+    qdf = e.select(q.alias("q"))
+    upper = qdf.select(
+        F.posexplode("q").alias("i", "qi"),
+        # slice from position i+1 (1-based) keeps j >= i: the diagonal
+        # and everything right of it
+        F.slice(F.col("q"), F.col("i") + 1, F.lit(EMB_DIM)).alias("rest"),
+    ).select("i", "qi", F.posexplode("rest").alias("p", "qj"))
+    cells = (
+        upper.select(
+            "i",
+            (F.col("i") + F.col("p")).alias("j"),
+            (F.col("qi") * F.col("qj")).alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("prod").alias("dot_q"))
+    )
+    moment = (
+        F.col("dot_q").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(float(_FP_SCALE * _FP_SCALE))
+    )
+    return (
+        cells.crossJoin(F.broadcast(n))
+        .select("i", "j", "dot_q", moment.alias("moment"))
+        .orderBy("i", "j")
+    )

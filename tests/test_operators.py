@@ -343,3 +343,31 @@ def test_corr_query_matches_numpy(spark):
         assert abs(row["corr_value_day"] - ref_corr) < 1e-9
         assert abs(row["slope_cents_per_day"] - ref_slope) < 1e-6
         assert abs(row["stddev_value"] - ref_std) < 1e-9
+
+
+def test_gram_matrix_close_to_numpy_float_gram(spark):
+    """The fixed-point second-moment matrix approximates the float Gram
+    within the documented 2^-20-per-coordinate quantization bound."""
+    import numpy as np
+
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+
+    rows = all_queries()["embedding_second_moment_matrix"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    n, d = emb.shape
+    gram = emb.T @ emb / n
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        # quantization perturbs each coordinate by < 2^-20; the moment
+        # of products then drifts by ~2 * 2^-20 * max|x| ~ 1.2e-6
+        assert abs(r["moment"] - gram[r["i"], r["j"]]) < 5e-6, (r["i"], r["j"])

@@ -307,3 +307,12 @@ def test_chi2_drift_tiny_after_contingency_checkpoint(spark):
     assert "Scan parquet" not in plan  # corpus scanned only pre-checkpoint
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gram_matrix_single_cell_shuffle(spark):
+    """The d^2 explode collapses map-side: exactly one hash exchange (of
+    <= 2080 cells), and the 1-row corpus count arrives by broadcast."""
+    plan = plan_of(spark, "embedding_second_moment_matrix")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
