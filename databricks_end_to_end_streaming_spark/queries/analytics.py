@@ -1452,21 +1452,39 @@ def chi2_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold (sort_array + F.aggregate from +0.0) that DuckDB replays via
     list ORDER BY + list_reduce — bit-identical. int64 headroom: o*g
     caps at ~3e9 rows corpus-wide before the difference needs
-    DECIMAL(38,0) widening."""
+    DECIMAL(38,0) widening.
+
+    The scoring core lives in ``chi2_over_contingency`` so the
+    streaming drift monitor (streaming/drift.py) finalizes its
+    accumulated contingency log through the EXACT same expressions —
+    drained streaming == this query bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
     binc = (F.floor(F.col("value") / 50.0) * 50).cast("long")
     obs = (
-        ev.select("event_type", binc.alias("bin_lo"))
-        .groupBy("event_type", "bin_lo")
+        ev.select(F.col("event_type").alias("key"), binc.alias("bin_lo"))
+        .groupBy("key", "bin_lo")
         .agg(F.count("*").alias("o"))
         .localCheckpoint(eager=True)
     )
+    return chi2_over_contingency(obs).select(
+        F.col("key").alias("event_type"), "n_events", "chi2", "n_bins"
+    ).orderBy("event_type")
+
+
+def chi2_over_contingency(obs: DataFrame) -> DataFrame:
+    """Chi-square homogeneity scores from a (key, bin_lo, o) contingency
+    relation — the shared exact-arithmetic core of the batch query above
+    and the streaming drift monitor's finalize. ``obs`` must already be
+    materialized (checkpointed or read from a table): every derived
+    relation below branches from it, and an unmaterialized corpus plan
+    would recompute per branch. Returns (key, n_events, chi2, n_bins),
+    unordered — callers order."""
     bt = obs.groupBy("bin_lo").agg(F.sum("o").alias("bt"))
-    tt = obs.groupBy("event_type").agg(F.sum("o").alias("tt"))
+    tt = obs.groupBy("key").agg(F.sum("o").alias("tt"))
     g = obs.agg(F.sum("o").alias("g"))
     grid = (
         tt.crossJoin(F.broadcast(bt))
-        .join(obs, ["event_type", "bin_lo"], "left")
+        .join(obs, ["key", "bin_lo"], "left")
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
         .crossJoin(F.broadcast(g))
     )
@@ -1476,9 +1494,9 @@ def chi2_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("bt") * F.col("tt")).cast("double")
         / F.col("g").cast("double")
     )
-    terms = grid.select("event_type", "bin_lo", "tt", term.alias("term"))
+    terms = grid.select("key", "bin_lo", "tt", term.alias("term"))
     return (
-        terms.groupBy("event_type", "tt")
+        terms.groupBy("key", "tt")
         .agg(
             F.aggregate(
                 F.transform(
@@ -1490,8 +1508,5 @@ def chi2_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2"),
             F.count("*").alias("n_bins"),
         )
-        .select(
-            "event_type", F.col("tt").alias("n_events"), "chi2", "n_bins"
-        )
-        .orderBy("event_type")
+        .select("key", F.col("tt").alias("n_events"), "chi2", "n_bins")
     )

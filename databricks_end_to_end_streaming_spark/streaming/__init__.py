@@ -14,6 +14,7 @@ from .anomaly import (
     score_zscore,
     summed_scalar_moments,
 )
+from .drift import chi2_drift, contingency_stage, summed_contingency
 from .ewma import current_ewma, ewma_stage
 from .moments import (
     finalize_stats,
@@ -58,6 +59,9 @@ __all__ = [
     "summed_scalar_moments",
     "ewma_stage",
     "current_ewma",
+    "contingency_stage",
+    "summed_contingency",
+    "chi2_drift",
     "moments_stage",
     "partial_moments",
     "summed_moments",
