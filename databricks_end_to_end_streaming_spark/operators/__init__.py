@@ -7,6 +7,7 @@ from .multimodal import (
     resize_images,
     sample_video_frames,
 )
+from .pca import covariance_stats, pca_components, pca_project, project_embeddings
 from .pq import pq_adc_topk, pq_encode, train_pq_codebooks
 from .ranking import global_row_number, ntile_from_rank
 from .simhash import simhash_neardup_pairs, simhash_signatures
@@ -23,6 +24,10 @@ __all__ = [
     "cms_estimate",
     "global_row_number",
     "ntile_from_rank",
+    "covariance_stats",
+    "pca_components",
+    "pca_project",
+    "project_embeddings",
     "train_pq_codebooks",
     "pq_encode",
     "pq_adc_topk",

@@ -1,0 +1,132 @@
+"""Distributed PCA over an embedding corpus.
+
+The north-star similarity stack (brute-force kNN -> LSH -> IVF -> PQ)
+gets its standard preprocessing step: project embeddings onto the top-k
+principal components (dimensionality reduction before indexing, the
+usual recipe for making IVF/PQ codebooks cheaper and ANN distances
+better conditioned).
+
+Division of labor — the only scalable one for tall-skinny data:
+
+* CLUSTER: the d x d covariance sufficient statistics (second-moment
+  cells + mean vector) via exact fixed-point int64 aggregation — the
+  same quantization discipline as the oracle-checked
+  ``embedding_second_moment_matrix`` query. One corpus pass, one tiny
+  shuffle of <= d(d+1)/2 + d cells; rows never leave executors.
+* DRIVER: eigendecomposition of the d x d matrix (d = 64 -> a 64x64
+  ``numpy.linalg.eigh``, microseconds) — this is O(d^3) with NO
+  dependence on corpus size, the textbook driver-side step (Spark
+  MLlib's own PCA does exactly this via its Gramian).
+* CLUSTER: projection y = W^T (x - mu) as k zip_with dot products with
+  the broadcast-literal component matrix — JVM-side, map-only, no
+  shuffle, no Python in the row path.
+
+Sign convention: eigh's eigenvector signs are arbitrary, so each
+component is flipped to make its largest-|coefficient| entry positive —
+deterministic output regardless of LAPACK build
+(tests/test_pca_embed.py asserts exact agreement with a NumPy
+reference under the same convention).
+
+Like IVF/PQ's k-means, the eigendecomposition itself is not
+SQL-replayable, so the registered query is rows-only with the exact
+contract pinned in pytest instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+FP_SCALE = 1 << 20  # power-of-two fixed point: exact in every engine
+
+
+def covariance_stats(emb: DataFrame, col: str = "embedding") -> tuple[np.ndarray, np.ndarray, int]:
+    """(cov, mean, n) of the embedding column via exact int64 sums of
+    2^20 fixed-point coordinates. One corpus pass; the shuffle carries
+    d(d+1)/2 second-moment cells + d mean cells, never rows. int64
+    headroom mirrors the Gram query (~3e7 rows at |x| <= 1; widen the
+    sums to DECIMAL(38,0) past that)."""
+    q = F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(FP_SCALE))).cast("long")
+    )
+    qdf = emb.select(q.alias("q"))
+    d = qdf.select(F.size("q").alias("d")).first()["d"]
+    upper = qdf.select(
+        F.posexplode("q").alias("i", "qi"),
+        F.slice(F.col("q"), F.col("i") + 1, F.lit(d)).alias("rest"),
+    ).select("i", "qi", F.posexplode("rest").alias("p", "qj"))
+    cells = (
+        upper.select(
+            "i",
+            (F.col("i") + F.col("p")).alias("j"),
+            (F.col("qi") * F.col("qj")).alias("prod"),
+            "qi",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("prod").alias("dot_q"),
+            # the diagonal's qi sum doubles as the mean accumulator —
+            # one aggregation instead of a second corpus branch
+            F.sum(F.when(F.col("i") == F.col("j"), F.col("qi"))).alias("sum_q"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    n = next(r["n"] for r in cells)
+    second = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in cells:
+        v = r["dot_q"] / float(FP_SCALE * FP_SCALE)
+        second[r["i"], r["j"]] = v
+        second[r["j"], r["i"]] = v
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["sum_q"] / float(FP_SCALE)
+    second /= n
+    mean /= n
+    cov = second - np.outer(mean, mean)
+    return cov, mean, n
+
+
+def pca_components(cov: np.ndarray, k: int) -> np.ndarray:
+    """Top-k eigenvectors of ``cov`` as a (d, k) matrix, eigenvalue-
+    descending, each column sign-fixed (largest-|entry| positive)."""
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order]
+    for c in range(w.shape[1]):
+        pivot = np.argmax(np.abs(w[:, c]))
+        if w[pivot, c] < 0:
+            w[:, c] = -w[:, c]
+    return w
+
+
+def project_embeddings(
+    emb: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append y = W^T (x - mu) as an array<double> column: one zip_with
+    dot product per component against broadcast-literal coefficient
+    arrays — map-only, JVM-side, zero shuffles."""
+    projs = []
+    for c in range(components.shape[1]):
+        w_arr = F.array(*[F.lit(float(v)) for v in components[:, c]])
+        mu_dot = float(mean @ components[:, c])
+        dot = F.aggregate(
+            F.zip_with(col, w_arr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        projs.append(dot - F.lit(mu_dot))
+    return emb.withColumn(out_col, F.array(*projs))
+
+
+def pca_project(emb: DataFrame, k: int, col: str = "embedding") -> DataFrame:
+    """End-to-end: exact covariance stats -> driver eigh -> projected
+    corpus with a ``pca`` array<double> column of length ``k``."""
+    cov, mean, _n = covariance_stats(emb, col)
+    w = pca_components(cov, k)
+    return project_embeddings(emb, w, mean, col)

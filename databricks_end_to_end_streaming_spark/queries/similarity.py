@@ -274,3 +274,26 @@ def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         .select("i", "j", "dot_q", moment.alias("moment"))
         .orderBy("i", "j")
     )
+
+
+# rows-only: like the k-means-trained IVF/PQ family, the driver-side
+# eigendecomposition is not SQL-replayable; the covariance sufficient
+# statistics ARE (embedding_second_moment_matrix above is oracle-green),
+# and the projection contract is pinned exactly in tests/test_pca_embed.py.
+@query("embedding_pca_projection")
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus projected onto its top-4 principal components
+    (operators/pca.py): exact fixed-point covariance stats on the
+    cluster (one pass, <= d(d+1)/2 + d cells shuffle), a 64x64 eigh on
+    the driver (O(d^3), corpus-size-independent — Spark MLlib's own PCA
+    shape), then a map-only zip_with projection with broadcast-literal
+    components. Sign-fixed eigenvectors make the output deterministic
+    across LAPACK builds."""
+    from ..operators.pca import pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        pca_project(e, k=4)
+        .select("vec_id", "label", "pca")
+        .orderBy("vec_id")
+    )
