@@ -98,6 +98,8 @@ NEW_OP_QUERIES = [
     "ewma_event_value_per_user",
     "brand_basket_affinity",
     "chi2_value_drift_per_type",
+    "temperature_mixture_weights",
+    "embedding_second_moment_matrix",
 ]
 
 

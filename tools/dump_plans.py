@@ -58,6 +58,11 @@ PLAN_QUERIES = [
     ("scd2_user_state_history", "both SCD2 windows share ONE user_id exchange + sort"),
     ("forward_fill_event_values", "last-non-null carry: one exchange, one linear window scan"),
     ("llm_clean_corpus_v2", "scrub -> gate -> cleaned-fingerprint dedup -> rollup as ONE Catalyst plan"),
+    ("zscore_event_anomalies", "5-row moment relation broadcast back onto a map-side scoring pass (no 5-reducer window)"),
+    ("ewma_event_value_per_user", "non-associative fold inside ONE groupBy(user) shuffle; no Python eval"),
+    ("brand_basket_affinity", "post-checkpoint: broadcast-only joins over the <=326-row pair/marginal/total relation"),
+    ("chi2_value_drift_per_type", "post-checkpoint: contingency-derived grid, broadcast totals, sorted-fold chi2"),
+    ("embedding_second_moment_matrix", "d^2 explode collapsed map-side to <=2080 Gram cells before ONE exchange"),
 ]
 
 

@@ -60,6 +60,9 @@ PROBES = [
     "ewma_event_value_per_user",
     "brand_basket_affinity",
     "chi2_value_drift_per_type",
+    "temperature_mixture_weights",
+    "embedding_second_moment_matrix",
+    "embedding_pca_projection",
     "llm_clean_corpus_v2",
     "source_lang_drift",
     "embedding_norm_profile",
