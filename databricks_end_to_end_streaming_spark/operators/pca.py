@@ -41,22 +41,25 @@ from pyspark.sql import DataFrame
 FP_SCALE = 1 << 20  # power-of-two fixed point: exact in every engine
 
 
-def covariance_stats(emb: DataFrame, col: str = "embedding") -> tuple[np.ndarray, np.ndarray, int]:
-    """(cov, mean, n) of the embedding column via exact int64 sums of
-    2^20 fixed-point coordinates. One corpus pass; the shuffle carries
-    d(d+1)/2 second-moment cells + d mean cells, never rows. int64
-    headroom mirrors the Gram query (~3e7 rows at |x| <= 1; widen the
-    sums to DECIMAL(38,0) past that)."""
+def covariance_cells(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """(i, j, dot_q, sum_q, n) covariance sufficient-statistic cells of
+    the embedding column: exact int64 sums over 2^20 fixed-point
+    coordinates, upper triangle only, the diagonal's coordinate sum
+    doubling as the mean accumulator (one aggregation, no second corpus
+    branch). The d^2 explode collapses map-side, so the shuffle carries
+    <= d(d+1)/2 cells, never rows. Cells are CELL-ADDABLE — the stats of
+    a union are the sums of the stats — which is what the streaming
+    twin (streaming/gram.py) accumulates per micro-batch."""
     q = F.transform(
         col, lambda x: F.floor(x.cast("double") * F.lit(float(FP_SCALE))).cast("long")
     )
-    qdf = emb.select(q.alias("q"))
+    qdf = df.select(q.alias("q"))
     d = qdf.select(F.size("q").alias("d")).first()["d"]
     upper = qdf.select(
         F.posexplode("q").alias("i", "qi"),
         F.slice(F.col("q"), F.col("i") + 1, F.lit(d)).alias("rest"),
     ).select("i", "qi", F.posexplode("rest").alias("p", "qj"))
-    cells = (
+    return (
         upper.select(
             "i",
             (F.col("i") + F.col("p")).alias("j"),
@@ -66,14 +69,18 @@ def covariance_stats(emb: DataFrame, col: str = "embedding") -> tuple[np.ndarray
         .groupBy("i", "j")
         .agg(
             F.sum("prod").alias("dot_q"),
-            # the diagonal's qi sum doubles as the mean accumulator —
-            # one aggregation instead of a second corpus branch
             F.sum(F.when(F.col("i") == F.col("j"), F.col("qi"))).alias("sum_q"),
             F.count("*").alias("n"),
         )
-        .collect()
     )
-    n = next(r["n"] for r in cells)
+
+
+def finalize_covariance(cells: list) -> tuple[np.ndarray, np.ndarray, int]:
+    """(cov, mean, n) from collected covariance cells — the single float
+    finalization both the batch and streaming paths share, so their
+    results are identical whenever their int64 cells are."""
+    d = max(r["j"] for r in cells) + 1
+    n = next(r["n"] for r in cells if r["i"] == r["j"])
     second = np.zeros((d, d))
     mean = np.zeros(d)
     for r in cells:
@@ -84,8 +91,15 @@ def covariance_stats(emb: DataFrame, col: str = "embedding") -> tuple[np.ndarray
             mean[r["i"]] = r["sum_q"] / float(FP_SCALE)
     second /= n
     mean /= n
-    cov = second - np.outer(mean, mean)
-    return cov, mean, n
+    return second - np.outer(mean, mean), mean, n
+
+
+def covariance_stats(emb: DataFrame, col: str = "embedding") -> tuple[np.ndarray, np.ndarray, int]:
+    """(cov, mean, n) of the embedding column via exact int64 sums of
+    2^20 fixed-point coordinates. One corpus pass; only cells reach the
+    driver. int64 headroom mirrors the Gram query (~3e7 rows at
+    |x| <= 1; widen the sums to DECIMAL(38,0) past that)."""
+    return finalize_covariance(covariance_cells(emb, col).collect())
 
 
 def pca_components(cov: np.ndarray, k: int) -> np.ndarray:

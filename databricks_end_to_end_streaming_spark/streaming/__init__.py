@@ -16,6 +16,7 @@ from .anomaly import (
 )
 from .drift import chi2_drift, contingency_stage, summed_contingency
 from .ewma import current_ewma, ewma_stage
+from .gram import covariance_from_log, gram_stage, pca_from_log
 from .moments import (
     finalize_stats,
     moments_stage,
@@ -62,6 +63,9 @@ __all__ = [
     "contingency_stage",
     "summed_contingency",
     "chi2_drift",
+    "gram_stage",
+    "covariance_from_log",
+    "pca_from_log",
     "moments_stage",
     "partial_moments",
     "summed_moments",
