@@ -14,7 +14,7 @@ Cross-engine determinism tricks:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load_table
 from . import query
@@ -1172,4 +1172,92 @@ def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double")
             / (F.max("n_src") * F.max("n_tot"))
         ).alias("l1_drift"),
+    )
+
+
+N_NEG_BUCKETS = 16
+
+
+@query(
+    "contrastive_chunk_pairs",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx FROM (
+        SELECT doc_id,
+               unnest(range(0, CAST(greatest(
+                 ceil((len(string_split_regex(trim(text), ' +'))
+                       - {CHUNK_SIZE}) / CAST({CHUNK_STRIDE} AS DOUBLE)), 0)
+                 AS BIGINT) + 1)) AS chunk_idx
+        FROM documents)
+    ), keyed AS (
+      SELECT doc_id, chunk_idx,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR))
+               AS h
+      FROM chunks
+    ), pos AS (
+      SELECT doc_id, chunk_idx, h,
+             lead(chunk_idx) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+               AS pos_chunk_idx
+      FROM keyed
+    ), neg AS (
+      SELECT *,
+             lead(doc_id) OVER w AS neg_doc_id,
+             lead(chunk_idx) OVER w AS neg_chunk_idx
+      FROM pos
+      WINDOW w AS (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id, chunk_idx)
+    )
+    SELECT doc_id, chunk_idx, pos_chunk_idx, neg_doc_id, neg_chunk_idx
+    FROM neg
+    WHERE pos_chunk_idx IS NOT NULL
+      AND neg_doc_id IS NOT NULL AND neg_doc_id <> doc_id
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def contrastive_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised training-pair construction over the chunked
+    corpus (the contrastive-embedding recipe: adjacent chunks of one
+    document are semantic positives, chunks of other documents are
+    negatives): for each anchor chunk, its next-chunk positive and a
+    DETERMINISTIC pseudo-random negative — the chunk that follows the
+    anchor in md5-hash order within its hash bucket, so re-runs and
+    backfills mine identical pairs with no stored RNG state (the same
+    reproducibility discipline as the md5 split/samplers).
+
+    Shape at 100 TB: chunk rows are (doc_id, chunk_idx) pairs — the
+    text never survives past the boundary arithmetic. Positives are one
+    lead() over the per-doc window (co-partitioned by doc). Negatives
+    partition the corpus into md5-prefix buckets (16 here; scale the
+    prefix length with the corpus so a bucket fits a partition) and
+    take one lead() in hash order inside each — a bucket-local sort,
+    never a global one. Same-doc hash-neighbors (rare) and bucket-tail
+    rows drop deterministically; both engines drop the same rows, so
+    the pair set hash-matches exactly."""
+    chunks = text_chunking(spark, sf_dir).select("doc_id", "chunk_idx")
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("chunk_idx").cast("string"),
+        ).cast("binary")
+    )
+    keyed = chunks.withColumn("h", h)
+    w_pos = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    w_neg = Window.partitionBy(F.substring("h", 1, 1)).orderBy(
+        "h", "doc_id", "chunk_idx"
+    )
+    paired = (
+        keyed.withColumn("pos_chunk_idx", F.lead("chunk_idx").over(w_pos))
+        .withColumn("neg_doc_id", F.lead("doc_id").over(w_neg))
+        .withColumn("neg_chunk_idx", F.lead("chunk_idx").over(w_neg))
+    )
+    return (
+        paired.where(
+            F.col("pos_chunk_idx").isNotNull()
+            & F.col("neg_doc_id").isNotNull()
+            & (F.col("neg_doc_id") != F.col("doc_id"))
+        )
+        .select(
+            "doc_id", "chunk_idx", "pos_chunk_idx", "neg_doc_id", "neg_chunk_idx"
+        )
+        .orderBy("doc_id", "chunk_idx")
     )

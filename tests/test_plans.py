@@ -316,3 +316,11 @@ def test_gram_matrix_single_cell_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contrastive_pairs_no_global_window(spark):
+    """Positives window by doc, negatives by md5 bucket — a global
+    (single-partition) window would be the 100 TB failure mode."""
+    plan = plan_of(spark, "contrastive_chunk_pairs")
+    assert plan.count("Window") >= 2
+    assert "SinglePartition" not in plan
