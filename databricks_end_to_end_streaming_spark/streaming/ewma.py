@@ -66,7 +66,12 @@ def ewma_stage(
 ):
     """foreachBatch body factory: continue each key's EWMA fold across
     micro-batches. Wire as
-    ``stream.writeStream.foreachBatch(ewma_stage(...))``."""
+    ``stream.writeStream.foreachBatch(ewma_stage(...))``.
+
+    ``order`` must form a TOTAL order per key within a batch (add a
+    unique tiebreaker — e.g. ``("ts", "event_id")``, the batch query's
+    convention): ties would otherwise sort by the value field of the
+    gathered struct, silently changing the fold order."""
 
     a = F.lit(float(alpha))
 
