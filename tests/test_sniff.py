@@ -102,3 +102,45 @@ def test_sniff_flags_declared_vs_actual_mismatch(spark):
         | (F.col("meta.height") != F.col("sniffed.height"))
     )
     assert flagged.count() == 1
+
+
+# -- property tests: sniffed metadata equals the writer's parameters --
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_frames=st.integers(1, 500),
+        channels=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        width=st.sampled_from([1, 2]),
+    )
+    def test_wav_sniff_roundtrip_property(n_frames, channels, rate, width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(width)
+            wf.setframerate(rate)
+            wf.writeframes(b"\x01" * width * channels * n_frames)
+        out = _sniff_header(buf.getvalue())
+        assert (out["format"], out["channels"], out["sample_rate"], out["n_frames"]) == (
+            "wav", channels, rate, n_frames,
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        c=st.sampled_from([1, 2, 3, 4]),
+    )
+    def test_png_sniff_roundtrip_property(w, h, c):
+        arr = np.zeros((h, w, c), dtype=np.uint8)
+        out = _sniff_header(encode_png(arr))
+        assert (out["format"], out["width"], out["height"], out["channels"]) == (
+            "png", w, h, c,
+        )
+
+except ImportError:  # pragma: no cover - hypothesis is in this container
+    pass
