@@ -1261,3 +1261,91 @@ def contrastive_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+CORRUPT_BLOCK = 10  # tokens per corruption block
+
+
+@query(
+    "span_corruption_spec",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS n
+      FROM documents
+    ), blocks AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST(ceil(n / {CORRUPT_BLOCK}.0) AS BIGINT)))
+               AS blk
+      FROM toks
+    ), h AS (
+      SELECT doc_id, n, blk,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)) AS m
+      FROM blocks
+    ), calc AS (
+      SELECT doc_id, blk,
+             ('0x' || substr(m, 2, 1))::BIGINT AS h1,
+             ('0x' || substr(m, 3, 4))::BIGINT AS h2,
+             least({CORRUPT_BLOCK}, n - blk * {CORRUPT_BLOCK}) AS block_len
+      FROM h
+      WHERE substr(m, 1, 1) < '4'
+    )
+    SELECT doc_id,
+           blk * {CORRUPT_BLOCK}
+             + (h2 % (block_len - least(1 + (h1 % 3), block_len) + 1))
+             AS span_start,
+           least(1 + (h1 % 3), block_len) AS span_len
+    FROM calc
+    ORDER BY doc_id, span_start
+    """,
+)
+def span_corruption_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan: which token spans of each document
+    a denoising objective should mask — ~25% of fixed-size blocks
+    selected, span length 1-3, offset within the block, all derived
+    from md5 digits of (doc_id, block). Like the md5 split/samplers and
+    the contrastive miner, the spec is a pure function of the ids:
+    re-runs, backfills, and distributed workers mask IDENTICAL spans
+    with no stored RNG state, and block-local spans can never overlap
+    (the public fixed-block variant of span corruption; per-example
+    determinism is what makes the plan auditable).
+
+    Shape at 100 TB: token counts come from the same boundary
+    arithmetic as chunking (text dropped immediately); the block
+    explode emits ~n/{CORRUPT_BLOCK} tiny rows, filtered map-side to
+    the ~25% selected — zero shuffles except the output sort. Every
+    quantity is integer arithmetic over md5 hex digits, so DuckDB
+    replays the exact spans (hash-match verifies the corruption plan
+    itself)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim("text"), " +"))
+    c = F.ceil(n / F.lit(float(CORRUPT_BLOCK))).cast("long")
+    blocks = d.select(
+        "doc_id", n.alias("n"), c.alias("c")
+    ).select(
+        "doc_id", "n", F.explode(F.sequence(F.lit(0), F.col("c") - 1)).alias("blk")
+    )
+    m = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("blk").cast("string")
+        ).cast("binary")
+    )
+    calc = (
+        blocks.withColumn("m", m)
+        .where(F.substring("m", 1, 1) < "4")
+        .select(
+            "doc_id",
+            "blk",
+            F.conv(F.substring("m", 2, 1), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("m", 3, 4), 16, 10).cast("long").alias("h2"),
+            F.least(
+                F.lit(CORRUPT_BLOCK), F.col("n") - F.col("blk") * CORRUPT_BLOCK
+            ).alias("block_len"),
+        )
+    )
+    span_len = F.least(F.lit(1) + F.col("h1") % 3, F.col("block_len"))
+    off = F.col("h2") % (F.col("block_len") - span_len + 1)
+    return calc.select(
+        "doc_id",
+        (F.col("blk") * CORRUPT_BLOCK + off).alias("span_start"),
+        span_len.alias("span_len"),
+    ).orderBy("doc_id", "span_start")
