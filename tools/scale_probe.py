@@ -63,6 +63,8 @@ PROBES = [
     "temperature_mixture_weights",
     "embedding_second_moment_matrix",
     "embedding_pca_projection",
+    "contrastive_chunk_pairs",
+    "span_corruption_spec",
     "llm_clean_corpus_v2",
     "source_lang_drift",
     "embedding_norm_profile",
