@@ -218,7 +218,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count diff."""
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
-    pairs = lsh_candidate_pairs(sigs)
+    # verify_jaccard consumes the candidate relation three times (the
+    # two id projections of the semi-join filter + the final pair join);
+    # unmaterialized, each consumer re-runs the signature+band subplan —
+    # profiled at ~35% of this query's wall time at sf0.1. Candidates
+    # are small by construction (bounded by the near-dup count, not the
+    # corpus), so pin them once. The streaming stage needs no pin: its
+    # per-batch candidates land in the band-index table anyway.
+    pairs = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
     return verify_jaccard(pairs, d).where(F.col("jaccard") >= NEARDUP_THRESHOLD)
 
 
