@@ -154,7 +154,11 @@ def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = clean_corpus(d).persist()
     try:
         sigs = minhash_signatures(kept)
-        pairs = verify_jaccard(lsh_candidate_pairs(sigs), kept).where(
+        # Same pin as dedup_minhash_lsh: the candidate relation feeds
+        # the verify step's three consumers; without it each one re-runs
+        # the signature+band subplan over the (cached) kept corpus.
+        cand = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
+        pairs = verify_jaccard(cand, kept).where(
             F.col("jaccard") >= NEARDUP_THRESHOLD
         )
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
