@@ -76,6 +76,12 @@ def neardup_batch(
             )
             cand = cand.union(cross).distinct()
 
+        # verify_jaccard consumes the candidate relation three times
+        # (semi-join id projections + the pair join); unpinned, each
+        # consumer re-runs the index probe per micro-batch (same fix as
+        # dedup_minhash_lsh / the pipeline). Candidates are small.
+        cand = cand.localCheckpoint(eager=True)
+
         # exact verification re-scans only candidate docs: the batch for
         # new ids, the accumulated docs table for seen ids. A REPLAYED
         # batch already has its docs in the table (written at the end of
