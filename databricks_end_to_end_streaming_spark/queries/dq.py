@@ -344,3 +344,119 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "dsir_importance_selection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS l
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(bg), 1, 2))::BIGINT AS b
+      FROM bigrams
+    ), doc_tf AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+      FROM hashed GROUP BY doc_id, b
+    ), buckets AS (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS cnt_r,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t
+      FROM hashed GROUP BY b
+    ), totals AS (
+      SELECT CAST(sum(cnt_r) AS BIGINT) AS total_r,
+             CAST(sum(cnt_t) AS BIGINT) AS total_t
+      FROM buckets
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.tf * (k.cnt_t * t.total_r - k.cnt_r * t.total_t))
+                AS BIGINT) AS dsir_score
+    FROM doc_tf d
+    JOIN buckets k USING (b)
+    CROSS JOIN totals t
+    GROUP BY d.doc_id
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper): score
+    every document by how much its hashed-n-gram feature distribution
+    matches a target slice (here lang='en' — in production, a curated
+    high-quality corpus) versus the raw pool, then keep the top-N.
+
+    Log-free exact-integer formulation for cross-engine hash parity: the
+    usual importance weight sum(tf_b * log(p_t[b]/p_r[b])) is replaced by
+    the same-ranking integer lift sum(tf_b * (cnt_t[b]*total_r -
+    cnt_r[b]*total_t)) — positive iff the bucket is over-represented in
+    the target — so Spark and DuckDB agree bit-for-bit with no libm.
+
+    Shape at 100 TB: bigram explode is narrow; per-(doc, bucket) tf is
+    one partial-agg'd shuffle; the bucket distribution table is 256 rows
+    (a broadcast join, NOT a shuffle), the totals row is a 1-row
+    broadcast; per-doc score is a second partial-agg'd shuffle keyed like
+    the first; top-N is TakeOrdered (no global sort). Int64 is exact up
+    to ~petatoken corpora (cnt*total < 2^63); beyond that, widen the
+    lift to decimal(38,0) on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_scores(d, target=F.col("lang") == "en")
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(100)
+    )
+
+
+def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
+    """Per-doc DSIR integer lift score over hashed word-bigram buckets.
+
+    ``docs`` needs (doc_id, text) plus whatever columns ``target``
+    reads; ``target`` is the boolean predicate defining the target
+    distribution slice. Returns (doc_id, dsir_score) for every doc with
+    at least one bigram. See ``dsir_importance_selection`` for the
+    formulation and the 100 TB plan shape."""
+    from pyspark.sql import Window
+
+    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    words = docs.select(
+        "doc_id",
+        target.alias("is_target"),
+        F.posexplode(F.split(norm, " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hashed = (
+        words.withColumn("w2", F.lead("w").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "is_target",
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "w", "w2")), 1, 2), 16, 10
+            )
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    doc_tf = hashed.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
+    buckets = hashed.groupBy("b").agg(
+        F.count("*").alias("cnt_r"),
+        F.count_if(F.col("is_target")).alias("cnt_t"),
+    )
+    totals = buckets.agg(
+        F.sum("cnt_r").alias("total_r"), F.sum("cnt_t").alias("total_t")
+    )
+    lift = F.col("tf") * (
+        F.col("cnt_t") * F.col("total_r") - F.col("cnt_r") * F.col("total_t")
+    )
+    return (
+        doc_tf.join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.sum(lift).cast("long").alias("dsir_score"))
+    )

@@ -324,3 +324,14 @@ def test_contrastive_pairs_no_global_window(spark):
     plan = plan_of(spark, "contrastive_chunk_pairs")
     assert plan.count("Window") >= 2
     assert "SinglePartition" not in plan
+
+
+def test_dsir_broadcasts_bucket_distributions(spark):
+    """The 256-row bucket table and the 1-row totals must both reach the
+    per-doc tf relation as broadcasts, and top-N must be TakeOrdered —
+    a shuffled bucket join or a global sort would break the 100 TB
+    shape."""
+    plan = plan_of(spark, "dsir_importance_selection")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
