@@ -233,3 +233,56 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "score")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): cluster embeddings with the IVF
+    coarse quantizer, score cosine only WITHIN each cluster, and drop
+    every vector that has a lower-id cluster-mate above the threshold
+    (the min-id member represents each semantic-dup group; the paper
+    keeps the member farthest from the centroid — a policy knob, the
+    pair mining is identical). Returns the kept rows of ``emb`` with all
+    original columns.
+
+    Shape at 100 TB: this is the paper's own complexity argument —
+    k-means bounds the pair space to sum(|cluster|^2) ~ n^2/k instead of
+    n^2. The self-join shuffles on the cluster key (AQE splits skewed
+    clusters); cosine is JVM-side HOFs; the drop set joins back as a
+    broadcast-able anti-join. Centroid training collects only a fixed
+    sample (train_ivf_centroids); assignment is one Arrow-batched matmul
+    per batch. Raise n_centroids with corpus size to hold n^2/k flat."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(emb, n_centroids, vec_col, id_col)
+    )
+    assigned = ivf_assign(
+        emb.select(id_col, vec_col), cents, vec_col, nprobe=1
+    ).select(
+        F.col(id_col),
+        F.col("cluster_ids")[0].alias("cluster"),
+        F.col(vec_col),
+    )
+    left = assigned.select(
+        F.col(id_col).alias("id_a"), "cluster", F.col(vec_col).alias("_va")
+    )
+    right = assigned.select(
+        F.col(id_col).alias("id_b"), "cluster", F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        left.join(right, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine("_va", "_vb") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dropped, id_col, "left_anti")
