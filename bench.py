@@ -100,6 +100,8 @@ NEW_OP_QUERIES = [
     "chi2_value_drift_per_type",
     "temperature_mixture_weights",
     "embedding_second_moment_matrix",
+    "dsir_importance_selection",
+    "semdedup_embeddings",
 ]
 
 

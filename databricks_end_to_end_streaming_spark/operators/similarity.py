@@ -238,7 +238,7 @@ def ann_lsh_topk(
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
@@ -259,11 +259,23 @@ def semdedup(
     clusters); cosine is JVM-side HOFs; the drop set joins back as a
     broadcast-able anti-join. Centroid training collects only a fixed
     sample (train_ivf_centroids); assignment is one Arrow-batched matmul
-    per batch. Raise n_centroids with corpus size to hold n^2/k flat."""
+    per batch. n_centroids defaults to ceil(n/256) (>= 16): average
+    cluster size stays ~constant as the corpus grows, so total pair work
+    is ~256·n — linear, not quadratic (the paper trains 50k clusters on
+    its web-scale corpus for the same reason)."""
+    if centroids is None and n_centroids is None:
+        n = emb.count()
+        n_centroids = max(16, -(-n // 256))
     cents = (
         centroids
         if centroids is not None
-        else train_ivf_centroids(emb, n_centroids, vec_col, id_col)
+        else train_ivf_centroids(
+            emb,
+            n_centroids,
+            vec_col,
+            id_col,
+            sample_size=max(4096, 32 * n_centroids),
+        )
     )
     assigned = ivf_assign(
         emb.select(id_col, vec_col), cents, vec_col, nprobe=1

@@ -304,7 +304,8 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup over the full embeddings table: IVF
     k-means clusters bound the pair space (n^2/k, the paper's core
     trick), within-cluster cosine >= 0.5 drops all but the min-id member
-    of each semantic-dup group. Deterministic given the seeded quantizer
+    of each semantic-dup group; k scales as ceil(n/256) so pair work
+    stays linear in corpus size. Deterministic given the seeded quantizer
     (same reason the IVF/PQ family is rows-only: Lloyd's iterations
     aren't SQL-replayable); recall on planted twins and agreement with a
     sequential NumPy twin are pytest-asserted (tests/test_semdedup.py)."""
@@ -312,7 +313,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        semdedup(emb, threshold=0.5, n_centroids=16)
+        semdedup(emb, threshold=0.5)
         .select("vec_id", "label")
         .orderBy("vec_id")
     )

@@ -69,6 +69,9 @@ PROBES = [
     "source_lang_drift",
     "embedding_norm_profile",
     "hilbert_events_row_preservation",
+    # round-4 data-selection family
+    "dsir_importance_selection",
+    "semdedup_embeddings",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
