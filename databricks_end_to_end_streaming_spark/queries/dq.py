@@ -413,14 +413,10 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
-    """Per-doc DSIR integer lift score over hashed word-bigram buckets.
-
-    ``docs`` needs (doc_id, text) plus whatever columns ``target``
-    reads; ``target`` is the boolean predicate defining the target
-    distribution slice. Returns (doc_id, dsir_score) for every doc with
-    at least one bigram. See ``dsir_importance_selection`` for the
-    formulation and the 100 TB plan shape."""
+def dsir_bigram_buckets(docs: DataFrame, target: Column) -> DataFrame:
+    """(doc_id, is_target, b): one row per word-bigram instance with its
+    md5 hash bucket (0..255). The shared feature extraction for batch
+    and streaming DSIR."""
     from pyspark.sql import Window
 
     norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
@@ -430,7 +426,7 @@ def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
         F.posexplode(F.split(norm, " ")).alias("pos", "w"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    hashed = (
+    return (
         words.withColumn("w2", F.lead("w").over(w))
         .where(F.col("w2").isNotNull())
         .select(
@@ -443,11 +439,14 @@ def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
             .alias("b"),
         )
     )
-    doc_tf = hashed.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
-    buckets = hashed.groupBy("b").agg(
-        F.count("*").alias("cnt_r"),
-        F.count_if(F.col("is_target")).alias("cnt_t"),
-    )
+
+
+def dsir_score_from(doc_tf: DataFrame, buckets: DataFrame) -> DataFrame:
+    """Score (doc_id, dsir_score) from merged relations: ``doc_tf``
+    (doc_id, b, tf) and ``buckets`` (b, cnt_r, cnt_t). Pure integer
+    arithmetic — associative, so partial relations folded from any batch
+    slicing score identically to a one-shot pass (the streaming stage's
+    drained == batch guarantee)."""
     totals = buckets.agg(
         F.sum("cnt_r").alias("total_r"), F.sum("cnt_t").alias("total_t")
     )
@@ -460,3 +459,20 @@ def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(lift).cast("long").alias("dsir_score"))
     )
+
+
+def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
+    """Per-doc DSIR integer lift score over hashed word-bigram buckets.
+
+    ``docs`` needs (doc_id, text) plus whatever columns ``target``
+    reads; ``target`` is the boolean predicate defining the target
+    distribution slice. Returns (doc_id, dsir_score) for every doc with
+    at least one bigram. See ``dsir_importance_selection`` for the
+    formulation and the 100 TB plan shape."""
+    hashed = dsir_bigram_buckets(docs, target)
+    doc_tf = hashed.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
+    buckets = hashed.groupBy("b").agg(
+        F.count("*").alias("cnt_r"),
+        F.count_if(F.col("is_target")).alias("cnt_t"),
+    )
+    return dsir_score_from(doc_tf, buckets)

@@ -15,6 +15,7 @@ from .anomaly import (
     summed_scalar_moments,
 )
 from .drift import chi2_drift, contingency_stage, summed_contingency
+from .dsir import dsir_scores_from_log, dsir_stage
 from .ewma import current_ewma, ewma_stage
 from .gram import covariance_from_log, gram_stage, pca_from_log
 from .moments import (
@@ -63,6 +64,8 @@ __all__ = [
     "contingency_stage",
     "summed_contingency",
     "chi2_drift",
+    "dsir_stage",
+    "dsir_scores_from_log",
     "gram_stage",
     "covariance_from_log",
     "pca_from_log",
