@@ -63,6 +63,8 @@ PLAN_QUERIES = [
     ("brand_basket_affinity", "post-checkpoint: broadcast-only joins over the <=326-row pair/marginal/total relation"),
     ("chi2_value_drift_per_type", "post-checkpoint: contingency-derived grid, broadcast totals, sorted-fold chi2"),
     ("embedding_second_moment_matrix", "d^2 explode collapsed map-side to <=2080 Gram cells before ONE exchange"),
+    ("dsir_importance_selection", "bigram explode -> (doc,bucket) tf shuffle -> broadcast 256-row distribution + 1-row totals -> TakeOrdered top-N"),
+    ("semdedup_embeddings", "Arrow-batched cluster assignment -> within-cluster self-join (n^2/k pair space) -> broadcast anti-join drop"),
 ]
 
 
