@@ -16,6 +16,7 @@ from .anomaly import (
 )
 from .drift import chi2_drift, contingency_stage, summed_contingency
 from .dsir import dsir_scores_from_log, dsir_stage
+from .semdedup_stage import kept_vectors, semdedup_batch
 from .ewma import current_ewma, ewma_stage
 from .gram import covariance_from_log, gram_stage, pca_from_log
 from .moments import (
@@ -66,6 +67,8 @@ __all__ = [
     "chi2_drift",
     "dsir_stage",
     "dsir_scores_from_log",
+    "semdedup_batch",
+    "kept_vectors",
     "gram_stage",
     "covariance_from_log",
     "pca_from_log",
