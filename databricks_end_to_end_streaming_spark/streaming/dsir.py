@@ -34,19 +34,23 @@ def dsir_stage(tf_table: ParquetTable, bucket_table: ParquetTable, target: Colum
     and per-bucket distribution partials under the replay token."""
 
     def stage(batch_df: DataFrame, batch_id: int) -> None:
-        hashed = dsir_bigram_buckets(batch_df, target).localCheckpoint(
-            eager=True
-        )
-        doc_tf = (
-            hashed.groupBy("doc_id", "b")
+        # One explode per batch: pin the COLLAPSED (doc, bucket) tf, not
+        # the bigram stream, and derive the distribution partial from it
+        # (same single-scan shape as the batch dsir_scores).
+        tf3 = (
+            dsir_bigram_buckets(batch_df, target)
+            .groupBy("doc_id", "is_target", "b")
             .agg(F.count("*").alias("tf"))
-            .withColumn("_batch_id", F.lit(batch_id))
+            .localCheckpoint(eager=True)
         )
+        doc_tf = tf3.drop("is_target").withColumn("_batch_id", F.lit(batch_id))
         buckets = (
-            hashed.groupBy("b")
+            tf3.groupBy("b")
             .agg(
-                F.count("*").alias("cnt_r"),
-                F.count_if(F.col("is_target")).alias("cnt_t"),
+                F.sum("tf").alias("cnt_r"),
+                F.sum(
+                    F.when(F.col("is_target"), F.col("tf")).otherwise(F.lit(0))
+                ).alias("cnt_t"),
             )
             .withColumn("_batch_id", F.lit(batch_id))
         )
