@@ -102,6 +102,7 @@ NEW_OP_QUERIES = [
     "embedding_second_moment_matrix",
     "dsir_importance_selection",
     "semdedup_embeddings",
+    "lm_fluency_score",
 ]
 
 

@@ -1349,3 +1349,114 @@ def span_corruption_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("blk") * CORRUPT_BLOCK + off).alias("span_start"),
         span_len.alias("span_len"),
     ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "lm_fluency_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+      WHERE len(string_split_regex(trim(text), ' +')) >= 2
+    ), inst AS (
+      SELECT doc_id, s['pos'] AS pos, s['w1'] AS w1, s['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> {'pos': i, 'w1': ws[i], 'w2': ws[i + 1]})) AS s
+        FROM toks
+      )
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2
+    ), bic AS (
+      SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+             CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+      FROM bi
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT w1 AS w FROM bi UNION SELECT w2 AS w FROM bi
+      )
+    ), terms AS (
+      SELECT i.doc_id, i.pos,
+             CAST(b.c12 + 1 AS DOUBLE) / CAST(b.c1 + vocab.v AS DOUBLE) AS p
+      FROM inst i JOIN bic b USING (w1, w2) CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           list_reduce(list(p ORDER BY pos), (a, x) -> a + x)
+             / CAST(count(*) AS DOUBLE) AS mean_bigram_prob
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM fluency filter (the CCNet/Wikipedia-LM pipeline
+    step, made engine-exact): score every document by the mean
+    Laplace-smoothed bigram probability of its text under the corpus's
+    own bigram model — low scores flag disfluent/garbled documents for
+    removal, the same role perplexity plays in CCNet.
+
+    The mean PROBABILITY (arithmetic) stands in for perplexity
+    (geometric): ln() carries no cross-engine bit guarantee (Java
+    intrinsics vs libm), while each term here is ONE correctly-rounded
+    IEEE division of exact int64s — (c12+1)/(c1+V) — and the per-doc
+    sum runs as the corpus-standard sorted fold (by bigram position)
+    that DuckDB replays bit-for-bit via list_reduce. Ranking behavior
+    matches the perplexity filter's purpose: both are monotone quality
+    signals under the same LM.
+
+    Plan at 100 TB: the bigram instance stream collapses into the
+    (w1, w2) model by one partial-agg'd shuffle; c1 is a window over
+    the vocabulary-sized model (the corpus never reaches it); V is a
+    1-row broadcast; the instance->model join co-keys on (w1, w2); the
+    per-doc fold happens inside one groupBy(doc_id) shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), " +").alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    inst = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+            )
+        ).alias("pos", "pr"),
+    ).select("doc_id", "pos", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    bi = inst.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bic = bi.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1")).cast("long")
+    )
+    vocab = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    terms = (
+        inst.join(bic, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "p"))),
+            lambda st: st["p"],
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (fold / F.count("*").cast("double")).alias("mean_bigram_prob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -335,3 +335,11 @@ def test_dsir_broadcasts_bucket_distributions(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_fluency_vocab_broadcast_no_cartesian(spark):
+    """V must reach the term relation as a 1-row broadcast, and the
+    instance->model join must be a real equi-join, not a cartesian."""
+    plan = plan_of(spark, "lm_fluency_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

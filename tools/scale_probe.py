@@ -72,6 +72,7 @@ PROBES = [
     # round-4 data-selection family
     "dsir_importance_selection",
     "semdedup_embeddings",
+    "lm_fluency_score",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
