@@ -1460,3 +1460,37 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "hashed_tf_features",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents
+    ), signed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+             CASE WHEN substr(md5(w), 9, 1) < '8' THEN 1 ELSE -1 END AS s
+      FROM words
+    )
+    SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+    FROM signed
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorization (Weinberger et al. 2009; MLlib
+    HashingTF) of every document into 64 signed hash buckets — the
+    text->vector bridge that feeds the cosine/ANN/SemDeDup operators
+    without ever building a vocabulary. Sparse (doc_id, bucket, weight)
+    is the oracled contract (exact int64 signed counts); the dense
+    array<double> packing is operators/vectorize.py::hashed_tf_dense.
+    Plan: narrow hash map + ONE partial-agg'd (doc, bucket) shuffle —
+    vocabulary-independent by construction."""
+    from ..operators.vectorize import hashed_tf_sparse  # lazy: avoids cycle
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_tf_sparse(d, dim=64).orderBy("doc_id", "bucket")
