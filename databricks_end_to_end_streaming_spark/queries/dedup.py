@@ -434,3 +434,76 @@ def dedup_ngram_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_ngram_spans(
         d, "text", "doc_id", k=3, min_df=5, min_df_pct=1
     )
+
+
+@query(
+    "decontaminate_minhash_lsh",
+    # Oracle: exact corpus x benchmark jaccard (quadratic in the two
+    # slices — fine for DuckDB at sf0.01). The Spark side only verifies
+    # banded candidates, so equality additionally asserts banding
+    # recall, exactly as in dedup_minhash_lsh; max() selects one
+    # already-computed IEEE division, so it is bit-stable.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
+             )) AS shingles
+      FROM documents
+    ), bench AS (
+      SELECT * FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT * FROM sh WHERE doc_id % 97 <> 0
+    ), scored AS (
+      SELECT c.doc_id,
+             CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE) /
+               (len(c.shingles) + len(b.shingles)
+                - len(list_intersect(c.shingles, b.shingles))) AS jaccard
+      FROM corpus c, bench b
+    )
+    SELECT doc_id, max(jaccard) AS max_jaccard
+    FROM scored
+    GROUP BY doc_id
+    HAVING max(jaccard) >= {NEARDUP_THRESHOLD}
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents whose
+    word-shingle jaccard against ANY benchmark document reaches the
+    near-dup threshold — the paraphrase-robust complement of the exact
+    shingle-hit scrub (decontaminate_ngram_overlap), and what large
+    pretraining runs actually deploy (n-gram hits miss light rewording;
+    MinHash similarity doesn't).
+
+    Scale shape: where the exact scrub broadcasts the benchmark's
+    shingle SET, this broadcasts its band table (8 tiny rows per
+    benchmark doc) — corpus bands meet it in a map-side join, so the
+    candidate space is bucket collisions, never |corpus| x |bench|;
+    exact jaccard re-reads only candidate documents (semi-join-pruned,
+    same as dedup_minhash_lsh). Candidates are pinned before the
+    three-consumer verification, per the profiled convention."""
+    d = load_table(spark, sf_dir, "documents")
+    bench_bands = band_rows(minhash_signatures(d.where(F.col("doc_id") % 97 == 0)))
+    corpus_bands = band_rows(minhash_signatures(d.where(F.col("doc_id") % 97 != 0)))
+    pairs = (
+        corpus_bands.alias("c")
+        .join(
+            F.broadcast(bench_bands.alias("b")),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("c.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return (
+        verify_jaccard(pairs, d)
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.max("jaccard").alias("max_jaccard"))
+        .where(F.col("max_jaccard") >= NEARDUP_THRESHOLD)
+        .orderBy("doc_id")
+    )

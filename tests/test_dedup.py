@@ -123,3 +123,53 @@ def test_minhash_signature_is_deterministic(spark):
     s1 = {r["doc_id"]: (r["h0"], r["h7"]) for r in minhash_signatures(df).collect()}
     s2 = {r["doc_id"]: (r["h0"], r["h7"]) for r in minhash_signatures(df).collect()}
     assert s1 == s2
+
+
+def test_fuzzy_decontamination_flags_planted_contamination(spark, tmp_path):
+    """Plant paraphrased benchmark leaks into the corpus slice and run
+    the registered fuzzy-decontamination query over a synthetic
+    documents table: every contaminated doc (and nothing else) must be
+    flagged, with max_jaccard matching the exact word-shingle jaccard."""
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+
+    rng = random.Random(41)
+    rows = []
+    # benchmark docs: ids divisible by 97 (0, 97, 194)
+    bench_texts = {}
+    for bid in (0, 97, 194):
+        t = " ".join(rng.choice(WORDS) for _ in range(80))
+        bench_texts[bid] = t
+        rows.append((bid, t))
+    # clean corpus docs
+    for i in range(1, 30):
+        rows.append((i, " ".join(rng.choice(WORDS) for _ in range(80))))
+    # contaminated corpus docs: light paraphrases of benchmark items
+    contaminated = []
+    for k, bid in enumerate((0, 97)):
+        toks = bench_texts[bid].split()
+        for _ in range(3):
+            toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+        cid = 50 + k
+        rows.append((cid, " ".join(toks)))
+        contaminated.append((cid, bid))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r["max_jaccard"]
+        for r in all_queries()["decontaminate_minhash_lsh"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expect = {
+        cid
+        for cid, bid in contaminated
+        if word_jaccard(
+            dict(rows)[cid], bench_texts[bid]
+        ) >= NEARDUP_THRESHOLD
+    }
+    assert set(out) == expect and len(expect) > 0
+    for cid, bid in contaminated:
+        if cid in out:
+            assert abs(
+                out[cid] - word_jaccard(dict(rows)[cid], bench_texts[bid])
+            ) < 1e-12
