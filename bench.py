@@ -103,6 +103,8 @@ NEW_OP_QUERIES = [
     "dsir_importance_selection",
     "semdedup_embeddings",
     "lm_fluency_score",
+    "hashed_tf_features",
+    "decontaminate_minhash_lsh",
 ]
 
 

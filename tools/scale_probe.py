@@ -73,6 +73,8 @@ PROBES = [
     "dsir_importance_selection",
     "semdedup_embeddings",
     "lm_fluency_score",
+    "hashed_tf_features",
+    "decontaminate_minhash_lsh",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
