@@ -155,6 +155,16 @@ def _bench_sf1(spark, sf_dir: str, k: int = 10) -> dict:
     # (cold cache + tight time budget, disk pressure, a killed prior
     # replication) degrades to an explanatory extras entry instead.
     try:
+        # The canary runs LAST in a session that has evaluated every
+        # extra: release lingering localCheckpoint/cache blocks first so
+        # the 10x queries get the whole heap (their absence was the OOM
+        # cause observed before spark.driver.memory was raised; cheap
+        # insurance either way).
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
         repo = os.path.dirname(os.path.abspath(__file__))
         sys.path.insert(0, os.path.join(repo, "tools"))
         from scale_probe import replicate

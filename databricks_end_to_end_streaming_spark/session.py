@@ -45,6 +45,13 @@ def get_spark(
 
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     conf = {
+        # Local mode launches the driver JVM with Spark's 1g default
+        # heap unless told otherwise — far too small for a 32-thread
+        # "cluster" whose executors, shuffle blocks, broadcast vars and
+        # localCheckpoint storage all share it (observed: heap OOM in a
+        # long bench session). Honored only at JVM launch; a session
+        # that already exists keeps its heap.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.session.timeZone": "UTC",
         # AQE: coalesce post-shuffle partitions, split skewed joins.

@@ -65,6 +65,9 @@ PLAN_QUERIES = [
     ("embedding_second_moment_matrix", "d^2 explode collapsed map-side to <=2080 Gram cells before ONE exchange"),
     ("dsir_importance_selection", "bigram explode -> (doc,bucket) tf shuffle -> broadcast 256-row distribution + 1-row totals -> TakeOrdered top-N"),
     ("semdedup_embeddings", "Arrow-batched cluster assignment -> within-cluster self-join (n^2/k pair space) -> broadcast anti-join drop"),
+    ("lm_fluency_score", "instance->model co-keyed join, vocabulary-sized window, 1-row V broadcast, per-doc sorted fold in ONE groupBy"),
+    ("decontaminate_minhash_lsh", "corpus bands x BROADCAST benchmark bands -> pinned candidates -> semi-join-pruned exact verify"),
+    ("hashed_tf_features", "vocabulary-free signed hashing: narrow map + ONE partial-agg'd (doc,bucket) shuffle"),
 ]
 
 
