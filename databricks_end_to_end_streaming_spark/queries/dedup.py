@@ -26,7 +26,7 @@ construction (Mining of Massive Datasets §3.4) — public literature.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load_table
 from . import query
@@ -270,12 +270,11 @@ def dedup_ngram_overlap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "neardup_connected_components",
-    # Oracle: exact pair graph (all-pairs jaccard, as dedup_minhash_lsh)
-    # + a recursive CTE computing reachability; component id = min
-    # reachable node. The Spark side must converge to the same labels.
-    oracle=f"""
+# Shared oracle scaffolding: exact pair graph (all-pairs jaccard, as
+# dedup_minhash_lsh) + a recursive CTE computing reachability; component
+# id = min reachable node. The Spark side must converge to the same
+# labels. Reused by the canonical-selection oracle below.
+_REACH_CTE = f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -299,10 +298,16 @@ def dedup_ngram_overlap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT u, v FROM edges
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
     )
-    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-    FROM reach GROUP BY u
-    """,
+"""
+
+
+@query(
+    "neardup_connected_components",
+    oracle=_REACH_CTE + "SELECT doc_id, cluster_id FROM comp",
 )
 def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over the
@@ -506,4 +511,58 @@ def decontaminate_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("jaccard").alias("max_jaccard"))
         .where(F.col("max_jaccard") >= NEARDUP_THRESHOLD)
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "neardup_canonical_selection",
+    # Reuses the exact reachability CTE; canonical choice is a window
+    # row_number with a total order (quality desc, doc_id asc), so both
+    # engines pick the identical representative per cluster.
+    oracle=_REACH_CTE
+    + """
+    , tok AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT cluster_id, doc_id, n_tokens,
+           CAST(CASE WHEN row_number() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY n_tokens DESC, doc_id ASC) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+    FROM comp JOIN tok USING (doc_id)
+    """,
+)
+def neardup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster,
+    keep the HIGHEST-quality member (here: most tokens; ties break on
+    doc_id) instead of the arbitrary min-id doc — what production dedup
+    actually wants, since the shortest copy is often the truncated one.
+    The cluster relation is tiny relative to the corpus (only docs with a
+    near-dup), so it BROADCASTS onto the token-count scan; the ranking
+    window partitions by cluster id — cluster-sized partitions, never a
+    global sort."""
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = verify_jaccard(pairs, d).where(F.col("jaccard") >= NEARDUP_THRESHOLD)
+    comps = connected_components(verified, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    tok = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tokens")
+    )
+    joined = tok.join(F.broadcast(comps), on="doc_id", how="inner")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return joined.select(
+        "cluster_id",
+        "doc_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).cast("long").alias("is_canonical"),
     )

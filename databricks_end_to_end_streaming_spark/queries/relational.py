@@ -487,3 +487,45 @@ def unpivot_profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "bloom_semi_join_urgent_revenue",
+    # The Bloom filter is result-transparent (false positives are removed
+    # by the exact semi join, false negatives are impossible), so the
+    # oracle is the PLAIN semi join + aggregate — a green hash-match
+    # proves the runtime-filter plumbing never changes semantics.
+    oracle="""
+    SELECT
+      l_returnflag,
+      count(*) AS n_lines,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning: discounted revenue per return flag over
+    lineitems whose order is URGENT, with the fact side Bloom-pruned
+    BEFORE the exact semi join (operators/bloom.py). The bitmap build is
+    one partial-agg'd shuffle of <=m/64 word rows (independent of build
+    cardinality) and the probe is a map-only broadcast-join stage, so at
+    100 TB only ~the matching fraction of lineitem ever reaches the semi
+    join's shuffle — the same asymmetry Spark's own InjectRuntimeFilter
+    exploits, here as a composable public-API operator."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -1494,3 +1494,157 @@ def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return hashed_tf_sparse(d, dim=64).orderBy("doc_id", "bucket")
+
+
+_GOPHER_STOPS = ["the", "and", "of", "to", "a"]
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+        CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(nrm) - (len(string_split(nrm, ' ')) - 1) AS BIGINT)
+          AS char_sum,
+        CAST(len(list_filter(string_split(nrm, ' '),
+                             w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+          AS alpha_words,
+        {' + '.join(_occurrences_sql('nrm', w) for w in _GOPHER_STOPS)}
+          AS stop_hits
+      FROM nrm
+    )
+    SELECT doc_id, n_tokens,
+      CAST(char_sum AS DOUBLE) / n_tokens    AS mean_word_len,
+      CAST(alpha_words AS DOUBLE) / n_tokens AS alpha_word_ratio,
+      stop_hits,
+      CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+             AND CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0
+             AND CAST(alpha_words AS DOUBLE) / n_tokens >= 0.8
+             AND stop_hits >= 2
+           THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+    FROM feat
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, public): word
+    count in [50, 100k], mean word length in [3, 10], >=80% of words
+    containing an alphabetic character, and >=2 stopword hits — ALL rules
+    evaluated in ONE narrow projection pass (no shuffle, no UDF; the
+    per-word alpha test is a JVM higher-order ``filter``). Each ratio is
+    a single IEEE division of exact integers, so the pass/fail booleans
+    are bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    nrm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    base = d.select("doc_id", nrm.alias("nrm"))
+    toks = F.split(F.col("nrm"), " ")
+    n_tokens = F.size(toks).cast("long")
+    char_sum = (F.length("nrm") - (F.size(toks) - F.lit(1))).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stop_hits = sum(
+        [_occurrences("nrm", w) for w in _GOPHER_STOPS], F.lit(0).cast("long")
+    )
+    feat = base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        char_sum.alias("char_sum"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+    )
+    mean_len = F.col("char_sum").cast("double") / F.col("n_tokens")
+    alpha_ratio = F.col("alpha_words").cast("double") / F.col("n_tokens")
+    passes = (
+        F.col("n_tokens").between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (alpha_ratio >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        "stop_hits",
+        passes.cast("long").alias("passes_gopher"),
+    )
+
+
+_HEAPS_BUCKET = 50  # docs per growth-curve point; widen ~corpus/1000 at scale
+
+
+@query(
+    "vocab_growth_heaps",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+      FROM documents
+    ), words AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), ' +')) AS w
+      FROM documents
+    ), firsts AS (
+      SELECT w, min(doc_id) AS first_doc FROM words WHERE w <> '' GROUP BY w
+    ), nw AS (
+      SELECT CAST(floor(first_doc / {_HEAPS_BUCKET}) AS BIGINT) AS bucket,
+             count(*) AS new_words
+      FROM firsts GROUP BY 1
+    ), tb AS (
+      SELECT CAST(floor(doc_id / {_HEAPS_BUCKET}) AS BIGINT) AS bucket,
+             sum(n) AS bucket_tokens
+      FROM toks GROUP BY 1
+    )
+    SELECT tb.bucket AS bucket,
+           CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+           CAST(coalesce(new_words, 0) AS BIGINT) AS new_words,
+           CAST(sum(bucket_tokens) OVER (ORDER BY tb.bucket) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY tb.bucket)
+                AS BIGINT) AS cum_vocab
+    FROM tb LEFT JOIN nw USING (bucket)
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size as a
+    function of cumulative token count, in doc-id order. The expensive
+    piece — "when did each word FIRST appear" — is a plain ``min(doc_id)``
+    aggregate over exploded words (algebraic: map-side partials, one
+    vocabulary-sized shuffle), NOT a running distinct count; the curve
+    then lives on bucket-count rows, so the cumulative window is over a
+    tiny relation (widen ``_HEAPS_BUCKET`` with corpus size to keep it
+    so)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n"),
+    )
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " +")).alias("w")
+    ).where(F.col("w") != "")
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    bucket = lambda c: F.floor(F.col(c) / _HEAPS_BUCKET).cast("long")  # noqa: E731
+    nw = (
+        firsts.groupBy(bucket("first_doc").alias("bucket"))
+        .agg(F.count("*").alias("new_words"))
+    )
+    tb = toks.groupBy(bucket("doc_id").alias("bucket")).agg(
+        F.sum("n").alias("bucket_tokens")
+    )
+    joined = tb.join(nw, on="bucket", how="left").select(
+        "bucket",
+        F.col("bucket_tokens").cast("long").alias("bucket_tokens"),
+        F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        "bucket_tokens",
+        "new_words",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -1,0 +1,72 @@
+"""Invariant tests for the Gopher quality gate, the Heaps vocabulary
+growth curve, and quality-aware canonical selection (queries/text.py,
+queries/dedup.py). Cross-engine value parity is the driver's DuckDB
+gate; these assert the semantic invariants on real testdata."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_consistent(spark):
+    rows = all_queries()["gopher_quality_rules"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        want = int(
+            50 <= r.n_tokens <= 100_000
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.alpha_word_ratio >= 0.8
+            and r.stop_hits >= 2
+        )
+        assert r.passes_gopher == want
+        # This corpus is all-lowercase word salad: every word is alpha.
+        assert r.alpha_word_ratio == 1.0
+    # The gate must actually split the corpus, not rubber-stamp it.
+    passed = sum(r.passes_gopher for r in rows)
+    assert 0 < passed < len(rows)
+
+
+def test_heaps_curve_invariants(spark):
+    rows = sorted(
+        all_queries()["vocab_growth_heaps"](spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), " +")))
+    ).collect()[0][0]
+    total_vocab = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), " +")).alias("w"))
+        .where(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_tokens == total_tokens
+    assert rows[-1].cum_vocab == total_vocab
+    # Cumulative columns are running sums of the per-bucket columns.
+    ct = cv = 0
+    for r in rows:
+        ct += r.bucket_tokens
+        cv += r.new_words
+        assert (r.cum_tokens, r.cum_vocab) == (ct, cv)
+    # Sub-linear growth: later buckets contribute fewer new words than
+    # the first (Heaps' law shape on any natural-ish corpus).
+    assert rows[-1].new_words < rows[0].new_words
+
+
+def test_canonical_selection_per_cluster(spark):
+    rows = all_queries()["neardup_canonical_selection"](spark, SF_DIR).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        canon = [m for m in members if m.is_canonical == 1]
+        assert len(canon) == 1  # exactly one representative
+        best = max(members, key=lambda m: (m.n_tokens, -m.doc_id))
+        assert canon[0].doc_id == best.doc_id  # and it is the best one
