@@ -100,6 +100,56 @@ def bloom_probe(
     return out
 
 
+def bloom_probe_flag(
+    probe: DataFrame,
+    key: str,
+    bitmap: DataFrame,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    flag: str = "might_contain",
+) -> DataFrame:
+    """Like :func:`bloom_probe`, but keeps EVERY probe row and adds a
+    boolean ``flag`` column instead of filtering — the shape callers need
+    when definitely-absent rows take a different (cheaper) path than
+    maybe-present ones. Left joins, so a missing word row reads as bit
+    unset."""
+    out = probe
+    hits = []
+    for i, s in enumerate(seeds):
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"_bf{i}_idx"), F.col("word").alias(f"_bf{i}_word")
+        )
+        bkt = f"_bf{i}_bkt"
+        out = out.withColumn(bkt, _bucket(F.col(key), s, m_bits)).join(
+            F.broadcast(bm),
+            F.shiftright(F.col(bkt), 6) == F.col(f"_bf{i}_idx"),
+            "left",
+        )
+        hits.append(
+            F.expr(
+                f"coalesce((shiftright(_bf{i}_word, CAST({bkt} % 64 AS INT)) & 1)"
+                " = 1, false)"
+            )
+        )
+    all_set = hits[0]
+    for h in hits[1:]:
+        all_set = all_set & h
+    out = out.withColumn(flag, all_set)
+    for i in range(len(seeds)):
+        out = out.drop(f"_bf{i}_bkt", f"_bf{i}_idx", f"_bf{i}_word")
+    return out
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """bit_or-merge two bitmap relations. bit_or is idempotent AND
+    commutative, so merging the same batch twice (an at-least-once
+    replay) or in any order yields the identical filter — the property
+    that makes the bitmap safe as incremental streaming state."""
+    return (
+        a.unionByName(b).groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
+    )
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
