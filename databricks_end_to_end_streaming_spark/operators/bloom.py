@@ -3,31 +3,37 @@
 Spark's own adaptive runtime filters (InjectRuntimeFilter /
 ``bloom_filter_agg``) are internal and not SQL-registered in this build,
 so the engine provides the same capability as a first-class composable
-operator, built entirely from public aggregate expressions:
+operator, built entirely from public aggregate expressions. The layout
+is a BLOCKED Bloom filter (Putze, Sanders & Singler 2007): both probe
+bits of a key live in the SAME 64-bit word, so membership needs exactly
+ONE word lookup —
 
-* **Build**: the build side's join keys are hashed (``xxhash64``, k
-  seeds) to bucket positions in an ``m``-bit filter. The filter is
-  materialized as a DataFrame of 64-bit words — ``(word_idx, word)``
-  with ``word = bit_or(1 << (bucket & 63))`` grouped by
-  ``word_idx = bucket >> 6``. The build is one partial-agg'd shuffle on
-  word_idx (at most ``m/64`` tiny rows cross the wire, regardless of
-  build-side row count) and never touches the driver.
-* **Probe**: each probe row computes its k buckets and broadcast-joins
-  the word table on ``word_idx``; a row survives only if ALL k bits are
-  set. An inner join is exactly Bloom semantics: a missing word row
-  means the bit is 0, i.e. definitely-absent. The probe is a map-only
-  stage (scan -> k broadcast hash joins -> filter), so pruning happens
-  BEFORE any shuffle the downstream exact join needs.
+* **Build**: ``word_idx = hash0(key) % (m/64)`` picks the block; two bit
+  positions are carved from independent halves of ``hash1(key)``. The
+  filter materializes as a DataFrame of non-zero words —
+  ``(word_idx, word = bit_or(bit1 | bit2))`` — via one partial-agg'd
+  shuffle bounded by ``m/64`` rows REGARDLESS of build cardinality, and
+  never touches the driver.
+* **Probe**: each probe row broadcast-joins its single block word and
+  survives iff both bits are set. Inner join is exactly Bloom
+  semantics — a missing word row means the block is all-zero, i.e.
+  definitely-absent. The probe is a map-only stage (scan -> ONE
+  broadcast hash join -> bit test), so pruning happens BEFORE any
+  shuffle the downstream exact join needs.
 
-False positives are possible (rate ~ (1 - e^{-kn/m})^k), false negatives
-are not — callers MUST follow the probe with an exact join; the filter's
-job is to shrink that join's shuffle input. At 100 TB: a 2^27-bit filter
-is 16 MiB broadcast (2M words) no matter how many build rows fed it,
-while the key set itself could be tens of GiB — that asymmetry is the
-whole point of runtime filtering.
+False positives are possible (~(2·n/m)² at low load, slightly worse than
+an unblocked filter at equal m — the price of one-lookup probes), false
+negatives are not. Callers MUST follow the probe with an exact join; the
+filter's job is to shrink that join's shuffle input. Size ``m_bits``
+at ~16-32 bits per build key: at 100 TB a 2^27-bit filter is a 16 MiB
+broadcast (2M words) no matter how many build rows fed it, while the key
+set itself could be tens of GiB — that asymmetry is the whole point of
+runtime filtering.
 
-Background: Bloom (1970); runtime filter pushdown as in Spark's
-InjectRuntimeFilter design (SPARK-32268) — public literature/API only.
+Background: Bloom (1970); blocked layout per Putze et al., "Cache-,
+Hash- and Space-Efficient Bloom Filters" (2007); runtime-filter pushdown
+as in Spark's InjectRuntimeFilter design (SPARK-32268) — public
+literature/API only.
 """
 
 from __future__ import annotations
@@ -35,35 +41,44 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-DEFAULT_M_BITS = 1 << 20  # 128 KiB of filter -> ~16K word rows
+DEFAULT_M_BITS = 1 << 23  # 1 MiB of filter -> 128K word rows max
 DEFAULT_SEEDS = (0x5EED1, 0x5EED2)
 
 
-def _bucket(key: F.Column, seed: int, m_bits: int) -> F.Column:
-    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+def _with_block_and_mask(
+    df: DataFrame, key: str, m_bits: int, seeds: tuple[int, int]
+) -> DataFrame:
+    """Add ``_bf_widx`` (block word index) and ``_bf_mask`` (two-bit
+    word mask) for ``key`` — the only place the hashing scheme lives, so
+    build and probe can never disagree."""
+    return df.withColumn(
+        "_bf_widx",
+        F.pmod(F.xxhash64(F.col(key), F.lit(seeds[0])), F.lit(m_bits // 64)),
+    ).withColumn(
+        "_bf_h", F.xxhash64(F.col(key), F.lit(seeds[1]))
+    ).withColumn(
+        "_bf_mask",
+        F.expr(
+            "shiftleft(1L, CAST(pmod(_bf_h, 64) AS INT)) | "
+            "shiftleft(1L, CAST(pmod(shiftright(_bf_h, 6), 64) AS INT))"
+        ),
+    ).drop("_bf_h")
 
 
 def bloom_build(
     build: DataFrame,
     key: str,
     m_bits: int = DEFAULT_M_BITS,
-    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    seeds: tuple[int, int] = DEFAULT_SEEDS,
 ) -> DataFrame:
-    """Aggregate the build side's ``key`` column into a Bloom bitmap
-    relation ``(word_idx: long, word: long)`` (non-zero words only)."""
+    """Aggregate the build side's ``key`` column into a blocked-Bloom
+    bitmap relation ``(word_idx: long, word: long)`` (non-zero words
+    only)."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    per_seed = [
-        build.select(_bucket(F.col(key), s, m_bits).alias("bucket")) for s in seeds
-    ]
-    buckets = per_seed[0]
-    for other in per_seed[1:]:
-        buckets = buckets.unionAll(other)
     return (
-        buckets.select(
-            F.shiftright("bucket", 6).alias("word_idx"),
-            F.expr("shiftleft(1L, CAST(bucket % 64 AS INT))").alias("w"),
-        )
+        _with_block_and_mask(build, key, m_bits, seeds)
+        .select(F.col("_bf_widx").alias("word_idx"), F.col("_bf_mask").alias("w"))
         .groupBy("word_idx")
         .agg(F.expr("bit_or(w)").alias("word"))
     )
@@ -74,30 +89,20 @@ def bloom_probe(
     key: str,
     bitmap: DataFrame,
     m_bits: int = DEFAULT_M_BITS,
-    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    seeds: tuple[int, int] = DEFAULT_SEEDS,
 ) -> DataFrame:
-    """Keep only probe rows whose ``key`` MIGHT be in the filter (all k
-    bits set). Map-only: k broadcast joins + bit tests, no shuffle of the
-    probe side. Schema is unchanged."""
-    out = probe
-    for i, s in enumerate(seeds):
-        bm = bitmap.select(
-            F.col("word_idx").alias(f"_bf{i}_idx"), F.col("word").alias(f"_bf{i}_word")
-        )
-        bkt = f"_bf{i}_bkt"
-        out = (
-            out.withColumn(bkt, _bucket(F.col(key), s, m_bits))
-            .join(
-                F.broadcast(bm),
-                F.shiftright(F.col(bkt), 6) == F.col(f"_bf{i}_idx"),
-                "inner",
-            )
-            .where(
-                F.expr(f"(shiftright(_bf{i}_word, CAST({bkt} % 64 AS INT)) & 1) = 1")
-            )
-            .drop(bkt, f"_bf{i}_idx", f"_bf{i}_word")
-        )
-    return out
+    """Keep only probe rows whose ``key`` MIGHT be in the filter (both
+    bits of its block set). Map-only: ONE broadcast join + a bit test,
+    no shuffle of the probe side. Schema is unchanged."""
+    bm = bitmap.select(
+        F.col("word_idx").alias("_bf_idx"), F.col("word").alias("_bf_word")
+    )
+    return (
+        _with_block_and_mask(probe, key, m_bits, seeds)
+        .join(F.broadcast(bm), F.col("_bf_widx") == F.col("_bf_idx"), "inner")
+        .where(F.expr("(_bf_word & _bf_mask) = _bf_mask"))
+        .drop("_bf_widx", "_bf_mask", "_bf_idx", "_bf_word")
+    )
 
 
 def bloom_probe_flag(
@@ -105,39 +110,25 @@ def bloom_probe_flag(
     key: str,
     bitmap: DataFrame,
     m_bits: int = DEFAULT_M_BITS,
-    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    seeds: tuple[int, int] = DEFAULT_SEEDS,
     flag: str = "might_contain",
 ) -> DataFrame:
     """Like :func:`bloom_probe`, but keeps EVERY probe row and adds a
     boolean ``flag`` column instead of filtering — the shape callers need
     when definitely-absent rows take a different (cheaper) path than
-    maybe-present ones. Left joins, so a missing word row reads as bit
-    unset."""
-    out = probe
-    hits = []
-    for i, s in enumerate(seeds):
-        bm = bitmap.select(
-            F.col("word_idx").alias(f"_bf{i}_idx"), F.col("word").alias(f"_bf{i}_word")
+    maybe-present ones. Left join, so a missing block reads as all-zero."""
+    bm = bitmap.select(
+        F.col("word_idx").alias("_bf_idx"), F.col("word").alias("_bf_word")
+    )
+    return (
+        _with_block_and_mask(probe, key, m_bits, seeds)
+        .join(F.broadcast(bm), F.col("_bf_widx") == F.col("_bf_idx"), "left")
+        .withColumn(
+            flag,
+            F.expr("coalesce((_bf_word & _bf_mask) = _bf_mask, false)"),
         )
-        bkt = f"_bf{i}_bkt"
-        out = out.withColumn(bkt, _bucket(F.col(key), s, m_bits)).join(
-            F.broadcast(bm),
-            F.shiftright(F.col(bkt), 6) == F.col(f"_bf{i}_idx"),
-            "left",
-        )
-        hits.append(
-            F.expr(
-                f"coalesce((shiftright(_bf{i}_word, CAST({bkt} % 64 AS INT)) & 1)"
-                " = 1, false)"
-            )
-        )
-    all_set = hits[0]
-    for h in hits[1:]:
-        all_set = all_set & h
-    out = out.withColumn(flag, all_set)
-    for i in range(len(seeds)):
-        out = out.drop(f"_bf{i}_bkt", f"_bf{i}_idx", f"_bf{i}_word")
-    return out
+        .drop("_bf_widx", "_bf_mask", "_bf_idx", "_bf_word")
+    )
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -156,7 +147,7 @@ def bloom_semi_join(
     probe_key: str,
     build_key: str,
     m_bits: int = DEFAULT_M_BITS,
-    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    seeds: tuple[int, int] = DEFAULT_SEEDS,
 ) -> DataFrame:
     """EXACT left-semi join, runtime-filter accelerated: Bloom-prune the
     probe side first (map-only), then exact ``leftsemi`` on the

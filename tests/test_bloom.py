@@ -35,8 +35,8 @@ def test_bitmap_is_small_and_word_packed(spark):
 def test_probe_prunes_disjoint_keys(spark):
     build = spark.range(0, 500).select(F.col("id").alias("k"))
     bitmap = bloom_build(build, "k", m_bits=M_BITS)
-    # Disjoint probe keys: only Bloom false positives survive. With
-    # n=500, m=2^14, k=2 the expected FP rate is ~(1-e^{-2n/m})^2 ~ 0.3%.
+    # Disjoint probe keys: only Bloom false positives survive. Blocked
+    # layout, n=500, m=2^14: ~4 bits/word average, FP ~ (4/64)^2 ~ 0.4%.
     probe = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
     n_fp = bloom_probe(probe, "k", bitmap, m_bits=M_BITS).count()
     assert n_fp < 500  # pruned >95% of 10k disjoint keys

@@ -68,6 +68,10 @@ PLAN_QUERIES = [
     ("lm_fluency_score", "instance->model co-keyed join, vocabulary-sized window, 1-row V broadcast, per-doc sorted fold in ONE groupBy"),
     ("decontaminate_minhash_lsh", "corpus bands x BROADCAST benchmark bands -> pinned candidates -> semi-join-pruned exact verify"),
     ("hashed_tf_features", "vocabulary-free signed hashing: narrow map + ONE partial-agg'd (doc,bucket) shuffle"),
+    ("bloom_semi_join_urgent_revenue", "bitmap build bounded by m/64 word rows -> map-only broadcast-join probe -> exact semi join on survivors"),
+    ("gopher_quality_rules", "all four quality rules in ONE narrow projection pass, zero shuffles"),
+    ("vocab_growth_heaps", "first-occurrence min-agg (vocab-sized shuffle); cumulative window on bucket-count rows only"),
+    ("neardup_canonical_selection", "LSH pair graph -> min-label components -> BROADCAST cluster map onto token scan -> per-cluster window"),
 ]
 
 

@@ -75,6 +75,11 @@ PROBES = [
     "lm_fluency_score",
     "hashed_tf_features",
     "decontaminate_minhash_lsh",
+    # round-4 quality/runtime-filter family
+    "bloom_semi_join_urgent_revenue",
+    "gopher_quality_rules",
+    "vocab_growth_heaps",
+    "neardup_canonical_selection",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
