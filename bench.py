@@ -105,6 +105,10 @@ NEW_OP_QUERIES = [
     "lm_fluency_score",
     "hashed_tf_features",
     "decontaminate_minhash_lsh",
+    "bloom_semi_join_urgent_revenue",
+    "gopher_quality_rules",
+    "vocab_growth_heaps",
+    "neardup_canonical_selection",
 ]
 
 

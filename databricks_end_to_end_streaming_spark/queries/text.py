@@ -1648,3 +1648,88 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
         F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+@query(
+    "token_budget_waterfill",
+    # Threshold search is closed-form on the per-source aggregate: for
+    # each ascending-sorted row, a candidate threshold assumes all
+    # smaller sources are fully kept; exactly one candidate lands inside
+    # its row's [prev_count, count] bracket. One IEEE division makes the
+    # threshold, so both engines compute bit-identical allocations.
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, source) AS rn,
+             sum(n_tokens) OVER (ORDER BY n_tokens, source
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             count(*) OVER () AS m,
+             sum(n_tokens) OVER () AS total
+      FROM per_source
+    ), cand AS (
+      SELECT *,
+             (total * 6) // 10 AS budget,
+             CAST(((total * 6) // 10) - (cum - n_tokens) AS DOUBLE)
+               / (m - rn + 1) AS t,
+             coalesce(lag(n_tokens) OVER (ORDER BY rn), 0) AS prev_n
+      FROM ranked
+    ), thresh AS (
+      SELECT min(t) AS t FROM cand
+      WHERE t >= prev_n AND t <= n_tokens
+    )
+    SELECT source, n_tokens,
+           least(CAST(n_tokens AS DOUBLE), thresh.t) AS allocation,
+           least(CAST(n_tokens AS DOUBLE), thresh.t) / n_tokens
+             AS kept_fraction
+    FROM per_source, thresh
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: spend a
+    global budget (here 60% of corpus tokens, integer arithmetic) by
+    keeping small sources whole and capping large ones at a common
+    threshold t with sum(min(n_i, t)) = budget — the standard capacity
+    allocation used to stop one crawl dump from dominating a training
+    mixture. Everything after the per-source aggregate (one partial-agg
+    shuffle) runs on a sources-sized relation, so the unpartitioned
+    windows are over a handful of rows at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), " +"))).cast("long").alias("n_tokens")
+    )
+    order = Window.orderBy("n_tokens", "source")
+    everything = Window.orderBy("n_tokens", "source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_source.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(order).alias("rn"),
+        F.sum("n_tokens").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count("*").over(everything).alias("m"),
+        F.sum("n_tokens").over(everything).alias("total"),
+    )
+    budget = F.expr("(total * 6) DIV 10")
+    cand = ranked.select(
+        "*",
+        ((budget - (F.col("cum") - F.col("n_tokens"))).cast("double")
+         / (F.col("m") - F.col("rn") + 1)).alias("t"),
+        F.coalesce(F.lag("n_tokens").over(Window.orderBy("rn")), F.lit(0)).alias(
+            "prev_n"
+        ),
+    )
+    thresh = cand.where(
+        (F.col("t") >= F.col("prev_n")) & (F.col("t") <= F.col("n_tokens"))
+    ).agg(F.min("t").alias("t"))
+    alloc = F.least(F.col("n_tokens").cast("double"), F.col("t"))
+    return per_source.crossJoin(F.broadcast(thresh)).select(
+        "source",
+        "n_tokens",
+        alloc.alias("allocation"),
+        (alloc / F.col("n_tokens")).alias("kept_fraction"),
+    )

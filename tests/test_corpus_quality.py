@@ -70,3 +70,20 @@ def test_canonical_selection_per_cluster(spark):
         assert len(canon) == 1  # exactly one representative
         best = max(members, key=lambda m: (m.n_tokens, -m.doc_id))
         assert canon[0].doc_id == best.doc_id  # and it is the best one
+
+
+def test_waterfill_budget_invariants(spark):
+    rows = all_queries()["token_budget_waterfill"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    budget = total * 6 // 10
+    spent = sum(r.allocation for r in rows)
+    assert abs(spent - budget) < 1e-6 * budget  # budget spent exactly
+    t = max(r.allocation for r in rows)  # the common cap
+    for r in rows:
+        assert r.allocation <= r.n_tokens + 1e-9
+        # water-filling shape: either capped at t, or kept whole below t
+        assert r.allocation == t or (
+            abs(r.allocation - r.n_tokens) < 1e-9 and r.n_tokens <= t
+        )
+        assert 0 < r.kept_fraction <= 1.0 + 1e-12
