@@ -566,3 +566,117 @@ def neardup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).cast("long").alias("is_canonical"),
     )
+
+
+CONTAIN_K = 16  # bottom-k sketch size
+CONTAIN_THRESHOLD = 0.8  # |A n B| / |A|
+CONTAIN_MIN_SHINGLES = 10  # ignore trivially small shingle sets
+
+
+@query(
+    "containment_bottomk_sketch",
+    # Oracle: exact all-DIRECTED-pairs containment over the identical
+    # md5-hashed shingle sets (the hash is part of the definition, so
+    # collisions — ~|corpus shingles|^2 / 2^60 — cannot cause a
+    # cross-engine diff). Equality additionally asserts sketch recall:
+    # every qualifying pair here has |outer|/|inner| far below K, where
+    # the bottom-K candidate argument (see docstring) makes a miss
+    # vanishingly unlikely.
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_transform(
+                 range(1, greatest(len(string_split(
+                   lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
+                 i -> array_to_string(string_split(
+                   lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
+               ),
+               sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT
+             )) AS hset
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+           CAST(len(a.hset) AS BIGINT) AS n_inner,
+           CAST(len(list_intersect(a.hset, b.hset)) AS BIGINT) AS n_shared,
+           CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE) / len(a.hset)
+             AS containment
+    FROM hs a JOIN hs b ON a.doc_id <> b.doc_id
+    WHERE len(a.hset) >= {CONTAIN_MIN_SHINGLES}
+      AND CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE) / len(a.hset)
+            >= {CONTAIN_THRESHOLD}
+    ORDER BY doc_inner, doc_outer
+    """,
+)
+def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-containment (|A∩B| / |A| >= 0.8): finds documents
+    mostly contained inside another — the truncated-copy / quote-heavy /
+    subset-duplicate case that symmetric Jaccard under-scores (a short
+    doc inside a long one has low Jaccard but containment ~1).
+
+    Scale shape — bottom-K sketch join (Broder's bottom-k sketches,
+    public literature), NOT all-pairs: each doc contributes only its K
+    smallest md5 shingle-hashes; docs sharing a sketch hash become
+    candidate pairs (bucket join on a 64-bit key, K rows per doc).
+    Recall argument: if A is c-contained in B, each of A's bottom-K
+    hashes lands in B's set with prob ~c, and A's minimum ranks ~|B|/|A|
+    within B — far under K for the |B| <= ~K/2 x |A| regime this detects
+    — so a qualifying pair misses only if ALL sketch overlaps fall
+    outside both bottom-Ks. Exact verification then re-derives full hash
+    sets ONLY for candidate docs (semi-join pruned re-scan, as
+    verify_jaccard). The md5 hash (not xxhash64) is deliberate: DuckDB
+    replays it, so the driver hash-match verifies the containment
+    arithmetic itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(_norm(), " ").alias("toks"))
+    hashed = toks.select(
+        "doc_id", F.explode(_word_shingles("toks")).alias("sh")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("h"))
+    sketch = hashed.withColumn("_rn", rn).where(F.col("_rn") <= CONTAIN_K).drop("_rn")
+    cand = (
+        sketch.alias("a")
+        .join(
+            sketch.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_inner"), F.col("b.doc_id").alias("doc_outer")
+        )
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_inner").alias("doc_id"))
+        .union(cand.select(F.col("doc_outer").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        hashed.join(ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hset"))
+    )
+    a = sets.select(F.col("doc_id").alias("doc_inner"), F.col("hset").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_outer"), F.col("hset").alias("set_b"))
+    shared = F.size(F.array_intersect("set_a", "set_b"))
+    containment = shared.cast("double") / F.size("set_a")
+    return (
+        cand.join(a, "doc_inner")
+        .join(b, "doc_outer")
+        .where(
+            (F.size("set_a") >= CONTAIN_MIN_SHINGLES)
+            & (containment >= CONTAIN_THRESHOLD)
+        )
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.size("set_a").cast("long").alias("n_inner"),
+            shared.cast("long").alias("n_shared"),
+            containment.alias("containment"),
+        )
+        .orderBy("doc_inner", "doc_outer")
+    )

@@ -1733,3 +1733,42 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.alias("allocation"),
         (alloc / F.col("n_tokens")).alias("kept_fraction"),
     )
+
+
+@query("zlib_compression_ratio")  # rows-only: DuckDB has no DEFLATE
+def zlib_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal: DEFLATE-compressed size over raw
+    size per document. Highly repetitive/templated text compresses far
+    below natural prose, making the ratio a cheap standalone quality
+    gate (the public gzip-compressibility heuristic used alongside
+    Gopher rules in corpus filtering).
+
+    zlib is not expressible in SQL, so this is the engine's canonical
+    Arrow-batched hot path: ``mapInPandas`` with a fixed compression
+    level, one pass, no shuffle — the text never leaves its input
+    partition and only (doc_id, 3 numbers) rows come out. Exactness is
+    pytest-pinned against sequential ``zlib.compress`` on the same
+    bytes (same zlib build in-container)."""
+    import pandas as pd  # noqa: F401 (schema doc)
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "compression_ratio": comp / n,
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        score, "doc_id long, n_bytes long, n_compressed long, compression_ratio double"
+    )

@@ -87,3 +87,45 @@ def test_waterfill_budget_invariants(spark):
             abs(r.allocation - r.n_tokens) < 1e-9 and r.n_tokens <= t
         )
         assert 0 < r.kept_fraction <= 1.0 + 1e-12
+
+
+def test_zlib_ratio_matches_sequential(spark):
+    import zlib
+
+    rows = all_queries()["zlib_compression_ratio"](spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        raw = docs[r.doc_id].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert (r.n_bytes, r.n_compressed) == (len(raw), comp)
+        assert r.compression_ratio == comp / len(raw)
+
+
+def test_containment_finds_planted_subset(spark, workdir):
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"tok{i}" for i in range(400)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(120))) for i in range(30)]
+    # doc 100: the first 45 words of doc 4 — contained, but low jaccard
+    inner = " ".join(docs[4][1].split()[:45])
+    docs.append((100, inner))
+    sf_dir = f"{workdir}/sf"
+    import os
+
+    os.makedirs(sf_dir)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in all_queries()["containment_bottomk_sketch"](spark, sf_dir).collect()
+    }
+    assert (100, 4) in got and got[(100, 4)] >= 0.99  # subset found
+    assert (4, 100) not in got  # the long doc is NOT contained in the short
