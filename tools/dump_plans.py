@@ -72,6 +72,9 @@ PLAN_QUERIES = [
     ("gopher_quality_rules", "all four quality rules in ONE narrow projection pass, zero shuffles"),
     ("vocab_growth_heaps", "first-occurrence min-agg (vocab-sized shuffle); cumulative window on bucket-count rows only"),
     ("neardup_canonical_selection", "LSH pair graph -> min-label components -> BROADCAST cluster map onto token scan -> per-cluster window"),
+    ("token_budget_waterfill", "per-source partial agg; threshold search + windows on a sources-sized relation only"),
+    ("containment_bottomk_sketch", "bottom-K sketch bucket join (K rows/doc) -> semi-join-pruned full-set verify; never all-pairs"),
+    ("zlib_compression_ratio", "ONE Arrow-batched mapInPandas pass, zero shuffles, payload never leaves its partition"),
 ]
 
 

@@ -80,6 +80,9 @@ PROBES = [
     "gopher_quality_rules",
     "vocab_growth_heaps",
     "neardup_canonical_selection",
+    "token_budget_waterfill",
+    "containment_bottomk_sketch",
+    "zlib_compression_ratio",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
