@@ -109,6 +109,9 @@ NEW_OP_QUERIES = [
     "gopher_quality_rules",
     "vocab_growth_heaps",
     "neardup_canonical_selection",
+    "token_budget_waterfill",
+    "containment_bottomk_sketch",
+    "zlib_compression_ratio",
 ]
 
 

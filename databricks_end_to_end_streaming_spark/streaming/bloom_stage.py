@@ -76,6 +76,20 @@ def bloom_dedup_batch(
     try:
         if bitmap_table.exists():
             bitmap = bitmap_table.read(spark)
+        elif fp_table.exists():
+            # Crash window: fingerprints landed but the bitmap write did
+            # not (it is last in the write order). Rebuild the filter
+            # from the fingerprint table — a one-time O(corpus) recovery
+            # scan instead of a silent dedup hole for non-streaming
+            # callers (the streaming checkpoint replays the batch anyway).
+            bitmap = bloom_build(
+                fp_table.read(spark).where(F.col("batchid") != batch_id),
+                "fp",
+                m_bits,
+            ).localCheckpoint(eager=True)
+        else:
+            bitmap = None
+        if bitmap is not None:
             flagged = bloom_probe_flag(batch, "fp", bitmap, m_bits, flag="_hit")
             flagged.persist()
             try:
@@ -100,7 +114,6 @@ def bloom_dedup_batch(
             finally:
                 flagged.unpersist()
         else:
-            bitmap = None
             new_docs = batch
             counters = {"definitely_new": batch.count(), "exact_checked": 0}
 

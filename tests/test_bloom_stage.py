@@ -102,3 +102,20 @@ def test_streaming_wrapper(spark, workdir):
     # however the files batch up, every duplicate id is suppressed
     assert {100, 101, 102}.isdisjoint(ids)
     assert set(range(30, 40)) <= ids and set(range(20)) <= ids
+
+
+def test_bitmap_recovery_from_fingerprints(spark, workdir):
+    """Crash window: fingerprints persisted but the bitmap write (last
+    in the write order) was lost. The next direct-call batch must
+    rebuild the filter from the fingerprint table instead of silently
+    re-admitting duplicates."""
+    import shutil
+
+    b1, b2 = _batches(spark)
+    out, fp, bitmap = _tables(workdir)
+    bloom_dedup_batch(b1, out, fp, bitmap, 0, m_bits=M_BITS)
+    shutil.rmtree(f"{workdir}/bitmap")  # simulate the lost bitmap write
+    c2 = bloom_dedup_batch(b2, out, fp, bitmap, 1, m_bits=M_BITS)
+    assert c2["emitted"] == 10  # both cross-batch dups still suppressed
+    ids = _out_ids(spark, out)
+    assert 101 not in ids and 102 not in ids
