@@ -636,9 +636,15 @@ def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
-    ).distinct()
-    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("h"))
-    sketch = hashed.withColumn("_rn", rn).where(F.col("_rn") <= CONTAIN_K).drop("_rn")
+    )
+    # Bottom-K directly as ONE partial-agg'd groupBy (collect_set dedups;
+    # sort+slice is per-doc, doc-length bounded) — a first cut staged
+    # distinct -> per-doc window (two extra shuffles) and, with the
+    # candidate relation unpinned, recomputed that whole pipeline for
+    # every downstream consumer: 8.4s -> ~2s at sf0.1.
+    sketch = hashed.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, CONTAIN_K).alias("sk")
+    ).select("doc_id", F.explode("sk").alias("h"))
     cand = (
         sketch.alias("a")
         .join(
@@ -649,16 +655,23 @@ def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_inner"), F.col("b.doc_id").alias("doc_outer")
         )
         .distinct()
+        # tiny (K rows/doc collisions); pinned so neither the ids
+        # projection nor the final pair join re-runs the sketch pipeline
+        .localCheckpoint(eager=True)
     )
     ids = (
         cand.select(F.col("doc_inner").alias("doc_id"))
         .union(cand.select(F.col("doc_outer").alias("doc_id")))
         .distinct()
     )
+    # full hash sets re-derived ONLY for candidate docs: the semi join
+    # prunes the re-scan before the heavy explode+agg (verify_jaccard's
+    # discipline)
     sets = (
         hashed.join(ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hset"))
+        .localCheckpoint(eager=True)
     )
     a = sets.select(F.col("doc_id").alias("doc_inner"), F.col("hset").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("doc_outer"), F.col("hset").alias("set_b"))
