@@ -693,3 +693,101 @@ def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_inner", "doc_outer")
     )
+
+
+@query(
+    "containment_dedup_removal",
+    # Drop rule (cycle-free by construction): a doc is dropped iff it is
+    # >=threshold-contained in a doc with a LARGER hash set, or an equal
+    # set and smaller id — a strict total order, so mutual containment
+    # (exact dups) keeps exactly the lowest id. The oracle replays the
+    # identical md5 hash sets and predicate.
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               list_transform(
+                 range(1, greatest(len(string_split(
+                   lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
+                 i -> array_to_string(string_split(
+                   lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
+               ),
+               sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT
+             )) AS hset
+      FROM documents
+    ), dropped AS (
+      SELECT DISTINCT a.doc_id
+      FROM hs a JOIN hs b ON a.doc_id <> b.doc_id
+      WHERE len(a.hset) >= {CONTAIN_MIN_SHINGLES}
+        AND CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE) / len(a.hset)
+              >= {CONTAIN_THRESHOLD}
+        AND (len(b.hset) > len(a.hset)
+             OR (len(b.hset) = len(a.hset) AND b.doc_id < a.doc_id))
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dropped.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(dropped.doc_id) AS BIGINT) AS n_kept
+    FROM hs LEFT JOIN dropped USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def containment_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-driven dedup REMOVAL with per-source accounting: drop
+    every document >=threshold-contained in a strictly 'bigger' one
+    (larger hash set; equal sets keep the lowest id — so exact-dup
+    groups keep exactly one member and the order is total, no cycles).
+    Candidates come from the same bottom-K sketch join as
+    containment_bottomk_sketch; set sizes for the drop order are a
+    per-doc count on the pruned candidate docs only. The final
+    accounting is a broadcast anti-ish LEFT join of a tiny drop list
+    onto the per-source doc counts."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = containment_bottomk_sketch(spark, sf_dir)
+    # set sizes for ordering: doc_inner's size is n_inner; the outer
+    # side's size comes from the same distinct-hash count, derived for
+    # candidate docs only
+    toks = d.select("doc_id", F.split(_norm(), " ").alias("toks"))
+    hashed = toks.select(
+        "doc_id", F.explode(_word_shingles("toks")).alias("sh")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    ids = pairs.select(F.col("doc_outer").alias("doc_id")).distinct()
+    outer_sizes = (
+        hashed.join(ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_outer"))
+    )
+    dropped = (
+        pairs.join(
+            outer_sizes.select(
+                F.col("doc_id").alias("doc_outer"), "n_outer"
+            ),
+            "doc_outer",
+        )
+        .where(
+            (F.col("n_outer") > F.col("n_inner"))
+            | (
+                (F.col("n_outer") == F.col("n_inner"))
+                & (F.col("doc_outer") < F.col("doc_inner"))
+            )
+        )
+        .select(F.col("doc_inner").alias("doc_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(dropped), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_dropped").alias("n_dropped"),
+            (F.count("*") - F.count("_dropped")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -129,3 +129,29 @@ def test_containment_finds_planted_subset(spark, workdir):
     }
     assert (100, 4) in got and got[(100, 4)] >= 0.99  # subset found
     assert (4, 100) not in got  # the long doc is NOT contained in the short
+
+
+def test_containment_removal_drops_planted_subset(spark, workdir):
+    import os
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"tok{i}" for i in range(400)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(120)), f"s{i % 2}")
+        for i in range(30)
+    ]
+    docs.append((100, " ".join(docs[4][1].split()[:45]), "s0"))  # contained
+    sf_dir = f"{workdir}/sf"
+    os.makedirs(sf_dir)
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    rows = {
+        r.source: r
+        for r in all_queries()["containment_dedup_removal"](spark, sf_dir).collect()
+    }
+    assert rows["s0"].n_dropped == 1  # only the planted subset goes
+    assert rows["s1"].n_dropped == 0
+    for r in rows.values():
+        assert r.n_kept + r.n_dropped == r.n_docs

@@ -75,6 +75,7 @@ PLAN_QUERIES = [
     ("token_budget_waterfill", "per-source partial agg; threshold search + windows on a sources-sized relation only"),
     ("containment_bottomk_sketch", "bottom-K sketch bucket join (K rows/doc) -> semi-join-pruned full-set verify; never all-pairs"),
     ("zlib_compression_ratio", "ONE Arrow-batched mapInPandas pass, zero shuffles, payload never leaves its partition"),
+    ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
 ]
 
 

@@ -82,6 +82,7 @@ PROBES = [
     "neardup_canonical_selection",
     "token_budget_waterfill",
     "containment_bottomk_sketch",
+    "containment_dedup_removal",
     "zlib_compression_ratio",
 ]
 # id column to shift per replica so keys stay unique across copies
