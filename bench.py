@@ -111,6 +111,7 @@ NEW_OP_QUERIES = [
     "neardup_canonical_selection",
     "token_budget_waterfill",
     "containment_bottomk_sketch",
+    "containment_dedup_removal",
     "zlib_compression_ratio",
 ]
 
