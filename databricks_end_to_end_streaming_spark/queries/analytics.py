@@ -978,7 +978,8 @@ def corr_value_day_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sequences",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS type_seq,
+           array_to_string(list(event_type ORDER BY ts, event_id), '|')
+             AS type_seq,
            CAST(len(list(event_type ORDER BY ts, event_id)) AS INTEGER)
              AS seq_len
     FROM events
@@ -994,7 +995,11 @@ def user_event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs and array_sort'd on the unique (ts, event_id) prefix before
     projecting the types — bit-stable across partitionings and engines
     (DuckDB: list(x ORDER BY ...)). One partial-agg'd shuffle; the
-    user_id < 100 cut keeps driver-compare rows bounded."""
+    user_id < 100 cut keeps driver-compare rows bounded. The sequence is
+    serialized with array_join('|') so the driver's pandas canonicalizer
+    (which cannot hash list cells) can compare it against DuckDB's
+    array_to_string — the array form stays available to engine callers
+    via the same aggregation expression."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
     seq = F.transform(
         F.array_sort(
@@ -1003,7 +1008,7 @@ def user_event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: s["event_type"],
     )
     return ev.groupBy("user_id").agg(
-        seq.alias("type_seq"),
+        F.array_join(seq, "|").alias("type_seq"),
         F.size(seq).alias("seq_len"),
     )
 

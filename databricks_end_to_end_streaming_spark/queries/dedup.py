@@ -305,6 +305,27 @@ _REACH_CTE = f"""
 """
 
 
+def neardup_cluster_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every document in a near-dup cluster:
+    minhash -> LSH candidates -> exact-Jaccard verify -> connected
+    components. THE shared intermediate of the near-dup family —
+    neardup_connected_components returns it directly and
+    canonical_selection consumes it (or a caller-precomputed copy), so
+    pipelines composing both compute the expensive candidate pipeline
+    once instead of per-query."""
+    from ..operators.graph import connected_components
+
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = verify_jaccard(pairs, docs).where(
+        F.col("jaccard") >= NEARDUP_THRESHOLD
+    )
+    comps = connected_components(verified, "doc_a", "doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 @query(
     "neardup_connected_components",
     oracle=_REACH_CTE + "SELECT doc_id, cluster_id FROM comp",
@@ -315,18 +336,8 @@ def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure step real dedup pipelines need, since near-dup is
     not transitive pairwise). Distributed min-label propagation
     (operators/graph.py) — O(diameter) rounds of join + partial-agg min."""
-    from ..operators.graph import connected_components
-
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    pairs = lsh_candidate_pairs(sigs)
-    verified = verify_jaccard(pairs, d).where(
-        F.col("jaccard") >= NEARDUP_THRESHOLD
-    )
-    comps = connected_components(verified, "doc_a", "doc_b")
-    return comps.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
+    return neardup_cluster_relation(d)
 
 
 @query(
@@ -536,27 +547,37 @@ def decontaminate_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def neardup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware canonical selection: within each near-dup cluster,
-    keep the HIGHEST-quality member (here: most tokens; ties break on
-    doc_id) instead of the arbitrary min-id doc — what production dedup
-    actually wants, since the shortest copy is often the truncated one.
-    The cluster relation is tiny relative to the corpus (only docs with a
-    near-dup), so it BROADCASTS onto the token-count scan; the ranking
-    window partitions by cluster id — cluster-sized partitions, never a
-    global sort."""
-    from ..operators.graph import connected_components
-
+    """Within each near-dup cluster, keep the HIGHEST-quality member
+    (here: most tokens; ties break on doc_id) instead of the arbitrary
+    min-id doc — what production dedup actually wants, since the
+    shortest copy is often the truncated one. Thin registration shim
+    over canonical_selection (which accepts a precomputed cluster
+    relation for pipeline reuse)."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    pairs = lsh_candidate_pairs(sigs)
-    verified = verify_jaccard(pairs, d).where(F.col("jaccard") >= NEARDUP_THRESHOLD)
-    comps = connected_components(verified, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    return canonical_selection(d)
+
+
+def canonical_selection(
+    docs: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
+    """Quality-aware canonical selection over a (doc_id, cluster_id)
+    relation (computed here via neardup_cluster_relation when the caller
+    has not already built one — pipelines that also run
+    neardup_connected_components should pass theirs in to avoid
+    recomputing the whole minhash->LSH->verify->CC chain). No broadcast
+    hint on the cluster join: on web-scale corpora 30-50% of documents
+    belong to a near-dup cluster, so the relation is corpus-scale and a
+    forced broadcast would driver-OOM — both sides are equi-joinable on
+    doc_id and AQE still picks a broadcast when the relation measures
+    small. The ranking window partitions by cluster id — cluster-sized
+    partitions, never a global sort."""
+    comps = (
+        clusters if clusters is not None else neardup_cluster_relation(docs)
     )
-    tok = d.select(
+    tok = docs.select(
         "doc_id", F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tokens")
     )
-    joined = tok.join(F.broadcast(comps), on="doc_id", how="inner")
+    joined = tok.join(comps, on="doc_id", how="inner")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_tokens"), F.asc("doc_id")
     )
@@ -612,7 +633,21 @@ def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTIONAL near-containment (|A∩B| / |A| >= 0.8): finds documents
     mostly contained inside another — the truncated-copy / quote-heavy /
     subset-duplicate case that symmetric Jaccard under-scores (a short
-    doc inside a long one has low Jaccard but containment ~1).
+    doc inside a long one has low Jaccard but containment ~1). Plan body
+    lives in _containment_pairs (unordered — the sort below is query-
+    boundary presentation only, so downstream consumers like
+    containment_dedup_removal never inherit a mid-plan global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs, _sets = _containment_pairs(d)
+    return pairs.orderBy("doc_inner", "doc_outer")
+
+
+def _containment_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(pairs, sets): UNORDERED verified directed-containment pairs plus
+    the pinned per-candidate-doc full hash-set relation (doc_id, hset)
+    they were verified against — returned so downstream consumers (the
+    removal query's drop-order sizes) reuse it instead of re-deriving
+    the shingle-hash scan a third time.
 
     Scale shape — bottom-K sketch join (Broder's bottom-k sketches,
     public literature), NOT all-pairs: each doc contributes only its K
@@ -627,8 +662,7 @@ def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify_jaccard). The md5 hash (not xxhash64) is deliberate: DuckDB
     replays it, so the driver hash-match verifies the containment
     arithmetic itself."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(_norm(), " ").alias("toks"))
+    toks = docs.select("doc_id", F.split(_norm(), " ").alias("toks"))
     hashed = toks.select(
         "doc_id", F.explode(_word_shingles("toks")).alias("sh")
     ).select(
@@ -677,7 +711,7 @@ def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sets.select(F.col("doc_id").alias("doc_outer"), F.col("hset").alias("set_b"))
     shared = F.size(F.array_intersect("set_a", "set_b"))
     containment = shared.cast("double") / F.size("set_a")
-    return (
+    pairs = (
         cand.join(a, "doc_inner")
         .join(b, "doc_outer")
         .where(
@@ -691,8 +725,8 @@ def containment_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared.cast("long").alias("n_shared"),
             containment.alias("containment"),
         )
-        .orderBy("doc_inner", "doc_outer")
     )
+    return pairs, sets
 
 
 @query(
@@ -737,38 +771,29 @@ def containment_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document >=threshold-contained in a strictly 'bigger' one
     (larger hash set; equal sets keep the lowest id — so exact-dup
     groups keep exactly one member and the order is total, no cycles).
-    Candidates come from the same bottom-K sketch join as
-    containment_bottomk_sketch; set sizes for the drop order are a
-    per-doc count on the pruned candidate docs only. The final
-    accounting is a broadcast anti-ish LEFT join of a tiny drop list
-    onto the per-source doc counts."""
+    Candidates come from the shared _containment_pairs body (unordered —
+    no mid-plan global sort), and the drop-order set sizes are a
+    projection of the SAME pinned hash-set relation the verification
+    used, so the shingle-hash scan over documents runs once, not three
+    times. No broadcast hint on the drop list: on a near-dup-heavy
+    corpus the drop list is corpus-scale, and a forced broadcast would
+    driver-OOM at 100x — the LEFT join is equi-keyed on doc_id, and AQE
+    still broadcasts when the list measures small."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = containment_bottomk_sketch(spark, sf_dir)
+    pairs, sets = _containment_pairs(d)
+    # used by both the dropped-list join and (transitively) the final
+    # accounting; pin so the verify join runs once
+    pairs = pairs.localCheckpoint(eager=True)
     # set sizes for ordering: doc_inner's size is n_inner; the outer
-    # side's size comes from the same distinct-hash count, derived for
-    # candidate docs only
-    toks = d.select("doc_id", F.split(_norm(), " ").alias("toks"))
-    hashed = toks.select(
-        "doc_id", F.explode(_word_shingles("toks")).alias("sh")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    ids = pairs.select(F.col("doc_outer").alias("doc_id")).distinct()
-    outer_sizes = (
-        hashed.join(ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("h").alias("n_outer"))
+    # side's size is the same distinct-hash count, read straight off the
+    # pinned candidate hash-set relation (sets covers every doc that
+    # appears on either side of a candidate pair)
+    outer_sizes = sets.select(
+        F.col("doc_id").alias("doc_outer"),
+        F.size("hset").cast("long").alias("n_outer"),
     )
     dropped = (
-        pairs.join(
-            outer_sizes.select(
-                F.col("doc_id").alias("doc_outer"), "n_outer"
-            ),
-            "doc_outer",
-        )
+        pairs.join(outer_sizes, "doc_outer")
         .where(
             (F.col("n_outer") > F.col("n_inner"))
             | (
@@ -782,7 +807,7 @@ def containment_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", "source")
-        .join(F.broadcast(dropped), "doc_id", "left")
+        .join(dropped, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -292,11 +292,16 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import pca_project
 
     e = load_table(spark, sf_dir, "embeddings")
-    return (
-        pca_project(e, k=4)
-        .select("vec_id", "label", "pca")
-        .orderBy("vec_id")
-    )
+    # Project the pca array<double> to one scalar column per component:
+    # the driver harness canonicalizes results with pandas, which cannot
+    # hash list cells — scalars keep the rows-only check green while the
+    # array form remains available from pca_project itself. Rounded to 6
+    # decimals so the check is stable across BLAS builds.
+    proj = pca_project(e, k=4)
+    comps = [
+        F.round(F.col("pca")[i], 6).alias(f"pca_{i}") for i in range(4)
+    ]
+    return proj.select("vec_id", "label", *comps).orderBy("vec_id")
 
 
 @query("semdedup_embeddings")  # rows-only: k-means quantizer, like IVF/PQ
