@@ -41,7 +41,9 @@ from pyspark.sql import DataFrame
 FP_SCALE = 1 << 20  # power-of-two fixed point: exact in every engine
 
 
-def covariance_cells(df: DataFrame, col: str = "embedding") -> DataFrame:
+def covariance_cells(
+    df: DataFrame, col: str = "embedding", d: int | None = None
+) -> DataFrame:
     """(i, j, dot_q, sum_q, n) covariance sufficient-statistic cells of
     the embedding column: exact int64 sums over 2^20 fixed-point
     coordinates, upper triangle only, the diagonal's coordinate sum
@@ -49,12 +51,25 @@ def covariance_cells(df: DataFrame, col: str = "embedding") -> DataFrame:
     branch). The d^2 explode collapses map-side, so the shuffle carries
     <= d(d+1)/2 cells, never rows. Cells are CELL-ADDABLE — the stats of
     a union are the sums of the stats — which is what the streaming
-    twin (streaming/gram.py) accumulates per micro-batch."""
+    twin (streaming/gram.py) accumulates per micro-batch.
+
+    Pass ``d`` (embedding dimension) when known to skip the discovery
+    job; when omitted it is probed with a safe ``first()`` — an EMPTY
+    input then yields an empty cell relation (cell-addable zero) instead
+    of crashing, so an empty micro-batch through gram_stage is a no-op
+    rather than a dead streaming query."""
     q = F.transform(
         col, lambda x: F.floor(x.cast("double") * F.lit(float(FP_SCALE))).cast("long")
     )
     qdf = df.select(q.alias("q"))
-    d = qdf.select(F.size("q").alias("d")).first()["d"]
+    if d is None:
+        head = qdf.select(F.size("q").alias("d")).first()
+        if head is None:
+            return df.sparkSession.createDataFrame(
+                [],
+                "i int, j int, dot_q long, sum_q long, n long",
+            )
+        d = head["d"]
     upper = qdf.select(
         F.posexplode("q").alias("i", "qi"),
         F.slice(F.col("q"), F.col("i") + 1, F.lit(d)).alias("rest"),
@@ -79,6 +94,11 @@ def finalize_covariance(cells: list) -> tuple[np.ndarray, np.ndarray, int]:
     """(cov, mean, n) from collected covariance cells — the single float
     finalization both the batch and streaming paths share, so their
     results are identical whenever their int64 cells are."""
+    if not cells:
+        raise ValueError(
+            "no covariance cells — empty corpus (or an all-empty cell "
+            "log); PCA over zero rows is undefined"
+        )
     d = max(r["j"] for r in cells) + 1
     n = next(r["n"] for r in cells if r["i"] == r["j"])
     second = np.zeros((d, d))

@@ -25,6 +25,23 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default sized from the machine instead of a flat 24g:
+    min(24g, ~70% of physical RAM, floor 2g). A 24g heap on a 16 GiB
+    laptop fails to launch or swaps; SPARK_GRAFT_DRIVER_MEM still
+    overrides for the bench host."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page_size / (1 << 30)
+        return f"{max(2, min(24, int(total_gib * 0.7)))}g"
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+
+
 def get_spark(
     app_name: str = "databricks-end-to-end-streaming-spark",
     master: str | None = None,
@@ -50,8 +67,9 @@ def get_spark(
         # "cluster" whose executors, shuffle blocks, broadcast vars and
         # localCheckpoint storage all share it (observed: heap OOM in a
         # long bench session). Honored only at JVM launch; a session
-        # that already exists keeps its heap.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        # that already exists keeps its heap. Sized from physical RAM
+        # (min(24g, 70%)) so small hosts still launch.
+        "spark.driver.memory": _default_driver_mem(),
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.session.timeZone": "UTC",
         # AQE: coalesce post-shuffle partitions, split skewed joins.

@@ -41,7 +41,7 @@ from ..operators.bloom import (
     bloom_merge,
     bloom_probe_flag,
 )
-from .sinks import ParquetTable
+from .sinks import ParquetTable, batch_id_col
 
 BLOOM_M_BITS = 1 << 20
 
@@ -74,21 +74,45 @@ def bloom_dedup_batch(
     )
     batch.persist()
     try:
+        bitmap = None
+        merged_through: int | None = None
         if bitmap_table.exists():
-            bitmap = bitmap_table.read(spark)
-        elif fp_table.exists():
-            # Crash window: fingerprints landed but the bitmap write did
-            # not (it is last in the write order). Rebuild the filter
-            # from the fingerprint table — a one-time O(corpus) recovery
-            # scan instead of a silent dedup hole for non-streaming
-            # callers (the streaming checkpoint replays the batch anyway).
-            bitmap = bloom_build(
-                fp_table.read(spark).where(F.col("batchid") != batch_id),
-                "fp",
-                m_bits,
-            ).localCheckpoint(eager=True)
-        else:
-            bitmap = None
+            bm = bitmap_table.read(spark)
+            bitmap = bm.select("word_idx", "word")
+            if "_merged_through" in bm.columns:
+                merged_through = bm.agg(
+                    F.max("_merged_through")
+                ).first()[0]
+        if fp_table.exists():
+            # Crash window: fingerprint appends landed but the bitmap
+            # overwrite (last in the write order) did not — either no
+            # bitmap at all, or a STALE one missing the newest batches'
+            # bits. A stale filter would be a false-NEGATIVE hole (a
+            # later duplicate takes the definitely-new path and is
+            # emitted twice), so merge back every fp batch newer than
+            # the bitmap's recorded watermark. The current batch is
+            # excluded: its bits merge at the end, and the exact check
+            # already ignores its own half-written rows. Replay filters
+            # use batch_id_col — the partition column in parquet mode
+            # (pruned; zero partitions match on the no-crash path), the
+            # explicit _batch_id data column in Delta mode.
+            fps = fp_table.read(spark)
+            bcol = batch_id_col(fps)
+            if merged_through is None:
+                # no watermark (no bitmap, or one written before the
+                # watermark existed): conservatively rebuild from all
+                # strictly-other fp batches — one-time O(corpus) recovery
+                newer = bcol != batch_id
+            else:
+                newer = (bcol > merged_through) & (bcol != batch_id)
+            missing = fps.where(newer).select("fp")
+            if not missing.isEmpty():
+                rebuilt = bloom_build(missing, "fp", m_bits)
+                bitmap = (
+                    bloom_merge(bitmap, rebuilt)
+                    if bitmap is not None
+                    else rebuilt
+                ).localCheckpoint(eager=True)
         if bitmap is not None:
             flagged = bloom_probe_flag(batch, "fp", bitmap, m_bits, flag="_hit")
             flagged.persist()
@@ -98,11 +122,14 @@ def bloom_dedup_batch(
                 n_fresh = fresh.count()
                 n_maybe = maybe.count()
                 if n_maybe and fp_table.exists():
-                    # Replay-safe: compare against strictly older batches
+                    # Replay-safe: compare against strictly other batches
                     # only, so a replayed batch cannot anti-join away its
-                    # own half-written fingerprints.
-                    seen = fp_table.read(spark).where(
-                        F.col("batchid") != batch_id
+                    # own half-written fingerprints. batch_id_col works
+                    # in both storage modes (Delta has no batchid
+                    # partition directories).
+                    hist = fp_table.read(spark)
+                    seen = hist.where(
+                        batch_id_col(hist) != batch_id
                     ).select("fp")
                     survivors = maybe.join(seen, on="fp", how="left_anti")
                 else:
@@ -129,7 +156,14 @@ def bloom_dedup_batch(
         merged = (
             bloom_merge(bitmap, batch_words) if bitmap is not None else batch_words
         )
-        bitmap_table.overwrite(merged.localCheckpoint(eager=True))
+        # _merged_through records the newest batch whose bits this bitmap
+        # holds — the stale-bitmap detector above compares it against the
+        # fp table so a crash between the fp append and this overwrite
+        # can never open a false-negative window for later batches.
+        bitmap_table.overwrite(
+            merged.withColumn("_merged_through", F.lit(batch_id))
+            .localCheckpoint(eager=True)
+        )
         counters["emitted"] = new_docs.count()
         return counters
     finally:

@@ -29,7 +29,7 @@ from ..queries.dedup import (
     minhash_signatures,
     verify_jaccard,
 )
-from .sinks import ParquetTable
+from .sinks import ParquetTable, batch_id_col
 
 
 def neardup_batch(
@@ -85,13 +85,16 @@ def neardup_batch(
         # exact verification re-scans only candidate docs: the batch for
         # new ids, the accumulated docs table for seen ids. A REPLAYED
         # batch already has its docs in the table (written at the end of
-        # the first attempt), so exclude its own partition — a duplicate
-        # doc row would duplicate every pair it verifies. `batchid` is
-        # the partition column the idempotent-append token dirs encode,
-        # so the exclusion is partition-pruned, not a scan filter.
+        # the first attempt), so exclude its own rows — a duplicate doc
+        # row would duplicate every pair it verifies. batch_id_col picks
+        # the `batchid` partition column in parquet mode (the exclusion
+        # is partition-pruned, not a scan filter) and the explicit
+        # `_batch_id` data column in Delta mode, where token directories
+        # don't exist.
         if docs_table.exists():
-            prior = docs_table.read(spark).where(F.col("batchid") != batch_id)
-            corpus = prior.drop("batchid", "role").unionByName(
+            hist = docs_table.read(spark)
+            prior = hist.where(batch_id_col(hist) != batch_id)
+            corpus = prior.drop("batchid", "role", "_batch_id").unionByName(
                 batch_df, allowMissingColumns=True
             )
         else:
@@ -104,7 +107,12 @@ def neardup_batch(
 
         pairs_table.idempotent_append(pairs, f"batchid={batch_id}/role=pairs")
         bands_table.idempotent_append(new_bands, f"batchid={batch_id}/role=bands")
-        docs_table.idempotent_append(batch_df, f"batchid={batch_id}/role=docs")
+        # docs carry an explicit _batch_id so the replay exclusion above
+        # works in Delta mode too (no token partition dirs there)
+        docs_table.idempotent_append(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)),
+            f"batchid={batch_id}/role=docs",
+        )
     finally:
         batch_df.unpersist()
 

@@ -90,6 +90,26 @@ def parse_txn_token(token: str) -> tuple[str, int]:
     return ("/".join(app_bits) or "default", version)
 
 
+def batch_id_col(df: DataFrame) -> F.Column:
+    """The batch-id column of a token-appended relation, uniform across
+    storage modes. The parquet stand-in surfaces the replay token
+    directory as a ``batchid`` partition column (filters on it
+    partition-prune), so prefer it; Delta mode writes no token
+    directories (idempotence lives in txnAppId/txnVersion), so stages
+    that replay-filter must have written an explicit ``_batch_id`` data
+    column and we fall back to that. Raising (not silently matching
+    nothing) on neither keeps replay-exclusion bugs loud."""
+    if "batchid" in df.columns:
+        return F.col("batchid")
+    if "_batch_id" in df.columns:
+        return F.col("_batch_id")
+    raise ValueError(
+        "relation carries neither a batchid partition column nor a "
+        "_batch_id data column; replay filtering needs one of them "
+        "(write the stage's rows with .withColumn('_batch_id', ...))"
+    )
+
+
 class ParquetTable:
     def __init__(self, path: str, partition_by: list[str] | None = None):
         self.path = path
