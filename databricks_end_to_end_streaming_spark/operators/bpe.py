@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from ..pin import pin
 
 END_OF_WORD = "</w>"
 
@@ -138,7 +139,7 @@ def learn_bpe_merges(
     df = words_to_symbols(vocab, word_col).select(
         F.col(freq_col).alias("freq"), "symbols"
     )
-    df = df.where(F.size("symbols") >= 2).localCheckpoint(eager=True)
+    df = df.where(F.size("symbols") >= 2).transform(pin)
 
     merges: list[tuple[str, str, int]] = []
     while len(merges) < num_merges:
@@ -169,7 +170,7 @@ def learn_bpe_merges(
         merges.extend(accepted)
         for left, right, _n in accepted:
             df = df.withColumn("symbols", _apply_merge(left, right))
-        df = df.where(F.size("symbols") >= 2).localCheckpoint(eager=True)
+        df = df.where(F.size("symbols") >= 2).transform(pin)
     return merges
 
 
@@ -206,9 +207,7 @@ def bpe_token_counts(
     df = words_to_symbols(vocab.select(word_col), word_col)
     for m in merges:
         left, right = m[0], m[1]
-        df = df.withColumn("symbols", _apply_merge(left, right)).localCheckpoint(
-            eager=True
-        )
+        df = df.withColumn("symbols", _apply_merge(left, right)).transform(pin)
     return df.select(
         word_col, F.size("symbols").cast("long").alias("n_bpe_tokens")
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from ..pin import pin
 
 
 def connected_components(
@@ -40,13 +41,13 @@ def connected_components(
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct().transform(pin)
 
     labels = (
         sym.select("u")
         .distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("component"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     changed = -1
@@ -62,7 +63,7 @@ def connected_components(
             labels.union(proposals)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = (
             new_labels.alias("n")
@@ -131,13 +132,13 @@ def pagerank(
     outw = e.groupBy("e_src").agg(F.sum("w").alias("outw"))
     e = e.join(outw, "e_src").select(
         "e_src", "e_dst", (F.col("w") / F.col("outw")).alias("p")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n = nodes.count()  # the one driver-side scalar
     if n == 0:
@@ -199,6 +200,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return ranks

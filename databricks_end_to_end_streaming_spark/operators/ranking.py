@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from ..pin import pin
 
 
 def global_row_number(
@@ -42,7 +43,7 @@ def global_row_number(
     # ranks. localCheckpoint materializes one assignment both jobs read.
     with_pid = parted.withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     # one long per partition to the driver; offsets broadcast back
     counts = with_pid.groupBy("_pid").count().collect()

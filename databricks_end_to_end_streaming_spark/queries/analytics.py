@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load_table
+from ..pin import pin
 from . import query
 
 
@@ -1366,7 +1367,7 @@ def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p.brand_a", "p.brand_b")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     pairs = counts.where(
         F.col("brand_a").isNotNull() & F.col("brand_b").isNotNull()
@@ -1469,7 +1470,7 @@ def chi2_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.col("event_type").alias("key"), binc.alias("bin_lo"))
         .groupBy("key", "bin_lo")
         .agg(F.count("*").alias("o"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     return chi2_over_contingency(obs).select(
         F.col("key").alias("event_type"), "n_events", "chi2", "n_bins"

@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load_table
+from ..pin import pin
 from . import query
 
 SHINGLE_W = 3  # words per shingle (word shingles: low background jaccard)
@@ -225,7 +226,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are small by construction (bounded by the near-dup count, not the
     # corpus), so pin them once. The streaming stage needs no pin: its
     # per-batch candidates land in the band-index table anyway.
-    pairs = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sigs).transform(pin)
     return verify_jaccard(pairs, d).where(F.col("jaccard") >= NEARDUP_THRESHOLD)
 
 
@@ -514,7 +515,7 @@ def decontaminate_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     return (
         verify_jaccard(pairs, d)
@@ -691,7 +692,7 @@ def _containment_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .distinct()
         # tiny (K rows/doc collisions); pinned so neither the ids
         # projection nor the final pair join re-runs the sketch pipeline
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     ids = (
         cand.select(F.col("doc_inner").alias("doc_id"))
@@ -705,7 +706,7 @@ def _containment_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         hashed.join(ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hset"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a = sets.select(F.col("doc_id").alias("doc_inner"), F.col("hset").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("doc_outer"), F.col("hset").alias("set_b"))
@@ -783,7 +784,7 @@ def containment_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, sets = _containment_pairs(d)
     # used by both the dropped-list join and (transitively) the final
     # accounting; pin so the verify join runs once
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(pin)
     # set sizes for ordering: doc_inner's size is n_inner; the outer
     # side's size is the same distinct-hash count, read straight off the
     # pinned candidate hash-set relation (sets covers every doc that

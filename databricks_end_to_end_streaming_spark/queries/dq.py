@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..tables import load_table
+from ..pin import pin
 from . import query
 
 
@@ -315,7 +316,7 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         d.groupBy("source", "lang")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     s = F.sqrt(F.col("n").cast("double"))
     zrow = counts.agg(
@@ -483,7 +484,7 @@ def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
         dsir_bigram_buckets(docs, target)
         .groupBy("doc_id", "is_target", "b")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     buckets = tf3.groupBy("b").agg(
         F.sum("tf").alias("cnt_r"),

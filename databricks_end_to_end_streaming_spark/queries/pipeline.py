@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load_table
+from ..pin import pin
 from . import query
 
 MIN_TOKENS = 20
@@ -157,7 +158,7 @@ def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Same pin as dedup_minhash_lsh: the candidate relation feeds
         # the verify step's three consumers; without it each one re-runs
         # the signature+band subplan over the (cached) kept corpus.
-        cand = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
+        cand = lsh_candidate_pairs(sigs).transform(pin)
         pairs = verify_jaccard(cand, kept).where(
             F.col("jaccard") >= NEARDUP_THRESHOLD
         )
@@ -169,7 +170,7 @@ def llm_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Materialize the (few-row) aggregate so unpersist is safe before
         # the caller's action — executor-side, no driver round-trip.
-        return out.localCheckpoint(eager=True)
+        return out.transform(pin)
     finally:
         kept.unpersist()
 

@@ -41,6 +41,7 @@ from ..operators.bloom import (
     bloom_merge,
     bloom_probe_flag,
 )
+from ..pin import pin
 from .sinks import ParquetTable, batch_id_col
 
 BLOOM_M_BITS = 1 << 20
@@ -112,7 +113,7 @@ def bloom_dedup_batch(
                     bloom_merge(bitmap, rebuilt)
                     if bitmap is not None
                     else rebuilt
-                ).localCheckpoint(eager=True)
+                ).transform(pin)
         if bitmap is not None:
             flagged = bloom_probe_flag(batch, "fp", bitmap, m_bits, flag="_hit")
             flagged.persist()
@@ -144,7 +145,7 @@ def bloom_dedup_batch(
             new_docs = batch
             counters = {"definitely_new": batch.count(), "exact_checked": 0}
 
-        new_docs = new_docs.localCheckpoint(eager=True)
+        new_docs = new_docs.transform(pin)
         out_table.idempotent_append(
             new_docs.drop("fp"), f"batchid={batch_id}/role=docs"
         )
@@ -162,7 +163,7 @@ def bloom_dedup_batch(
         # can never open a false-negative window for later batches.
         bitmap_table.overwrite(
             merged.withColumn("_merged_through", F.lit(batch_id))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         counters["emitted"] = new_docs.count()
         return counters

@@ -29,6 +29,7 @@ from ..queries.dedup import (
     minhash_signatures,
     verify_jaccard,
 )
+from ..pin import pin
 from .sinks import ParquetTable, batch_id_col
 
 
@@ -80,7 +81,7 @@ def neardup_batch(
         # (semi-join id projections + the pair join); unpinned, each
         # consumer re-runs the index probe per micro-batch (same fix as
         # dedup_minhash_lsh / the pipeline). Candidates are small.
-        cand = cand.localCheckpoint(eager=True)
+        cand = cand.transform(pin)
 
         # exact verification re-scans only candidate docs: the batch for
         # new ids, the accumulated docs table for seen ids. A REPLAYED

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
+from ..pin import pin
 
 from .sinks import ParquetTable
 
@@ -67,7 +68,5 @@ def chi2_drift(
     log."""
     from ..queries.analytics import chi2_over_contingency
 
-    obs = summed_contingency(spark, table, up_to_batch).localCheckpoint(
-        eager=True
-    )
+    obs = summed_contingency(spark, table, up_to_batch).transform(pin)
     return chi2_over_contingency(obs).orderBy("key")

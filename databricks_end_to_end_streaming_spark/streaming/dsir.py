@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..queries.dq import dsir_bigram_buckets, dsir_score_from
+from ..pin import pin
 from .sinks import ParquetTable
 
 
@@ -41,7 +42,7 @@ def dsir_stage(tf_table: ParquetTable, bucket_table: ParquetTable, target: Colum
             dsir_bigram_buckets(batch_df, target)
             .groupBy("doc_id", "is_target", "b")
             .agg(F.count("*").alias("tf"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         doc_tf = tf3.drop("is_target").withColumn("_batch_id", F.lit(batch_id))
         buckets = (

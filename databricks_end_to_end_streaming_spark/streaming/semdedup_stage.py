@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import ivf_assign
 from ..queries.similarity import cosine
+from ..pin import pin
 from .sinks import ParquetTable
 
 
@@ -54,7 +55,7 @@ def semdedup_batch(
             F.col("cluster_ids")[0].alias("cluster"),
             F.col(vec_col),
         )
-        .localCheckpoint(eager=True)  # consumed by 3+ branches below
+        .transform(pin)  # consumed by 3+ branches below
     )
     left = assigned.select(
         F.col(id_col).alias("id_a"), "cluster", F.col(vec_col).alias("_va")
