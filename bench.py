@@ -45,6 +45,11 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Measured sweet spot for this workload (README bench history): G1
+    # with a very large heap costs the scan-agg queries 25-30%; 8g runs
+    # the whole suite INCLUDING the 10x sf1 canary with headroom. Env
+    # still overrides for hosts with less RAM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -66,6 +71,21 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    # SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 skips the extras blocks — an
+    # isolation mode for re-measuring the 14 headline queries without
+    # ~30 extras sharing the JVM first (the r4->r3 tpch_q1/q5/q6 deltas
+    # turned out to be exactly that shared-session noise).
+    headline_only = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
+    extras = (
+        {}
+        if headline_only
+        else {
+            **_bench_avro_demux(spark),
+            **_bench_ocf(),
+            **_bench_new_ops(spark, sf_dir, qs),
+            **_bench_sf1(spark, sf_dir),
+        }
+    )
     print(
         json.dumps(
             {
@@ -74,12 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extras": {
-                    **_bench_avro_demux(spark),
-                    **_bench_ocf(),
-                    **_bench_new_ops(spark, sf_dir, qs),
-                    **_bench_sf1(spark, sf_dir),
-                },
+                "extras": extras,
             }
         )
     )

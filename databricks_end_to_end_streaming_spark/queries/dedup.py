@@ -317,7 +317,11 @@ def neardup_cluster_relation(docs: DataFrame) -> DataFrame:
     from ..operators.graph import connected_components
 
     sigs = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sigs)
+    # Same pin discipline as dedup_minhash_lsh: verify_jaccard consumes
+    # the candidate relation three times (two semi-join id projections +
+    # the pair join) — unpinned, each consumer re-runs the whole
+    # signature+band self-join subplan.
+    pairs = pin(lsh_candidate_pairs(sigs))
     verified = verify_jaccard(pairs, docs).where(
         F.col("jaccard") >= NEARDUP_THRESHOLD
     )

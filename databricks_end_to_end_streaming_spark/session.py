@@ -27,9 +27,13 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def _default_driver_mem() -> str:
     """Driver-heap default sized from the machine instead of a flat 24g:
-    min(24g, ~70% of physical RAM, floor 2g). A 24g heap on a 16 GiB
-    laptop fails to launch or swaps; SPARK_GRAFT_DRIVER_MEM still
-    overrides for the bench host."""
+    min(12g, ~70% of physical RAM, floor 2g). Two reasons for the cap:
+    a 24g heap on a 16 GiB laptop fails to launch or swaps, and the r4
+    bench regression root-cause (README bench history) showed G1 with a
+    very large heap taxes the scan-agg hot path ~25-30% (tpch_q1 1.43 s
+    at 4-8g vs 1.8-2.2 s at 24g, monotonic in heap size) — more heap is
+    strictly worse once the workload fits. SPARK_GRAFT_DRIVER_MEM
+    overrides; bench.py pins its own measured sweet spot."""
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
@@ -37,7 +41,7 @@ def _default_driver_mem() -> str:
         pages = os.sysconf("SC_PHYS_PAGES")
         page_size = os.sysconf("SC_PAGE_SIZE")
         total_gib = pages * page_size / (1 << 30)
-        return f"{max(2, min(24, int(total_gib * 0.7)))}g"
+        return f"{max(2, min(12, int(total_gib * 0.7)))}g"
     except (ValueError, OSError, AttributeError):
         return "4g"
 

@@ -198,33 +198,56 @@ def demux_decode_batch(
     cached = sliced  # unpersist target — `sliced` may be rewrapped below
     cached.persist()
     try:
-        if framing.compression_col is not None:
-            # one cheap probe on the cached batch; inflate only if the
-            # batch actually carries compressed payloads
-            has_compressed = (
-                cached.where(
-                    F.col("_compression") == GLUE_COMPRESSION_ZLIB
-                ).limit(1).count()
-                > 0
-            )
-            if has_compressed:
-                sliced = _inflate_compressed(cached, "_compression")
+        # ONE partial-agg'd pass computes everything the driver needs to
+        # plan the demux: the distinct schema ids present (U2), whether
+        # any record fails the wire-format check, and whether any payload
+        # carries the Glue zlib marker. (r4 ran the latter two as
+        # separate limit(1).count() probe jobs before the distinct-id
+        # job — three cached-batch passes per trigger, which showed up
+        # as the avro_demux_events_per_sec slip in BENCH_r04.)
+        valid = (
+            framing.valid_col if framing.valid_col is not None else F.lit(True)
+        )
+        zlib_agg = (
+            [
+                F.sum(
+                    (F.col("_compression") == GLUE_COMPRESSION_ZLIB).cast("long")
+                ).alias("_n_zlib")
+            ]
+            if framing.compression_col is not None
+            else []
+        )
+        stats = (
+            cached.groupBy(valid.alias("_valid"), "valueSchemaId")
+            .agg(F.count("*").alias("_n"), *zlib_agg)
+            .collect()
+        )
+        if framing.compression_col is not None and any(
+            r["_n_zlib"] for r in stats
+        ):
+            sliced = _inflate_compressed(cached, "_compression")
+        n_bad = sum(r["_n"] for r in stats if not r["_valid"])
         if framing.valid_col is not None:
-            bad = sliced.where(~framing.valid_col)
-            if bad.limit(1).count() > 0:
+            if n_bad:
                 if quarantine is None:
-                    n_bad = bad.count()
                     raise RuntimeError(
                         f"{n_bad} record(s) fail the {framing.name} "
                         "wire-format check (magic byte / length); pass a "
                         "quarantine table to capture them instead"
                     )
-                _quarantine(bad, quarantine, "bad_framing", batch_id)
+                _quarantine(
+                    sliced.where(~framing.valid_col),
+                    quarantine,
+                    "bad_framing",
+                    batch_id,
+                )
             sliced = sliced.where(framing.valid_col)
         # Driver-side demux: distinct ids -> one decode+write pass per id
         # (ingest.scala:139-142). At scale this is N cheap passes over a
         # cached batch, each pruned by the id filter.
-        ids = [r[0] for r in sliced.select("valueSchemaId").distinct().collect()]
+        ids = sorted(
+            {r["valueSchemaId"] for r in stats if r["_valid"]}, key=str
+        )
         reader_json = (
             registry.get_schema_json(reader_schema_id)
             if reader_schema_id is not None
