@@ -73,8 +73,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 skips the extras blocks — an
     # isolation mode for re-measuring the 14 headline queries without
-    # ~30 extras sharing the JVM first (the r4->r3 tpch_q1/q5/q6 deltas
-    # turned out to be exactly that shared-session noise).
+    # ~30 extras sharing the JVM (used to root-cause the r4 tpch_q1/q5/q6
+    # regression: it reproduced in isolation and bisected to the 24g
+    # driver heap, not to shared-session state — README bench history).
     headline_only = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
     extras = (
         {}
@@ -128,6 +129,12 @@ NEW_OP_QUERIES = [
     "containment_bottomk_sketch",
     "containment_dedup_removal",
     "zlib_compression_ratio",
+    # round-5 additions
+    "fuzzy_part_name_matches",
+    "bm25_keyword_search",
+    "boilerplate_prefix_detection",
+    "calibrated_quality_gate",
+    "leakage_safe_group_split",
 ]
 
 

@@ -1772,3 +1772,306 @@ def zlib_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         score, "doc_id long, n_bytes long, n_compressed long, compression_ratio double"
     )
+
+
+# --- round-5 additions: retrieval scoring, boilerplate detection, -----
+# --- calibrated gating, leakage-safe splitting ------------------------
+
+BM25_TERMS = ("spark", "shuffle", "join")  # fixed keyword query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS doclen,
+             {', '.join(_occurrences_sql('text', t) + f' AS tf_{t}' for t in BM25_TERMS)}
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(doclen) AS BIGINT) AS total_len,
+             {', '.join(f'CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}' for t in BM25_TERMS)}
+      FROM base
+    ), scored AS (
+      SELECT doc_id, doclen,
+             {' + '.join(
+                 f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+                 f" * (CAST(tf_{t} AS DOUBLE) * ({BM25_K1} + 1.0))"
+                 f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * CAST(doclen AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_len AS DOUBLE))))"
+                 for t in BM25_TERMS)}
+               AS score
+      FROM base CROSS JOIN stats
+    )
+    SELECT doc_id, doclen, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval of the top-20 documents for a fixed keyword
+    query — the lexical-search scoring every retrieval/data-curation
+    stack needs (Robertson & Walker's BM25, public literature).
+
+    Scale shape: NO inverted index and NO explode — per-term tf comes
+    from the replace-length occurrence trick (map-only, whole-stage
+    codegen), so the corpus scan emits one short row per doc; corpus
+    statistics (N, total length, per-term df) are ONE partial-agg'd
+    1-row aggregate that broadcast-joins back; the top-k is
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    Cross-engine determinism: tf/df/doclen are exact integers; the
+    score's ln/division chain is written in the identical operation
+    order in both engines and rounded to 6 decimals before the ORDER BY
+    so a last-ulp libm difference cannot reorder the cutoff."""
+    d = load_table(spark, sf_dir, "documents")
+    doclen = F.size(F.split(F.trim("text"), " +")).cast("long")
+    base = d.select(
+        "doc_id",
+        doclen.alias("doclen"),
+        *[_occurrences("text", t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        df_ = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - df_ + F.lit(0.5))
+            / (df_ + F.lit(0.5))
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * F.col("doclen").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("total_len").cast("double")
+        )
+        term = idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + norm)
+        score = term if score is None else score + term
+    return (
+        joined.select(
+            "doc_id", "doclen", F.round(score, 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+BOILERPLATE_PREFIX_W = 3  # leading words that define a "boilerplate" prefix
+
+
+@query(
+    "boilerplate_prefix_detection",
+    oracle=f"""
+    WITH pfx AS (
+      SELECT source,
+             array_to_string(
+               string_split_regex(trim(text), ' +')[1:{BOILERPLATE_PREFIX_W}],
+               ' ') AS prefix
+      FROM documents
+    ), counted AS (
+      SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs_with_prefix,
+             CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT)
+               AS n_docs,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY count(*) DESC, prefix ASC) AS rn
+      FROM pfx GROUP BY source, prefix
+    )
+    SELECT source, prefix AS top_prefix, n_docs_with_prefix, n_docs,
+           CAST(n_docs_with_prefix AS DOUBLE) / n_docs AS prefix_share
+    FROM counted WHERE rn = 1 ORDER BY source
+    """,
+)
+def boilerplate_prefix_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection: the most common leading
+    3-word prefix of each source's documents and the share of documents
+    carrying it — how web-corpus pipelines find injected headers /
+    cookie banners / licence stubs to strip before training (a high
+    share means the source prepends boilerplate).
+
+    Scale shape: the prefix is a map-side projection (slice of the token
+    array — never the full text past the first words), ONE partial-agg'd
+    groupBy on (source, prefix), then a per-source window over the
+    already-collapsed counts (source-sized partitions of DISTINCT
+    prefixes, not documents). Ties break on (count desc, prefix asc) —
+    a total order, so both engines elect the same prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.trim("text"), " +"), 1, BOILERPLATE_PREFIX_W), " "
+    )
+    counted = (
+        d.select("source", prefix.alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count("*").alias("n_docs_with_prefix"))
+    )
+    w_src = Window.partitionBy("source")
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("n_docs_with_prefix"), F.asc("prefix")
+    )
+    return (
+        counted.select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            "n_docs_with_prefix",
+            F.sum("n_docs_with_prefix").over(w_src).alias("n_docs"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "top_prefix",
+            "n_docs_with_prefix",
+            "n_docs",
+            (
+                F.col("n_docs_with_prefix").cast("double") / F.col("n_docs")
+            ).alias("prefix_share"),
+        )
+        .orderBy("source")
+    )
+
+
+GATE_KEEP_NUM = 7  # keep the top 7/10 of each language by quality rank
+GATE_KEEP_DEN = 10
+
+
+@query(
+    "calibrated_quality_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tokens,
+             CAST({_occurrences_sql('text', 'the')} AS DOUBLE) /
+               CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS q
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn * {GATE_KEEP_DEN} <= n * {GATE_KEEP_NUM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn * {GATE_KEEP_DEN} <= n * {GATE_KEEP_NUM}
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           min(CASE WHEN rn * {GATE_KEEP_DEN} <= n * {GATE_KEEP_NUM}
+                    THEN q END) AS calibrated_threshold
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+def calibrated_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating calibrated to a TARGET KEEP RATE instead of a fixed
+    threshold: per language, keep exactly the top 70% of documents by
+    quality score and report the data-derived cutoff — how production
+    pipelines actually set filter thresholds (pick the budget, let each
+    language's score distribution find its own bar, so a fixed global
+    threshold can't silently delete a whole low-resource language).
+
+    Determinism: the cutoff is RANK-based (rn*10 <= n*7 in exact integer
+    math — no float percentile interpolation to disagree across
+    engines), with the (q desc, doc_id) total order breaking ties; the
+    reported threshold is then the min kept score. Scale shape: one
+    narrow scored projection, one per-language window over it
+    (language-sized partitions), one per-language aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), " +")).cast("long")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        (
+            _occurrences("text", "the").cast("double") / n_tokens
+        ).alias("q"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    w_lang = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "n_tokens",
+        "q",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_lang).alias("n"),
+    )
+    kept = F.col("rn") * GATE_KEEP_DEN <= F.col("n") * GATE_KEEP_NUM
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.min(F.when(kept, F.col("q"))).alias("calibrated_threshold"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "leakage_safe_group_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE
+               WHEN substr(md5(source), 32, 1)
+                    IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                 THEN 'train'
+               WHEN substr(md5(source), 32, 1) IN ('c','d') THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def leakage_safe_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: the md5 bucket hashes the
+    SOURCE, not the document id, so every document from one source lands
+    in the same split — the leakage-safe variant of
+    dataset_split_deterministic (near-duplicate documents cluster within
+    a source/domain; splitting per-document puts one copy in train and
+    its twin in test, inflating eval). Same 12/2/2-sixteenths buckets,
+    same stateless-map + 3-row-aggregate scale shape; membership stays a
+    pure function of the group key, so incremental arrivals from a known
+    source join their split with no coordination."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("source").cast("binary")), 32, 1)
+    split = (
+        F.when(bucket.isin(*"0123456789ab"), "train")
+        .when(bucket.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

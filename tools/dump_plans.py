@@ -75,6 +75,11 @@ PLAN_QUERIES = [
     ("token_budget_waterfill", "per-source partial agg; threshold search + windows on a sources-sized relation only"),
     ("containment_bottomk_sketch", "bottom-K sketch bucket join (K rows/doc) -> semi-join-pruned full-set verify; never all-pairs"),
     ("zlib_compression_ratio", "ONE Arrow-batched mapInPandas pass, zero shuffles, payload never leaves its partition"),
+    ("fuzzy_part_name_matches", "blocked levenshtein ER join: distinct-name collapse first, token-block self-join, verify on candidates only"),
+    ("bm25_keyword_search", "no explode/no index: replace-arithmetic tf map-side, 1-row stats broadcast, TakeOrderedAndProject top-k"),
+    ("boilerplate_prefix_detection", "prefix slice map-side, (source,prefix) partial agg, window over collapsed counts only"),
+    ("calibrated_quality_gate", "rank-based per-lang cutoff: one scored projection, one lang window, one aggregate"),
+    ("leakage_safe_group_split", "stateless md5(source) map + 3-row aggregate; zero wide shuffles"),
     ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
 ]
 

@@ -84,6 +84,13 @@ PROBES = [
     "containment_bottomk_sketch",
     "containment_dedup_removal",
     "zlib_compression_ratio",
+    # round-5 family: entity resolution, retrieval scoring, boilerplate,
+    # calibrated gating, group-safe splitting
+    "fuzzy_part_name_matches",
+    "bm25_keyword_search",
+    "boilerplate_prefix_detection",
+    "calibrated_quality_gate",
+    "leakage_safe_group_split",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
