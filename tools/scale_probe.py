@@ -132,10 +132,10 @@ def replicate(spark, k: int, dest: str) -> None:
         big.write.mode("overwrite").parquet(out)
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, probes: list[str] | None = None) -> dict[str, float]:
     qs = all_queries()
     out = {}
-    for name in PROBES:
+    for name in probes if probes is not None else PROBES:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -146,7 +146,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # usage: scale_probe.py [k] [query ...] — trailing names restrict the
+    # probe set (iterating on one operator shouldn't re-run all ~50)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probes = sys.argv[2:] or list(PROBES)
     # same cache dir bench.py's sf1 block uses: replicate once, reuse
     # everywhere; `rm -rf .scratch` reclaims the disk
     dest = os.path.join(REPO, ".scratch", f"bench_sf1_x{k}")
@@ -157,11 +160,11 @@ def main() -> None:
     # codegen + JIT; without it the 1x baseline absorbs that cost and
     # ratios come out absurdly low (observed <1.0, which a genuine 10x
     # input can't produce).
-    time_queries(spark, SRC)
-    base = time_queries(spark, SRC)
-    big = time_queries(spark, dest)
+    time_queries(spark, SRC, probes)
+    base = time_queries(spark, SRC, probes)
+    big = time_queries(spark, dest, probes)
     print(f"\nscale probe: sf0.1 -> {k}x replicated ({k * 0.6:.0f}M lineitem rows)")
-    for name in PROBES:
+    for name in probes:
         ratio = big[name] / base[name] if base[name] else float("nan")
         print(f"  {name:36s} 1x={base[name]:7.3f}s  {k}x={big[name]:7.3f}s  ratio={ratio:4.1f}")
     spark.stop()
