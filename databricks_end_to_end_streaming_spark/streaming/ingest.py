@@ -195,6 +195,11 @@ def demux_decode_batch(
     )
     if framing.compression_col is not None:
         sliced = sliced.withColumn("_compression", framing.compression_col)
+    if framing.valid_col is not None:
+        # validity evaluated ONCE into the cached batch (binary substring
+        # comparisons): the stats pass and the per-id decode filters
+        # below read the cached boolean instead of re-evaluating it
+        sliced = sliced.withColumn("_valid", framing.valid_col)
     cached = sliced  # unpersist target — `sliced` may be rewrapped below
     cached.persist()
     try:
@@ -206,7 +211,7 @@ def demux_decode_batch(
         # job — three cached-batch passes per trigger, which showed up
         # as the avro_demux_events_per_sec slip in BENCH_r04.)
         valid = (
-            framing.valid_col if framing.valid_col is not None else F.lit(True)
+            F.col("_valid") if framing.valid_col is not None else F.lit(True)
         )
         zlib_agg = (
             [
@@ -236,12 +241,12 @@ def demux_decode_batch(
                         "quarantine table to capture them instead"
                     )
                 _quarantine(
-                    sliced.where(~framing.valid_col),
+                    sliced.where(~F.col("_valid")),
                     quarantine,
                     "bad_framing",
                     batch_id,
                 )
-            sliced = sliced.where(framing.valid_col)
+            sliced = sliced.where(F.col("_valid")).drop("_valid")
         # Driver-side demux: distinct ids -> one decode+write pass per id
         # (ingest.scala:139-142). At scale this is N cheap passes over a
         # cached batch, each pruned by the id filter.
