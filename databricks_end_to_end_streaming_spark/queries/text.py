@@ -1783,6 +1783,67 @@ BM25_B = 0.75
 BM25_TOP_K = 20
 
 
+def bm25_doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, doclen, tf_<term>...) — the per-document BM25 inputs as
+    ONE map-only projection (replace-length tf, no explode). Shared by
+    the batch query and the incremental stage (streaming/bm25.py), so
+    the two can never tokenize differently."""
+    doclen = F.size(F.split(F.trim("text"), " +")).cast("long")
+    return docs.select(
+        "doc_id",
+        doclen.alias("doclen"),
+        *[_occurrences("text", t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+
+
+def bm25_corpus_stats(base: DataFrame) -> DataFrame:
+    """1-row (n_docs, total_len, df_<term>...) corpus statistics — every
+    column a sum-monoid, so per-batch partials of this exact relation
+    merge by addition (the property streaming/bm25.py relies on)."""
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+
+def bm25_score_from(base: DataFrame, stats: DataFrame) -> DataFrame:
+    """Top-k BM25 scoring of a feature relation against a 1-row stats
+    relation — the shared expression core (identical operation order in
+    Spark and the SQL oracle; rounded to 6 decimals before ORDER BY so
+    a last-ulp libm ln() difference cannot reorder the cutoff)."""
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        df_ = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - df_ + F.lit(0.5))
+            / (df_ + F.lit(0.5))
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * F.col("doclen").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("total_len").cast("double")
+        )
+        term = idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + norm)
+        score = term if score is None else score + term
+    return (
+        joined.select(
+            "doc_id", "doclen", F.round(score, 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+
 @query(
     "bm25_keyword_search",
     oracle=f"""
@@ -1829,46 +1890,8 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     order in both engines and rounded to 6 decimals before the ORDER BY
     so a last-ulp libm difference cannot reorder the cutoff."""
     d = load_table(spark, sf_dir, "documents")
-    doclen = F.size(F.split(F.trim("text"), " +")).cast("long")
-    base = d.select(
-        "doc_id",
-        doclen.alias("doclen"),
-        *[_occurrences("text", t).alias(f"tf_{t}") for t in BM25_TERMS],
-    )
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("doclen").alias("total_len"),
-        *[
-            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
-            for t in BM25_TERMS
-        ],
-    )
-    joined = base.crossJoin(F.broadcast(stats))
-    score = None
-    for t in BM25_TERMS:
-        tf = F.col(f"tf_{t}").cast("double")
-        df_ = F.col(f"df_{t}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs").cast("double") - df_ + F.lit(0.5))
-            / (df_ + F.lit(0.5))
-        )
-        norm = F.lit(BM25_K1) * (
-            F.lit(1.0 - BM25_B)
-            + F.lit(BM25_B)
-            * F.col("doclen").cast("double")
-            * F.col("n_docs").cast("double")
-            / F.col("total_len").cast("double")
-        )
-        term = idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + norm)
-        score = term if score is None else score + term
-    return (
-        joined.select(
-            "doc_id", "doclen", F.round(score, 6).alias("bm25")
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(BM25_TOP_K)
-    )
+    base = bm25_doc_features(d)
+    return bm25_score_from(base, bm25_corpus_stats(base))
 
 
 BOILERPLATE_PREFIX_W = 3  # leading words that define a "boilerplate" prefix
