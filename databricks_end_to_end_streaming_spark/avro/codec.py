@@ -274,16 +274,32 @@ def _record_type(schema_json: str | dict) -> dict:
     return json.loads(schema_json) if isinstance(schema_json, str) else schema_json
 
 
-def decode(payload: bytes, schema_json: str | dict) -> dict:
-    """Decode one Avro-binary record -> dict (raises on malformed input)."""
+def decoder_for(schema_json: str | dict) -> Callable[[bytes], dict]:
+    """Resolved payload->dict decoder for a schema. The cache lookup —
+    and for dict schemas the str() key stringification — happens ONCE
+    here instead of per record; in the Arrow-batched decode loop
+    (avro/functions.py) that per-record str(schema_dict) was a
+    measurable fraction of the whole decode."""
     key = schema_json if isinstance(schema_json, str) else str(schema_json)
     dec = _DECODER_CACHE.get(key)
     if dec is None:
         dec = _DECODER_CACHE[key] = _build_decoder(_record_type(schema_json))
-    value, pos = dec(payload, 0)
-    if pos != len(payload):
-        raise ValueError(f"trailing bytes: consumed {pos} of {len(payload)}")
-    return value
+
+    def read(payload: bytes) -> dict:
+        value, pos = dec(payload, 0)
+        if pos != len(payload):
+            raise ValueError(
+                f"trailing bytes: consumed {pos} of {len(payload)}"
+            )
+        return value
+
+    return read
+
+
+def decode(payload: bytes, schema_json: str | dict) -> dict:
+    """Decode one Avro-binary record -> dict (raises on malformed input).
+    For tight loops resolve ``decoder_for(schema)`` once instead."""
+    return decoder_for(schema_json)(payload)
 
 
 def encode(record: dict, schema_json: str | dict) -> bytes:

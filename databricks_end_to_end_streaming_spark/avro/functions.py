@@ -27,7 +27,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .codec import decode
 from .schema import parse_schema, record_to_struct
 
 
@@ -142,8 +141,13 @@ def decode_avro(
         struct_type = record_to_struct(reader_parsed)
         read_record = reader_for(parse_schema(schema_str), reader_parsed)
     else:
+        from .codec import decoder_for
+
         struct_type = record_to_struct(parse_schema(schema_str))
-        read_record = lambda payload: decode(payload, schema_dict)  # noqa: E731
+        # resolve the decoder ONCE: decode() re-stringifies the schema
+        # dict for its cache key on every call, which is measurable at
+        # per-record frequency
+        read_record = decoder_for(schema_dict)
     field_names = [f.name for f in struct_type.fields]
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(output_col, struct_type, True)]

@@ -246,7 +246,10 @@ def demux_decode_batch(
                     "bad_framing",
                     batch_id,
                 )
-            sliced = sliced.where(F.col("_valid")).drop("_valid")
+                sliced = sliced.where(F.col("_valid"))
+            # the stats pass already proved every row valid on the
+            # common path — no filter to evaluate per decode pass
+            sliced = sliced.drop("_valid")
         # Driver-side demux: distinct ids -> one decode+write pass per id
         # (ingest.scala:139-142). At scale this is N cheap passes over a
         # cached batch, each pruned by the id filter.
