@@ -135,6 +135,8 @@ NEW_OP_QUERIES = [
     "boilerplate_prefix_detection",
     "calibrated_quality_gate",
     "leakage_safe_group_split",
+    "range_frame_trailing_stats",
+    "gapfill_hourly_event_series",
 ]
 
 

@@ -1516,3 +1516,130 @@ def chi2_over_contingency(obs: DataFrame) -> DataFrame:
         )
         .select("key", F.col("tt").alias("n_events"), "chi2", "n_bins")
     )
+
+
+@query(
+    "range_frame_trailing_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT)
+             AS trailing_sum_cents,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n
+    FROM (
+      SELECT event_id, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    )
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING
+    )
+    """,
+)
+def range_frame_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-user statistics via a true RANGE window frame
+    (value-based bounds, not row counts) — the velocity-check /
+    rate-limiting shape (\"how much did this user do in the hour before
+    this event\"), and a physical pattern none of the other windows
+    exercise: the frame is [ts-1h, ts) in MICROSECOND integer arithmetic,
+    with the -1 upper bound excluding the current row AND its exact-ts
+    peers identically in both engines (peer inclusion is where RANGE
+    frame dialects usually disagree). Money sums use the corpus-standard
+    DECIMAL(18,2)->int64 cents, so the sliding sum is exact integer math
+    — no float-accumulator order sensitivity.
+
+    Scale shape: ONE user_id exchange + per-user sort; the sliding frame
+    is a two-pointer pass over each partition (Spark's window RANGE
+    implementation), never a per-row re-scan — O(n) per user after the
+    sort."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select(
+        "event_id", "user_id", cents.alias("cents"), us.alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("long").alias(
+            "trailing_sum_cents"
+        ),
+        F.count("*").over(w).cast("long").alias("trailing_n"),
+    )
+
+
+@query(
+    "gapfill_hourly_event_series",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour,
+             et.event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events) AS et
+    ), agg AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT spine.event_type, spine.hour,
+           CAST(coalesce(agg.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(agg.sum_cents, 0) AS BIGINT) AS sum_cents
+    FROM spine LEFT JOIN agg USING (event_type, hour)
+    """,
+)
+def gapfill_hourly_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to a GAP-FILLED hourly series per event type — the
+    time-series resampling shape (dashboards, rate alerting, feature
+    windows) that a bare groupBy can't produce: hours with no events must
+    exist as explicit zero rows, or downstream window math silently
+    skips them. The calendar spine is generated, not scanned: a 1-row
+    min/max aggregate -> F.sequence(h0, h1, 1 hour) exploded ->
+    cross-joined with the (tiny) distinct type relation, then the hourly
+    aggregate LEFT-joins onto it.
+
+    Scale shape: the corpus is touched twice, both as partial-agg'd
+    one-pass aggregates (bounds; hourly rollup); the spine is
+    hours x types rows — calendar-sized, independent of corpus row
+    count — so the gap-fill join is a join of two SMALL relations (AQE
+    broadcasts the smaller). Money sums are exact int64 cents."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min(ts)).alias("h0"),
+        F.date_trunc("hour", F.max(ts)).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour")
+        )
+        .crossJoin(types)
+    )
+    agg = (
+        e.select("event_type", F.date_trunc("hour", ts).alias("hour"), cents.alias("cents"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    return spine.join(agg, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+    )

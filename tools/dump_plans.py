@@ -80,6 +80,8 @@ PLAN_QUERIES = [
     ("boilerplate_prefix_detection", "prefix slice map-side, (source,prefix) partial agg, window over collapsed counts only"),
     ("calibrated_quality_gate", "rank-based per-lang cutoff: one scored projection, one lang window, one aggregate"),
     ("leakage_safe_group_split", "stateless md5(source) map + 3-row aggregate; zero wide shuffles"),
+    ("range_frame_trailing_stats", "true RANGE frame in microsecond int math: one user exchange + sort, two-pointer sliding frame"),
+    ("gapfill_hourly_event_series", "generated calendar spine (1-row bounds -> sequence explode) LEFT-joined by the hourly rollup"),
     ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
 ]
 

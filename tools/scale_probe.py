@@ -91,6 +91,8 @@ PROBES = [
     "boilerplate_prefix_detection",
     "calibrated_quality_gate",
     "leakage_safe_group_split",
+    "range_frame_trailing_stats",
+    "gapfill_hourly_event_series",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
