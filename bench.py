@@ -137,6 +137,7 @@ NEW_OP_QUERIES = [
     "leakage_safe_group_split",
     "range_frame_trailing_stats",
     "gapfill_hourly_event_series",
+    "sa_repeated_span_stats",
 ]
 
 

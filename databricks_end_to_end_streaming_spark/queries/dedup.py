@@ -821,3 +821,37 @@ def containment_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# rows-only: suffix-array construction has no tractable SQL replay (the
+# quadratic oracle is O(n^2 L)); exactness is pinned in
+# tests/test_suffix.py against a sequential Python suffix array.
+@query("sa_repeated_span_stats")
+def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-substring profile from a DISTRIBUTED suffix
+    array (operators/suffix.py, Manber-Myers prefix doubling): for each
+    document, the longest token span that also occurs elsewhere in the
+    corpus and how much of the document sits inside >=8-token repeats —
+    the variable-length generalization of the fixed-W n-gram scrub
+    (ExactSubstr dedup, Lee et al. 2022). O(log maxlen) join+rank
+    rounds, nothing quadratic; see the operator docstring for the scale
+    argument."""
+    from ..operators.suffix import position_repeat_lengths
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = position_repeat_lengths(d)
+    return (
+        rep.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.max("max_repeat").alias("max_repeat_len"),
+            F.sum((F.col("max_repeat") >= 8).cast("long")).alias(
+                "n_pos_rep8"
+            ),
+            (
+                F.sum((F.col("max_repeat") >= 8).cast("long")).cast("double")
+                / F.count("*")
+            ).alias("repeat8_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,107 @@
+"""Distributed suffix array (operators/suffix.py): exact agreement with
+a sequential Python suffix array + LCP on the same tokens, planted
+cross-document repeated spans, and the registered per-doc stats."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F  # noqa: F401
+
+from databricks_end_to_end_streaming_spark.operators.suffix import (
+    SENTINEL_PREFIX,
+    adjacent_lcp,
+    corpus_positions,
+    position_repeat_lengths,
+    suffix_rank_tables,
+)
+from databricks_end_to_end_streaming_spark.queries.dedup import (
+    sa_repeated_span_stats,
+)
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _py_reference(texts: dict[int, str]) -> dict[tuple[int, int], int]:
+    """(doc_id, off) -> longest repeated span starting there, by brute
+    sequential suffix array: sort all suffixes (sentinel-terminated),
+    max LCP with either sorted neighbor."""
+    toks = {
+        d: t.lower().split() + [f"{SENTINEL_PREFIX}{d}"]
+        for d, t in texts.items()
+    }
+    suffixes = [
+        (tuple(toks[d][o:]), d, o) for d in toks for o in range(len(toks[d]))
+    ]
+    suffixes.sort()
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    out: dict[tuple[int, int], int] = {}
+    for i, (suf, d, o) in enumerate(suffixes):
+        best = 0
+        if i > 0:
+            best = max(best, lcp(suf, suffixes[i - 1][0]))
+        if i + 1 < len(suffixes):
+            best = max(best, lcp(suf, suffixes[i + 1][0]))
+        if o < len(toks[d]) - 1:  # skip the sentinel position
+            out[(d, o)] = best
+    return out
+
+
+TEXTS = {
+    0: "the quick brown fox jumps over the lazy dog",
+    1: "a quick brown fox jumps over a fence today",
+    2: "completely different words here nothing shared at all",
+    3: "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+}
+
+
+def _spark_docs(spark, texts=TEXTS):
+    return spark.createDataFrame(list(texts.items()), DOCS_SCHEMA)
+
+
+def test_matches_python_reference_exactly(spark):
+    got = {
+        (r.doc_id, r.off): r.max_repeat
+        for r in position_repeat_lengths(_spark_docs(spark)).collect()
+    }
+    want = _py_reference(TEXTS)
+    assert got == want
+
+
+def test_planted_cross_doc_span(spark):
+    rep = {
+        (r.doc_id, r.off): r.max_repeat
+        for r in position_repeat_lengths(_spark_docs(spark)).collect()
+    }
+    # docs 0 and 3 are identical 9-token docs: position 0 repeats all 9
+    assert rep[(0, 0)] == 9 and rep[(3, 0)] == 9
+    # docs 0 and 1 share "quick brown fox jumps over" (5 tokens) at off 1
+    assert rep[(1, 1)] == 5
+    # doc 2 shares nothing: every position has repeat 0
+    assert all(v == 0 for (d, _o), v in rep.items() if d == 2)
+
+
+def test_rank_tables_totalize(spark):
+    pos = corpus_positions(_spark_docs(spark))
+    tables, n = suffix_rank_tables(pos)
+    final = tables[max(tables)]
+    ranks = [r.rank for r in final.collect()]
+    assert sorted(ranks) == list(range(1, n + 1))  # a permutation: the SA
+    # adjacent LCP relation has exactly n-1 neighbor pairs
+    assert adjacent_lcp(tables).count() == n - 1
+
+
+def test_registered_stats_query(spark, workdir):
+    _spark_docs(spark).withColumn("n_chars", F.length("text")).write.parquet(
+        f"{workdir}/t/documents.parquet"
+    )
+    rows = {r.doc_id: r for r in sa_repeated_span_stats(spark, f"{workdir}/t").collect()}
+    assert rows[0].max_repeat_len == 9 and rows[0].n_tokens == 9
+    assert rows[0].n_pos_rep8 == 2  # offsets 0 (len 9) and ... just 0? len-8 window
+    assert rows[2].max_repeat_len == 0 and rows[2].repeat8_frac == 0.0

@@ -82,6 +82,7 @@ PLAN_QUERIES = [
     ("leakage_safe_group_split", "stateless md5(source) map + 3-row aggregate; zero wide shuffles"),
     ("range_frame_trailing_stats", "true RANGE frame in microsecond int math: one user exchange + sort, two-pointer sliding frame"),
     ("gapfill_hourly_event_series", "generated calendar spine (1-row bounds -> sequence explode) LEFT-joined by the hourly rollup"),
+    ("sa_repeated_span_stats", "prefix-doubling suffix array: O(log maxlen) join+range-rank rounds, LCP via rank-table descent"),
     ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
 ]
 

@@ -93,6 +93,7 @@ PROBES = [
     "leakage_safe_group_split",
     "range_frame_trailing_stats",
     "gapfill_hourly_event_series",
+    "sa_repeated_span_stats",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
