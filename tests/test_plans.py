@@ -343,3 +343,34 @@ def test_lm_fluency_vocab_broadcast_no_cartesian(spark):
     plan = plan_of(spark, "lm_fluency_score")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_without_global_sort_or_explode(spark):
+    plan = plan_of(spark, "bm25_keyword_search")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps
+    assert "Generate" not in plan  # tf via replace-arithmetic, no explode
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats broadcast
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(spark):
+    plan = plan_of(spark, "fuzzy_part_name_matches")
+    assert "CartesianProduct" not in plan  # token blocks, never all-pairs
+
+
+def test_boilerplate_partial_agg_before_window(spark):
+    plan = plan_of(spark, "boilerplate_prefix_detection")
+    assert "partial" in plan.lower()  # (source,prefix) collapse map-side
+
+
+def test_range_frame_single_user_exchange(spark):
+    plan = plan_of(spark, "range_frame_trailing_stats")
+    # both window aggregates ride ONE hashpartitioning(user_id) exchange
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_gapfill_join_is_broadcast(spark):
+    plan = plan_of(spark, "gapfill_hourly_event_series")
+    # the spine x hourly-rollup gap-fill join never shuffles the corpus:
+    # both sides are aggregate-sized, one broadcasts
+    assert "BroadcastHashJoin" in plan
