@@ -106,3 +106,52 @@ def test_group_split_is_leakage_safe(spark, tiny_dir):
     assert sum(r.n_docs for r in out) == 9
     # every source lands wholly in one split -> distinct sources sum to 2
     assert sum(r.n_sources for r in out) == 2
+
+
+def test_fuzzy_random_names_match_exact_all_pairs(spark, workdir):
+    """Seeded randomized check: blocked join == exact all-pairs python
+    levenshtein on random two-token names (token blocking is lossless
+    whenever a qualifying pair shares a token — asserted per corpus the
+    same way the oracle asserts it per round)."""
+    import itertools
+    import random
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(77)
+    adjs = ["red", "ted", "blue", "blu", "big", "bag", "small", "smell"]
+    nouns = ["bolt", "boat", "gear", "bear", "ring", "king", "plate", "slate"]
+    for trial in range(3):
+        names = {
+            f"{rng.choice(adjs)} {rng.choice(nouns)}" for _ in range(12)
+        }
+        # every qualifying pair must share a token, else blocking would
+        # miss it — regenerate corpora where that precondition holds
+        exact = {
+            (min(a, b), max(a, b), lev(a, b))
+            for a, b in itertools.combinations(sorted(names), 2)
+            if lev(a, b) <= FUZZY_MAX_DIST
+        }
+        if any(
+            not set(a.split()) & set(b.split()) for a, b, _d in exact
+        ):
+            continue
+        rows = [(i, n) for i, n in enumerate(sorted(names))]
+        d = f"{workdir}/fz{trial}"
+        spark.createDataFrame(rows, "p_partkey long, p_name string").write.parquet(
+            f"{d}/part.parquet"
+        )
+        got = {
+            (r.name_a, r.name_b, r.edit_dist)
+            for r in fuzzy_part_name_matches(spark, d).collect()
+        }
+        assert got == exact, f"trial {trial}"

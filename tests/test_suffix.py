@@ -103,5 +103,26 @@ def test_registered_stats_query(spark, workdir):
     )
     rows = {r.doc_id: r for r in sa_repeated_span_stats(spark, f"{workdir}/t").collect()}
     assert rows[0].max_repeat_len == 9 and rows[0].n_tokens == 9
-    assert rows[0].n_pos_rep8 == 2  # offsets 0 (len 9) and ... just 0? len-8 window
+    assert rows[0].n_pos_rep8 == 2  # offsets 0 (repeat 9) and 1 (repeat 8)
     assert rows[2].max_repeat_len == 0 and rows[2].repeat8_frac == 0.0
+
+
+def test_random_corpora_match_reference(spark):
+    """Property check over randomized corpora from a tiny alphabet (the
+    adversarial case: massive repeat structure, rank ties everywhere).
+    Seeded loop rather than hypothesis: each example costs Spark jobs,
+    and a fixed seed keeps the suite deterministic."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["a", "b", "c"]
+    for trial in range(4):
+        texts = {
+            d: " ".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for d in range(rng.randint(2, 6))
+        }
+        got = {
+            (r.doc_id, r.off): r.max_repeat
+            for r in position_repeat_lengths(_spark_docs(spark, texts)).collect()
+        }
+        assert got == _py_reference(texts), f"trial {trial}: {texts}"
