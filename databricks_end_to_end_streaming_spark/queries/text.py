@@ -1934,14 +1934,28 @@ def boilerplate_prefix_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes, not documents). Ties break on (count desc, prefix asc) —
     a total order, so both engines elect the same prefix."""
     d = load_table(spark, sf_dir, "documents")
+    return boilerplate_elect(boilerplate_prefix_counts(d))
+
+
+def boilerplate_prefix_counts(docs: DataFrame) -> DataFrame:
+    """(source, prefix, n_docs_with_prefix) — a SUM-monoid relation, so
+    per-batch partials fold by addition (the property
+    streaming/boilerplate.py relies on). Shared with the batch query so
+    the two can never slice prefixes differently."""
     prefix = F.array_join(
         F.slice(F.split(F.trim("text"), " +"), 1, BOILERPLATE_PREFIX_W), " "
     )
-    counted = (
-        d.select("source", prefix.alias("prefix"))
+    return (
+        docs.select("source", prefix.alias("prefix"))
         .groupBy("source", "prefix")
         .agg(F.count("*").alias("n_docs_with_prefix"))
     )
+
+
+def boilerplate_elect(counted: DataFrame) -> DataFrame:
+    """Per-source winner election over a collapsed prefix-count relation
+    — the shared finalize core of the batch query and the streaming
+    monitor (identical total order: count desc, prefix asc)."""
     w_src = Window.partitionBy("source")
     w_rank = Window.partitionBy("source").orderBy(
         F.desc("n_docs_with_prefix"), F.asc("prefix")
