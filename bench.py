@@ -138,6 +138,7 @@ NEW_OP_QUERIES = [
     "range_frame_trailing_stats",
     "gapfill_hourly_event_series",
     "sa_repeated_span_stats",
+    "copurchase_graph_triangles",
 ]
 
 

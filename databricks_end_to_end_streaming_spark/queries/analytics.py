@@ -1643,3 +1643,158 @@ def gapfill_hourly_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
     )
+
+
+COPURCHASE_K = 10  # mutual-KNN graph degree bound
+
+
+@query(
+    "copurchase_graph_triangles",
+    oracle=f"""
+    WITH pair_counts AS (
+      SELECT least(a.l_partkey, b.l_partkey) AS pa,
+             greatest(a.l_partkey, b.l_partkey) AS pb,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT pa AS src, pb AS dst, n_orders FROM pair_counts
+      UNION ALL
+      SELECT pb AS src, pa AS dst, n_orders FROM pair_counts
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (
+               PARTITION BY src ORDER BY n_orders DESC, dst ASC) AS rn
+      FROM directed
+    ), sel AS (
+      SELECT src, dst FROM ranked WHERE rn <= {COPURCHASE_K}
+    ), edges AS (
+      SELECT s1.src AS a, s1.dst AS b
+      FROM sel s1 JOIN sel s2 ON s1.src = s2.dst AND s1.dst = s2.src
+      WHERE s1.src < s1.dst
+    ), tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tri_nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY node
+    ), tcount AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM tri_nodes GROUP BY node
+    )
+    SELECT deg.node AS l_partkey, deg.degree,
+           CAST(coalesce(tcount.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN 2.0 * CAST(coalesce(tcount.n_triangles, 0) AS DOUBLE)
+                     / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1))
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tcount ON deg.node = tcount.node
+    ORDER BY l_partkey
+    """,
+)
+def copurchase_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle count + local clustering coefficient on the
+    MUTUAL top-K co-purchase graph — the recommender/market-structure
+    analysis (parts whose co-purchase neighborhoods are cliques form
+    product bundles). The graph definition is the standard mutual-KNN
+    sparsification: each part keeps its K strongest partners (co-order
+    count desc, partner id asc — a total order), and an edge survives
+    only if BOTH endpoints selected each other, so node degree is
+    provably <= K no matter how dense raw co-occurrence gets (a fixed
+    part dimension under 100x more orders saturates toward a complete
+    graph — the raw pair graph is NOT countable at scale, the mutual-KNN
+    graph always is: wedge work is bounded by n*K^2).
+
+    Plan shape: the self-join on l_orderkey groups order-sized row sets;
+    pair counts collapse in ONE partial-agg'd shuffle; per-src windows
+    run over <= n_parts collapsed rows; triangle enumeration is two
+    equi-joins on the degree-bounded edge list with the a < b < c
+    orientation so each triangle is produced exactly once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    directed = pair_counts.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "n_orders"
+    ).unionByName(
+        pair_counts.select(
+            F.col("pb").alias("src"), F.col("pa").alias("dst"), "n_orders"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_orders"), F.asc("dst"))
+    sel = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= COPURCHASE_K)
+        .select("src", "dst")
+    )
+    edges = (
+        sel.alias("s1")
+        .join(
+            sel.alias("s2"),
+            (F.col("s1.src") == F.col("s2.dst"))
+            & (F.col("s1.dst") == F.col("s2.src")),
+        )
+        .where(F.col("s1.src") < F.col("s1.dst"))
+        .select(F.col("s1.src").alias("a"), F.col("s1.dst").alias("b"))
+        # consumed by 2 triangle joins + the degree agg
+        .transform(pin)
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tcount = tri_nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    clustering = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0)
+        * F.col("n_triangles").cast("double")
+        / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tcount, "node", "left")
+        .na.fill({"n_triangles": 0})
+        .select(
+            F.col("node").alias("l_partkey"),
+            "degree",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            clustering.alias("clustering"),
+        )
+        .orderBy("l_partkey")
+    )

@@ -94,6 +94,7 @@ PROBES = [
     "range_frame_trailing_stats",
     "gapfill_hourly_event_series",
     "sa_repeated_span_stats",
+    "copurchase_graph_triangles",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
