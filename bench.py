@@ -139,6 +139,7 @@ NEW_OP_QUERIES = [
     "gapfill_hourly_event_series",
     "sa_repeated_span_stats",
     "copurchase_graph_triangles",
+    "rfm_customer_scores",
 ]
 
 

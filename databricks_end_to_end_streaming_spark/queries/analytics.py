@@ -1798,3 +1798,121 @@ def copurchase_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@query(
+    "rfm_customer_scores",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY recency_days ASC,  o_custkey) AS rr,
+             row_number() OVER (ORDER BY n_orders DESC,      o_custkey) AS fr,
+             row_number() OVER (ORDER BY monetary_cents DESC, o_custkey) AS mr,
+             count(*) OVER () AS n
+      FROM base
+    )
+    SELECT o_custkey, recency_days, n_orders, monetary_cents,
+           CAST(5 - (5 * (rr - 1)) // n AS BIGINT) AS r_score,
+           CAST(5 - (5 * (fr - 1)) // n AS BIGINT) AS f_score,
+           CAST(5 - (5 * (mr - 1)) // n AS BIGINT) AS m_score,
+           CAST((5 - (5 * (rr - 1)) // n) * 100
+              + (5 - (5 * (fr - 1)) // n) * 10
+              + (5 - (5 * (mr - 1)) // n) AS BIGINT) AS rfm
+    FROM ranked
+    """,
+)
+def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintile scores,
+    5 = best) — the classic warehouse customer-value rollup. Quintiles
+    are EXACT-INTEGER rank arithmetic (score = 5 - (5*(rank-1)) div n),
+    not percentile interpolation, with (metric, custkey) total orders —
+    so both engines assign identical scores including at quintile
+    boundaries.
+
+    Scale shape: orders collapse to one row per customer in ONE
+    partial-agg'd shuffle; the reference date is a 1-row broadcast; the
+    three global ranks use the range-partitioned global_row_number
+    operator (TeraSort shape — NO single-partition window), each over
+    the customer-sized aggregate, never over orders."""
+    from ..operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_date"),
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_date").cast("long").alias(
+                "recency_days"
+            ),
+            "n_orders",
+            "monetary_cents",
+        )
+        .transform(pin)  # three rank passes + the final join read it
+    )
+    n = base.count()
+
+    def score(df, order_cols, rank_name):
+        ranked = global_row_number(df, order_cols, rank_name)
+        return ranked.select(
+            "o_custkey",
+            F.expr(f"5 - (5 * ({rank_name} - 1)) div {n}").alias(
+                rank_name.replace("rank", "score")
+            ),
+        )
+
+    # descending metrics rank via negated columns (global_row_number
+    # sorts ascending); custkey breaks every tie
+    r = score(
+        base.select("o_custkey", "recency_days"),
+        ["recency_days", "o_custkey"],
+        "r_rank",
+    )
+    f_ = score(
+        base.select(
+            "o_custkey", (-F.col("n_orders")).alias("neg_f")
+        ),
+        ["neg_f", "o_custkey"],
+        "f_rank",
+    )
+    m = score(
+        base.select(
+            "o_custkey", (-F.col("monetary_cents")).alias("neg_m")
+        ),
+        ["neg_m", "o_custkey"],
+        "m_rank",
+    )
+    return (
+        base.select("o_custkey", "recency_days", "n_orders", "monetary_cents")
+        .join(r.select("o_custkey", "r_score"), "o_custkey")
+        .join(f_.select("o_custkey", "f_score"), "o_custkey")
+        .join(m.select("o_custkey", "m_score"), "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "n_orders",
+            "monetary_cents",
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("long").alias("rfm"),
+        )
+    )

@@ -45,3 +45,38 @@ def test_bad_mode_rejected(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_PIN_MODE", "banana")
     with pytest.raises(ValueError):
         pin_mode()
+
+
+def test_bloom_stage_under_persist_pin(spark, workdir, monkeypatch):
+    """A real streaming stage runs correctly under a non-default pin
+    mode: same cross-batch suppression as the local-mode test, with
+    every pin site routed through DISK_ONLY persist."""
+    import random
+
+    from databricks_end_to_end_streaming_spark.streaming.bloom_stage import (
+        bloom_dedup_batch,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.sinks import ParquetTable
+
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MODE", "persist")
+    words = "alpha beta gamma delta epsilon zeta".split()
+    rng = random.Random(5)
+
+    def doc():
+        return " ".join(rng.choice(words) for _ in range(12))
+
+    b1 = spark.createDataFrame(
+        [(i, doc()) for i in range(15)], "doc_id long, text string"
+    )
+    dup_text = b1.collect()[3].text
+    b2 = spark.createDataFrame(
+        [(100, doc()), (101, dup_text)], "doc_id long, text string"
+    )
+    out = ParquetTable(f"{workdir}/out")
+    fp = ParquetTable(f"{workdir}/fp")
+    bm = ParquetTable(f"{workdir}/bitmap")
+    bloom_dedup_batch(b1, out, fp, bm, 0, m_bits=1 << 14)
+    c = bloom_dedup_batch(b2, out, fp, bm, 1, m_bits=1 << 14)
+    assert c["emitted"] == 1
+    ids = {r.doc_id for r in out.read(spark).collect()}
+    assert 100 in ids and 101 not in ids

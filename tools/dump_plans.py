@@ -84,6 +84,7 @@ PLAN_QUERIES = [
     ("gapfill_hourly_event_series", "generated calendar spine (1-row bounds -> sequence explode) LEFT-joined by the hourly rollup"),
     ("sa_repeated_span_stats", "prefix-doubling suffix array: O(log maxlen) join+range-rank rounds, LCP via rank-table descent"),
     ("copurchase_graph_triangles", "mutual top-K graph (degree <= K by construction) -> two equi-joins enumerate each triangle once"),
+    ("rfm_customer_scores", "customer collapse in ONE partial agg; 3 range-partitioned global ranks over the aggregate only"),
     ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
 ]
 

@@ -95,6 +95,7 @@ PROBES = [
     "gapfill_hourly_event_series",
     "sa_repeated_span_stats",
     "copurchase_graph_triangles",
+    "rfm_customer_scores",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
