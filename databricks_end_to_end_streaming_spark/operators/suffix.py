@@ -87,7 +87,7 @@ def suffix_rank_tables(
     )
     tables: dict[int, DataFrame] = {1: r}
     k = 1
-    while True:
+    while n > 0:  # empty corpus: zero suffixes are trivially distinct
         # ranks are dense (row numbers over distinct keys), so max == n
         # iff all suffixes are distinguished — one cheap partial-agg job
         if r.agg(F.max("rank")).first()[0] == n:

@@ -126,3 +126,15 @@ def test_random_corpora_match_reference(spark):
             for r in position_repeat_lengths(_spark_docs(spark, texts)).collect()
         }
         assert got == _py_reference(texts), f"trial {trial}: {texts}"
+
+
+def test_degenerate_corpora(spark):
+    # single doc, single token: 2 positions (token + sentinel)
+    one = {0: "hello"}
+    assert {
+        (r.doc_id, r.off): r.max_repeat
+        for r in position_repeat_lengths(_spark_docs(spark, one)).collect()
+    } == {(0, 0): 0}
+    # empty corpus: no positions, no crash, no infinite doubling loop
+    empty = spark.createDataFrame([], DOCS_SCHEMA)
+    assert position_repeat_lengths(empty).count() == 0
