@@ -40,10 +40,13 @@ def global_row_number(
     # the key distribution per job, so the counts job below and the
     # final output job would otherwise re-sample different range bounds
     # and assign rows to different partitions — duplicate and missing
-    # ranks. localCheckpoint materializes one assignment both jobs read.
-    with_pid = parted.withColumn(
-        "_pid", F.spark_partition_id()
-    ).transform(pin)
+    # ranks. require_frozen: a lineage-keeping persist would RECOMPUTE
+    # lost blocks with freshly sampled bounds — same corruption, just
+    # deferred to executor loss — so this site always truncates.
+    with_pid = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .transform(lambda d: pin(d, require_frozen=True))
+    )
 
     # one long per partition to the driver; offsets broadcast back
     counts = with_pid.groupBy("_pid").count().collect()

@@ -59,8 +59,19 @@ def _norm(col: str = "text") -> F.Column:
 
 def corpus_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, off, tok): whitespace tokens of every document plus a
-    unique per-doc sentinel at off == n_tokens."""
-    toks = docs.select("doc_id", F.split(_norm(text_col), " ").alias("toks"))
+    unique per-doc sentinel at off == n_tokens. Empty tokens from
+    leading/trailing/duplicated whitespace are filtered so the position
+    space matches Python ``str.split()`` (the pytest reference) — a
+    phantom "" token would otherwise create repeats at offsets that
+    don't exist. doc_id must be unique per row (it is the sentinel's
+    uniqueness source; suffix_rank_tables bounds the doubling loop and
+    raises rather than spinning if that precondition is violated)."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(_norm(text_col), " "), lambda x: x != ""
+        ).alias("toks"),
+    )
     with_sentinel = F.concat(
         F.col("toks"),
         F.array(F.concat(F.lit(SENTINEL_PREFIX), F.col("doc_id").cast("string"))),
@@ -92,6 +103,18 @@ def suffix_rank_tables(
         # iff all suffixes are distinguished — one cheap partial-agg job
         if r.agg(F.max("rank")).first()[0] == n:
             break
+        if k > n:
+            # prefix doubling must totalize by k >= max suffix length;
+            # k > n without convergence means two suffixes are literally
+            # identical — possible only when the per-doc sentinel is not
+            # unique (duplicate doc_id rows, or a real token colliding
+            # with a "\x00"-prefixed sentinel). Fail loudly instead of
+            # doubling forever.
+            raise ValueError(
+                "suffix ranks did not totalize: duplicate doc_id rows "
+                "(or sentinel-colliding tokens) make suffixes "
+                "indistinguishable — doc_id must be unique per document"
+            )
         nxt = r.select(
             "doc_id",
             (F.col("off") - k).alias("off"),
@@ -130,7 +153,12 @@ def adjacent_lcp(tables: dict[int, DataFrame]) -> DataFrame:
     pairs = a.join(b, "rank").select(
         "a_doc", "a_off", "b_doc", "b_off", F.lit(0).alias("lcp")
     )
-    for k in sorted(tables, reverse=True):
+    # skip the FINAL rank table: its ranks are a permutation (that is
+    # the doubling loop's exit condition), so no two distinct suffixes
+    # can match at its k — the comparison would be a guaranteed no-op
+    # costing the largest join round. Every lcp < K is representable by
+    # the remaining powers (K/2 + ... + 1 = K-1).
+    for k in sorted(tables, reverse=True)[1:]:
         rk = tables[k]
         ra = rk.select(
             F.col("doc_id").alias("a_doc"),

@@ -49,11 +49,25 @@ def pin_mode() -> str:
     return mode
 
 
-def pin(df: DataFrame, mode: str | None = None) -> DataFrame:
+def pin(
+    df: DataFrame, mode: str | None = None, *, require_frozen: bool = False
+) -> DataFrame:
     """Materialize ``df`` once and truncate (or freeze) its lineage so
     multiple consumers / iterative rounds don't re-run the producing
-    subplan. See module docstring for the mode trade-offs."""
+    subplan. See module docstring for the mode trade-offs.
+
+    ``require_frozen=True`` declares that recomputing this plan could
+    change its RESULT, not just cost time — e.g. range-partitioned
+    global ranking (repartitionByRange re-samples bounds per job, so a
+    recompute assigns different ranks) or a relation whose lineage reads
+    a path the caller is about to overwrite (the bloom bitmap). The
+    'persist' mode keeps lineage and recomputes lost blocks, which
+    would silently corrupt such results; frozen sites therefore fall
+    back to localCheckpoint under persist mode (reliable mode already
+    truncates lineage and stays as chosen)."""
     mode = mode or pin_mode()
+    if require_frozen and mode == "persist":
+        mode = "local"
     if mode == "local":
         return df.localCheckpoint(eager=True)
     if mode == "reliable":

@@ -72,7 +72,8 @@ def get_spark(
         # localCheckpoint storage all share it (observed: heap OOM in a
         # long bench session). Honored only at JVM launch; a session
         # that already exists keeps its heap. Sized from physical RAM
-        # (min(24g, 70%)) so small hosts still launch.
+        # (min(12g, 70%)) so small hosts still launch and G1 stays out
+        # of the scan-agg hot path (see _default_driver_mem).
         "spark.driver.memory": _default_driver_mem(),
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.session.timeZone": "UTC",

@@ -113,7 +113,7 @@ def bloom_dedup_batch(
                     bloom_merge(bitmap, rebuilt)
                     if bitmap is not None
                     else rebuilt
-                ).transform(pin)
+                ).transform(lambda d: pin(d, require_frozen=True))
         if bitmap is not None:
             flagged = bloom_probe_flag(batch, "fp", bitmap, m_bits, flag="_hit")
             flagged.persist()
@@ -145,7 +145,10 @@ def bloom_dedup_batch(
             new_docs = batch
             counters = {"definitely_new": batch.count(), "exact_checked": 0}
 
-        new_docs = new_docs.transform(pin)
+        # frozen: new_docs' lineage anti-joins the fp table this batch
+        # appends to below — a lineage-keeping recompute after that
+        # append would read its own output
+        new_docs = new_docs.transform(lambda d: pin(d, require_frozen=True))
         out_table.idempotent_append(
             new_docs.drop("fp"), f"batchid={batch_id}/role=docs"
         )
@@ -162,8 +165,11 @@ def bloom_dedup_batch(
         # fp table so a crash between the fp append and this overwrite
         # can never open a false-negative window for later batches.
         bitmap_table.overwrite(
+            # frozen: the lineage reads the bitmap path this call
+            # overwrites — recompute-from-lineage mid-rewrite would read
+            # deleted files
             merged.withColumn("_merged_through", F.lit(batch_id))
-            .transform(pin)
+            .transform(lambda d: pin(d, require_frozen=True))
         )
         counters["emitted"] = new_docs.count()
         return counters

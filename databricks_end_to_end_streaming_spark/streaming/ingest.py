@@ -198,8 +198,16 @@ def demux_decode_batch(
     if framing.valid_col is not None:
         # validity evaluated ONCE into the cached batch (binary substring
         # comparisons): the stats pass and the per-id decode filters
-        # below read the cached boolean instead of re-evaluating it
-        sliced = sliced.withColumn("_valid", framing.valid_col)
+        # below read the cached boolean instead of re-evaluating it.
+        # coalesce(false): a NULL Kafka value (tombstone) makes the
+        # length/substring predicate NULL — three-valued logic would
+        # let it slip through BOTH the ~valid quarantine filter and the
+        # bad count-vs-capture bookkeeping (counted bad, never written
+        # anywhere — silent data loss, the exact thing this contract
+        # forbids). Undecodable-by-construction records are bad framing.
+        sliced = sliced.withColumn(
+            "_valid", F.coalesce(framing.valid_col, F.lit(False))
+        )
     cached = sliced  # unpersist target — `sliced` may be rewrapped below
     cached.persist()
     try:
@@ -252,7 +260,8 @@ def demux_decode_batch(
             sliced = sliced.drop("_valid")
         # Driver-side demux: distinct ids -> one decode+write pass per id
         # (ingest.scala:139-142). At scale this is N cheap passes over a
-        # cached batch, each pruned by the id filter.
+        # cached batch, each pruned by the id filter. Already sorted —
+        # the loop below iterates in this deterministic order.
         ids = sorted(
             {r["valueSchemaId"] for r in stats if r["_valid"]}, key=str
         )
@@ -261,7 +270,7 @@ def demux_decode_batch(
             if reader_schema_id is not None
             else None
         )
-        for sid in sorted(ids, key=str):
+        for sid in ids:
             try:
                 schema_json = registry.get_schema_json(sid)  # driver-side (U2)
             except Exception:

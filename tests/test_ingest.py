@@ -512,3 +512,59 @@ def test_quarantine_replay_after_registry_catches_up(spark, workdir):
     )
     assert report["still_quarantined"] == 1
     assert raw.read(spark).count() == 9
+
+
+def test_null_value_tombstone_is_quarantined_not_lost(spark, workdir):
+    """A NULL Kafka value (tombstone) makes the wire-format predicate
+    NULL under three-valued logic; the demux must coalesce that to
+    bad-framing so the record lands in the quarantine table (or fails
+    loudly without one) instead of silently vanishing — the r5 review
+    found the NULL slipped through both the bad filter and the capture
+    bookkeeping."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from databricks_end_to_end_streaming_spark.registry import (
+        InMemorySchemaRegistry,
+    )
+    from databricks_end_to_end_streaming_spark.schemas import PRODUCT_V1_JSON
+    from databricks_end_to_end_streaming_spark.sources import (
+        events_to_wire,
+        generate_events,
+    )
+    from databricks_end_to_end_streaming_spark.sources.files import WIRE_SCHEMA
+    from databricks_end_to_end_streaming_spark.sources.generator import (
+        WireRecord,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        confluent_framing,
+        demux_decode_batch,
+    )
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    recs = list(
+        events_to_wire(generate_events(5, seed=44, v1_ratio=1.0), framing="confluent")
+    )
+    recs.append(WireRecord(b"k", None, "t", 0, 200, ts, 0))  # tombstone
+    registry = InMemorySchemaRegistry({1: PRODUCT_V1_JSON})
+    rows = [
+        (r.key, r.value, r.topic, r.partition, r.offset, r.timestamp,
+         r.timestampType)
+        for r in recs
+    ]
+    batch = spark.createDataFrame(rows, WIRE_SCHEMA)
+    raw = ParquetTable(f"{workdir}/ts_raw")
+    quarantine = ParquetTable(f"{workdir}/ts_quarantine")
+
+    with _pytest.raises(RuntimeError, match="wire-format"):
+        demux_decode_batch(batch, registry, confluent_framing(), raw, batch_id=0)
+
+    demux_decode_batch(
+        batch, registry, confluent_framing(), raw, batch_id=0,
+        quarantine=quarantine,
+    )
+    assert raw.read(spark).count() == 5
+    q = quarantine.read(spark).collect()
+    assert len(q) == 1 and q[0]["offset"] == 200
+    assert q[0]["quarantineReason"] == "bad_framing"
