@@ -187,10 +187,12 @@ NEW_OP_QUERIES = [
 ]
 
 
-# multi-job iterative operators pay their cost in driver-paced rounds,
-# not plan compilation — a second trial buys no steady-state signal and
-# doubles their (largest-in-the-suite) wall share
-SINGLE_TRIAL = {"sa_repeated_span_stats"}
+# Operators whose first trial is dominated by one-time cost a second
+# trial can't amortize would go here. (The suffix array left this set in
+# r6: its settled/active rewrite made rounds cheap enough that trial 1
+# is mostly ~50 fresh plan compilations — 20 s cold vs 13 s steady —
+# which best-of-2 is exactly meant to absorb.)
+SINGLE_TRIAL: set[str] = set()
 
 
 def _bench_new_ops(spark, sf_dir: str, qs) -> dict:

@@ -31,7 +31,21 @@ def global_row_number(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a 1-based dense global row number ordered by ``order_cols``
-    (which must form a total order — include a unique tiebreaker).
+    (which must form a total order — include a unique tiebreaker)."""
+    return global_row_number_counted(df, order_cols, rank_col, num_partitions)[0]
+
+
+def global_row_number_counted(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Like ``global_row_number`` but also returns the TOTAL row count,
+    derived from the per-partition counts the ranking already collects —
+    zero extra jobs. Iterative callers (suffix-array prefix doubling)
+    use it as a free convergence check: total == max rank for a dense
+    1-based ranking.
     """
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
@@ -63,11 +77,12 @@ def global_row_number(
     )
 
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    ranked = (
         with_pid.join(offsets_df, "_pid")
         .withColumn(rank_col, (F.col("_offset") + F.row_number().over(w)).cast("long"))
         .drop("_pid", "_offset")
     )
+    return ranked, acc
 
 
 def ntile_from_rank(rank_col: str, total: int, n: int) -> F.Column:

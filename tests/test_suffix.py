@@ -10,6 +10,7 @@ from databricks_end_to_end_streaming_spark.operators.suffix import (
     SENTINEL_PREFIX,
     adjacent_lcp,
     corpus_positions,
+    doc_token_arrays,
     position_repeat_lengths,
     suffix_rank_tables,
 )
@@ -25,7 +26,9 @@ def _py_reference(texts: dict[int, str]) -> dict[tuple[int, int], int]:
     sequential suffix array: sort all suffixes (sentinel-terminated),
     max LCP with either sorted neighbor."""
     toks = {
-        d: t.lower().split() + [f"{SENTINEL_PREFIX}{d}"]
+        # mirror _norm: NUL is reserved for sentinels and stripped first
+        d: t.replace(SENTINEL_PREFIX, "").lower().split()
+        + [f"{SENTINEL_PREFIX}{d}"]
         for d, t in texts.items()
     }
     suffixes = [
@@ -88,13 +91,15 @@ def test_planted_cross_doc_span(spark):
 
 
 def test_rank_tables_totalize(spark):
-    pos = corpus_positions(_spark_docs(spark))
-    tables, n = suffix_rank_tables(pos)
+    arrays = doc_token_arrays(_spark_docs(spark))
+    tables, n = suffix_rank_tables(arrays)
     final = tables[max(tables)]
     ranks = [r.rank for r in final.collect()]
     assert sorted(ranks) == list(range(1, n + 1))  # a permutation: the SA
+    # the exploded positions view matches the array view
+    assert corpus_positions(_spark_docs(spark)).count() == n
     # adjacent LCP relation has exactly n-1 neighbor pairs
-    assert adjacent_lcp(tables).count() == n - 1
+    assert adjacent_lcp(tables, arrays).count() == n - 1
 
 
 def test_registered_stats_query(spark, workdir):
@@ -126,6 +131,24 @@ def test_random_corpora_match_reference(spark):
             for r in position_repeat_lengths(_spark_docs(spark, texts)).collect()
         }
         assert got == _py_reference(texts), f"trial {trial}: {texts}"
+
+
+def test_nul_token_cannot_collide_with_sentinel(spark):
+    """A literal "\\x000" token in document text would equal doc 0's
+    sentinel; _norm strips NUL so it degrades to the ordinary token "0"
+    and LCPs still stop at document boundaries (ADVICE r5)."""
+    texts = {
+        0: f"alpha beta {SENTINEL_PREFIX}0 gamma",
+        1: "alpha beta 0 gamma",
+    }
+    got = {
+        (r.doc_id, r.off): r.max_repeat
+        for r in position_repeat_lengths(_spark_docs(spark, texts)).collect()
+    }
+    want = _py_reference(texts)
+    assert got == want
+    # the stripped token makes the docs identical: full 4-token repeat
+    assert got[(0, 0)] == 4 and got[(1, 0)] == 4
 
 
 def test_degenerate_corpora(spark):
