@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 
 _VALID = ("local", "reliable", "persist")
 
+_warned_frozen_persist = False
+
 
 def pin_mode() -> str:
     mode = os.environ.get("SPARK_GRAFT_PIN_MODE", "local")
@@ -62,12 +64,39 @@ def pin(
     recompute assigns different ranks) or a relation whose lineage reads
     a path the caller is about to overwrite (the bloom bitmap). The
     'persist' mode keeps lineage and recomputes lost blocks, which
-    would silently corrupt such results; frozen sites therefore fall
-    back to localCheckpoint under persist mode (reliable mode already
-    truncates lineage and stays as chosen)."""
+    would silently corrupt such results; under persist mode frozen
+    sites therefore route to a RELIABLE checkpoint when a checkpoint
+    dir is configured (keeping the fault tolerance the user chose
+    persist for), else fall back to localCheckpoint with a one-time
+    warning (reliable mode already truncates lineage and stays as
+    chosen)."""
     mode = mode or pin_mode()
     if require_frozen and mode == "persist":
-        mode = "local"
+        # Frozen sites can't use persist's recompute-on-loss semantics.
+        # If reliable storage is configured, route them there so they
+        # KEEP fault tolerance (the reason the user chose persist);
+        # otherwise fall back to localCheckpoint with a one-time warning
+        # so operators know which pins remain non-fault-tolerant.
+        has_ckpt_dir = bool(
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        ) or not df.sparkSession.sparkContext._jsc.sc().getCheckpointDir().isEmpty()  # noqa: SLF001
+        if has_ckpt_dir:
+            mode = "reliable"
+        else:
+            global _warned_frozen_persist
+            if not _warned_frozen_persist:
+                _warned_frozen_persist = True
+                import warnings
+
+                warnings.warn(
+                    "SPARK_GRAFT_PIN_MODE=persist: frozen pin sites "
+                    "(range-partitioned ranking, bloom bitmap) must not "
+                    "recompute, so they use localCheckpoint and stay "
+                    "NON-fault-tolerant. Set SPARK_GRAFT_CHECKPOINT_DIR "
+                    "to route them to reliable checkpoints instead.",
+                    stacklevel=2,
+                )
+            mode = "local"
     if mode == "local":
         return df.localCheckpoint(eager=True)
     if mode == "reliable":

@@ -57,7 +57,9 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
     tok = names.select(
-        "p_name", "n_parts", F.explode(F.split("p_name", " ")).alias("tok")
+        "p_name", "n_parts", F.explode(
+            F.filter(F.split("p_name", " +"), lambda t: t != "")
+        ).alias("tok")
     )
     cand = (
         tok.alias("a")

@@ -42,7 +42,7 @@ from ..operators.bloom import (
     bloom_probe_flag,
 )
 from ..pin import pin
-from .sinks import ParquetTable, batch_id_col
+from .sinks import ParquetTable, batch_id_col, exclude_batch
 
 BLOOM_M_BITS = 1 << 20
 
@@ -98,15 +98,29 @@ def bloom_dedup_batch(
             # (pruned; zero partitions match on the no-crash path), the
             # explicit _batch_id data column in Delta mode.
             fps = fp_table.read(spark)
-            bcol = batch_id_col(fps)
-            if merged_through is None:
-                # no watermark (no bitmap, or one written before the
-                # watermark existed): conservatively rebuild from all
-                # strictly-other fp batches — one-time O(corpus) recovery
-                newer = bcol != batch_id
-            else:
-                newer = (bcol > merged_through) & (bcol != batch_id)
-            missing = fps.where(newer).select("fp")
+            try:
+                bcol = batch_id_col(fps)
+                not_own = ~bcol.eqNullSafe(F.lit(batch_id))
+                if merged_through is None:
+                    # no watermark (no bitmap, or one written before the
+                    # watermark existed): conservatively rebuild from all
+                    # strictly-other fp batches — one-time O(corpus)
+                    # recovery
+                    newer = not_own
+                else:
+                    # legacy NULL-batch rows (pre-_batch_id writes seen
+                    # through mergeSchema) can't be dated against the
+                    # watermark — include them; a redundant merge is
+                    # harmless, a missed one is a false-negative hole
+                    newer = (
+                        bcol.isNull() | (bcol > merged_through)
+                    ) & not_own
+                missing = fps.where(newer).select("fp")
+            except ValueError:
+                # legacy fp table with no batch column at all: no
+                # current-release rows exist, so nothing is "own";
+                # conservatively rebuild from everything
+                missing = fps.select("fp")
             if not missing.isEmpty():
                 rebuilt = bloom_build(missing, "fp", m_bits)
                 bitmap = (
@@ -129,9 +143,7 @@ def bloom_dedup_batch(
                     # in both storage modes (Delta has no batchid
                     # partition directories).
                     hist = fp_table.read(spark)
-                    seen = hist.where(
-                        batch_id_col(hist) != batch_id
-                    ).select("fp")
+                    seen = exclude_batch(hist, batch_id).select("fp")
                     survivors = maybe.join(seen, on="fp", how="left_anti")
                 else:
                     survivors = maybe

@@ -30,7 +30,7 @@ from ..queries.dedup import (
     verify_jaccard,
 )
 from ..pin import pin
-from .sinks import ParquetTable, batch_id_col
+from .sinks import ParquetTable, exclude_batch
 
 
 def neardup_batch(
@@ -94,7 +94,7 @@ def neardup_batch(
         # don't exist.
         if docs_table.exists():
             hist = docs_table.read(spark)
-            prior = hist.where(batch_id_col(hist) != batch_id)
+            prior = exclude_batch(hist, batch_id)
             corpus = prior.drop("batchid", "role", "_batch_id").unionByName(
                 batch_df, allowMissingColumns=True
             )

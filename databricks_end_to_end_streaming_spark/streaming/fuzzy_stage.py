@@ -59,8 +59,13 @@ def fuzzy_batch(
         .agg(F.count("*").alias("n_rows"))
         .transform(pin)  # consumed by index build, two joins, and a sink
     )
+    # split on space runs and drop empties: arbitrary input with
+    # leading/double spaces must not share a degenerate "" block, which
+    # would make the self-join quadratic in the count of such names
     new_tok = batch_names.select(
-        "name", F.explode(F.split("name", " ")).alias("tok")
+        "name", F.explode(
+            F.filter(F.split("name", " +"), lambda t: t != "")
+        ).alias("tok")
     )
 
     # new-vs-new candidates inside the batch

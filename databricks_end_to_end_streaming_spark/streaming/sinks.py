@@ -110,6 +110,45 @@ def batch_id_col(df: DataFrame) -> F.Column:
     )
 
 
+_warned_legacy_batch_col = False
+
+
+def exclude_batch(df: DataFrame, batch_id: int) -> DataFrame:
+    """Rows from strictly OTHER batches than ``batch_id`` — the replay
+    exclusion, uniform across storage modes AND table generations:
+
+    * parquet mode: partition-pruned on the ``batchid`` directory;
+    * Delta mode: the explicit ``_batch_id`` data column;
+    * rows with a NULL batch id (legacy rows written before the column
+      existed, surfaced through mergeSchema) are PRIOR by construction,
+      so the predicate is null-safe — a plain ``!=`` would silently
+      drop them from the prior set;
+    * a legacy table with NEITHER column cannot contain any
+      current-release rows, hence none from ``batch_id``: the exclusion
+      degrades to an exact no-op instead of crashing the first
+      replay-filtered read after an upgrade. A one-time loud warning
+      names the invariant; backfilling ``_batch_id`` once silences it.
+    """
+    try:
+        col = batch_id_col(df)
+    except ValueError:
+        global _warned_legacy_batch_col
+        if not _warned_legacy_batch_col:
+            _warned_legacy_batch_col = True
+            import warnings
+
+            warnings.warn(
+                "replay exclusion: table has neither batchid nor "
+                "_batch_id (written by a pre-_batch_id release?). "
+                "Treating ALL rows as prior — exact only while no "
+                "current-release batch has written here; backfill "
+                "_batch_id once to restore column-based exclusion.",
+                stacklevel=2,
+            )
+        return df
+    return df.where(~col.eqNullSafe(F.lit(batch_id)))
+
+
 class ParquetTable:
     def __init__(self, path: str, partition_by: list[str] | None = None):
         self.path = path

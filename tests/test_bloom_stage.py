@@ -156,3 +156,30 @@ def test_stale_bitmap_recovery(spark, workdir):
     assert c["emitted"] == 1
     ids = _out_ids(spark, out)
     assert 301 not in ids and 300 in ids
+
+
+def test_exclude_batch_legacy_and_null_rows(spark, workdir):
+    """Replay exclusion across table generations (ADVICE r5): a legacy
+    table with NO batch column degrades to an exact no-op (one-time
+    warning) instead of crashing; NULL-batch rows surfaced through
+    mergeSchema count as PRIOR (null-safe predicate), not dropped."""
+    import warnings
+
+    from databricks_end_to_end_streaming_spark.streaming import sinks
+    from databricks_end_to_end_streaming_spark.streaming.sinks import (
+        exclude_batch,
+    )
+
+    legacy = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, fp string")
+    sinks._warned_legacy_batch_col = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = exclude_batch(legacy, batch_id=7)
+        assert out.count() == 2  # nothing excluded, nothing raised
+        assert any("backfill" in str(x.message) for x in w)
+
+    mixed = spark.createDataFrame(
+        [(1, None), (2, 7), (3, 3)], "doc_id long, _batch_id long"
+    )
+    kept = {r.doc_id for r in exclude_batch(mixed, batch_id=7).collect()}
+    assert kept == {1, 3}  # null row is prior; own batch excluded

@@ -80,3 +80,36 @@ def test_bloom_stage_under_persist_pin(spark, workdir, monkeypatch):
     assert c["emitted"] == 1
     ids = {r.doc_id for r in out.read(spark).collect()}
     assert 100 in ids and 101 not in ids
+
+
+def test_frozen_under_persist_routes_or_warns(spark, workdir, monkeypatch):
+    """require_frozen under persist mode must not silently lose fault
+    tolerance (ADVICE r5): with a checkpoint dir it upgrades to a
+    reliable checkpoint; without one it warns once and localCheckpoints."""
+    import warnings
+
+    from databricks_end_to_end_streaming_spark import pin as pin_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MODE", "persist")
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    had_dir = not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+    if not had_dir:
+        pin_mod._warned_frozen_persist = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = pin(_df(spark), require_frozen=True)
+            assert out.count() == _df(spark).count()
+            assert any("non-fault-tolerant" in str(x.message).lower() for x in w)
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", f"{workdir}/ckpt")
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out = pin(_df(spark), require_frozen=True)
+        assert out.count() == _df(spark).count()
+        # routed to reliable: no downgrade warning, and the context has a
+        # checkpoint dir with rdd-* payloads (an earlier test may have
+        # configured a different dir on the shared context - glob there)
+        assert not any("non-fault-tolerant" in str(x.message).lower() for x in w2)
+    import glob as _glob
+
+    ckpt = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    assert _glob.glob(ckpt.replace("file:", "") + "/rdd-*")
