@@ -184,6 +184,10 @@ NEW_OP_QUERIES = [
     "sa_repeated_span_stats",
     "copurchase_graph_triangles",
     "rfm_customer_scores",
+    # round-6 additions
+    "url_domain_accounting",
+    "url_blocklist_filter",
+    "domain_duplicate_share",
 ]
 
 

@@ -80,6 +80,7 @@ def _load_modules() -> None:
         tpch,
         tpch_more,
         tpch_partsupp,
+        web,
     )
 
     _LOADED = True

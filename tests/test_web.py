@@ -1,0 +1,107 @@
+"""URL/domain curation operators (queries/web.py): normalization
+collapses www./case/port variants, the blocklist's deliberately sloppy
+substring rule over-matches as documented, and per-domain duplicate
+shares are exact on a planted corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.queries.web import (
+    domain_duplicate_share,
+    norm_domain,
+    registered_domain,
+    url_blocklist_filter,
+    url_domain_accounting,
+    with_url,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, workdir, rows):
+    spark.createDataFrame(rows, DOCS_SCHEMA).write.mode("overwrite").parquet(
+        f"{workdir}/web/documents.parquet"
+    )
+    return f"{workdir}/web"
+
+
+def test_norm_domain_collapses_variants(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://www.src3.example.com/docs/en/3",),
+            ("https://SRC3.example.com:8443/docs/en/5",),
+            ("https://src3.example.com/docs/en/1?ref=feed",),
+        ],
+        "url string",
+    )
+    got = {r.d for r in urls.select(norm_domain().alias("d")).collect()}
+    assert got == {"src3.example.com"}
+    reg = urls.select(registered_domain(norm_domain()).alias("r")).first().r
+    assert reg == "example.com"
+
+
+def test_url_derivation_is_deterministic(spark, workdir):
+    rows = [(i, "alpha beta", "en", f"src{i % 4}", 10) for i in range(20)]
+    sf = _write_docs(spark, workdir, rows)
+    u1 = {r.doc_id: r.url for r in with_url(
+        spark.read.parquet(f"{sf}/documents.parquet")).collect()}
+    # spot-check the variant machinery
+    assert u1[0] == "https://www.SRC0.example.com:8443/docs/en/0?ref=feed"
+    assert u1[1] == "https://src1.example.org/docs/en/1"
+    assert u1[15] == "https://www.SRC3.example.org/docs/en/15"
+
+
+def test_domain_accounting_groups_by_normalized_host(spark, workdir):
+    # doc_ids chosen so src0 appears with www (0), upper (10), port (14)
+    rows = [(i, "a b c", "en", "src0", 5) for i in [0, 10, 14]] + [
+        (i, "a b c d", "de", "src1", 7) for i in [1, 11]
+    ]
+    sf = _write_docs(spark, workdir, rows)
+    got = {r.domain: r for r in url_domain_accounting(spark, sf).collect()}
+    # src0 docs: ids 0(.com), 10(.com), 14(.com) -> one domain after norm
+    assert got["src0.example.com"].n_docs == 3
+    assert got["src0.example.com"].n_tokens == 9
+    assert got["src0.example.com"].reg_domain == "example.com"
+    # src1 docs: ids 1(.org), 11(.org)
+    assert got["src1.example.org"].n_docs == 2
+    assert got["src1.example.org"].n_langs == 1
+
+
+def test_blocklist_sloppy_rule_overmatches(spark, workdir):
+    # src1 and src12 both match the '%src1%' substring rule; src2 doesn't
+    rows = [
+        (1, "x", "en", "src1", 1),
+        (3, "x", "en", "src12", 1),
+        (5, "x", "en", "src2", 1),
+    ]
+    sf = _write_docs(spark, workdir, rows)
+    got = {r.rule: r.n_docs for r in url_blocklist_filter(spark, sf).collect()}
+    assert got["blocked_domain_src1"] == 2  # src1 AND src12
+    # all three ids are odd -> .org TLD -> every doc hits the TLD rule
+    assert got["blocked_tld_org"] == 3
+    assert got["any_rule"] == 3 and got["kept"] == 0
+
+
+def test_duplicate_share_planted(spark, workdir):
+    rows = [
+        (2, "same text", "en", "srcA", 9),
+        (4, "same text", "en", "srcA", 9),
+        (6, "unique one", "en", "srcA", 10),
+        (8, "other text", "en", "srcB", 10),
+        (22, "same text", "en", "srcB", 9),  # cross-domain dup counts too
+    ]
+    sf = _write_docs(spark, workdir, rows)
+    got = {r.domain: r for r in domain_duplicate_share(spark, sf).collect()}
+    a = got["srca.example.com"]
+    assert (a.n_docs, a.n_dup_docs) == (3, 2) and abs(a.dup_share - 2 / 3) < 1e-15
+    b = got["srcb.example.com"]
+    assert (b.n_docs, b.n_dup_docs) == (2, 1)
+
+
+def test_plans_stay_jvm_side(spark, workdir):
+    rows = [(i, "a b", "en", f"src{i}", 3) for i in range(6)]
+    sf = _write_docs(spark, workdir, rows)
+    for q in (url_domain_accounting, url_blocklist_filter, domain_duplicate_share):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
