@@ -188,6 +188,7 @@ NEW_OP_QUERIES = [
     "url_domain_accounting",
     "url_blocklist_filter",
     "domain_duplicate_share",
+    "bm25_param_topk",
 ]
 
 
