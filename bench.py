@@ -189,6 +189,7 @@ NEW_OP_QUERIES = [
     "url_blocklist_filter",
     "domain_duplicate_share",
     "bm25_param_topk",
+    "html_text_extraction",
 ]
 
 

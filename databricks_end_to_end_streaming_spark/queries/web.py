@@ -94,6 +94,48 @@ def registered_domain(domain_col: F.Column) -> F.Column:
 # ------------------------------------------------- domain accounting
 
 
+def domain_lang_partials(d: DataFrame) -> DataFrame:
+    """Per-(domain, lang) accounting partials over a document relation
+    that already carries ``url``/``domain`` — or derives them here if
+    absent. Every measure is a SUM monoid at this grain (doc count,
+    token count, tracking-URL count), and the (domain, lang) key set is
+    vocabulary-sized, so the streaming twin can append one collapsed
+    partial per micro-batch and fold by addition (the moments/DSIR/BM25
+    log protocol, ``streaming/web_stage.py``)."""
+    if "url" not in d.columns:
+        d = with_url(d)
+    if "domain" not in d.columns:
+        d = d.withColumn("domain", norm_domain())
+    return d.groupBy("domain", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), " +")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.col("url").like("%?ref=%").cast("long")).alias("n_tracking"),
+    )
+
+
+def domain_accounting_rollup(partials: DataFrame) -> DataFrame:
+    """Domain-level report from folded (domain, lang) partials. Because
+    the partial grain is (domain, lang), the distinct-language count is
+    just the per-domain row count — no countDistinct over raw docs, so
+    the rollup works identically on the batch relation and on the
+    streaming log after its addition-fold."""
+    out = partials.groupBy("domain").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("n_tracking").cast("long").alias("n_tracking"),
+    )
+    # reg_domain is a function of the group key: derive it post-agg so
+    # it rides the same shuffle instead of widening the partial-agg rows
+    return out.withColumn(
+        "reg_domain", registered_domain(F.col("domain"))
+    ).select(
+        "domain", "reg_domain", "n_docs", "n_tokens", "n_langs", "n_tracking"
+    )
+
+
 @query(
     "url_domain_accounting",
     oracle=f"""
@@ -119,23 +161,12 @@ def url_domain_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first question a web-corpus curation pass answers (which hosts
     feed the corpus, how much text, how query-string-polluted). The
     www./case/port variants collapse under normalization, which the
-    oracle re-proves every round. Map-only parse, one partial-agg
-    shuffle on the domain key."""
+    oracle re-proves every round. Map-only parse, then the shared
+    (domain, lang) partial -> domain rollup chain — the same two
+    key-bound aggregations the streaming twin folds, so drained-stream
+    == batch holds by construction (``streaming/web_stage.py``)."""
     d = with_url(load_table(spark, sf_dir, "documents"))
-    d = d.withColumn("domain", norm_domain())
-    out = d.groupBy("domain").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split(F.trim("text"), " +")))
-        .cast("long")
-        .alias("n_tokens"),
-        F.countDistinct("lang").cast("long").alias("n_langs"),
-        F.sum(F.col("url").like("%?ref=%").cast("long")).alias("n_tracking"),
-    )
-    # reg_domain is a function of the group key: derive it post-agg so
-    # it rides the same shuffle instead of widening the partial-agg rows
-    return out.withColumn(
-        "reg_domain", registered_domain(F.col("domain"))
-    ).select("domain", "reg_domain", "n_docs", "n_tokens", "n_langs", "n_tracking")
+    return domain_accounting_rollup(domain_lang_partials(d))
 
 
 # ---------------------------------------------------- blocklist pass
@@ -202,6 +233,120 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              'blocked_tracking_ref', n_ref,
              'any_rule', n_any,
              'kept', n_total - n_any) AS (rule, n_docs)"""
+    )
+
+
+# ------------------------------------------- HTML -> text extraction
+
+# Deterministic synthetic HTML wrapper around each document (the
+# testdata tree is read-only, same trick as _URL_SQL): a <head> with
+# title + inline CSS, a tracking <script> on every third doc, an
+# entity-escaped tail, and a <footer> with an &copy; entity on every
+# fourth — the exact junk a WET-style extractor must drop or decode.
+_HTML_SQL = """
+  SELECT *,
+    '<html><head><title>' || source
+    || '</title><style>body{margin:0}</style></head><body>'
+    || (CASE WHEN doc_id % 3 = 0
+         THEN '<script type="text/javascript">var id='
+              || CAST(doc_id AS VARCHAR) || ';track(id);</script>'
+         ELSE '' END)
+    || '<h1 class="t">' || lang || '</h1><p>' || text || ' &amp; tail</p>'
+    || (CASE WHEN doc_id % 4 = 0
+         THEN '<footer>&copy; ' || source || '</footer>' ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents
+"""
+
+
+def with_html(d: DataFrame) -> DataFrame:
+    """Append the synthetic ``html`` column. Mirrors _HTML_SQL exactly."""
+    doc_s = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title><style>body{margin:0}</style></head><body>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<script type="text/javascript">var id='),
+                doc_s,
+                F.lit(";track(id);</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<h1 class="t">'),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail</p>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<footer>&copy; "), F.col("source"), F.lit("</footer>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return d.withColumn("html", html)
+
+
+def extract_text(html_col: F.Column) -> F.Column:
+    """WET-style main-text extraction as a pure regexp/replace chain —
+    whole-stage-codegen map work, no UDF anywhere. The pattern subset
+    ((?s) dotall, non-greedy, char classes — NO backreferences) is
+    chosen to mean the same thing in Java regex (Spark) and RE2
+    (DuckDB), which is what lets the oracle replay it bit-for-bit."""
+    x = F.regexp_replace(html_col, r"(?s)<head[^>]*>.*?</head>", " ")
+    x = F.regexp_replace(x, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in (("&amp;", "&"), ("&nbsp;", " "), ("&copy;", "©")):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+_EXTRACT_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace("
+    "regexp_replace(regexp_replace(regexp_replace(html,"
+    " '(?s)<head[^>]*>.*?</head>', ' ', 'g'),"
+    " '(?s)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '<[^>]+>', ' ', 'g'),"
+    " '&amp;', '&'), '&nbsp;', ' '), '&copy;', chr(169)),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "html_text_extraction",
+    oracle=f"""
+    WITH h AS ({_HTML_SQL}),
+    e AS (
+      SELECT doc_id, lang, html, {_EXTRACT_SQL} AS extracted FROM h
+    )
+    SELECT
+      doc_id,
+      extracted,
+      CAST(len(string_split_regex(extracted, ' +')) AS INT) AS n_tokens,
+      CAST(len(html) - len(extracted) AS BIGINT) AS markup_chars,
+      CASE WHEN html LIKE '%<script%' THEN TRUE ELSE FALSE END AS had_script
+    FROM e
+    """,
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main-text extraction (the WET step of a web-corpus
+    pipeline): drop <head> and <script> blocks wholesale, strip the
+    remaining tags, decode the common entities, collapse whitespace.
+    The oracle re-proves the full extracted STRING per document (not
+    just counts), so any dialect drift between the two regex engines
+    would surface as a hash mismatch. Map-only — at 100 TB this is
+    embarrassingly parallel scan work with zero shuffles; the plan is
+    one WholeStageCodegen span over the parquet scan."""
+    d = with_html(load_table(spark, sf_dir, "documents"))
+    ex = extract_text(F.col("html"))
+    return d.select(
+        "doc_id",
+        ex.alias("extracted"),
+        F.size(F.split(ex, " +")).cast("int").alias("n_tokens"),
+        (F.length("html") - F.length(ex)).cast("long").alias("markup_chars"),
+        F.col("html").like("%<script%").alias("had_script"),
     )
 
 

@@ -105,3 +105,45 @@ def test_plans_stay_jvm_side(spark, workdir):
     for q in (url_domain_accounting, url_blocklist_filter, domain_duplicate_share):
         plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_extraction_exact(spark, workdir):
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        html_text_extraction,
+    )
+
+    rows = [
+        (3, "hello world", "en", "srcA", 11),   # %3==0 -> script injected
+        (4, "plain words", "fr", "srcB", 11),   # %4==0 -> footer + &copy;
+        (5, "x y z", "de", "srcC", 5),          # neither
+    ]
+    sf = _write_docs(spark, workdir, rows)
+    got = {r.doc_id: r for r in html_text_extraction(spark, sf).collect()}
+    # head (title+style) and the script block vanish wholesale; tags go;
+    # &amp; decodes; whitespace collapses
+    assert got[3].extracted == "en hello world & tail"
+    assert got[3].had_script is True
+    assert got[4].extracted == "fr plain words & tail © srcB"
+    assert got[4].had_script is False
+    assert got[5].extracted == "de x y z & tail"
+    assert got[5].n_tokens == 6
+    assert all(r.markup_chars > 0 for r in got.values())
+
+
+def test_html_extraction_plan_map_only(spark, workdir):
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        html_text_extraction,
+    )
+
+    rows = [(i, "a b", "en", f"src{i}", 3) for i in range(4)]
+    sf = _write_docs(spark, workdir, rows)
+    plan = (
+        html_text_extraction(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the WET step must stay embarrassingly parallel: no shuffle, no
+    # Python eval — one codegen span over the parquet scan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -96,6 +96,10 @@ PROBES = [
     "sa_repeated_span_stats",
     "copurchase_graph_triangles",
     "rfm_customer_scores",
+    # round-6 web-curation family
+    "url_domain_accounting",
+    "domain_duplicate_share",
+    "html_text_extraction",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
