@@ -137,6 +137,7 @@ def _quarantine(
     reason: str,
     batch_id: int | None,
     sid: int | str | None = None,
+    n_rows: int | None = None,
 ) -> None:
     """Land undecodable records raw: Kafka metadata, the ORIGINAL value
     bytes, the (stringified — framings differ in id type) schema id,
@@ -156,7 +157,7 @@ def _quarantine(
         # uniform token depth: mixed-depth key=value dirs would conflict
         # in partition discovery on read
         token = f"batchid={batch_id}/reason={reason}/sid={sid if sid is not None else 'any'}"
-        table.idempotent_append(out, token)
+        table.idempotent_append(out, token, n_rows=n_rows)
     else:
         table.append(out)
 
@@ -253,6 +254,7 @@ def demux_decode_batch(
                     quarantine,
                     "bad_framing",
                     batch_id,
+                    n_rows=n_bad,
                 )
                 sliced = sliced.where(F.col("_valid"))
             # the stats pass already proved every row valid on the
@@ -265,6 +267,14 @@ def demux_decode_batch(
         ids = sorted(
             {r["valueSchemaId"] for r in stats if r["_valid"]}, key=str
         )
+        # per-id row counts, already paid for by the stats pass — they
+        # feed the sink's write-time file sizing (small-file control)
+        n_by_id: dict = {}
+        for r in stats:
+            if r["_valid"]:
+                n_by_id[r["valueSchemaId"]] = (
+                    n_by_id.get(r["valueSchemaId"], 0) + r["_n"]
+                )
         reader_json = (
             registry.get_schema_json(reader_schema_id)
             if reader_schema_id is not None
@@ -281,7 +291,12 @@ def demux_decode_batch(
                 if quarantine is None:
                     raise
                 _quarantine(
-                    subset, quarantine, "unknown_schema_id", batch_id, sid=sid
+                    subset,
+                    quarantine,
+                    "unknown_schema_id",
+                    batch_id,
+                    sid=sid,
+                    n_rows=n_by_id.get(sid),
                 )
                 continue
             subset = sliced.filter(F.col("valueSchemaId") == F.lit(sid))
@@ -295,10 +310,12 @@ def demux_decode_batch(
             out = decoded.select(*RAW_COLUMNS)
             if batch_id is not None:
                 target.idempotent_append(
-                    out, token=f"batchid={batch_id}/schemaid={sid}"
+                    out,
+                    token=f"batchid={batch_id}/schemaid={sid}",
+                    n_rows=n_by_id.get(sid),
                 )
             else:
-                target.append(out)
+                target.append(out, n_rows=n_by_id.get(sid))
     finally:
         cached.unpersist()
     return ids

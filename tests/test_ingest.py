@@ -568,3 +568,35 @@ def test_null_value_tombstone_is_quarantined_not_lost(spark, workdir):
     q = quarantine.read(spark).collect()
     assert len(q) == 1 and q[0]["offset"] == 200
     assert q[0]["quarantineReason"] == "bad_framing"
+
+
+def test_write_time_file_sizing_small_batch(spark, workdir, monkeypatch):
+    """The stats pass's per-id counts feed the sink's write-time file
+    sizing: a small micro-batch lands as ONE parquet file per schema id,
+    not one per upstream partition (the streaming small-file problem)."""
+    import glob as _glob
+
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        demux_decode_batch,
+    )
+
+    events = generate_events(200, seed=42)
+    batch = wire_df(spark, events).repartition(16)
+    target = ParquetTable(f"{workdir}/raw_sized")
+    demux_decode_batch(
+        batch, CONFLUENT_REGISTRY, confluent_framing(), target, batch_id=0
+    )
+    for sid in (1, 2):
+        files = _glob.glob(f"{workdir}/raw_sized/batchid=0/schemaid={sid}/*.parquet")
+        assert len(files) == 1, files
+    # rows all arrived despite the repartition
+    assert target.read(spark).count() == 200
+
+    # opt-out: TARGET_FILE_ROWS<=0 restores one-file-per-partition layout
+    monkeypatch.setenv("SPARK_GRAFT_TARGET_FILE_ROWS", "0")
+    target2 = ParquetTable(f"{workdir}/raw_unsized")
+    demux_decode_batch(
+        batch, CONFLUENT_REGISTRY, confluent_framing(), target2, batch_id=0
+    )
+    files = _glob.glob(f"{workdir}/raw_unsized/batchid=0/schemaid=1/*.parquet")
+    assert len(files) > 1
