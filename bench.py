@@ -190,6 +190,7 @@ NEW_OP_QUERIES = [
     "domain_duplicate_share",
     "bm25_param_topk",
     "html_text_extraction",
+    "sq8_embedding_quantization",
 ]
 
 

@@ -276,6 +276,117 @@ def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "sq8_embedding_quantization",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_FP_SCALE}.0) AS BIGINT))
+             AS q
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT t.i AS i, min(q.q[t.i + 1]) AS mn, max(q.q[t.i + 1]) AS mx
+      FROM q, unnest(range(0, {EMB_DIM})) AS t(i)
+      GROUP BY t.i
+    ),
+    arrs AS (
+      SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+      FROM stats
+    ),
+    coded AS (
+      SELECT vec_id, label, q, mins, maxs,
+             list_transform(range(0, {EMB_DIM}), i -> CAST(
+               CASE WHEN maxs[i + 1] = mins[i + 1] THEN 0
+                    ELSE ((q[i + 1] - mins[i + 1]) * 255)
+                         // (maxs[i + 1] - mins[i + 1])
+               END AS INTEGER)) AS codes
+      FROM q CROSS JOIN arrs
+    )
+    SELECT vec_id, label, codes,
+           CAST(list_reduce(list_transform(range(0, {EMB_DIM}), i ->
+             (q[i + 1] - (mins[i + 1]
+                + (CAST(codes[i + 1] AS BIGINT) * (maxs[i + 1] - mins[i + 1]))
+                  // 255))
+             * (q[i + 1] - (mins[i + 1]
+                + (CAST(codes[i + 1] AS BIGINT) * (maxs[i + 1] - mins[i + 1]))
+                  // 255))), (a, b) -> a + b) AS BIGINT) AS err_q
+    FROM coded
+    """,
+)
+def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8) of the embedding corpus — the
+    standard 4x vector-compression step before ANN serving (each float32
+    dim becomes one 0..255 code against per-dimension min/max), sitting
+    between raw floats and the PQ codebooks in the compression
+    hierarchy. Returns per-vector codes plus an EXACT fixed-point
+    reconstruction-error so compression quality is a hash-checkable
+    number, not a float estimate.
+
+    Exactness: coordinates quantize to int64 at 2^20 (exact
+    power-of-two floor, the second-moment discipline above); min/max,
+    code assignment ((x-mn)*255 div (mx-mn), operands nonnegative so
+    int-div == floor-div in both engines), dequantization, and the
+    squared-error fold are then pure int64 arithmetic — engine-identical
+    by construction. Constant dimensions (mx == mn) code to 0.
+
+    Shape at 100 TB: pass 1 is a posexplode partial-agg that collapses
+    every partition to <= d rows before ONE tiny shuffle (the wire
+    carries d-row stats, never vectors); pass 2 is map-only — the d-row
+    stats fold to a single broadcast row of min/max arrays and every
+    vector codes independently inside whole-stage codegen (JVM HOFs, no
+    Python). int64 headroom: |q| <= ~0.55*2^20, so (x-mn)*255 <= ~6e8
+    and the error fold <= ~2e9 — no overflow at any corpus size (the
+    stats are per-dim extremes, not sums)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
+            "long"
+        ),
+    )
+    qdf = e.select("vec_id", "label", q.alias("q"))
+    stats = (
+        qdf.select(F.posexplode("q").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mx"))), lambda s: s.mx
+        ).alias("maxs"),
+    )
+    coded = qdf.crossJoin(F.broadcast(arrs)).withColumn(
+        "codes",
+        F.expr(
+            f"""transform(sequence(0, {EMB_DIM - 1}), i -> CAST(
+                 CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)
+                      THEN 0
+                      ELSE ((element_at(q, i + 1) - element_at(mins, i + 1))
+                            * 255)
+                           div (element_at(maxs, i + 1)
+                                - element_at(mins, i + 1))
+                 END AS INT))"""
+        ),
+    )
+    err = F.expr(
+        f"""aggregate(sequence(0, {EMB_DIM - 1}), 0L, (acc, i) -> acc
+             + (element_at(q, i + 1) - (element_at(mins, i + 1)
+                  + (CAST(element_at(codes, i + 1) AS BIGINT)
+                     * (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+                    div 255))
+             * (element_at(q, i + 1) - (element_at(mins, i + 1)
+                  + (CAST(element_at(codes, i + 1) AS BIGINT)
+                     * (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+                    div 255)))"""
+    )
+    return coded.select("vec_id", "label", "codes", err.alias("err_q"))
+
+
 # rows-only: like the k-means-trained IVF/PQ family, the driver-side
 # eigendecomposition is not SQL-replayable; the covariance sufficient
 # statistics ARE (embedding_second_moment_matrix above is oracle-green),

@@ -100,6 +100,7 @@ PROBES = [
     "url_domain_accounting",
     "domain_duplicate_share",
     "html_text_extraction",
+    "sq8_embedding_quantization",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
