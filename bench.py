@@ -100,6 +100,12 @@ def main() -> None:
         if headline_only
         else {
             **_bench_avro_demux(spark),
+            # large-batch point: the 50k metric is per-batch-overhead
+            # bound (3 jobs + 2 sink commits); 200k shows the amortized
+            # per-record rate the fixed costs hide
+            "avro_demux_events_per_sec_200k": _bench_avro_demux(
+                spark, n_events=200_000
+            )["avro_demux_events_per_sec"],
             **_bench_ocf(),
             **_bench_new_ops(spark, sf_dir, qs),
             **_bench_sf1(spark, sf_dir),
@@ -191,6 +197,7 @@ NEW_OP_QUERIES = [
     "bm25_param_topk",
     "html_text_extraction",
     "sq8_embedding_quantization",
+    "sq8_recall_eval",
 ]
 
 

@@ -276,10 +276,51 @@ def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "sq8_embedding_quantization",
-    oracle=f"""
-    WITH q AS (
+def sq8_coded(e: DataFrame) -> DataFrame:
+    """Shared SQ8 core: fixed-point coordinates ``q`` plus the broadcast
+    per-dimension ``mins``/``maxs`` arrays and the 0..255 ``codes`` —
+    consumed by the quantization query (codes + error) and the recall
+    eval (dequantize + search). Pass 1 collapses to <= d rows map-side;
+    pass 2 is map-only against ONE broadcast stats row."""
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
+            "long"
+        ),
+    )
+    qdf = e.select("vec_id", "label", q.alias("q"))
+    stats = (
+        qdf.select(F.posexplode("q").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mx"))), lambda s: s.mx
+        ).alias("maxs"),
+    )
+    return qdf.crossJoin(F.broadcast(arrs)).withColumn(
+        "codes",
+        F.expr(
+            f"""transform(sequence(0, {EMB_DIM - 1}), i -> CAST(
+                 CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)
+                      THEN 0
+                      ELSE ((element_at(q, i + 1) - element_at(mins, i + 1))
+                            * 255)
+                           div (element_at(maxs, i + 1)
+                                - element_at(mins, i + 1))
+                 END AS INT))"""
+        ),
+    )
+
+
+# DuckDB mirror of sq8_coded — WITH-clause body shared by the
+# quantization and recall-eval oracles
+_SQ8_CODED_SQL = f"""
+    q AS (
       SELECT vec_id, label,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {_FP_SCALE}.0) AS BIGINT))
@@ -304,6 +345,13 @@ def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
                END AS INTEGER)) AS codes
       FROM q CROSS JOIN arrs
     )
+"""
+
+
+@query(
+    "sq8_embedding_quantization",
+    oracle=f"""
+    WITH {_SQ8_CODED_SQL}
     SELECT vec_id, label, codes,
            CAST(list_reduce(list_transform(range(0, {EMB_DIM}), i ->
              (q[i + 1] - (mins[i + 1]
@@ -339,40 +387,7 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python). int64 headroom: |q| <= ~0.55*2^20, so (x-mn)*255 <= ~6e8
     and the error fold <= ~2e9 — no overflow at any corpus size (the
     stats are per-dim extremes, not sums)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
-            "long"
-        ),
-    )
-    qdf = e.select("vec_id", "label", q.alias("q"))
-    stats = (
-        qdf.select(F.posexplode("q").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    )
-    arrs = stats.agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("i", "mn"))), lambda s: s.mn
-        ).alias("mins"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("i", "mx"))), lambda s: s.mx
-        ).alias("maxs"),
-    )
-    coded = qdf.crossJoin(F.broadcast(arrs)).withColumn(
-        "codes",
-        F.expr(
-            f"""transform(sequence(0, {EMB_DIM - 1}), i -> CAST(
-                 CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)
-                      THEN 0
-                      ELSE ((element_at(q, i + 1) - element_at(mins, i + 1))
-                            * 255)
-                           div (element_at(maxs, i + 1)
-                                - element_at(mins, i + 1))
-                 END AS INT))"""
-        ),
-    )
+    coded = sq8_coded(load_table(spark, sf_dir, "embeddings"))
     err = F.expr(
         f"""aggregate(sequence(0, {EMB_DIM - 1}), 0L, (acc, i) -> acc
              + (element_at(q, i + 1) - (element_at(mins, i + 1)
@@ -385,6 +400,136 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                     div 255)))"""
     )
     return coded.select("vec_id", "label", "codes", err.alias("err_q"))
+
+
+_DQ_EXPR = f"""transform(sequence(0, {EMB_DIM - 1}), i ->
+      element_at(mins, i + 1)
+      + (CAST(element_at(codes, i + 1) AS BIGINT)
+         * (element_at(maxs, i + 1) - element_at(mins, i + 1))) div 255)"""
+
+
+@query(
+    "sq8_recall_eval",
+    oracle=f"""
+    WITH {_SQ8_CODED_SQL},
+    dq AS (
+      SELECT vec_id,
+             list_transform(range(0, {EMB_DIM}), i ->
+               mins[i + 1]
+               + (CAST(codes[i + 1] AS BIGINT)
+                  * (maxs[i + 1] - mins[i + 1])) // 255) AS dq
+      FROM coded
+    ),
+    dqn AS (
+      SELECT vec_id, dq,
+             list_reduce(list_transform(dq, x -> x * x), (a, b) -> a + b)
+               AS nd
+      FROM dq
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    sq8_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY
+                   ((CAST(list_reduce(
+                       list_transform(range(0, {EMB_DIM}),
+                                      i -> q.dq[i + 1] * e.dq[i + 1]),
+                       (a, b) -> a + b) AS DOUBLE)
+                     / sqrt(CAST(q.nd AS DOUBLE)))
+                    / sqrt(CAST(e.nd AS DOUBLE))) DESC, e.vec_id
+               ) AS rank
+        FROM dqn q JOIN dqn e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(count(s.neighbor_id) AS INTEGER) AS n_hits,
+           CAST(count(s.neighbor_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM exact x
+    LEFT JOIN sq8_topk s
+      ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of cosine search over SQ8-DEQUANTIZED vectors
+    against the exact float brute-force top-k — the measurement that
+    decides whether 4x compression is admissible for a given corpus
+    (the FAISS-style quantization quality gate), as a first-class
+    distributed query instead of an offline notebook check.
+
+    Both rankings are engine-exact: the float side is the proven
+    knn_bruteforce_cosine contract; the SQ8 side scores with an int64
+    dot product and int64 norms from the EXACT dequantized coordinates
+    (only the final two sqrt-divisions are float, identically
+    parenthesized in both engines), so the oracle hash-verifies the
+    whole evaluation, recall numbers included.
+
+    Shape at 100 TB: the dequantized relation derives map-only from the
+    shared SQ8 core (one d-row stats shuffle, broadcast fold); both
+    search legs are broadcast-queries x corpus-scan with only TOP_K
+    survivors per query reaching the tiny window exchange; the final
+    recall join touches N_QUERIES*K rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dqn = (
+        sq8_coded(emb)
+        .withColumn("dq", F.expr(_DQ_EXPR))
+        .withColumn(
+            "nd",
+            F.expr("aggregate(transform(dq, x -> x * x), 0L, (a, b) -> a + b)"),
+        )
+        .select("vec_id", "dq", "nd")
+    )
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    queries = dqn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dq").alias("qdq"),
+        F.col("nd").alias("qnd"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qdq, dq, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+    )
+    score = (dot.cast("double") / F.sqrt(F.col("qnd").cast("double"))) / F.sqrt(
+        F.col("nd").cast("double")
+    )
+    scored = dqn.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    sq8_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = sq8_topk.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            (F.count("hit").cast("double") / F.lit(float(TOP_K))).alias(
+                "recall"
+            ),
+        )
+    )
 
 
 # rows-only: like the k-means-trained IVF/PQ family, the driver-side

@@ -18,6 +18,7 @@ Deliberate improvements over the reference (documented deviations):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -162,6 +163,28 @@ def _quarantine(
         table.append(out)
 
 
+def _decode_sized(subset: DataFrame, n_rows: int | None) -> DataFrame:
+    """Adapt decode parallelism to subset size. A Kafka micro-batch
+    inherits the topic's partitioning, so a small per-id subset spread
+    over 32 partitions pays ~32 Python-task launches (Arrow setup +
+    worker round-trip each) to decode a few hundred rows apiece — the
+    per-task fixed cost dominates the actual decode. When the stats
+    pass's count says the subset is small, COALESCE (shuffle-free: each
+    surviving task reads a few cached partitions locally) down to
+    ceil(n / SPARK_GRAFT_DECODE_ROWS_PER_TASK) tasks so decode batches
+    stay Arrow-efficient. Large subsets keep their full parallelism —
+    at scale the coalesce never fires and no encoded bytes ever move."""
+    if n_rows is None:
+        return subset
+    per_task = int(os.environ.get("SPARK_GRAFT_DECODE_ROWS_PER_TASK", "4096"))
+    if per_task <= 0:
+        return subset
+    n_tasks = max(1, -(-int(n_rows) // per_task))
+    if n_tasks >= subset.rdd.getNumPartitions():
+        return subset
+    return subset.coalesce(n_tasks)
+
+
 def demux_decode_batch(
     batch_df: DataFrame,
     registry: SchemaRegistry,
@@ -280,6 +303,10 @@ def demux_decode_batch(
             if reader_schema_id is not None
             else None
         )
+        # Build one independent write job per schema id (every plan is
+        # fully constructed driver-side first; registry lookups stay
+        # sequential — they're the retry/backoff-guarded network calls).
+        jobs: list = []
         for sid in ids:
             try:
                 schema_json = registry.get_schema_json(sid)  # driver-side (U2)
@@ -290,16 +317,21 @@ def demux_decode_batch(
                 subset = sliced.filter(F.col("valueSchemaId") == F.lit(sid))
                 if quarantine is None:
                     raise
-                _quarantine(
-                    subset,
-                    quarantine,
-                    "unknown_schema_id",
-                    batch_id,
-                    sid=sid,
-                    n_rows=n_by_id.get(sid),
+                jobs.append(
+                    lambda subset=subset, sid=sid: _quarantine(
+                        subset,
+                        quarantine,
+                        "unknown_schema_id",
+                        batch_id,
+                        sid=sid,
+                        n_rows=n_by_id.get(sid),
+                    )
                 )
                 continue
-            subset = sliced.filter(F.col("valueSchemaId") == F.lit(sid))
+            subset = _decode_sized(
+                sliced.filter(F.col("valueSchemaId") == F.lit(sid)),
+                n_by_id.get(sid),
+            )
             decoded = decode_avro(
                 subset,
                 "payload",
@@ -309,13 +341,44 @@ def demux_decode_batch(
             )
             out = decoded.select(*RAW_COLUMNS)
             if batch_id is not None:
-                target.idempotent_append(
-                    out,
-                    token=f"batchid={batch_id}/schemaid={sid}",
-                    n_rows=n_by_id.get(sid),
+                jobs.append(
+                    lambda out=out, sid=sid: target.idempotent_append(
+                        out,
+                        token=f"batchid={batch_id}/schemaid={sid}",
+                        n_rows=n_by_id.get(sid),
+                    )
                 )
             else:
-                target.append(out, n_rows=n_by_id.get(sid))
+                jobs.append(
+                    lambda out=out, sid=sid: target.append(
+                        out, n_rows=n_by_id.get(sid)
+                    )
+                )
+        # The per-id jobs touch disjoint outputs (distinct replay-token
+        # dirs / quarantine reasons), so they can run CONCURRENTLY:
+        # Spark's scheduler interleaves their stages and the fixed
+        # per-job latency (scheduling + commit) overlaps instead of
+        # serializing — on a real cluster N schema subsets stream to the
+        # sink together. Delta mode stays sequential: concurrent
+        # append txns to ONE Delta log can conflict, and the log's
+        # txnAppId dedup is the idempotence story there.
+        spark = batch_df.sparkSession
+        workers = int(os.environ.get("SPARK_GRAFT_DEMUX_PARALLELISM", "4"))
+        sequential = (
+            len(jobs) < 2
+            or workers < 2
+            or target._delta(spark)
+            or (quarantine is not None and quarantine._delta(spark))
+        )
+        if sequential:
+            for fn in jobs:
+                fn()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(workers, len(jobs))) as pool:
+                for f in [pool.submit(fn) for fn in jobs]:
+                    f.result()
     finally:
         cached.unpersist()
     return ids

@@ -592,8 +592,10 @@ def test_write_time_file_sizing_small_batch(spark, workdir, monkeypatch):
     # rows all arrived despite the repartition
     assert target.read(spark).count() == 200
 
-    # opt-out: TARGET_FILE_ROWS<=0 restores one-file-per-partition layout
+    # opt-out: both sizing knobs <=0 restores one-file-per-partition
+    # layout (write sizing AND the adaptive decode coalesce)
     monkeypatch.setenv("SPARK_GRAFT_TARGET_FILE_ROWS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_DECODE_ROWS_PER_TASK", "0")
     target2 = ParquetTable(f"{workdir}/raw_unsized")
     demux_decode_batch(
         batch, CONFLUENT_REGISTRY, confluent_framing(), target2, batch_id=0

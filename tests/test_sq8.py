@@ -73,3 +73,26 @@ def test_sq8_plan_broadcast_no_python(spark, workdir):
     # the d-row min/max stats reach the vectors as a broadcast, never a
     # corpus-side shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sq8_recall_on_separated_corpus(spark, workdir):
+    """Well-separated clusters survive 8-bit quantization: SQ8 search
+    returns the exact float top-k, recall 1.0 for every query."""
+    from databricks_end_to_end_streaming_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sq8_recall_eval,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((10, EMB_DIM)) * 10.0
+    # exactly TOP_K + 1 points per cluster: each query's top-k is the SET
+    # of its cluster-mates, so the assertion is order-free (rank order
+    # WITHIN a tight cluster is sub-quantization noise by construction)
+    vecs = np.vstack(
+        [c + 0.05 * rng.standard_normal((TOP_K + 1, EMB_DIM)) for c in centers]
+    ).astype(np.float32)
+    _emb_df(spark, vecs).write.parquet(f"{workdir}/sq8r/embeddings.parquet")
+    got = sq8_recall_eval(spark, f"{workdir}/sq8r").collect()
+    assert len(got) == N_QUERIES
+    assert all(r.n_hits == TOP_K and r.recall == 1.0 for r in got)

@@ -101,6 +101,7 @@ PROBES = [
     "domain_duplicate_share",
     "html_text_extraction",
     "sq8_embedding_quantization",
+    "sq8_recall_eval",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
