@@ -276,24 +276,41 @@ def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def sq8_coded(e: DataFrame) -> DataFrame:
-    """Shared SQ8 core: fixed-point coordinates ``q`` plus the broadcast
-    per-dimension ``mins``/``maxs`` arrays and the 0..255 ``codes`` —
-    consumed by the quantization query (codes + error) and the recall
-    eval (dequantize + search). Pass 1 collapses to <= d rows map-side;
-    pass 2 is map-only against ONE broadcast stats row."""
+def sq8_fp_coords(e: DataFrame) -> DataFrame:
+    """Fixed-point int64 coordinates at 2^20 — the exact front door of
+    every SQ8 derivation."""
     q = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
             "long"
         ),
     )
-    qdf = e.select("vec_id", "label", q.alias("q"))
-    stats = (
+    return e.select("vec_id", "label", q.alias("q"))
+
+
+def sq8_dim_stats(qdf: DataFrame) -> DataFrame:
+    """Per-dimension (i, mn, mx) extremes of the fixed-point coordinates
+    — a fold MONOID (min of mins / max of maxs), which is what lets the
+    streaming twin append one d-row partial per micro-batch and fold by
+    min/max (``streaming/sq8_stage.py``)."""
+    return (
         qdf.select(F.posexplode("q").alias("i", "x"))
         .groupBy("i")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     )
+
+
+def sq8_coded(e: DataFrame, stats: DataFrame | None = None) -> DataFrame:
+    """Shared SQ8 core: fixed-point coordinates ``q`` plus the broadcast
+    per-dimension ``mins``/``maxs`` arrays and the 0..255 ``codes`` —
+    consumed by the quantization query (codes + error), the recall
+    eval (dequantize + search), and the streaming calibrator (which
+    passes folded ``stats`` so drained == batch holds by construction).
+    Pass 1 collapses to <= d rows map-side; pass 2 is map-only against
+    ONE broadcast stats row."""
+    qdf = sq8_fp_coords(e)
+    if stats is None:
+        stats = sq8_dim_stats(qdf)
     arrs = stats.agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("i", "mn"))), lambda s: s.mn
