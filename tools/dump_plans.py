@@ -86,6 +86,13 @@ PLAN_QUERIES = [
     ("copurchase_graph_triangles", "mutual top-K graph (degree <= K by construction) -> two equi-joins enumerate each triangle once"),
     ("rfm_customer_scores", "customer collapse in ONE partial agg; 3 range-partitioned global ranks over the aggregate only"),
     ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
+    ("url_domain_accounting", "map-only URL parse/normalize in codegen; (domain,lang) partial agg -> domain rollup, two key-bound exchanges"),
+    ("url_blocklist_filter", "every rule one conditional sum: ONE scan, 1-row aggregate, stack unpivot"),
+    ("domain_duplicate_share", "md5 fingerprint partial-agg + count join on fp key -> domain rollup; fingerprint relation never broadcast"),
+    ("html_text_extraction", "WET extraction as ONE codegen span over the scan: zero exchanges, no Python"),
+    ("bm25_param_topk", "corpus x broadcast term relation (no corpus explode); terms-sized df agg broadcast back; TakeOrdered top-k"),
+    ("sq8_embedding_quantization", "posexplode stats collapse to d rows map-side; ONE broadcast min/max row; code+error map-only"),
+    ("sq8_recall_eval", "two broadcast-queries x scan legs, TOP_K survivors per query to tiny window exchanges, recall join on N*K rows"),
 ]
 
 
