@@ -198,6 +198,7 @@ NEW_OP_QUERIES = [
     "html_text_extraction",
     "sq8_embedding_quantization",
     "sq8_recall_eval",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -277,3 +277,70 @@ def llm_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens"
         ),
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tokens,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), gated AS (
+      SELECT * FROM feats
+      WHERE n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT gated.*, row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ), newsnap AS (
+      SELECT doc_id,
+             lower(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+      FROM deduped
+    ), d AS (
+      SELECT o.doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'dropped'
+                  WHEN o.text = n.text THEN 'unchanged'
+                  ELSE 'modified' END AS status,
+             o.lang, o.n_tokens
+      FROM feats o FULL OUTER JOIN newsnap n USING (doc_id)
+    )
+    SELECT status, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM d GROUP BY status, lang
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did the clean pass actually do, per language: the raw corpus
+    diffed against the cleaned snapshot (quality gate + exact dedup +
+    whitespace/case canonicalization) through the generic
+    ``operators/diff.py::table_diff`` audit primitive. 'dropped' = gated
+    out or dedup loser, 'modified' = survived but canonicalization
+    changed the text, 'unchanged' = survived verbatim ('added' can't
+    occur in this instantiation — a clean pass introduces no rows — but
+    the operator supports it and pytest exercises it). Each side hashes
+    its compare columns to one md5 map-side, so the single full-outer
+    shuffle carries key+hash, never the text twice; the rollup is one
+    partial-agg'd shuffle over the status relation."""
+    from ..operators.diff import table_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    old = _features(d).select("doc_id", "lang", "n_tokens", "text")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    new = clean_corpus(d).select(
+        "doc_id", "lang", "n_tokens", norm.alias("text")
+    )
+    diff = table_diff(
+        old, new, keys=["doc_id"], compare_cols=["text"],
+        passthrough=["lang", "n_tokens"],
+    )
+    return diff.groupBy("status", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

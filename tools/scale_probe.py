@@ -102,6 +102,7 @@ PROBES = [
     "html_text_extraction",
     "sq8_embedding_quantization",
     "sq8_recall_eval",
+    "corpus_snapshot_diff",
 ]
 # id column to shift per replica so keys stay unique across copies
 ID_SHIFT = {
