@@ -93,6 +93,7 @@ PLAN_QUERIES = [
     ("bm25_param_topk", "corpus x broadcast term relation (no corpus explode); terms-sized df agg broadcast back; TakeOrdered top-k"),
     ("sq8_embedding_quantization", "posexplode stats collapse to d rows map-side; ONE broadcast min/max row; code+error map-only"),
     ("sq8_recall_eval", "two broadcast-queries x scan legs, TOP_K survivors per query to tiny window exchanges, recall join on N*K rows"),
+    ("corpus_snapshot_diff", "both sides collapse to key+md5 map-side; ONE full-outer join, never the payload twice; status rollup partial-agg'd"),
 ]
 
 
