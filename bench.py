@@ -199,6 +199,8 @@ NEW_OP_QUERIES = [
     "sq8_embedding_quantization",
     "sq8_recall_eval",
     "corpus_snapshot_diff",
+    "kmv_distinct_users_per_type",
+    "kmv_source_token_overlap",
 ]
 
 

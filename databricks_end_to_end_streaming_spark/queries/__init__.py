@@ -71,6 +71,7 @@ def _load_modules() -> None:
         dedup,
         dq,
         extensions,
+        kmv,
         fuzzy,
         medallion,
         pipeline,

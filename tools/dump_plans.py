@@ -94,6 +94,8 @@ PLAN_QUERIES = [
     ("sq8_embedding_quantization", "posexplode stats collapse to d rows map-side; ONE broadcast min/max row; code+error map-only"),
     ("sq8_recall_eval", "two broadcast-queries x scan legs, TOP_K survivors per query to tiny window exchanges, recall join on N*K rows"),
     ("corpus_snapshot_diff", "both sides collapse to key+md5 map-side; ONE full-outer join, never the payload twice; status rollup partial-agg'd"),
+    ("kmv_distinct_users_per_type", "distinct partial-agg then salted two-level bottom-k: WindowGroupLimit partials BEFORE each exchange, k rows/group out"),
+    ("kmv_source_token_overlap", "corpus touched once (explode+distinct+bottom-k); all pair algebra on k-per-source sketch rows, tiny broadcast joins"),
 ]
 
 
