@@ -201,6 +201,7 @@ NEW_OP_QUERIES = [
     "corpus_snapshot_diff",
     "kmv_distinct_users_per_type",
     "kmv_source_token_overlap",
+    "er_golden_records",
 ]
 
 

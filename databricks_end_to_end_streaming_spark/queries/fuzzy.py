@@ -32,6 +32,37 @@ from . import query
 FUZZY_MAX_DIST = 2  # max levenshtein distance to call two names one entity
 
 
+def fuzzy_name_pairs(names: DataFrame) -> DataFrame:
+    """Blocked fuzzy match pairs over a (p_name, n_parts) dictionary —
+    the candidate machinery shared by the pair query and the golden-
+    record clustering below. Token blocking bounds the quadratic term;
+    levenshtein verifies candidates only."""
+    tok = names.select(
+        "p_name",
+        "n_parts",
+        F.explode(
+            F.filter(F.split("p_name", " +"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    return (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
+
+
 @query(
     "fuzzy_part_name_matches",
     oracle=f"""
@@ -56,31 +87,91 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify."""
     p = load_table(spark, sf_dir, "part")
     names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
-    tok = names.select(
-        "p_name", "n_parts", F.explode(
-            F.filter(F.split("p_name", " +"), lambda t: t != "")
-        ).alias("tok")
-    )
-    cand = (
-        tok.alias("a")
-        .join(
-            tok.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.p_name") < F.col("b.p_name")),
-        )
-        .select(
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            F.col("a.n_parts").alias("n_parts_a"),
-            F.col("b.n_parts").alias("n_parts_b"),
-        )
-        .distinct()
-    )
     return (
-        cand.withColumn(
-            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
-        )
-        .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        fuzzy_name_pairs(names)
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
         .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "er_golden_records",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name, count(*) AS n_parts
+      FROM part GROUP BY p_name
+    ), pairs AS (
+      SELECT a.p_name AS pa, b.p_name AS pb
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ), edges AS (
+      SELECT pa AS u, pb AS v FROM pairs
+      UNION ALL
+      SELECT pb, pa FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS p_name, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ), lab AS (
+      SELECT n.p_name, coalesce(c.cluster_id, n.p_name) AS cluster_id,
+             n.n_parts
+      FROM names n LEFT JOIN comp c USING (p_name)
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_parts DESC, p_name
+      ) AS rn
+      FROM lab
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN p_name END) AS canonical_name,
+           count(*) AS n_names,
+           CAST(sum(n_parts) AS BIGINT) AS n_parts_total
+    FROM r GROUP BY cluster_id
+    """,
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction — the step AFTER fuzzy matching in an
+    entity-resolution pipeline: fuzzy match pairs are edges, connected
+    components merge transitive matches into entities (A~B, B~C => one
+    entity even when A~C fails the distance test), and each entity
+    elects a canonical surviving record (most part rows, then
+    lexicographic — a deterministic survivorship rule). Names with no
+    match stay singleton entities under their own id.
+
+    Scale shape: everything downstream of the corpus-collapsing
+    distinct-name aggregation runs on the entity DICTIONARY. CC is
+    O(diameter) rounds of key-bound join + partial-agg min
+    (operators/graph.py); the survivorship window partitions by cluster
+    id — cluster-sized partitions, never a global sort. The oracle's
+    recursive-CTE closure re-proves both the blocking recall AND the
+    label convergence each round."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    pairs = fuzzy_name_pairs(names)
+
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    comps = connected_components(pairs, "name_a", "name_b")
+    lab = names.join(
+        comps.withColumnRenamed("node", "p_name"), "p_name", "left"
+    ).select(
+        "p_name",
+        F.coalesce("component", "p_name").alias("cluster_id"),
+        "n_parts",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_parts").desc(), "p_name"
+    )
+    r = lab.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("p_name"))).alias(
+            "canonical_name"
+        ),
+        F.count("*").alias("n_names"),
+        F.sum("n_parts").alias("n_parts_total"),
     )

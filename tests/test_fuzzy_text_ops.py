@@ -155,3 +155,36 @@ def test_fuzzy_random_names_match_exact_all_pairs(spark, workdir):
             for r in fuzzy_part_name_matches(spark, d).collect()
         }
         assert got == exact, f"trial {trial}"
+
+
+def test_er_golden_records_transitive_chain(spark, workdir):
+    """A~B and B~C merge into ONE entity even though dist(A,C) exceeds
+    the threshold (transitive closure), the canonical is the
+    heaviest-by-rows name, and non-matching names stay singletons."""
+    from databricks_end_to_end_streaming_spark.queries.fuzzy import (
+        er_golden_records,
+    )
+
+    parts = [
+        # chain: ring ~ rink (dist 1) ~ rinkzz (dist 2); ring->rinkzz = 3 > threshold
+        *[(i, "small ring") for i in range(5)],   # heaviest -> canonical
+        *[(10 + i, "small rink") for i in range(2)],
+        *[(20 + i, "small rinkzz") for i in range(2)],  # dist(rink,rinkzz)=2; dist(ring,rinkzz)=3
+        (30, "blue gear"),  # singleton
+    ]
+    spark.createDataFrame(parts, "p_partkey long, p_name string").write.parquet(
+        f"{workdir}/er/part.parquet"
+    )
+    out = {r.cluster_id: r for r in er_golden_records(spark, f"{workdir}/er").collect()}
+    # sanity: the chain endpoint really is beyond the pairwise threshold
+    import pyspark.sql.functions as F
+
+    dist = spark.range(1).select(
+        F.levenshtein(F.lit("small ring"), F.lit("small rinkzz")).alias("d")
+    ).first().d
+    assert dist > 2
+    chain = out["small ring"]
+    assert chain.n_names == 3 and chain.n_parts_total == 9
+    assert chain.canonical_name == "small ring"
+    single = out["blue gear"]
+    assert single.n_names == 1 and single.canonical_name == "blue gear"
