@@ -202,6 +202,7 @@ NEW_OP_QUERIES = [
     "kmv_distinct_users_per_type",
     "kmv_source_token_overlap",
     "er_golden_records",
+    "domain_quota_cap",
 ]
 
 

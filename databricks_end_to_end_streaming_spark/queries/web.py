@@ -350,6 +350,79 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- per-domain quota cap
+
+DOMAIN_QUOTA = 8  # max docs kept per normalized domain
+
+
+@query(
+    "domain_quota_cap",
+    oracle=f"""
+    WITH u AS ({_URL_SQL}),
+    d AS (
+      SELECT doc_id, text, {_NORM_DOMAIN_SQL} AS domain,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM u
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY domain ORDER BY n_tokens DESC, doc_id
+      ) AS rn
+      FROM d
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {DOMAIN_QUOTA} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > {DOMAIN_QUOTA} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn <= {DOMAIN_QUOTA} THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS tokens_kept,
+           CAST(sum(CASE WHEN rn > {DOMAIN_QUOTA} THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS tokens_dropped
+    FROM r GROUP BY domain
+    """,
+)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (the C4/RefinedWeb anti-concentration
+    stage): keep at most DOMAIN_QUOTA documents per normalized domain,
+    preferring longer documents (deterministic tie-break on doc_id), and
+    account for what the cap keeps vs drops — without a quota, a handful
+    of template-heavy hosts dominate a crawl-scale corpus.
+
+    100 TB shape: ONE window partitioned by domain (domain-sized
+    partitions; a pathological mega-domain is an AQE skew split) feeding
+    ONE partial-agg'd rollup on the same domain key — the sort Spark
+    plants for the window is reused, so the whole stage is a single
+    exchange. Returning the per-domain accounting rather than the kept
+    rows keeps the query's output corpus-size-free; the kept-rows
+    projection is the same plan minus the rollup."""
+    d = with_url(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        norm_domain().alias("domain"),
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    r = d.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= DOMAIN_QUOTA
+    return r.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "tokens_kept"
+        ),
+        F.sum(F.when(~kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "tokens_dropped"
+        ),
+    )
+
+
 # ---------------------------------------------- per-domain dup share
 
 

@@ -147,3 +147,32 @@ def test_html_extraction_plan_map_only(spark, workdir):
     # Python eval — one codegen span over the parquet scan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_quota_cap_planted(spark, workdir):
+    """One domain over quota (drops the SHORTEST docs), one under (keeps
+    all), exact token accounting on both sides of the cap."""
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        DOMAIN_QUOTA,
+        domain_quota_cap,
+    )
+
+    # srcA: DOMAIN_QUOTA + 3 docs, same parity so one domain; doc i has
+    # i+1 tokens -> the 3 dropped are the 3 shortest (1,2,3 tokens).
+    over = [
+        (2 * i, " ".join(["w"] * (i + 1)), "en", "srcA", 1)
+        for i in range(DOMAIN_QUOTA + 3)
+    ]
+    under = [(101, "a b", "en", "srcB", 1), (103, "c", "en", "srcB", 1)]
+    sf = _write_docs(spark, workdir, over + under)
+    out = {r.domain: r for r in domain_quota_cap(spark, sf).collect()}
+    a = next(v for k, v in out.items() if "srca" in k)
+    assert (a.n_docs, a.n_kept, a.n_dropped) == (
+        DOMAIN_QUOTA + 3,
+        DOMAIN_QUOTA,
+        3,
+    )
+    assert a.tokens_dropped == 1 + 2 + 3
+    assert a.tokens_kept == sum(range(4, DOMAIN_QUOTA + 4))
+    b = next(v for k, v in out.items() if "srcb" in k)
+    assert (b.n_kept, b.n_dropped, b.tokens_kept) == (2, 0, 3)
