@@ -203,6 +203,7 @@ NEW_OP_QUERIES = [
     "kmv_source_token_overlap",
     "er_golden_records",
     "domain_quota_cap",
+    "packing_next_fit_stats",
 ]
 
 

@@ -558,6 +558,121 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Next-fit packing: bin budget and the integer state encoding. State is
+# ONE int64: completed_bins * 2^20 + running_tokens (running <= budget
+# << 2^20), so the whole sequential fold is exact integer arithmetic
+# that Spark's aggregate() HOF and DuckDB's list_reduce express
+# IDENTICALLY — a per-group sequential algorithm with a hash-checkable
+# oracle and zero Python.
+PACK_BUDGET = 256
+_PACK_ENC = 1 << 20
+PACK_SHARDS = 4
+
+
+@query(
+    "packing_next_fit_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
+             least(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT),
+                   {PACK_BUDGET}) AS l
+      FROM documents
+    ), g AS (
+      SELECT source, shard,
+             count(*) AS n_docs,
+             CAST(sum(l) AS BIGINT) AS tokens_packed,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list(l ORDER BY l DESC, doc_id)),
+               (acc, x) -> CASE
+                 WHEN acc % {_PACK_ENC} + x > {PACK_BUDGET}
+                 THEN acc - (acc % {_PACK_ENC}) + {_PACK_ENC} + x
+                 ELSE acc + x END
+             ) AS state
+      FROM toks GROUP BY source, shard
+    ), b AS (
+      SELECT source, shard, n_docs, tokens_packed,
+             state // {_PACK_ENC}
+               + (CASE WHEN state % {_PACK_ENC} > 0 THEN 1 ELSE 0 END)
+               AS n_bins
+      FROM g
+    )
+    SELECT source, shard, n_docs, tokens_packed, n_bins,
+           n_bins * {PACK_BUDGET} - tokens_packed AS padding,
+           CAST(tokens_packed AS DOUBLE)
+             / CAST(n_bins * {PACK_BUDGET} AS DOUBLE) AS fill_rate
+    FROM b
+    """,
+)
+def packing_next_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-boundary-respecting training-sequence packing — the OTHER
+    packing recipe (vs. ``sequence_packing``'s concat-then-chunk):
+    documents are never split across context windows; within each
+    (source, shard) they are laid greedily in length-descending order
+    (sorted next-fit, the first-fit-decreasing-quality heuristic real
+    packers use) and a window closes when the next document would
+    overflow the {PACK_BUDGET}-token budget. Output is per-shard bin and
+    padding-waste accounting — the number a padding-minimizing pipeline
+    actually tunes.
+
+    Packing is inherently a sequential fold over an ordered group, and
+    the standard distributed answer is the one real pipelines use: pack
+    per bounded output shard. The fold itself runs as Spark's
+    ``aggregate`` HOF over the per-shard length array with the state in
+    one int64 (completed_bins * 2^20 + running) — JVM expression
+    codegen, no Python, no window, ONE partial-agg'd shuffle — and
+    DuckDB's ``list_reduce`` replays the identical integer fold, so the
+    driver hash-checks a sequential algorithm end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.pmod("doc_id", F.lit(PACK_SHARDS)).alias("shard"),
+        F.least(
+            F.size(F.split(F.trim("text"), " +")).cast("long"),
+            F.lit(PACK_BUDGET).cast("long"),
+        ).alias("l"),
+    )
+    g = toks.groupBy("source", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("l").alias("tokens_packed"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("l")).alias("nl"), "doc_id", "l"))
+                ),
+                lambda x: x["l"],
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.when(
+                acc % _PACK_ENC + x > PACK_BUDGET,
+                acc - (acc % _PACK_ENC) + _PACK_ENC + x,
+            ).otherwise(acc + x),
+        ).alias("state"),
+    )
+    b = g.withColumn(
+        "n_bins",
+        (F.col("state") / _PACK_ENC).cast("long")
+        + F.when(F.col("state") % _PACK_ENC > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long"),
+    )
+    return b.select(
+        "source",
+        "shard",
+        "n_docs",
+        "tokens_packed",
+        "n_bins",
+        (F.col("n_bins") * PACK_BUDGET - F.col("tokens_packed")).alias(
+            "padding"
+        ),
+        (
+            F.col("tokens_packed").cast("double")
+            / (F.col("n_bins") * PACK_BUDGET).cast("double")
+        ).alias("fill_rate"),
+    )
+
+
 @query(
     "tfidf_top_terms_per_lang",
     oracle="""

@@ -98,6 +98,7 @@ PLAN_QUERIES = [
     ("kmv_source_token_overlap", "corpus touched once (explode+distinct+bottom-k); all pair algebra on k-per-source sketch rows, tiny broadcast joins"),
     ("er_golden_records", "corpus collapses to the name dictionary; blocked pairs -> O(diameter) CC rounds; survivorship window partitions by cluster only"),
     ("domain_quota_cap", "ONE domain exchange: quota window and rollup share the same key+sort; output corpus-size-free accounting"),
+    ("packing_next_fit_stats", "sequential fold as JVM aggregate() HOF over per-shard arrays: ONE partial-agg shuffle, no window, no Python"),
 ]
 
 
