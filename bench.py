@@ -204,6 +204,7 @@ NEW_OP_QUERIES = [
     "er_golden_records",
     "domain_quota_cap",
     "packing_next_fit_stats",
+    "kmv_weekly_users_rollup",
 ]
 
 

@@ -79,6 +79,88 @@ def kmv_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_type_report(kmv_sketch(ev, "user_id", ["event_type"], K_USERS))
 
 
+@query(
+    "kmv_weekly_users_rollup",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             {kmv_hash_sql("user_id")} AS h
+      FROM events
+    ),
+    dr AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM dh
+    ),
+    daily AS (SELECT day, h FROM dr WHERE rn <= {K_USERS}),
+    wh AS (
+      SELECT DISTINCT date_trunc('week', day) AS week, h FROM daily
+    ),
+    wr AS (
+      SELECT week, h,
+             row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+      FROM wh
+    ),
+    a AS (
+      SELECT week, count(*) AS n_sketch, max(h) AS kth
+      FROM wr WHERE rn <= {K_USERS} GROUP BY week
+    ),
+    d AS (
+      SELECT date_trunc('week', day) AS week, count(DISTINCT day) AS n_days
+      FROM daily GROUP BY 1
+    )
+    SELECT strftime(CAST(a.week AS DATE), '%Y-%m-%d') AS week,
+           d.n_days, a.n_sketch, a.kth,
+           {kmv_estimate_sql(K_USERS)} AS est_distinct
+    FROM a JOIN d ON a.week = d.week
+    """,
+)
+def kmv_weekly_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct over time — the rollup exact
+    countDistinct can NOT do: daily per-day KMV sketches (what a
+    production pipeline would persist once per day) merge into weekly
+    distinct-user estimates WITHOUT rescanning raw events, because
+    union-then-truncate loses nothing a single-pass weekly sketch would
+    keep (tests/test_kmv.py proves weekly-from-daily == weekly-from-raw
+    bit-for-bit). At 100 TB this is the difference between touching one
+    day of data per day and rescanning a month per report.
+
+    Shape: the raw scan feeds ONE distinct (day, h) partial-agg; daily
+    bottom-k bounds state at k rows/day; everything weekly runs on the
+    days-x-k sketch relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = kmv_sketch(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        "user_id",
+        ["day"],
+        K_USERS,
+    )
+    with_week = daily.withColumn(
+        "week", F.to_date(F.date_trunc("week", F.col("day")))
+    )
+    weekly = bottom_k(
+        with_week.select("week", "h").distinct(), ["week"], K_USERS
+    )
+    a = weekly.groupBy("week").agg(
+        F.count("*").alias("n_sketch"), F.max("h").alias("kth")
+    )
+    d = with_week.groupBy("week").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    return (
+        kmv_estimate(a.join(d, "week"), K_USERS)
+        # ISO string, not DateType: date keys surface as python objects
+        # vs datetime64 across the two engines' pandas conversions
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_days",
+            "n_sketch",
+            "kth",
+            "est_distinct",
+        )
+    )
+
+
 _TOKEN_SKETCH_SQL = f"""
     tok AS (
       SELECT DISTINCT source,

@@ -178,3 +178,36 @@ def test_streaming_wrapper(spark, workdir):
     got = _report(kmv_report_from_log(spark, t))
     want = _report(kmv_distinct_users_per_type(spark, SF_DIR))
     assert got == want
+
+
+def test_weekly_rollup_equals_single_pass_weekly_sketch(spark):
+    """The lossless-merge property that makes daily sketches worth
+    persisting: weekly-from-daily-sketches == weekly-from-raw-events,
+    hash for hash."""
+    from databricks_end_to_end_streaming_spark.queries.kmv import (
+        kmv_weekly_users_rollup,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    raw_weekly = kmv_sketch(
+        ev.select(
+            F.date_format(
+                F.date_trunc("week", F.to_date("ts")), "yyyy-MM-dd"
+            ).alias("week"),
+            "user_id",
+        ),
+        "user_id",
+        ["week"],
+        K_USERS,
+    )
+    agg = raw_weekly.groupBy("week").agg(
+        F.count("*").alias("n_sketch"), F.max("h").alias("kth")
+    )
+    want = {
+        (r.week, r.n_sketch, r.kth) for r in agg.collect()
+    }
+    got = {
+        (r.week, r.n_sketch, r.kth)
+        for r in kmv_weekly_users_rollup(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0

@@ -99,6 +99,7 @@ PLAN_QUERIES = [
     ("er_golden_records", "corpus collapses to the name dictionary; blocked pairs -> O(diameter) CC rounds; survivorship window partitions by cluster only"),
     ("domain_quota_cap", "ONE domain exchange: quota window and rollup share the same key+sort; output corpus-size-free accounting"),
     ("packing_next_fit_stats", "sequential fold as JVM aggregate() HOF over per-shard arrays: ONE partial-agg shuffle, no window, no Python"),
+    ("kmv_weekly_users_rollup", "raw scan feeds ONE distinct partial-agg; daily bottom-k bounds state k/day; weekly merge runs on days-x-k sketch rows"),
 ]
 
 
