@@ -205,6 +205,7 @@ NEW_OP_QUERIES = [
     "domain_quota_cap",
     "packing_next_fit_stats",
     "kmv_weekly_users_rollup",
+    "deterministic_corpus_shuffle",
 ]
 
 

@@ -344,3 +344,60 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ------------------------------------------ deterministic shuffle
+
+SHUFFLE_SEED = 42
+DOCS_PER_FILE = 64
+
+
+@query(
+    "deterministic_corpus_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY hk, doc_id) AS position
+      FROM h
+    )
+    SELECT doc_id, position,
+           (position - 1) // {DOCS_PER_FILE} AS file_id
+    FROM r
+    """,
+)
+def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global corpus shuffle — the reproducible training-order
+    manifest: every document gets a global position under the md5(seed |
+    doc_id) permutation and a training-file assignment (position div
+    {DOCS_PER_FILE}). Reruns with the same seed reproduce the order
+    exactly (resumable training); a new seed is a fresh epoch
+    permutation with no data movement beyond re-ranking.
+
+    Scale shape: the ONE thing this must never be is a 1-partition
+    ORDER BY window — position comes from the range-partitioned
+    global-rank machinery (operators/ranking.py: per-partition sort +
+    size offsets; hash keys are uniform by construction so the range
+    partitions are balanced without sampling skew). Everything else is
+    map-only hashing."""
+    from ..operators.ranking import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{SHUFFLE_SEED}|"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    r = global_row_number(h, ["hk", "doc_id"], "position")
+    return r.select(
+        "doc_id",
+        F.col("position").cast("bigint").alias("position"),
+        ((F.col("position") - 1) / DOCS_PER_FILE).cast("bigint").alias(
+            "file_id"
+        ),
+    )

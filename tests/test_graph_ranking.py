@@ -99,3 +99,22 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iter=1)
+
+
+def test_deterministic_corpus_shuffle_is_stable_permutation(spark):
+    from databricks_end_to_end_streaming_spark.queries.pipeline import (
+        DOCS_PER_FILE,
+        deterministic_corpus_shuffle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = deterministic_corpus_shuffle(spark, sf).collect()
+    b = deterministic_corpus_shuffle(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    positions = sorted(r.position for r in a)
+    assert positions == list(range(1, len(a) + 1))  # dense permutation
+    for r in a:
+        assert r.file_id == (r.position - 1) // DOCS_PER_FILE
+    # the permutation actually shuffles: doc_id order != position order
+    by_pos = [r.doc_id for r in sorted(a, key=lambda r: r.position)]
+    assert by_pos != sorted(by_pos)
