@@ -206,6 +206,7 @@ NEW_OP_QUERIES = [
     "packing_next_fit_stats",
     "kmv_weekly_users_rollup",
     "deterministic_corpus_shuffle",
+    "jaccard_prefix_filter_join",
 ]
 
 

@@ -230,6 +230,128 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard(pairs, d).where(F.col("jaccard") >= NEARDUP_THRESHOLD)
 
 
+# Prefix-filter exact similarity join (PPJoin family — Chaudhuri et al.
+# ICDE 2006, Xiao et al. WWW 2008; public literature). Threshold kept a
+# ratio of small integers so the prefix length is EXACT int arithmetic:
+# ceil(t*n) = (PP_NUM*n + PP_DEN - 1) div PP_DEN.
+PP_NUM, PP_DEN = 3, 5  # t = 0.6
+PPJOIN_THRESHOLD = PP_NUM / PP_DEN
+
+
+@query(
+    "jaccard_prefix_filter_join",
+    # Exact all-pairs oracle: hash-equality PROVES the prefix filter's
+    # completeness theorem held on this corpus (deterministically — not
+    # the probabilistic recall statement the LSH oracle makes).
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
+             )) AS shingles
+      FROM documents
+    ), scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(a.shingles) AS BIGINT) AS n_sh_a,
+             CAST(len(b.shingles) AS BIGINT) AS n_sh_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS overlap
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_sh_a, n_sh_b, overlap,
+           CAST(overlap AS DOUBLE) / (n_sh_a + n_sh_b - overlap) AS jaccard
+    FROM scored
+    WHERE CAST(overlap AS DOUBLE) / (n_sh_a + n_sh_b - overlap)
+          >= {PPJOIN_THRESHOLD}
+    """,
+)
+def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity self-join via prefix filtering — the scalable
+    exact path next to ``dedup_minhash_lsh``'s probabilistic one: no
+    banding miss probability, no signatures. Shingles are globally
+    ordered rarest-first (by document frequency, then lexicographic);
+    each document exposes only its first ``n - ceil(t*n) + 1`` shingles
+    as blocking keys, and the completeness theorem guarantees any pair
+    with Jaccard >= t shares a prefix shingle (if the prefixes were
+    disjoint, the overlap could be at most ceil(t*n)-1 < t*n <= t*|union|).
+
+    100 TB shape: the df-rank join is shingle-keyed; the per-doc
+    prefix window partitions by doc (doc-sized partitions); candidate
+    blocks key on RARE shingles by construction — the hot shingles that
+    would explode a naive token join are exactly the ones the rarest-
+    first ordering pushes OUT of prefixes. Verification touches
+    candidate pairs only, semi-join-restricted like verify_jaccard.
+    Prefix lengths are exact integer arithmetic (t = {PP_NUM}/{PP_DEN}),
+    so no float ever decides a block boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    sh_arr = d.select(
+        "doc_id", F.split(_norm(), " ").alias("toks")
+    ).select(
+        "doc_id", F.array_distinct(_word_shingles("toks")).alias("shingles")
+    )
+    sh_rel = sh_arr.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    dfreq = sh_rel.groupBy("s").agg(F.count("*").alias("df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = sh_rel.join(dfreq, "s").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    # prefix length = n - ceil(t*n) + 1, all int64
+    ceil_tn = (PP_NUM * F.col("n") + (PP_DEN - 1)) / PP_DEN
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - ceil_tn.cast("long") + 1
+    ).select("doc_id", "s")
+
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    a = sh_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_sh_a"),
+            F.size("sh_b").cast("long").alias("n_sh_b"),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("overlap"),
+        )
+    )
+    jac = F.col("overlap").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("overlap")
+    )
+    return scored.select(
+        "doc_a", "doc_b", "n_sh_a", "n_sh_b", "overlap", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= PPJOIN_THRESHOLD)
+
+
 @query(
     "dedup_ngram_overlap_sample",
     oracle="""

@@ -173,3 +173,47 @@ def test_fuzzy_decontamination_flags_planted_contamination(spark, tmp_path):
             assert abs(
                 out[cid] - word_jaccard(dict(rows)[cid], bench_texts[bid])
             ) < 1e-12
+
+
+def test_prefix_filter_join_exact_at_boundary(spark, tmp_path):
+    """Planted pairs straddling t=0.6: J exactly at threshold is kept,
+    just below is excluded, and the result agrees with brute force."""
+    import itertools
+
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        PPJOIN_THRESHOLD,
+        jaccard_prefix_filter_join,
+    )
+
+    # doc texts engineered over 3-word shingles: docs 1/2 share enough
+    # consecutive words for J >= 0.6; doc 3 shares a little; doc 4 none.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " iota kappa", "en", "s", 1),
+        (2, base + " iota lambda", "en", "s", 1),     # high overlap
+        (3, "alpha beta gamma mu nu xi omicron pi", "en", "s", 1),
+        (4, "one two three four five six", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_filter_join(spark, str(tmp_path)).collect()
+    }
+
+    # brute force over the same shingle definition
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    sh = {d: shingles(t) for d, t, *_ in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= PPJOIN_THRESHOLD:
+            want[(a, b)] = j
+    assert set(got) == set(want) and (1, 2) in got and (1, 4) not in got
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12

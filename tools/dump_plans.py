@@ -101,6 +101,7 @@ PLAN_QUERIES = [
     ("packing_next_fit_stats", "sequential fold as JVM aggregate() HOF over per-shard arrays: ONE partial-agg shuffle, no window, no Python"),
     ("kmv_weekly_users_rollup", "raw scan feeds ONE distinct partial-agg; daily bottom-k bounds state k/day; weekly merge runs on days-x-k sketch rows"),
     ("deterministic_corpus_shuffle", "seeded md5 permutation; range-partitioned global rank (uniform hash keys -> balanced ranges), NO 1-partition window"),
+    ("jaccard_prefix_filter_join", "rarest-first df-ordered prefixes as blocking keys (hot shingles pushed OUT of prefixes); exact verify on candidates only"),
 ]
 
 
