@@ -238,6 +238,61 @@ PP_NUM, PP_DEN = 3, 5  # t = 0.6
 PPJOIN_THRESHOLD = PP_NUM / PP_DEN
 
 
+def doc_shingle_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles) distinct word-shingle arrays — the relation
+    both the batch prefix-filter join and its incremental twin
+    (streaming/ppjoin_stage.py) build on."""
+    return docs.select(
+        "doc_id", F.split(_norm(text_col), " ").alias("toks")
+    ).select(
+        "doc_id", F.array_distinct(_word_shingles("toks")).alias("shingles")
+    )
+
+
+def ppjoin_prefix_len(n: F.Column) -> F.Column:
+    """Prefix length n - ceil(t*n) + 1 in exact int64 arithmetic."""
+    ceil_tn = ((PP_NUM * n + (PP_DEN - 1)) / PP_DEN).cast("long")
+    return n - ceil_tn + 1
+
+
+def exact_pair_scores(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact (n_sh_a, n_sh_b, overlap, jaccard) for candidate pairs
+    only, semi-join-restricted to candidate docs like verify_jaccard —
+    at scale this re-reads a candidate-sized slice of the corpus, never
+    caches all shingle arrays."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_arr = doc_shingle_arrays(docs.join(ids, "doc_id", "left_semi"))
+    a = sh_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_sh_a"),
+            F.size("sh_b").cast("long").alias("n_sh_b"),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("overlap"),
+        )
+    )
+    jac = F.col("overlap").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("overlap")
+    )
+    return scored.select(
+        "doc_a", "doc_b", "n_sh_a", "n_sh_b", "overlap", jac.alias("jaccard")
+    )
+
+
 @query(
     "jaccard_prefix_filter_join",
     # Exact all-pairs oracle: hash-equality PROVES the prefix filter's
@@ -287,11 +342,7 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Prefix lengths are exact integer arithmetic (t = {PP_NUM}/{PP_DEN}),
     so no float ever decides a block boundary."""
     d = load_table(spark, sf_dir, "documents")
-    sh_arr = d.select(
-        "doc_id", F.split(_norm(), " ").alias("toks")
-    ).select(
-        "doc_id", F.array_distinct(_word_shingles("toks")).alias("shingles")
-    )
+    sh_arr = doc_shingle_arrays(d)
     sh_rel = sh_arr.select(
         "doc_id",
         F.size("shingles").alias("n"),
@@ -305,10 +356,8 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sh_rel.join(dfreq, "s").withColumn(
         "rn", F.row_number().over(w)
     )
-    # prefix length = n - ceil(t*n) + 1, all int64
-    ceil_tn = (PP_NUM * F.col("n") + (PP_DEN - 1)) / PP_DEN
     prefix = ranked.where(
-        F.col("rn") <= F.col("n") - ceil_tn.cast("long") + 1
+        F.col("rn") <= ppjoin_prefix_len(F.col("n"))
     ).select("doc_id", "s")
 
     cand = (
@@ -324,32 +373,9 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-
-    a = sh_arr.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    return exact_pair_scores(cand, d).where(
+        F.col("jaccard") >= PPJOIN_THRESHOLD
     )
-    b = sh_arr.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    scored = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size("sh_a").cast("long").alias("n_sh_a"),
-            F.size("sh_b").cast("long").alias("n_sh_b"),
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            .cast("long")
-            .alias("overlap"),
-        )
-    )
-    jac = F.col("overlap").cast("double") / (
-        F.col("n_sh_a") + F.col("n_sh_b") - F.col("overlap")
-    )
-    return scored.select(
-        "doc_a", "doc_b", "n_sh_a", "n_sh_b", "overlap", jac.alias("jaccard")
-    ).where(F.col("jaccard") >= PPJOIN_THRESHOLD)
 
 
 @query(
