@@ -207,6 +207,7 @@ NEW_OP_QUERIES = [
     "kmv_weekly_users_rollup",
     "deterministic_corpus_shuffle",
     "jaccard_prefix_filter_join",
+    "kmv_join_size_profile",
 ]
 
 

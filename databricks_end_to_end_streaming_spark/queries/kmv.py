@@ -161,6 +161,202 @@ def kmv_weekly_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_JOIN = 256
+
+
+def _join_profile_sql(
+    fact: str, fact_key: str, dim: str, dim_key: str, name: str
+) -> str:
+    """One join's profile as a 1-row SELECT (DuckDB), mirroring
+    ``_join_profile`` expression for expression."""
+    k = K_JOIN
+    return f"""
+    WITH keys AS (
+      SELECT 'a' AS side, {fact_key} AS jk FROM {fact}
+      UNION ALL
+      SELECT 'b', {dim_key} FROM {dim}
+    ),
+    rows_per AS (
+      SELECT side, count(*) AS n_rows FROM keys GROUP BY side
+    ),
+    kh AS (
+      SELECT DISTINCT side, {kmv_hash_sql("jk")} AS h FROM keys
+    ),
+    kr AS (
+      SELECT side, h,
+             row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+      FROM kh
+    ),
+    sk AS (SELECT side, h FROM kr WHERE rn <= {k}),
+    side_stats AS (
+      SELECT side, count(*) AS n_sk, max(h) AS kth
+      FROM sk GROUP BY side
+    ),
+    est AS (
+      SELECT s.side, r.n_rows,
+             {kmv_estimate_sql(k, n_sql="n_sk")} AS est_distinct
+      FROM side_stats s JOIN rows_per r USING (side)
+    ),
+    tag AS (
+      SELECT h, max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+      FROM sk GROUP BY h
+    ),
+    mr AS (
+      SELECT *, row_number() OVER (ORDER BY h) AS rn FROM tag
+    ),
+    m AS (
+      SELECT count(*) AS n_merged, max(h) AS kth,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+      FROM mr WHERE rn <= {k}
+    ),
+    actual AS (
+      SELECT CAST(sum(fa.c * di.c) AS BIGINT) AS actual_join_rows
+      FROM (SELECT {fact_key} AS jk, count(*) AS c FROM {fact} GROUP BY 1) fa
+      JOIN (SELECT {dim_key} AS jk, count(*) AS c FROM {dim} GROUP BY 1) di
+      USING (jk)
+    ),
+    flat AS (
+      SELECT
+        (SELECT n_rows FROM est WHERE side = 'a') AS rows_a,
+        (SELECT n_rows FROM est WHERE side = 'b') AS rows_b,
+        (SELECT est_distinct FROM est WHERE side = 'a') AS est_distinct_a,
+        (SELECT est_distinct FROM est WHERE side = 'b') AS est_distinct_b,
+        m.n_merged, m.kth, m.n_common, actual.actual_join_rows
+      FROM m, actual
+    ),
+    e AS (
+      SELECT *,
+        CAST(n_common AS DOUBLE) / CAST(n_merged AS DOUBLE) AS est_jaccard,
+        {kmv_estimate_sql(k, n_sql="n_merged")} AS est_union
+      FROM flat
+    ),
+    c AS (
+      SELECT *, est_jaccard * est_union AS est_common_keys FROM e
+    )
+    SELECT '{name}' AS join_name, rows_a, rows_b,
+           est_distinct_a, est_distinct_b, est_common_keys,
+           est_common_keys * (CAST(rows_a AS DOUBLE) / est_distinct_a)
+             * (CAST(rows_b AS DOUBLE) / est_distinct_b) AS est_join_rows,
+           actual_join_rows
+    FROM c
+    """
+
+
+@query(
+    "kmv_join_size_profile",
+    oracle=(
+        "SELECT * FROM ("
+        + _join_profile_sql("orders", "o_custkey", "customer", "c_custkey", "orders_x_customer")
+        + ") UNION ALL SELECT * FROM ("
+        + _join_profile_sql("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem_x_orders")
+        + ")"
+    ),
+)
+def kmv_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches — optimizer statistics without
+    running the join: per join side, exact row counts plus KMV
+    distinct-key estimates; across sides, the merged-sketch common-key
+    estimate; predicted |A JOIN B| = est_common * (rows_a/d_a) *
+    (rows_b/d_b) (uniform-frequency model, the textbook cardinality
+    estimator). The exact join cardinality rides along as the
+    evaluation column — at 100 TB you compute the prediction from
+    k-row sketches + two count aggregates and SKIP the join; here the
+    oracle hash-verifies the whole profile including the doubles.
+
+    Shape: each side is one distinct partial-agg + bottom-k; the merged
+    window touches <= 2k rows; the actual-cardinality evaluation is two
+    key-count aggregates joined key-on-key (no row-level join)."""
+    k = K_JOIN
+
+    def profile(fact, fact_key, dim, dim_key, name):
+        keys = fact.select(
+            F.lit("a").alias("side"), F.col(fact_key).alias("jk")
+        ).unionByName(
+            dim.select(F.lit("b").alias("side"), F.col(dim_key).alias("jk"))
+        )
+        rows_per = keys.groupBy("side").agg(F.count("*").alias("n_rows"))
+        sk = kmv_sketch(keys, "jk", ["side"], k)
+        side_stats = sk.groupBy("side").agg(
+            F.count("*").alias("n_sk"), F.max("h").alias("kth")
+        )
+        est = kmv_estimate(
+            side_stats, k, n_col="n_sk"
+        ).join(rows_per, "side")
+        a_row = est.where(F.col("side") == "a").select(
+            F.col("n_rows").alias("rows_a"),
+            F.col("est_distinct").alias("est_distinct_a"),
+        )
+        b_row = est.where(F.col("side") == "b").select(
+            F.col("n_rows").alias("rows_b"),
+            F.col("est_distinct").alias("est_distinct_b"),
+        )
+        tag = sk.groupBy("h").agg(
+            F.max((F.col("side") == "a").cast("int")).alias("in_a"),
+            F.max((F.col("side") == "b").cast("int")).alias("in_b"),
+        )
+        mw = Window.partitionBy(F.lit(0)).orderBy("h")
+        m = (
+            tag.withColumn("rn", F.row_number().over(mw))
+            .where(F.col("rn") <= k)
+            .agg(
+                F.count("*").alias("n_merged"),
+                F.max("h").alias("kth"),
+                F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+            )
+        )
+        fa = fact.groupBy(F.col(fact_key).alias("jk")).agg(
+            F.count("*").alias("ca")
+        )
+        di = dim.groupBy(F.col(dim_key).alias("jk")).agg(
+            F.count("*").alias("cb")
+        )
+        actual = (
+            fa.join(di, "jk")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("actual_join_rows"))
+        )
+        flat = a_row.crossJoin(b_row).crossJoin(m).crossJoin(actual)
+        e = flat.withColumn(
+            "est_jaccard",
+            F.col("n_common").cast("double") / F.col("n_merged").cast("double"),
+        ).withColumn(
+            "est_union",
+            F.when(
+                F.col("n_merged") < k, F.col("n_merged").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(float(2**60))
+                / F.col("kth").cast("double")
+            ),
+        )
+        c = e.withColumn(
+            "est_common_keys", F.col("est_jaccard") * F.col("est_union")
+        )
+        return c.select(
+            F.lit(name).alias("join_name"),
+            "rows_a",
+            "rows_b",
+            "est_distinct_a",
+            "est_distinct_b",
+            "est_common_keys",
+            (
+                F.col("est_common_keys")
+                * (F.col("rows_a").cast("double") / F.col("est_distinct_a"))
+                * (F.col("rows_b").cast("double") / F.col("est_distinct_b"))
+            ).alias("est_join_rows"),
+            "actual_join_rows",
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return profile(
+        orders, "o_custkey", customer, "c_custkey", "orders_x_customer"
+    ).unionByName(
+        profile(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders")
+    )
+
+
 _TOKEN_SKETCH_SQL = f"""
     tok AS (
       SELECT DISTINCT source,

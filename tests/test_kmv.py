@@ -211,3 +211,18 @@ def test_weekly_rollup_equals_single_pass_weekly_sketch(spark):
         for r in kmv_weekly_users_rollup(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_join_size_profile_estimates_close_to_actual(spark):
+    """On the TPC-H FK joins the uniform-frequency model should land
+    within a loose band of the true cardinality (k=256 sketches)."""
+    from databricks_end_to_end_streaming_spark.queries.kmv import (
+        kmv_join_size_profile,
+    )
+
+    rows = {r.join_name: r for r in kmv_join_size_profile(spark, SF_DIR_01).collect()}
+    assert set(rows) == {"orders_x_customer", "lineitem_x_orders"}
+    for r in rows.values():
+        assert r.actual_join_rows > 0
+        rel = abs(r.est_join_rows - r.actual_join_rows) / r.actual_join_rows
+        assert rel < 0.35, (r.join_name, rel)

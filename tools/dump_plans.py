@@ -102,6 +102,7 @@ PLAN_QUERIES = [
     ("kmv_weekly_users_rollup", "raw scan feeds ONE distinct partial-agg; daily bottom-k bounds state k/day; weekly merge runs on days-x-k sketch rows"),
     ("deterministic_corpus_shuffle", "seeded md5 permutation; range-partitioned global rank (uniform hash keys -> balanced ranges), NO 1-partition window"),
     ("jaccard_prefix_filter_join", "rarest-first df-ordered prefixes as blocking keys (hot shingles pushed OUT of prefixes); exact verify on candidates only"),
+    ("kmv_join_size_profile", "per-side distinct partial-agg + bottom-k; merged window <= 2k rows; actual-cardinality eval = key-count aggs joined, no row join"),
 ]
 
 
