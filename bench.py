@@ -208,6 +208,7 @@ NEW_OP_QUERIES = [
     "deterministic_corpus_shuffle",
     "jaccard_prefix_filter_join",
     "kmv_join_size_profile",
+    "web_corpus_curation_funnel",
 ]
 
 

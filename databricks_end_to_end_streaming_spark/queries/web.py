@@ -468,3 +468,115 @@ def domain_duplicate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n") > 1).cast("long")).cast("double") / F.count("*")
         ).alias("dup_share"),
     )
+
+
+# ------------------------------------------ end-to-end curation funnel
+
+
+@query(
+    "web_corpus_curation_funnel",
+    oracle=f"""
+    WITH u AS ({_URL_SQL}),
+    d AS (
+      SELECT doc_id, text, {_NORM_DOMAIN_SQL} AS domain, url,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM u
+    ),
+    bl AS (
+      SELECT * FROM d
+      WHERE NOT (domain LIKE '%.org' OR domain LIKE '%src1%'
+                 OR url LIKE '%?ref=%')
+    ),
+    qr AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY domain ORDER BY n_tokens DESC, doc_id
+      ) AS rn
+      FROM bl
+    ),
+    quota AS (SELECT * FROM qr WHERE rn <= {DOMAIN_QUOTA}),
+    fp AS (
+      SELECT *, min(doc_id) OVER (
+        PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+      ) AS canonical
+      FROM quota
+    ),
+    dedup AS (SELECT * FROM fp WHERE doc_id = canonical)
+    SELECT 'raw' AS stage, 0 AS stage_idx, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d
+    UNION ALL
+    SELECT 'after_blocklist', 1, count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM bl
+    UNION ALL
+    SELECT 'after_domain_quota', 2, count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM quota
+    UNION ALL
+    SELECT 'after_exact_dedup', 3, count(*),
+           CAST(sum(n_tokens) AS BIGINT) FROM dedup
+    """,
+)
+def web_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole C4/RefinedWeb-style curation pass as ONE Catalyst plan
+    with funnel accounting: URL normalization -> blocklist -> per-domain
+    quota -> exact dedup (canonical = min doc_id per normalized-text
+    fingerprint), reporting surviving docs/tokens after every stage —
+    the at-a-glance answer to "where did my corpus go".
+
+    Shape: each stage composes on the previous relation; the four stage
+    aggregates are unioned, and the shared survivor chain is pinned once
+    (three consumers would otherwise re-run the quota window per
+    branch). Stages reuse the exact semantics of their standalone
+    queries (`url_blocklist_filter`, `domain_quota_cap`, `dedup_exact`),
+    so the funnel IS the composition of independently-oracled parts —
+    and the funnel itself is oracled end-to-end."""
+    from ..pin import pin
+    from pyspark.sql import Window
+
+    d = (
+        with_url(load_table(spark, sf_dir, "documents"))
+        .withColumn("domain", norm_domain())
+        .select(
+            "doc_id",
+            "text",
+            "domain",
+            "url",
+            F.size(F.split(F.trim("text"), " +")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .transform(pin)
+    )
+    bl = d.where(
+        ~(
+            F.col("domain").like("%.org")
+            | F.col("domain").like("%src1%")
+            | F.col("url").like("%?ref=%")
+        )
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("n_tokens").desc(), "doc_id")
+    quota = (
+        bl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= DOMAIN_QUOTA)
+        .transform(pin)
+    )
+    fpw = Window.partitionBy(
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    )
+    dedup = quota.withColumn("canonical", F.min("doc_id").over(fpw)).where(
+        F.col("doc_id") == F.col("canonical")
+    )
+
+    def stage(df, name, idx):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).select("stage", "stage_idx", "n_docs", "n_tokens")
+
+    return (
+        stage(d, "raw", 0)
+        .unionByName(stage(bl, "after_blocklist", 1))
+        .unionByName(stage(quota, "after_domain_quota", 2))
+        .unionByName(stage(dedup, "after_exact_dedup", 3))
+    )

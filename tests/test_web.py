@@ -176,3 +176,31 @@ def test_domain_quota_cap_planted(spark, workdir):
     assert a.tokens_kept == sum(range(4, DOMAIN_QUOTA + 4))
     b = next(v for k, v in out.items() if "srcb" in k)
     assert (b.n_kept, b.n_dropped, b.tokens_kept) == (2, 0, 3)
+
+
+def test_curation_funnel_monotone_and_consistent(spark, workdir):
+    """Funnel counts are monotone non-increasing and the blocklist/quota
+    stages agree with the standalone operators on a planted corpus."""
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        web_corpus_curation_funnel,
+    )
+
+    rows = [
+        # doc_ids chosen all-even (one TLD per source) and not %4==0 for
+        # srcC (no tracking), srcB is blocked by nothing but duplicated
+        *[(2 + 4 * i, "dup dup dup", "en", "srcB", 1) for i in range(4)],
+        (6, "unique text here", "en", "srcC", 1),
+        (10, "another unique doc", "en", "srcC", 1),
+        (4, "tracked doc", "en", "srcD", 1),  # %4==0 -> ?ref= blocked
+    ]
+    sf = _write_docs(spark, workdir, rows)
+    out = {r.stage: r for r in web_corpus_curation_funnel(spark, sf).collect()}
+    assert [out[s].stage_idx for s in (
+        "raw", "after_blocklist", "after_domain_quota", "after_exact_dedup"
+    )] == [0, 1, 2, 3]
+    seq = [out[s].n_docs for s in (
+        "raw", "after_blocklist", "after_domain_quota", "after_exact_dedup"
+    )]
+    assert seq[0] == 7 and all(a >= b for a, b in zip(seq, seq[1:]))
+    assert out["after_blocklist"].n_docs == 6  # tracked doc dropped
+    assert out["after_exact_dedup"].n_docs == 3  # 4 dups collapse to 1
