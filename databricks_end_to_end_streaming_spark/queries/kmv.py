@@ -30,6 +30,7 @@ from ..operators.kmv import (
     kmv_hash_sql,
     kmv_sketch,
 )
+from ..pin import pin
 from ..tables import load_table
 from . import query
 
@@ -129,12 +130,14 @@ def kmv_weekly_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-k bounds state at k rows/day; everything weekly runs on the
     days-x-k sketch relation."""
     ev = load_table(spark, sf_dir, "events")
-    daily = kmv_sketch(
-        ev.select(F.to_date("ts").alias("day"), "user_id"),
-        "user_id",
-        ["day"],
-        K_USERS,
-    )
+    daily = pin(
+        kmv_sketch(
+            ev.select(F.to_date("ts").alias("day"), "user_id"),
+            "user_id",
+            ["day"],
+            K_USERS,
+        )
+    )  # two consumers: the weekly re-rank and the n_days rollup
     with_week = daily.withColumn(
         "week", F.to_date(F.date_trunc("week", F.col("day")))
     )
@@ -276,7 +279,8 @@ def kmv_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim.select(F.lit("b").alias("side"), F.col(dim_key).alias("jk"))
         )
         rows_per = keys.groupBy("side").agg(F.count("*").alias("n_rows"))
-        sk = kmv_sketch(keys, "jk", ["side"], k)
+        # consumed by side_stats AND the merged-sketch tagging
+        sk = pin(kmv_sketch(keys, "jk", ["side"], k))
         side_stats = sk.groupBy("side").agg(
             F.count("*").alias("n_sk"), F.max("h").alias("kth")
         )
@@ -438,7 +442,11 @@ def kmv_source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim("text"), " +")).alias("token"),
     )
-    sk = kmv_sketch(tok, "token", ["source"], K_TOKENS)
+    # The sketch relation feeds the pair dimension AND both tagged
+    # legs — unpinned, every consumer re-runs the corpus explode +
+    # distinct + bottom-k subplan (12 parquet scans in the observed
+    # plan; tests/test_plans.py guards it at exactly one).
+    sk = pin(kmv_sketch(tok, "token", ["source"], K_TOKENS))
 
     srcs = sk.select("source").distinct()
     pr = (

@@ -374,3 +374,55 @@ def test_gapfill_join_is_broadcast(spark):
     # the spine x hourly-rollup gap-fill join never shuffles the corpus:
     # both sides are aggregate-sized, one broadcasts
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_bottom_k_has_group_limit_before_exchange(spark):
+    """The skew-safe bottom-k must plant WindowGroupLimit partials so
+    only <= k rows per (group, salt) reach each exchange."""
+    plan = plan_of(spark, "kmv_distinct_users_per_type")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final level
+    assert "Exchange" in plan
+
+
+def test_kmv_overlap_pairs_never_touch_corpus(spark):
+    """All pairwise algebra runs on the k-per-source sketch relation:
+    the pinned sketch truncates lineage, so the FINAL plan contains at
+    most one parquet scan (zero when the pin is an RDD scan) — never
+    one scan per pair leg (12 before the pin landed)."""
+    plan = formatted_plan(spark, "kmv_source_token_overlap")
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_corpus_shuffle_uses_range_partitioning(spark):
+    """Global position must come from range partitioning, never a
+    single-partition ORDER BY window."""
+    plan = plan_of(spark, "deterministic_corpus_shuffle")
+    # the range partitioning happens upstream of the frozen pin inside
+    # global_row_number; the residual window partitions by the frozen
+    # _pid (per-partition row numbers + offsets). The failure mode this
+    # guards is a global ORDER BY window, which compiles to an Exchange
+    # SinglePartition — assert it never appears.
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(_pid" in plan  # per-partition, keyed
+
+
+def test_packing_fold_stays_jvm_side(spark):
+    """The sequential next-fit fold is an aggregate() HOF — no Python
+    evaluation anywhere in the plan."""
+    plan = plan_of(spark, "packing_next_fit_stats")
+    assert "Python" not in plan  # no Arrow/row UDF evaluation anywhere
+    opt = (
+        all_queries()["packing_next_fit_stats"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "aggregate(" in opt  # the fold is the JVM HOF, not Python
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    """Candidate generation is an equi-join on prefix shingles —
+    never a cartesian/nested-loop product over docs."""
+    plan = plan_of(spark, "jaccard_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -27,6 +27,17 @@ from databricks_end_to_end_streaming_spark.queries import all_queries
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
 PROBES = [
+    # round-6 session-2 operators
+    "kmv_distinct_users_per_type",
+    "kmv_source_token_overlap",
+    "kmv_weekly_users_rollup",
+    "kmv_join_size_profile",
+    "er_golden_records",
+    "domain_quota_cap",
+    "packing_next_fit_stats",
+    "deterministic_corpus_shuffle",
+    "jaccard_prefix_filter_join",
+    "web_corpus_curation_funnel",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_type_profit",
