@@ -38,16 +38,23 @@ K_USERS = 64
 K_TOKENS = 128
 
 
-def kmv_type_report(sketch: DataFrame, k: int = K_USERS) -> DataFrame:
-    """Per-event-type report from a (event_type, h) sketch relation —
-    shared by the batch query and the streaming fold
+def kmv_group_report(
+    sketch: DataFrame, group_cols: list[str], k: int = K_USERS
+) -> DataFrame:
+    """(group..., n_sketch, kth, est_distinct) report from a sketch
+    relation — shared by the batch queries and the streaming fold
     (streaming/kmv_stage.py), so drained == batch by construction."""
-    agg = sketch.groupBy("event_type").agg(
+    agg = sketch.groupBy(*group_cols).agg(
         F.count("*").alias("n_sketch"), F.max("h").alias("kth")
     )
     return kmv_estimate(agg, k).select(
-        "event_type", "n_sketch", "kth", "est_distinct"
+        *group_cols, "n_sketch", "kth", "est_distinct"
     )
+
+
+def kmv_type_report(sketch: DataFrame, k: int = K_USERS) -> DataFrame:
+    """Per-event-type instantiation of :func:`kmv_group_report`."""
+    return kmv_group_report(sketch, ["event_type"], k)
 
 
 @query(

@@ -13,7 +13,7 @@ it.
 Per micro-batch the stage appends the batch's OWN bottom-k partial
 (<= k rows per group — bounded state regardless of batch size); the
 read side distincts the log and re-truncates, then reports through the
-same ``kmv_type_report`` the batch query uses, so a drained stream
+same ``kmv_group_report`` core the batch query uses, so a drained stream
 reproduces the batch estimates bit-for-bit
 (tests/test_kmv.py::test_drained_stream_equals_batch).
 
@@ -28,16 +28,26 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.kmv import bottom_k, kmv_sketch
-from ..queries.kmv import K_USERS, kmv_type_report
+from ..queries.kmv import K_USERS, kmv_group_report
 from .sinks import ParquetTable
 
 
-def kmv_stage(sketch_table: ParquetTable, k: int = K_USERS):
+def kmv_stage(
+    sketch_table: ParquetTable,
+    k: int = K_USERS,
+    key: str = "user_id",
+    group_cols: list[str] | None = None,
+):
     """foreachBatch body factory: append this batch's bottom-k partial
-    sketch of distinct user hashes per event type."""
+    sketch of distinct ``key`` hashes per group (default: users per
+    event type). With ``group_cols=["day"]`` over day-deriving input
+    this IS the persisted-daily-sketch pipeline the weekly rollup query
+    (queries/kmv.py::kmv_weekly_users_rollup) assumes upstream —
+    tests/test_kmv.py drives that composition end-to-end."""
+    groups = group_cols if group_cols is not None else ["event_type"]
 
     def stage(batch_df: DataFrame, batch_id: int) -> None:
-        partial = kmv_sketch(batch_df, "user_id", ["event_type"], k)
+        partial = kmv_sketch(batch_df, key, groups, k)
         sketch_table.idempotent_append(
             partial.withColumn("_batch_id", F.lit(batch_id)),
             f"batchid={batch_id}/role=kmv",
@@ -51,15 +61,17 @@ def kmv_report_from_log(
     sketch_table: ParquetTable,
     k: int = K_USERS,
     up_to_batch: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fold the partial-sketch log (distinct + re-truncate = the monoid
     merge over every appended partial) and report through the shared
     batch core. ``up_to_batch`` gives the prequential as-of view."""
+    groups = group_cols if group_cols is not None else ["event_type"]
     log = sketch_table.read(spark)
     if up_to_batch is not None:
         log = log.where(F.col("_batch_id") <= up_to_batch)
-    hashes = log.select("event_type", "h").distinct()
-    return kmv_type_report(bottom_k(hashes, ["event_type"], k), k)
+    hashes = log.select(*groups, "h").distinct()
+    return kmv_group_report(bottom_k(hashes, groups, k), groups, k)
 
 
 def kmv_sketch_stage(

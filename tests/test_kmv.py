@@ -226,3 +226,43 @@ def test_join_size_profile_estimates_close_to_actual(spark):
         assert r.actual_join_rows > 0
         rel = abs(r.est_join_rows - r.actual_join_rows) / r.actual_join_rows
         assert rel < 0.35, (r.join_name, rel)
+
+
+def test_streamed_daily_sketches_feed_weekly_rollup(spark, workdir):
+    """The production composition the weekly rollup assumes: a stream
+    persists per-DAY sketches (grouped stage), and folding that log by
+    week reproduces the batch weekly rollup estimates exactly."""
+    from databricks_end_to_end_streaming_spark.queries.kmv import (
+        kmv_weekly_users_rollup,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    t = ParquetTable(f"{workdir}/daily")
+    stage = kmv_stage(t, key="user_id", group_cols=["day"])
+    for i in range(4):  # slice the stream arbitrarily
+        stage(ev.where(F.col("user_id") % 4 == i), i)
+    log = t.read(spark)
+    weekly_hashes = log.select(
+        F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd").alias(
+            "week"
+        ),
+        "h",
+    ).distinct()
+    from databricks_end_to_end_streaming_spark.operators.kmv import bottom_k
+    from databricks_end_to_end_streaming_spark.queries.kmv import (
+        kmv_group_report,
+    )
+
+    got = {
+        (r.week, r.n_sketch, r.kth, r.est_distinct)
+        for r in kmv_group_report(
+            bottom_k(weekly_hashes, ["week"], K_USERS), ["week"], K_USERS
+        ).collect()
+    }
+    want = {
+        (r.week, r.n_sketch, r.kth, r.est_distinct)
+        for r in kmv_weekly_users_rollup(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
