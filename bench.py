@@ -209,6 +209,7 @@ NEW_OP_QUERIES = [
     "jaccard_prefix_filter_join",
     "kmv_join_size_profile",
     "web_corpus_curation_funnel",
+    "seasonal_naive_backtest",
 ]
 
 

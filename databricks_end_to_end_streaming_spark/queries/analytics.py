@@ -1916,3 +1916,111 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("rfm"),
         )
     )
+
+
+# --------------------------------------------- forecast backtesting
+
+BACKTEST_TEST_DAYS = 7
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT max(d) AS dmax FROM e),
+    tr AS (
+      SELECT e.* FROM e, b WHERE e.d <= b.dmax - {BACKTEST_TEST_DAYS}
+    ),
+    te AS (
+      SELECT e.* FROM e, b WHERE e.d > b.dmax - {BACKTEST_TEST_DAYS}
+    ),
+    prof AS (
+      SELECT event_type, hr, CAST(sum(cents) AS BIGINT) AS s,
+             count(*) AS m
+      FROM tr GROUP BY event_type, hr
+    ),
+    gm AS (
+      SELECT event_type, CAST(sum(cents) AS BIGINT) AS t, count(*) AS mg
+      FROM tr GROUP BY event_type
+    ),
+    scored AS (
+      SELECT te.event_type, te.hr, prof.s, prof.m, gm.t, gm.mg,
+             abs(te.cents * prof.m - prof.s) AS e1,
+             abs(te.cents * gm.mg - gm.t) AS e2
+      FROM te
+      JOIN prof ON te.event_type = prof.event_type AND te.hr = prof.hr
+      JOIN gm ON te.event_type = gm.event_type
+    )
+    SELECT event_type, hr,
+           min(m) AS n_train,
+           count(*) AS n_test,
+           CAST(min(s) AS DOUBLE) / min(m) AS forecast_cents,
+           CAST(sum(e1) AS DOUBLE) / (min(m) * count(*)) AS mae_seasonal,
+           CAST(sum(e2) AS DOUBLE) / (min(mg) * count(*)) AS mae_global
+    FROM scored GROUP BY event_type, hr
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting as a query: hold out the last
+    {BACKTEST_TEST_DAYS} days, forecast each (event_type, hour-of-day)
+    cell with its training-period seasonal mean, and score MAE against
+    the held-out events — next to the per-type GLOBAL-mean baseline, so
+    the seasonal profile's skill is visible per cell. The whole
+    computation stays in exact int64 cents until ONE IEEE division per
+    output column per cell (|a*m - S| = m*|a - S/m| scaled — the
+    corr/DSIR integer-moment discipline), so every double is
+    hash-checkable.
+
+    Shape: two training partial-aggs (cells- and types-sized), the test
+    scan joins both tiny relations (broadcast), one cell-keyed rollup.
+    Nothing corpus-quadratic; no double is ever summed across rows
+    (float addition order would be nondeterministic) — sums are integer,
+    divisions are last."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("int").alias("hr"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = ev.agg(F.max("d").alias("dmax"))
+    e = ev.crossJoin(F.broadcast(bounds))
+    tr = e.where(F.col("d") <= F.date_sub("dmax", BACKTEST_TEST_DAYS))
+    te = e.where(F.col("d") > F.date_sub("dmax", BACKTEST_TEST_DAYS))
+    prof = tr.groupBy("event_type", "hr").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("m")
+    )
+    glob = tr.groupBy("event_type").agg(
+        F.sum("cents").alias("t"), F.count("*").alias("mg")
+    )
+    scored = (
+        te.join(prof, ["event_type", "hr"])
+        .join(glob, "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "s",
+            "m",
+            "t",
+            "mg",
+            F.abs(F.col("cents") * F.col("m") - F.col("s")).alias("e1"),
+            F.abs(F.col("cents") * F.col("mg") - F.col("t")).alias("e2"),
+        )
+    )
+    return scored.groupBy("event_type", "hr").agg(
+        F.min("m").alias("n_train"),
+        F.count("*").alias("n_test"),
+        (F.min("s").cast("double") / F.min("m")).alias("forecast_cents"),
+        (F.sum("e1").cast("double") / (F.min("m") * F.count("*"))).alias(
+            "mae_seasonal"
+        ),
+        (F.sum("e2").cast("double") / (F.min("mg") * F.count("*"))).alias(
+            "mae_global"
+        ),
+    )

@@ -155,3 +155,42 @@ def test_containment_removal_drops_planted_subset(spark, workdir):
     assert rows["s1"].n_dropped == 0
     for r in rows.values():
         assert r.n_kept + r.n_dropped == r.n_docs
+
+
+def test_seasonal_backtest_planted_pattern(spark, tmp_path):
+    """A perfectly seasonal series: hour-h values are constant per hour,
+    so the seasonal MAE is 0 for every cell while the global-mean MAE is
+    positive for hours whose level differs from the overall mean."""
+    import datetime
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        seasonal_naive_backtest,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):  # 14 days; last 7 are the holdout
+        for hr in (3, 9):  # two hours with different constant levels
+            for _ in range(2):
+                rows.append(
+                    (
+                        eid,
+                        datetime.datetime(2024, 1, day, hr, 30, 0),
+                        1,
+                        "click",
+                        100.0 if hr == 3 else 300.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {(r.event_type, r.hr): r for r in seasonal_naive_backtest(spark, str(tmp_path)).collect()}
+    assert set(out) == {("click", 3), ("click", 9)}
+    for (t, hr), r in out.items():
+        assert r.mae_seasonal == 0.0  # exact per-hour constant
+        assert r.mae_global > 0.0  # hours differ from the pooled mean
+        assert r.forecast_cents == (10000.0 if hr == 3 else 30000.0)
+        assert r.n_test == 14 and r.n_train == 14

@@ -104,6 +104,7 @@ PLAN_QUERIES = [
     ("jaccard_prefix_filter_join", "rarest-first df-ordered prefixes as blocking keys (hot shingles pushed OUT of prefixes); exact verify on candidates only"),
     ("kmv_join_size_profile", "per-side distinct partial-agg + bottom-k; merged window <= 2k rows; actual-cardinality eval = key-count aggs joined, no row join"),
     ("web_corpus_curation_funnel", "whole curation pass ONE plan: pinned survivor chain feeds 4 unioned stage aggregates; stages reuse standalone-query semantics"),
+    ("seasonal_naive_backtest", "two tiny training aggs broadcast onto the test scan; int64 cents until ONE division per output column; no cross-row double sums"),
 ]
 
 
