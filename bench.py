@@ -210,6 +210,7 @@ NEW_OP_QUERIES = [
     "kmv_join_size_profile",
     "web_corpus_curation_funnel",
     "seasonal_naive_backtest",
+    "cdc_net_aggregate_view",
 ]
 
 

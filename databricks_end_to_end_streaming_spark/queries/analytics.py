@@ -2024,3 +2024,72 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_global"
         ),
     )
+
+
+@query(
+    "cdc_net_aggregate_view",
+    # Oracle computes the view DIRECTLY over surviving rows; the Spark
+    # side computes it through the counting-IVM multiplicity relation
+    # (streaming/ivm.py's fold semantics) — hash-equality proves the
+    # multiplicity path is exactly the direct path.
+    oracle="""
+    WITH survive AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_id % 13 <> 0
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) AS avg_cents
+    FROM survive GROUP BY event_type
+    """,
+)
+def cdc_net_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch anchor for the counting-IVM semantics (streaming/ivm.py):
+    a deterministic CDC log is derived from events (every row an
+    insert; rows with event_id % 13 == 0 also emit a matching delete),
+    and the grouped view — count/sum/min/max/avg — is computed through
+    the (key, value, net-multiplicity) relation exactly as the
+    streaming fold does. The oracle computes the same view DIRECTLY
+    over surviving rows, so the driver hash proves
+    multiplicity-path == direct-path, deletes included (min/max
+    restoration is the non-invertible part naive +/- maintenance gets
+    wrong)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    inserts = ev.select(
+        "event_type", "cents", F.lit(1).cast("long").alias("s")
+    )
+    deletes = ev.where(F.col("event_id") % 13 == 0).select(
+        "event_type", "cents", F.lit(-1).cast("long").alias("s")
+    )
+    mult = (
+        inserts.unionByName(deletes)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("s").alias("net"))
+        .where(F.col("net") > 0)
+    )
+    agg = mult.groupBy("event_type").agg(
+        F.sum("net").alias("n_rows"),
+        F.sum(F.col("net") * F.col("cents")).alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        (F.col("sum_cents").cast("double") / F.col("n_rows")).alias(
+            "avg_cents"
+        ),
+    )

@@ -105,6 +105,7 @@ PLAN_QUERIES = [
     ("kmv_join_size_profile", "per-side distinct partial-agg + bottom-k; merged window <= 2k rows; actual-cardinality eval = key-count aggs joined, no row join"),
     ("web_corpus_curation_funnel", "whole curation pass ONE plan: pinned survivor chain feeds 4 unioned stage aggregates; stages reuse standalone-query semantics"),
     ("seasonal_naive_backtest", "two tiny training aggs broadcast onto the test scan; int64 cents until ONE division per output column; no cross-row double sums"),
+    ("cdc_net_aggregate_view", "counting-IVM path as a plan: (key,value,net) partial-agg -> surviving-multiplicity rollup; two key-bound exchanges total"),
 ]
 
 
