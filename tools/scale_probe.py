@@ -38,6 +38,8 @@ PROBES = [
     "deterministic_corpus_shuffle",
     "jaccard_prefix_filter_join",
     "web_corpus_curation_funnel",
+    "seasonal_naive_backtest",
+    "cdc_net_aggregate_view",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_type_profit",
