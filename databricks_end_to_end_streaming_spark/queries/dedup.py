@@ -358,14 +358,22 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("rn") <= ppjoin_prefix_len(F.col("n"))
-    ).select("doc_id", "s")
+    ).select("doc_id", "n", "s")
 
+    # PPJoin length filter (exactness-preserving necessary condition):
+    # J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so size-incompatible
+    # blockmates are pruned BEFORE the distinct and the verify. Written
+    # as integer cross-multiplication — no float decides a prune.
+    size_ok = (PP_DEN * F.col("b.n") >= PP_NUM * F.col("a.n")) & (
+        PP_DEN * F.col("a.n") >= PP_NUM * F.col("b.n")
+    )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

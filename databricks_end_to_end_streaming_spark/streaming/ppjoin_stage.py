@@ -53,7 +53,7 @@ def hash_order_prefix_rows(sh_arr: DataFrame) -> DataFrame:
     return (
         rel.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= ppjoin_prefix_len(F.col("n")))
-        .select("doc_id", "s")
+        .select("doc_id", "n", "s")
     )
 
 
@@ -74,13 +74,22 @@ def exact_neardup_batch(
             doc_shingle_arrays(batch_df)
         ).withColumn("_batch_id", F.lit(batch_id))
 
+        # PPJoin length filter: size-incompatible blockmates can never
+        # reach the threshold (t*|x| <= |y| <= |x|/t) — integer
+        # cross-multiplication, exactness-preserving
+        from ..queries.dedup import PP_DEN, PP_NUM
+
+        size_ok = (PP_DEN * F.col("b.n") >= PP_NUM * F.col("a.n")) & (
+            PP_DEN * F.col("a.n") >= PP_NUM * F.col("b.n")
+        )
         # new-vs-new inside the batch
         cand = (
             new_prefix.alias("a")
             .join(
                 new_prefix.alias("b"),
                 (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & size_ok,
             )
             .select(
                 F.col("a.doc_id").alias("doc_a"),
@@ -99,7 +108,9 @@ def exact_neardup_batch(
                 .join(
                     seen.alias("o"),
                     (F.col("n.s") == F.col("o.s"))
-                    & (F.col("n.doc_id") != F.col("o.doc_id")),
+                    & (F.col("n.doc_id") != F.col("o.doc_id"))
+                    & (PP_DEN * F.col("o.n") >= PP_NUM * F.col("n.n"))
+                    & (PP_DEN * F.col("n.n") >= PP_NUM * F.col("o.n")),
                 )
                 .select(
                     F.least("n.doc_id", "o.doc_id").alias("doc_a"),
