@@ -36,6 +36,8 @@ from ..queries.dedup import (
     PPJOIN_THRESHOLD,
     doc_shingle_arrays,
     exact_pair_scores,
+    ppjoin_min_overlap,
+    ppjoin_position_ok,
     ppjoin_prefix_len,
 )
 from .sinks import ParquetTable, exclude_batch
@@ -53,7 +55,7 @@ def hash_order_prefix_rows(sh_arr: DataFrame) -> DataFrame:
     return (
         rel.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= ppjoin_prefix_len(F.col("n")))
-        .select("doc_id", "n", "s")
+        .select("doc_id", "n", "s", "rn")
     )
 
 
@@ -89,7 +91,8 @@ def exact_neardup_batch(
                 new_prefix.alias("b"),
                 (F.col("a.s") == F.col("b.s"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & size_ok,
+                & size_ok
+                & ppjoin_position_ok(),
             )
             .select(
                 F.col("a.doc_id").alias("doc_a"),
@@ -110,7 +113,8 @@ def exact_neardup_batch(
                     (F.col("n.s") == F.col("o.s"))
                     & (F.col("n.doc_id") != F.col("o.doc_id"))
                     & (PP_DEN * F.col("o.n") >= PP_NUM * F.col("n.n"))
-                    & (PP_DEN * F.col("n.n") >= PP_NUM * F.col("o.n")),
+                    & (PP_DEN * F.col("n.n") >= PP_NUM * F.col("o.n"))
+                    & ppjoin_position_ok("n", "o"),
                 )
                 .select(
                     F.least("n.doc_id", "o.doc_id").alias("doc_a"),
