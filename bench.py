@@ -211,6 +211,7 @@ NEW_OP_QUERIES = [
     "web_corpus_curation_funnel",
     "seasonal_naive_backtest",
     "cdc_net_aggregate_view",
+    "kmv_trailing_7day_users",
 ]
 
 

@@ -171,6 +171,94 @@ def kmv_weekly_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIL_DAYS = 7
+
+
+@query(
+    "kmv_trailing_7day_users",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             {kmv_hash_sql("user_id")} AS h
+      FROM events
+    ),
+    dr AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM dh
+    ),
+    daily AS (SELECT day, h FROM dr WHERE rn <= {K_USERS}),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    contrib AS (
+      SELECT DISTINCT daily.day + CAST(x.i AS INTEGER) AS wday, daily.h
+      FROM daily
+      JOIN (SELECT unnest(range({TRAIL_DAYS})) AS i) x ON TRUE
+      JOIN bounds ON daily.day + CAST(x.i AS INTEGER) <= bounds.d1
+    ),
+    wr AS (
+      SELECT wday, h,
+             row_number() OVER (PARTITION BY wday ORDER BY h) AS rn
+      FROM contrib
+    ),
+    a AS (
+      SELECT wday, count(*) AS n_sketch, max(h) AS kth
+      FROM wr WHERE rn <= {K_USERS} GROUP BY wday
+    )
+    SELECT strftime(wday, '%Y-%m-%d') AS window_end,
+           n_sketch, kth, {kmv_estimate_sql(K_USERS)} AS est_distinct
+    FROM a
+    """,
+)
+def kmv_trailing_7day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct — the query that makes sketches earn
+    their keep: distinct users over every trailing {TRAIL_DAYS}-day
+    window, computed ONLY from the persisted per-day sketches (the
+    idempotent merge means a window estimate is the merge of its days'
+    sketches — no raw rescan per window, the thing exact sliding
+    distinct fundamentally requires). The exact twin
+    (``rolling_7day_active_users``) shuffles every distinct (user, day)
+    pair into every window; this shuffles k rows per day per window —
+    bounded, forever.
+
+    Shape: the contribution explode fans each daily-sketch row to at
+    most {TRAIL_DAYS} window keys (same pattern as the exact rolling
+    query), then one bottom-k per window over <= {TRAIL_DAYS}*k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = pin(
+        kmv_sketch(
+            ev.select(F.to_date("ts").alias("day"), "user_id"),
+            "user_id",
+            ["day"],
+            K_USERS,
+        )
+    )  # consumed by the contribution explode AND the d1 bound
+    d1 = daily.agg(F.max("day").alias("d1"))
+    contrib = (
+        daily.crossJoin(F.broadcast(d1))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(TRAIL_DAYS - 1))
+            ).alias("i"),
+            "day",
+            "h",
+            "d1",
+        )
+        .select(F.date_add("day", F.col("i")).alias("wday"), "h", "d1")
+        .where(F.col("wday") <= F.col("d1"))
+        .select("wday", "h")
+        .distinct()
+    )
+    a = bottom_k(contrib, ["wday"], K_USERS).groupBy("wday").agg(
+        F.count("*").alias("n_sketch"), F.max("h").alias("kth")
+    )
+    return kmv_estimate(a, K_USERS).select(
+        F.date_format("wday", "yyyy-MM-dd").alias("window_end"),
+        "n_sketch",
+        "kth",
+        "est_distinct",
+    )
+
+
 K_JOIN = 256
 
 

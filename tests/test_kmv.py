@@ -266,3 +266,38 @@ def test_streamed_daily_sketches_feed_weekly_rollup(spark, workdir):
         for r in kmv_weekly_users_rollup(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_trailing_window_equals_window_sketch_of_raw(spark):
+    """Sliding-window estimates from daily sketches == sketching each
+    window from raw events directly (the idempotent-merge property,
+    window edition)."""
+    import datetime
+
+    from databricks_end_to_end_streaming_spark.queries.kmv import (
+        TRAIL_DAYS,
+        kmv_group_report,
+        kmv_trailing_7day_users,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    d1 = ev.agg(F.max("day")).first()[0]
+    got = {
+        (r.window_end, r.n_sketch, r.kth)
+        for r in kmv_trailing_7day_users(spark, SF_DIR).collect()
+    }
+    want = set()
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    # window ends = every day reachable from an active day, capped at d1
+    ends = sorted({min(d + datetime.timedelta(days=i), d1) for d in days for i in range(TRAIL_DAYS)})
+    for w in ends:
+        in_win = ev.where(
+            (F.col("day") >= F.lit(w - datetime.timedelta(days=TRAIL_DAYS - 1)))
+            & (F.col("day") <= F.lit(w))
+        )
+        sk = kmv_sketch(in_win.withColumn("g", F.lit(1)), "user_id", ["g"], K_USERS)
+        agg = sk.agg(F.count("*").alias("n"), F.max("h").alias("kth")).first()
+        want.add((w.strftime("%Y-%m-%d"), agg.n, agg.kth))
+    assert got == want and len(got) > 0

@@ -106,6 +106,7 @@ PLAN_QUERIES = [
     ("web_corpus_curation_funnel", "whole curation pass ONE plan: pinned survivor chain feeds 4 unioned stage aggregates; stages reuse standalone-query semantics"),
     ("seasonal_naive_backtest", "two tiny training aggs broadcast onto the test scan; int64 cents until ONE division per output column; no cross-row double sums"),
     ("cdc_net_aggregate_view", "counting-IVM path as a plan: (key,value,net) partial-agg -> surviving-multiplicity rollup; two key-bound exchanges total"),
+    ("kmv_trailing_7day_users", "sliding distinct from pinned daily sketches: contribution explode fans k rows/day to <=7 windows; bottom-k per window"),
 ]
 
 
