@@ -1,5 +1,6 @@
 from .cms import cms_build, cms_estimate, cms_merge
 from .graph import connected_components
+from .kmv import bottom_k, kmv_estimate, kmv_hash, kmv_merge, kmv_sketch
 from .multimodal import (
     MEDIA_SCHEMA,
     decode_stub,
@@ -19,6 +20,11 @@ __all__ = [
     "ann_lsh_topk",
     "hyperplane_buckets",
     "connected_components",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate",
+    "kmv_hash",
+    "bottom_k",
     "cms_build",
     "cms_merge",
     "cms_estimate",

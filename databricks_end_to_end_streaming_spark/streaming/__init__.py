@@ -43,9 +43,23 @@ from .sampling import (
     sample_stage,
     weighted_sample_stage,
 )
+from .ivm import ivm_consistency_check, ivm_stage, ivm_view
+from .kmv_stage import kmv_report_from_log, kmv_sketch_stage, kmv_stage
+from .ppjoin_stage import exact_neardup_batch, exact_neardup_stage
+from .seasonal import score_against_profile, seasonal_monitor_stage
 from .sinks import ParquetTable
 
 __all__ = [
+    "ivm_stage",
+    "ivm_view",
+    "ivm_consistency_check",
+    "kmv_stage",
+    "kmv_sketch_stage",
+    "kmv_report_from_log",
+    "exact_neardup_batch",
+    "exact_neardup_stage",
+    "seasonal_monitor_stage",
+    "score_against_profile",
     "ParquetTable",
     "ingest_avro_stream",
     "bronze_stage",

@@ -40,6 +40,7 @@ PROBES = [
     "web_corpus_curation_funnel",
     "seasonal_naive_backtest",
     "cdc_net_aggregate_view",
+    "kmv_trailing_7day_users",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_type_profit",
