@@ -36,7 +36,6 @@ from ..queries.dedup import (
     PPJOIN_THRESHOLD,
     doc_shingle_arrays,
     exact_pair_scores,
-    ppjoin_min_overlap,
     ppjoin_position_ok,
     ppjoin_prefix_len,
 )
