@@ -1,0 +1,50 @@
+"""Degenerate-input guards for the round-6 second-wave queries: every
+operator must return (not raise) on an EMPTY corpus — the failure mode
+iterative/window/sketch code hits when a filter upstream drains a
+partition. The funnel still reports its four zero-count stages."""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_end_to_end_streaming_spark.queries import all_queries
+
+DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+EVENTS = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+PART = "p_partkey long, p_name string"
+
+NEW_QUERIES = [
+    "kmv_distinct_users_per_type",
+    "kmv_weekly_users_rollup",
+    "kmv_trailing_7day_users",
+    "kmv_source_token_overlap",
+    "er_golden_records",
+    "domain_quota_cap",
+    "packing_next_fit_stats",
+    "deterministic_corpus_shuffle",
+    "jaccard_prefix_filter_join",
+    "web_corpus_curation_funnel",
+    "seasonal_naive_backtest",
+    "cdc_net_aggregate_view",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("empty"))
+    spark.createDataFrame([], DOCS).write.parquet(f"{tmp}/documents.parquet")
+    spark.createDataFrame([], EVENTS).write.parquet(f"{tmp}/events.parquet")
+    spark.createDataFrame([], PART).write.parquet(f"{tmp}/part.parquet")
+    return tmp
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_empty_corpus_returns_not_raises(spark, empty_dir, name):
+    rows = all_queries()[name](spark, empty_dir).collect()
+    if name == "web_corpus_curation_funnel":
+        assert len(rows) == 4 and all(r.n_docs == 0 for r in rows)
+    else:
+        assert rows == []
