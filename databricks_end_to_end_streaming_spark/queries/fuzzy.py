@@ -150,8 +150,15 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     label convergence each round."""
     p = load_table(spark, sf_dir, "part")
     names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
-    pairs = fuzzy_name_pairs(names)
+    return golden_records_from(names, fuzzy_name_pairs(names))
 
+
+def golden_records_from(names: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Survivorship core shared by the batch query and the streaming
+    read-side fold (streaming/fuzzy_stage.py::golden_records_from_log):
+    CC over the match pairs, singletons keep their own id, per-cluster
+    canonical election (heaviest-by-rows, lexicographic tiebreak).
+    ``names`` is (p_name, n_parts); ``pairs`` carries name_a/name_b."""
     from pyspark.sql import Window
 
     from ..operators.graph import connected_components

@@ -158,6 +158,31 @@ def fuzzy_matches_from_log(
     )
 
 
+def golden_records_from_log(
+    spark: SparkSession,
+    names_table: ParquetTable,
+    matches_table: ParquetTable,
+) -> DataFrame:
+    """Golden records over everything ingested so far: fold the name
+    dictionary by addition, take the accumulated match pairs as edges,
+    and run the SAME survivorship core as the batch er_golden_records
+    (CC + heaviest-canonical election) — so drained == batch by
+    construction (tests/test_fuzzy_stream.py). The fold runs on the
+    dictionary-sized relations only; the expensive pair DISCOVERY
+    stayed incremental."""
+    from ..queries.fuzzy import golden_records_from
+
+    counts = (
+        names_table.read(spark)
+        .groupBy(F.col("name").alias("p_name"))
+        .agg(F.sum("n_rows").alias("n_parts"))
+    )
+    pairs = (
+        matches_table.read(spark).select("name_a", "name_b").distinct()
+    )
+    return golden_records_from(counts, pairs)
+
+
 def fuzzy_er_stage(
     source: DataFrame,
     names_table: ParquetTable,

@@ -85,3 +85,29 @@ def test_streaming_wrapper(spark, workdir):
         for r in fuzzy_part_name_matches(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_drained_golden_records_equal_batch(spark, workdir):
+    """Read-side golden-record fold over the incremental logs == the
+    batch er_golden_records (shared survivorship core; pair discovery
+    stayed incremental)."""
+    from databricks_end_to_end_streaming_spark.queries.fuzzy import (
+        er_golden_records,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.fuzzy_stage import (
+        golden_records_from_log,
+    )
+
+    parts = load_table(spark, SF_DIR, "part")
+    n_t, i_t, m_t = _tables(workdir)
+    for i in range(4):
+        fuzzy_batch(parts.where(F.col("p_partkey") % 4 == i), n_t, i_t, m_t, i)
+    got = sorted(
+        (r.cluster_id, r.canonical_name, r.n_names, r.n_parts_total)
+        for r in golden_records_from_log(spark, n_t, m_t).collect()
+    )
+    want = sorted(
+        (r.cluster_id, r.canonical_name, r.n_names, r.n_parts_total)
+        for r in er_golden_records(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
