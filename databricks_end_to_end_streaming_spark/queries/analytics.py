@@ -1967,7 +1967,7 @@ BACKTEST_TEST_DAYS = 7
 )
 def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast backtesting as a query: hold out the last
-    {BACKTEST_TEST_DAYS} days, forecast each (event_type, hour-of-day)
+    BACKTEST_TEST_DAYS (=7) days, forecast each (event_type, hour-of-day)
     cell with its training-period seasonal mean, and score MAE against
     the held-out events — next to the per-type GLOBAL-mean baseline, so
     the seasonal profile's skill is visible per cell. The whole

@@ -211,7 +211,7 @@ TRAIL_DAYS = 7
 )
 def kmv_trailing_7day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window distinct — the query that makes sketches earn
-    their keep: distinct users over every trailing {TRAIL_DAYS}-day
+    their keep: distinct users over every trailing 7-day
     window, computed ONLY from the persisted per-day sketches (the
     idempotent merge means a window estimate is the merge of its days'
     sketches — no raw rescan per window, the thing exact sliding
@@ -221,8 +221,8 @@ def kmv_trailing_7day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, forever.
 
     Shape: the contribution explode fans each daily-sketch row to at
-    most {TRAIL_DAYS} window keys (same pattern as the exact rolling
-    query), then one bottom-k per window over <= {TRAIL_DAYS}*k rows."""
+    most TRAIL_DAYS window keys (same pattern as the exact rolling
+    query), then one bottom-k per window over <= TRAIL_DAYS*k rows."""
     ev = load_table(spark, sf_dir, "events")
     daily = pin(
         kmv_sketch(

@@ -611,7 +611,7 @@ def packing_next_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, shard) they are laid greedily in length-descending order
     (sorted next-fit, the first-fit-decreasing-quality heuristic real
     packers use) and a window closes when the next document would
-    overflow the {PACK_BUDGET}-token budget. Output is per-shard bin and
+    overflow the PACK_BUDGET (256)-token budget. Output is per-shard bin and
     padding-waste accounting — the number a padding-minimizing pipeline
     actually tunes.
 
