@@ -369,6 +369,63 @@ class ParquetTable:
         os.rename(staging, self.path)
         shutil.rmtree(old)
 
+    def delete_where(self, spark: SparkSession, condition: str) -> dict:
+        """Targeted deletion (the GDPR right-to-erasure primitive and
+        Delta ``DELETE FROM ... WHERE``'s observable contract): remove
+        every row matching the SQL ``condition``, keep everything else
+        byte-equivalent, and return exact accounting
+        ``{rows_before, rows_deleted, rows_after}`` — an erasure job
+        must PROVE what it removed.
+
+        Delta mode routes to the transactional ``DeltaTable.delete``,
+        which rewrites only files whose stats match the predicate. The
+        parquet stand-in rewrites the table minus matching rows with the
+        same staged-sibling + rename-aside swap as upsert (crash in any
+        window heals via ``_recover_swap``; partition layout preserved).
+        That full rewrite is the honest cost of erasure-by-value on raw
+        parquet — predicates on a partition column prune the rewrite in
+        Delta, and erasure at 100 TB is exactly why deletion-vector
+        formats exist; on this API the cost is visible, not hidden.
+
+        Deletion is idempotent by construction (re-running the same
+        condition deletes 0 rows), so no replay token is needed."""
+        self._recover_swap()
+        if not self.exists():
+            return {"rows_before": 0, "rows_deleted": 0, "rows_after": 0}
+        before = self.read(spark).count()
+        if self._delta(spark):
+            self._delta_table(spark).delete(condition)
+            after = self.read(spark).count()
+            return {
+                "rows_before": before,
+                "rows_deleted": before - after,
+                "rows_after": after,
+            }
+        current = self.read(spark)
+        # Three-valued logic: DELETE removes rows where the predicate is
+        # TRUE; rows where it evaluates NULL must SURVIVE (Delta's
+        # semantics) — a bare NOT(cond) would silently delete them.
+        survivors = current.where(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
+        staging = self.path.rstrip("/") + "._staging"
+        w = survivors.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+        old = self.path.rstrip("/") + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(old)
+        after = self.read(spark).count()
+        return {
+            "rows_before": before,
+            "rows_deleted": before - after,
+            "rows_after": after,
+        }
+
     def read(self, spark: SparkSession) -> DataFrame:
         self._recover_swap()
         if self._delta(spark):
