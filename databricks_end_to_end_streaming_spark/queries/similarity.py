@@ -369,7 +369,8 @@ _SQ8_CODED_SQL = f"""
     "sq8_embedding_quantization",
     oracle=f"""
     WITH {_SQ8_CODED_SQL}
-    SELECT vec_id, label, codes,
+    SELECT vec_id, label,
+           array_to_string(codes, ',') AS codes_csv,
            CAST(list_reduce(list_transform(range(0, {EMB_DIM}), i ->
              (q[i + 1] - (mins[i + 1]
                 + (CAST(codes[i + 1] AS BIGINT) * (maxs[i + 1] - mins[i + 1]))
@@ -385,7 +386,8 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard 4x vector-compression step before ANN serving (each float32
     dim becomes one 0..255 code against per-dimension min/max), sitting
     between raw floats and the PQ codebooks in the compression
-    hierarchy. Returns per-vector codes plus an EXACT fixed-point
+    hierarchy. Returns per-vector codes (CSV-serialized so every output
+    column is harness-hashable scalar) plus an EXACT fixed-point
     reconstruction-error so compression quality is a hash-checkable
     number, not a float estimate.
 
@@ -416,7 +418,16 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (element_at(maxs, i + 1) - element_at(mins, i + 1)))
                     div 255)))"""
     )
-    return coded.select("vec_id", "label", "codes", err.alias("err_q"))
+    return coded.select(
+        "vec_id",
+        "label",
+        # the driver's hash harness canonicalizes with pandas, which cannot
+        # factorize list cells — every registered output column must be
+        # scalar, so the codes array ships as its CSV serialization (the
+        # array form stays available via sq8_coded for in-repo consumers)
+        F.concat_ws(",", "codes").alias("codes_csv"),
+        err.alias("err_q"),
+    )
 
 
 _DQ_EXPR = f"""transform(sequence(0, {EMB_DIM - 1}), i ->

@@ -50,12 +50,13 @@ def test_sq8_matches_numpy_reference(spark, workdir):
     }
     codes, err = _reference(vecs)
     assert len(got) == 120
+    parsed = {i: [int(x) for x in got[i].codes_csv.split(",")] for i in got}
     for i in range(120):
-        assert got[i].codes == list(codes[i]), f"vec {i}"
+        assert parsed[i] == list(codes[i]), f"vec {i}"
         assert got[i].err_q == int(err[i]), f"vec {i}"
     # codes fill the 0..255 range and the constant dim codes to 0
-    assert all(g.codes[5] == 0 for g in got.values())
-    flat = np.array([g.codes for g in got.values()])
+    assert all(c[5] == 0 for c in parsed.values())
+    flat = np.array(list(parsed.values()))
     assert flat.min() == 0 and flat.max() == 255
 
 

@@ -36,7 +36,9 @@ def test_drained_stream_equals_batch_codes(spark, workdir):
     for i in range(3):
         stage(emb.where(F.col("vec_id") % 3 == i), i)
     streamed = sq8_quantize_with_log(emb, spark, t).select("vec_id", "codes")
-    batch = sq8_embedding_quantization(spark, SF_DIR).select("vec_id", "codes")
+    batch = sq8_embedding_quantization(spark, SF_DIR).select(
+        "vec_id", F.split("codes_csv", ",").cast("array<int>").alias("codes")
+    )
     assert _codes(streamed) == _codes(batch)
 
 
@@ -77,5 +79,7 @@ def test_streaming_wrapper(spark, workdir):
     source = spark.readStream.schema(emb.schema).parquet(src)
     sq8_calibration_stage(source, t, f"{workdir}/ckpt")
     streamed = sq8_quantize_with_log(emb, spark, t).select("vec_id", "codes")
-    batch = sq8_embedding_quantization(spark, SF_DIR).select("vec_id", "codes")
+    batch = sq8_embedding_quantization(spark, SF_DIR).select(
+        "vec_id", F.split("codes_csv", ",").cast("array<int>").alias("codes")
+    )
     assert _codes(streamed) == _codes(batch)
