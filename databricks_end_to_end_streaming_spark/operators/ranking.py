@@ -59,7 +59,9 @@ def global_row_number_counted(
     # deferred to executor loss — so this site always truncates.
     with_pid = (
         parted.withColumn("_pid", F.spark_partition_id())
-        .transform(lambda d: pin(d, require_frozen=True))
+        .transform(
+            lambda d: pin(d, require_frozen=True, site="ranking.range_ranks")
+        )
     )
 
     # one long per partition to the driver; offsets broadcast back

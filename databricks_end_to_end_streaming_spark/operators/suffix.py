@@ -155,6 +155,7 @@ def _ranked_init(
     with_pid = pin(
         parted.withColumn("_pid", F.spark_partition_id()),
         require_frozen=True,
+        site="suffix.range_partitioned_grams",
     )
     counts = with_pid.groupBy("_pid").count().collect()
     sizes = {row["_pid"]: row["count"] for row in counts}

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 
 _VALID = ("local", "reliable", "persist")
 
-_warned_frozen_persist = False
+_warned_frozen_sites: set[str] = set()
 
 
 def pin_mode() -> str:
@@ -52,7 +52,11 @@ def pin_mode() -> str:
 
 
 def pin(
-    df: DataFrame, mode: str | None = None, *, require_frozen: bool = False
+    df: DataFrame,
+    mode: str | None = None,
+    *,
+    require_frozen: bool = False,
+    site: str | None = None,
 ) -> DataFrame:
     """Materialize ``df`` once and truncate (or freeze) its lineage so
     multiple consumers / iterative rounds don't re-run the producing
@@ -83,17 +87,22 @@ def pin(
         if has_ckpt_dir:
             mode = "reliable"
         else:
-            global _warned_frozen_persist
-            if not _warned_frozen_persist:
-                _warned_frozen_persist = True
+            # one warning per frozen SITE, not per process: operators
+            # need to see every pin that remains non-fault-tolerant
+            # under persist mode, not just the first one hit. Unlabeled
+            # sites warn every time (loud beats silent).
+            if site is None or site not in _warned_frozen_sites:
+                if site is not None:
+                    _warned_frozen_sites.add(site)
                 import warnings
 
                 warnings.warn(
-                    "SPARK_GRAFT_PIN_MODE=persist: frozen pin sites "
-                    "(range-partitioned ranking, bloom bitmap) must not "
-                    "recompute, so they use localCheckpoint and stay "
+                    f"SPARK_GRAFT_PIN_MODE=persist: frozen pin site "
+                    f"{site or '(unlabeled)'} must not "
+                    "recompute, so it uses localCheckpoint and stays "
                     "NON-fault-tolerant. Set SPARK_GRAFT_CHECKPOINT_DIR "
-                    "to route them to reliable checkpoints instead.",
+                    "to route frozen sites to reliable checkpoints "
+                    "instead.",
                     stacklevel=2,
                 )
             mode = "local"

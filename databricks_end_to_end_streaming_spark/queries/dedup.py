@@ -250,17 +250,20 @@ def doc_shingle_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ppjoin_prefix_len(n: F.Column) -> F.Column:
-    """Prefix length n - ceil(t*n) + 1 in exact int64 arithmetic."""
-    ceil_tn = ((PP_NUM * n + (PP_DEN - 1)) / PP_DEN).cast("long")
+    """Prefix length n - ceil(t*n) + 1 in exact int64 arithmetic
+    (integral `div`, never a double division — `/` then cast is only
+    exact while the numerator stays under 2^53)."""
+    ceil_tn = F.call_function("div", PP_NUM * n + (PP_DEN - 1), F.lit(PP_DEN))
     return n - ceil_tn + 1
 
 
 def ppjoin_min_overlap(na: F.Column, nb: F.Column) -> F.Column:
     """Minimum overlap a pair needs to reach Jaccard t:
     ceil(t/(1+t) * (na+nb)) — with t = PP_NUM/PP_DEN that is
-    ceil(PP_NUM*(na+nb) / (PP_NUM+PP_DEN)), exact int64."""
+    ceil(PP_NUM*(na+nb) / (PP_NUM+PP_DEN)), exact int64 via integral
+    `div`."""
     s = PP_NUM + PP_DEN
-    return ((PP_NUM * (na + nb) + (s - 1)) / s).cast("long")
+    return F.call_function("div", PP_NUM * (na + nb) + (s - 1), F.lit(s))
 
 
 def ppjoin_position_ok(side_a: str = "a", side_b: str = "b") -> F.Column:

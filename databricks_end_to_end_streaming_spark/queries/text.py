@@ -652,7 +652,7 @@ def packing_next_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = g.withColumn(
         "n_bins",
-        (F.col("state") / _PACK_ENC).cast("long")
+        F.call_function("div", F.col("state"), F.lit(_PACK_ENC))
         + F.when(F.col("state") % _PACK_ENC > 0, F.lit(1)).otherwise(
             F.lit(0)
         ).cast("long"),
@@ -1742,7 +1742,9 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), " +")).alias("w")
     ).where(F.col("w") != "")
     firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
-    bucket = lambda c: F.floor(F.col(c) / _HEAPS_BUCKET).cast("long")  # noqa: E731
+    bucket = lambda c: F.call_function(  # noqa: E731
+        "div", F.col(c), F.lit(_HEAPS_BUCKET)
+    )
     nw = (
         firsts.groupBy(bucket("first_doc").alias("bucket"))
         .agg(F.count("*").alias("new_words"))

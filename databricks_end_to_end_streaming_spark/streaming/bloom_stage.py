@@ -127,7 +127,9 @@ def bloom_dedup_batch(
                     bloom_merge(bitmap, rebuilt)
                     if bitmap is not None
                     else rebuilt
-                ).transform(lambda d: pin(d, require_frozen=True))
+                ).transform(
+                    lambda d: pin(d, require_frozen=True, site="bloom.fresh_docs")
+                )
         if bitmap is not None:
             flagged = bloom_probe_flag(batch, "fp", bitmap, m_bits, flag="_hit")
             flagged.persist()
@@ -143,7 +145,7 @@ def bloom_dedup_batch(
                     # in both storage modes (Delta has no batchid
                     # partition directories).
                     hist = fp_table.read(spark)
-                    seen = exclude_batch(hist, batch_id).select("fp")
+                    seen = exclude_batch(hist, batch_id, fp_table.path).select("fp")
                     survivors = maybe.join(seen, on="fp", how="left_anti")
                 else:
                     survivors = maybe
@@ -160,7 +162,9 @@ def bloom_dedup_batch(
         # frozen: new_docs' lineage anti-joins the fp table this batch
         # appends to below — a lineage-keeping recompute after that
         # append would read its own output
-        new_docs = new_docs.transform(lambda d: pin(d, require_frozen=True))
+        new_docs = new_docs.transform(
+            lambda d: pin(d, require_frozen=True, site="bloom.new_docs")
+        )
         out_table.idempotent_append(
             new_docs.drop("fp"), f"batchid={batch_id}/role=docs"
         )
@@ -181,7 +185,9 @@ def bloom_dedup_batch(
             # overwrites — recompute-from-lineage mid-rewrite would read
             # deleted files
             merged.withColumn("_merged_through", F.lit(batch_id))
-            .transform(lambda d: pin(d, require_frozen=True))
+            .transform(
+                lambda d: pin(d, require_frozen=True, site="bloom.bitmap")
+            )
         )
         counters["emitted"] = new_docs.count()
         return counters

@@ -94,7 +94,7 @@ def neardup_batch(
         # don't exist.
         if docs_table.exists():
             hist = docs_table.read(spark)
-            prior = exclude_batch(hist, batch_id)
+            prior = exclude_batch(hist, batch_id, docs_table.path)
             corpus = prior.drop("batchid", "role", "_batch_id").unionByName(
                 batch_df, allowMissingColumns=True
             )

@@ -367,6 +367,12 @@ def demux_decode_batch(
         sequential = (
             len(jobs) < 2
             or workers < 2
+            # batch_id=None appends go to the SAME table directory and
+            # parquet jobs to one path share <path>/_temporary staging —
+            # the first commit deletes it and silently drops other jobs'
+            # task output. Only the token'd per-(batch,schema) dirs of
+            # the idempotent path are truly disjoint.
+            or batch_id is None
             or target._delta(spark)
             or (quarantine is not None and quarantine._delta(spark))
         )

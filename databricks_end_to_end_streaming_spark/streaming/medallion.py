@@ -101,6 +101,66 @@ def _run_append(
     return None
 
 
+def run_continuous(
+    df: DataFrame,
+    target: ParquetTable,
+    checkpoint: str,
+    query_name: str,
+    processing_time: str = "500 milliseconds",
+):
+    """Start ``df`` as a LONG-RUNNING processing-time-trigger append
+    query and return the live ``StreamingQuery`` handle (caller stops
+    it). The reference only ever runs ``Trigger.Once`` (bronze.py:25 —
+    its jobs DAG re-launches the drain), but its design implies the
+    always-on mode: this is that mode, same transform, same sink, same
+    checkpoint discipline, only the trigger differs. Pair with
+    ``await_batches`` to soak N timed triggers in tests."""
+    w = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target.path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(processingTime=processing_time)
+    )
+    if target.partition_by:
+        w = w.partitionBy(*target.partition_by)
+    return w.start()
+
+
+def await_batches(
+    query,
+    min_batches: int,
+    min_rows: int = 0,
+    timeout_sec: float = 60.0,
+) -> tuple[int, int]:
+    """Block until ``query`` has COMMITTED at least ``min_batches``
+    micro-batches carrying at least ``min_rows`` total input rows
+    (both thresholds must hold), then return ``(batches, rows)``
+    observed. Progress is read from ``recentProgress`` — the committed
+    ledger — not from the filesystem, so partially-written parquet of
+    an in-flight trigger can't satisfy the wait. Raises TimeoutError
+    with the progress seen so far on expiry."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_sec
+    batches = rows = 0
+    while _time.monotonic() < deadline:
+        seen = {}
+        for p in query.recentProgress:
+            seen[p["batchId"]] = p.get("numInputRows", 0)
+        batches, rows = len(seen), sum(seen.values())
+        if batches >= min_batches and rows >= min_rows:
+            return batches, rows
+        if query.exception() is not None:
+            raise query.exception()
+        _time.sleep(0.1)
+    raise TimeoutError(
+        f"{query.name}: saw {batches} committed batches / {rows} rows "
+        f"in {timeout_sec}s (wanted >= {min_batches} / {min_rows})"
+    )
+
+
 def bronze_stage(
     spark: SparkSession,
     raw: ParquetTable,

@@ -110,10 +110,12 @@ def batch_id_col(df: DataFrame) -> F.Column:
     )
 
 
-_warned_legacy_batch_col = False
+_warned_legacy_batch_tables: set[str] = set()
 
 
-def exclude_batch(df: DataFrame, batch_id: int) -> DataFrame:
+def exclude_batch(
+    df: DataFrame, batch_id: int, table_path: str | None = None
+) -> DataFrame:
     """Rows from strictly OTHER batches than ``batch_id`` — the replay
     exclusion, uniform across storage modes AND table generations:
 
@@ -132,13 +134,18 @@ def exclude_batch(df: DataFrame, batch_id: int) -> DataFrame:
     try:
         col = batch_id_col(df)
     except ValueError:
-        global _warned_legacy_batch_col
-        if not _warned_legacy_batch_col:
-            _warned_legacy_batch_col = True
+        # one warning per degraded TABLE, not per process: a second
+        # legacy table must surface too, or its treat-all-rows-as-prior
+        # degradation is silent. Unidentified callers warn every time
+        # (loud beats silent for a degraded exactness guarantee).
+        if table_path is None or table_path not in _warned_legacy_batch_tables:
+            if table_path is not None:
+                _warned_legacy_batch_tables.add(table_path)
             import warnings
 
             warnings.warn(
-                "replay exclusion: table has neither batchid nor "
+                f"replay exclusion ({table_path or 'unidentified table'}): "
+                "table has neither batchid nor "
                 "_batch_id (written by a pre-_batch_id release?). "
                 "Treating ALL rows as prior — exact only while no "
                 "current-release batch has written here; backfill "

@@ -171,12 +171,20 @@ def test_exclude_batch_legacy_and_null_rows(spark, workdir):
     )
 
     legacy = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, fp string")
-    sinks._warned_legacy_batch_col = False
+    sinks._warned_legacy_batch_tables.clear()
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = exclude_batch(legacy, batch_id=7)
+        out = exclude_batch(legacy, batch_id=7, table_path="/tmp/t1")
         assert out.count() == 2  # nothing excluded, nothing raised
         assert any("backfill" in str(x.message) for x in w)
+        # a SECOND degraded table warns too (ADVICE r6: warn-once is
+        # keyed per table path, not per process) ...
+        exclude_batch(legacy, batch_id=7, table_path="/tmp/t2")
+        # ... while a repeat of an already-warned table stays quiet
+        exclude_batch(legacy, batch_id=7, table_path="/tmp/t1")
+        paths = [str(x.message) for x in w if "backfill" in str(x.message)]
+        assert len(paths) == 2
+        assert any("/tmp/t2" in m for m in paths)
 
     mixed = spark.createDataFrame(
         [(1, None), (2, 7), (3, 3)], "doc_id long, _batch_id long"

@@ -602,3 +602,34 @@ def test_write_time_file_sizing_small_batch(spark, workdir, monkeypatch):
     )
     files = _glob.glob(f"{workdir}/raw_unsized/batchid=0/schemaid=1/*.parquet")
     assert len(files) > 1
+
+
+def test_non_replay_appends_run_sequentially(spark, workdir, monkeypatch):
+    """batch_id=None appends share ONE table directory, and concurrent
+    Spark parquet jobs to one path share <path>/_temporary staging (the
+    first commit deletes it, dropping other jobs' task output). The
+    demux must therefore force the sequential path whenever batch_id is
+    None, even with parallelism configured — only the token'd
+    per-(batch, schema) dirs of the replay path are disjoint."""
+    import threading
+
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        demux_decode_batch,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_DEMUX_PARALLELISM", "8")
+    events = generate_events(30, seed=11)  # ~0.3/0.7 v1/v2 -> 2 write jobs
+    batch = wire_df(spark, events)
+    table = ParquetTable(f"{workdir}/raw")
+    seen_threads: list[str] = []
+    orig_append = table.append
+
+    def recording_append(df, **kw):
+        seen_threads.append(threading.current_thread().name)
+        return orig_append(df, **kw)
+
+    monkeypatch.setattr(table, "append", recording_append)
+    demux_decode_batch(batch, CONFLUENT_REGISTRY, confluent_framing(), table)
+    assert len(seen_threads) == 2  # both schema ids landed
+    assert all(t == threading.main_thread().name for t in seen_threads)
+    assert table.read(spark).count() == 30

@@ -94,12 +94,22 @@ def test_frozen_under_persist_routes_or_warns(spark, workdir, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
     had_dir = not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
     if not had_dir:
-        pin_mod._warned_frozen_persist = False
+        pin_mod._warned_frozen_sites.clear()
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            out = pin(_df(spark), require_frozen=True)
+            out = pin(_df(spark), require_frozen=True, site="test.site_a")
             assert out.count() == _df(spark).count()
             assert any("non-fault-tolerant" in str(x.message).lower() for x in w)
+            # per-SITE warn-once (ADVICE r6): a different frozen site
+            # warns too; the same site repeated stays quiet
+            pin(_df(spark), require_frozen=True, site="test.site_b")
+            pin(_df(spark), require_frozen=True, site="test.site_a")
+            msgs = [
+                str(x.message)
+                for x in w
+                if "non-fault-tolerant" in str(x.message).lower()
+            ]
+            assert len(msgs) == 2 and any("test.site_b" in m for m in msgs)
     monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", f"{workdir}/ckpt")
     with warnings.catch_warnings(record=True) as w2:
         warnings.simplefilter("always")
