@@ -70,13 +70,51 @@ class SchemaRegistry(Protocol):
 
 
 class InMemorySchemaRegistry:
-    """Dict-backed registry: {schema_id: avsc-json-string}."""
+    """Dict-backed registry: {schema_id: avsc-json-string}.
+
+    Also carries the WRITE path the reference's producers exercise —
+    register-with-compatibility (producer.scala:60-61 registers with
+    Glue compatibility FULL) — as the local twin of the REST clients'
+    ``register_schema``: sequential int ids per subject, each new
+    version gated by the Avro-resolution compatibility checker
+    (``avro.compat``) against the subject's latest version.
+    """
 
     def __init__(self, schemas: dict[int | str, str]):
         self._schemas = dict(schemas)
+        self._subjects: dict[str, list[int | str]] = {}
 
     def register(self, schema_id: int | str, schema_json: str) -> None:
         self._schemas[schema_id] = schema_json
+
+    def register_schema(
+        self,
+        schema_json: str,
+        subject: str = "default",
+        compatibility: str = "FULL",
+    ) -> int:
+        """Register a new version under ``subject`` after checking it
+        against the subject's LATEST version at ``compatibility``
+        (BACKWARD/FORWARD/FULL/NONE). Returns the assigned id; an
+        identical re-registration returns the existing id (idempotent,
+        matching Confluent's behavior). Raises
+        ``avro.compat.IncompatibleSchemaError`` on violation."""
+        from .avro.compat import assert_compatible
+
+        versions = self._subjects.setdefault(subject, [])
+        canon = json.dumps(json.loads(schema_json), sort_keys=True)
+        for vid in versions:
+            if json.dumps(json.loads(self._schemas[vid]), sort_keys=True) == canon:
+                return vid  # type: ignore[return-value]
+        if versions and compatibility.upper() != "NONE":
+            assert_compatible(
+                schema_json, self._schemas[versions[-1]], compatibility
+            )
+        int_ids = [i for i in self._schemas if isinstance(i, int)]
+        new_id = max(int_ids, default=0) + 1
+        self._schemas[new_id] = schema_json
+        versions.append(new_id)
+        return new_id
 
     def get_schema_json(self, schema_id: int | str) -> str:
         try:
@@ -161,6 +199,120 @@ class ConfluentRestRegistry:
 
     def get_schema(self, schema_id: int | str) -> RecordSchema:
         return parse_schema(self.get_schema_json(schema_id))
+
+    # ---- write path (the reference's producers auto-register schemas;
+    # ingest_raw.scala's RestService client exposes the same endpoints) --
+
+    def _post_json(self, path: str, payload: dict) -> dict:
+        import urllib.request
+
+        body = json.dumps(payload).encode()
+        headers = dict(self._headers)
+        headers["Content-Type"] = "application/vnd.schemaregistry.v1+json"
+        req = urllib.request.Request(
+            f"{self.base_url}{path}", data=body, headers=headers, method="POST"
+        )
+
+        def _do():
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+
+        return _open_with_retries(
+            _do, self.retry_attempts, self.retry_backoff_sec
+        )
+
+    def check_compatibility(self, subject: str, schema_json: str) -> bool:
+        """Server-side compatibility pre-check: ``POST
+        /compatibility/subjects/{subject}/versions/latest``. A 404
+        (subject has no versions yet) is compatible by definition —
+        the first version has nothing to conflict with."""
+        import urllib.error
+        import urllib.parse
+
+        try:
+            body = self._post_json(
+                "/compatibility/subjects/"
+                f"{urllib.parse.quote(subject, safe='')}/versions/latest",
+                {"schema": schema_json},
+            )
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return True
+            raise
+        return bool(body.get("is_compatible"))
+
+    def register_schema(
+        self, subject: str, schema_json: str, check_compat: bool = True
+    ) -> int:
+        """Register a schema under ``subject`` (``POST
+        /subjects/{subject}/versions`` -> ``{"id": N}``), optionally
+        preceded by the compatibility pre-check so an incompatible
+        evolution fails with a typed ``IncompatibleSchemaError`` BEFORE
+        mutating the registry — the pre-flight the reference's FULL
+        registration mode implies. The server still enforces its own
+        configured level: a 409 on register also maps to
+        ``IncompatibleSchemaError`` (pre-check disabled or racing)."""
+        import urllib.error
+        import urllib.parse
+
+        from .avro.compat import IncompatibleSchemaError
+
+        if check_compat and not self.check_compatibility(subject, schema_json):
+            raise IncompatibleSchemaError(
+                f"schema is incompatible with latest version of "
+                f"subject {subject!r} (registry-side check)",
+                [f"subject {subject}: is_compatible=false"],
+            )
+        try:
+            body = self._post_json(
+                f"/subjects/{urllib.parse.quote(subject, safe='')}/versions",
+                {"schema": schema_json},
+            )
+        except urllib.error.HTTPError as e:
+            if e.code == 409:
+                raise IncompatibleSchemaError(
+                    f"registry rejected schema for subject {subject!r} "
+                    "as incompatible (HTTP 409)",
+                    [f"subject {subject}: HTTP 409"],
+                ) from e
+            if e.code == 422:
+                detail = e.read().decode("utf-8", "replace")
+                raise ValueError(
+                    f"registry rejected schema as invalid Avro: {detail}"
+                ) from e
+            raise
+        new_id = int(body["id"])
+        self._cache[new_id] = schema_json
+        return new_id
+
+    def set_compatibility(self, subject: str, level: str) -> str:
+        """``PUT /config/{subject}`` — pin the subject's compatibility
+        level (the reference registers with FULL)."""
+        import urllib.parse
+        import urllib.request
+
+        from .avro.compat import LEVELS
+
+        if level.upper() not in LEVELS:
+            raise ValueError(f"unknown compatibility level {level!r}")
+        body = json.dumps({"compatibility": level.upper()}).encode()
+        headers = dict(self._headers)
+        headers["Content-Type"] = "application/vnd.schemaregistry.v1+json"
+        req = urllib.request.Request(
+            f"{self.base_url}/config/{urllib.parse.quote(subject, safe='')}",
+            data=body,
+            headers=headers,
+            method="PUT",
+        )
+
+        def _do():
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+
+        out = _open_with_retries(
+            _do, self.retry_attempts, self.retry_backoff_sec
+        )
+        return out["compatibility"]
 
 
 class GlueRestRegistry:
@@ -305,6 +457,107 @@ class GlueRestRegistry:
 
     def get_schema(self, schema_id: int | str) -> RecordSchema:
         return parse_schema(self.get_schema_json(schema_id))
+
+    # ---- write path: the reference registers its product schema with
+    # Glue at compatibility FULL (producer.scala:60-61) --------------
+
+    def _post(self, amz_target: str, payload: dict) -> dict:
+        import urllib.request
+
+        body = json.dumps(payload).encode()
+        if self.access_key and self.secret_key:
+            headers = self._sigv4_headers(body, amz_target)
+        else:
+            headers = {
+                "content-type": "application/x-amz-json-1.1",
+                "x-amz-target": amz_target,
+            }
+        req = urllib.request.Request(
+            self.endpoint + "/", data=body, headers=headers, method="POST"
+        )
+
+        def _do():
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+
+        return _open_with_retries(
+            _do, self.retry_attempts, self.retry_backoff_sec
+        )
+
+    def register_schema(
+        self,
+        registry_name: str,
+        schema_name: str,
+        schema_json: str,
+        compatibility: str = "FULL",
+        poll_attempts: int = 10,
+        poll_interval_sec: float = 0.5,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> str:
+        """Register a new version of ``schema_name`` (``AWSGlue.
+        RegisterSchemaVersion``); if the schema doesn't exist yet,
+        create it with ``compatibility`` (``AWSGlue.CreateSchema``,
+        DataFormat AVRO) — exactly the bootstrap the reference performs
+        with ``--compatibility FULL``. Glue enforces compatibility
+        SERVER-side and answers through the version's Status field, so
+        this polls PENDING versions (injectable ``sleep``) and maps a
+        FAILURE status to ``IncompatibleSchemaError``. Returns the new
+        SchemaVersionId (uuid string), cached for subsequent reads."""
+        import urllib.error
+
+        from .avro.compat import IncompatibleSchemaError
+
+        try:
+            out = self._post(
+                "AWSGlue.RegisterSchemaVersion",
+                {
+                    "SchemaId": {
+                        "RegistryName": registry_name,
+                        "SchemaName": schema_name,
+                    },
+                    "SchemaDefinition": schema_json,
+                },
+            )
+            status = out.get("Status", "AVAILABLE")
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode("utf-8", "replace")
+            if e.code in (400, 404) and "EntityNotFoundException" in detail:
+                out = self._post(
+                    "AWSGlue.CreateSchema",
+                    {
+                        "RegistryId": {"RegistryName": registry_name},
+                        "SchemaName": schema_name,
+                        "DataFormat": "AVRO",
+                        "Compatibility": compatibility.upper(),
+                        "SchemaDefinition": schema_json,
+                    },
+                )
+                status = out.get("SchemaVersionStatus", "AVAILABLE")
+            else:
+                raise
+        uuid = out["SchemaVersionId"]
+        for _ in range(poll_attempts):
+            if status != "PENDING":
+                break
+            sleep(poll_interval_sec)
+            polled = self._post(
+                "AWSGlue.GetSchemaVersion", {"SchemaVersionId": uuid}
+            )
+            status = polled.get("Status", "AVAILABLE")
+        if status == "FAILURE":
+            raise IncompatibleSchemaError(
+                f"Glue rejected schema version {uuid} of "
+                f"{registry_name}/{schema_name}: compatibility "
+                f"{compatibility.upper()} violated (Status=FAILURE)",
+                [f"{registry_name}/{schema_name}: Status=FAILURE"],
+            )
+        if status == "PENDING":
+            raise TimeoutError(
+                f"Glue schema version {uuid} still PENDING after "
+                f"{poll_attempts} polls"
+            )
+        self._cache[uuid] = schema_json
+        return uuid
 
 
 class LocalFileSchemaRegistry(InMemorySchemaRegistry):
