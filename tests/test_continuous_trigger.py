@@ -1,0 +1,123 @@
+"""Processing-time-trigger soak: the always-on mode the reference's
+design implies but never runs (it only uses Trigger.Once,
+bronze.py:25; its jobs DAG re-launches the drain each time).
+
+A bronze query runs with trigger(processingTime=...) while raw data
+arrives in waves; the test asserts (1) multiple timed triggers commit,
+(2) data landed BETWEEN triggers is picked up incrementally without a
+restart, (3) the output matches the availableNow drain bit-for-bit
+(same transform, same sink — only the trigger differs), and (4) no
+row is duplicated across triggers (exactly-once within one run).
+"""
+
+from __future__ import annotations
+
+from databricks_end_to_end_streaming_spark.registry import InMemorySchemaRegistry
+from databricks_end_to_end_streaming_spark.schemas import (
+    PRODUCT_V1_JSON,
+    PRODUCT_V2_JSON,
+)
+from databricks_end_to_end_streaming_spark.sources import (
+    events_to_wire,
+    generate_events,
+    write_topic_files,
+)
+from databricks_end_to_end_streaming_spark.streaming import (
+    ParquetTable,
+    ingest_avro_stream,
+)
+from databricks_end_to_end_streaming_spark.sources import file_stream
+from databricks_end_to_end_streaming_spark.streaming.medallion import (
+    await_batches,
+    bronze_transform,
+    run_continuous,
+)
+
+REGISTRY = InMemorySchemaRegistry({1: PRODUCT_V1_JSON, 2: PRODUCT_V2_JSON})
+
+
+def _ingest_wave(spark, workdir, events) -> None:
+    """Land one wave of decoded rows in the raw table (availableNow
+    ingest — the soak under test is the DOWNSTREAM bronze query).
+    ``write_topic_files`` appends, so successive waves coexist."""
+    write_topic_files(spark, events_to_wire(events), f"{workdir}/topic")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        REGISTRY,
+        ParquetTable(f"{workdir}/raw"),
+        checkpoint=f"{workdir}/cp/ingest",
+    )
+
+
+def test_processing_time_trigger_soaks_across_waves(spark, workdir):
+    wave1 = generate_events(40, seed=21, v1_ratio=0.3)
+    wave2 = generate_events(25, seed=22, v1_ratio=0.3)
+    _ingest_wave(spark, workdir, wave1)
+
+    raw = ParquetTable(f"{workdir}/raw")
+    bronze = ParquetTable(f"{workdir}/bronze", partition_by=("type",))
+    q = run_continuous(
+        bronze_transform(raw.stream(spark)),
+        bronze,
+        checkpoint=f"{workdir}/cp/bronze",
+        query_name="bronze_soak",
+        processing_time="500 milliseconds",
+    )
+    try:
+        # trigger 1 picks up wave 1
+        b1, r1 = await_batches(q, min_batches=1, min_rows=len(wave1))
+        assert r1 == len(wave1)
+
+        # wave 2 lands while the query is RUNNING; a later timed
+        # trigger must pick it up with no restart
+        _ingest_wave(spark, workdir, wave2)
+        b2, r2 = await_batches(
+            q, min_batches=b1 + 1, min_rows=len(wave1) + len(wave2)
+        )
+        assert b2 >= 2  # distinct committed timed triggers
+        assert r2 == len(wave1) + len(wave2)
+        assert q.isActive and q.exception() is None
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    out = bronze.read(spark)
+    # exactly-once across triggers: one flat row per raw event, none
+    # duplicated by the recurring trigger
+    assert out.count() == len(wave1) + len(wave2)
+    assert (
+        out.select("eventId", "timestamp").distinct().count()
+        == out.count()
+    )
+    # parity with the availableNow drain: same rows, same schema
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        bronze_stage,
+    )
+
+    bronze_once = ParquetTable(f"{workdir}/bronze_once", partition_by=("type",))
+    bronze_stage(spark, raw, bronze_once, f"{workdir}/cp/bronze_once")
+    once = bronze_once.read(spark)
+    assert once.schema == out.schema
+    assert once.exceptAll(out).count() == 0 and out.exceptAll(once).count() == 0
+
+
+def test_await_batches_times_out_with_diagnostics(spark, workdir):
+    import pytest
+
+    _ingest_wave(spark, workdir, generate_events(5, seed=3))
+    raw = ParquetTable(f"{workdir}/raw")
+    bronze = ParquetTable(f"{workdir}/bronze2")
+    q = run_continuous(
+        bronze_transform(raw.stream(spark)),
+        bronze,
+        checkpoint=f"{workdir}/cp/bronze2",
+        query_name="bronze_soak_timeout",
+        processing_time="100 milliseconds",
+    )
+    try:
+        with pytest.raises(TimeoutError, match="bronze_soak_timeout"):
+            # ask for more rows than exist: must time out, not hang
+            await_batches(q, min_batches=1, min_rows=10_000, timeout_sec=3.0)
+    finally:
+        q.stop()
+        q.awaitTermination()
