@@ -316,56 +316,14 @@ def exact_pair_scores(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "jaccard_prefix_filter_join",
-    # Exact all-pairs oracle: hash-equality PROVES the prefix filter's
-    # completeness theorem held on this corpus (deterministically — not
-    # the probabilistic recall statement the LSH oracle makes).
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(string_split(
-                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
-               i -> array_to_string(string_split(
-                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
-             )) AS shingles
-      FROM documents
-    ), scored AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(a.shingles) AS BIGINT) AS n_sh_a,
-             CAST(len(b.shingles) AS BIGINT) AS n_sh_b,
-             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
-               AS overlap
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, n_sh_a, n_sh_b, overlap,
-           CAST(overlap AS DOUBLE) / (n_sh_a + n_sh_b - overlap) AS jaccard
-    FROM scored
-    WHERE CAST(overlap AS DOUBLE) / (n_sh_a + n_sh_b - overlap)
-          >= {PPJOIN_THRESHOLD}
-    """,
-)
-def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT similarity self-join via prefix filtering — the scalable
-    exact path next to ``dedup_minhash_lsh``'s probabilistic one: no
-    banding miss probability, no signatures. Shingles are globally
-    ordered rarest-first (by document frequency, then lexicographic);
-    each document exposes only its first ``n - ceil(t*n) + 1`` shingles
-    as blocking keys, and the completeness theorem guarantees any pair
-    with Jaccard >= t shares a prefix shingle (if the prefixes were
-    disjoint, the overlap could be at most ceil(t*n)-1 < t*n <= t*|union|).
-
-    100 TB shape: the df-rank join is shingle-keyed; the per-doc
-    prefix window partitions by doc (doc-sized partitions); candidate
-    blocks key on RARE shingles by construction — the hot shingles that
-    would explode a naive token join are exactly the ones the rarest-
-    first ordering pushes OUT of prefixes. Verification touches
-    candidate pairs only, semi-join-restricted like verify_jaccard.
-    Prefix lengths are exact integer arithmetic (t = {PP_NUM}/{PP_DEN}),
-    so no float ever decides a block boundary."""
-    d = load_table(spark, sf_dir, "documents")
-    sh_arr = doc_shingle_arrays(d)
+def ppjoin_scored_pairs(sh_arr: DataFrame) -> DataFrame:
+    """The full PPJoin plan over a shingle-array relation
+    ``(doc_id, shingles)``: rarest-first prefix blocking -> length +
+    positional filters -> exact verification against the SAME relation.
+    Pure plan builder — no materialization; callers decide whether
+    ``sh_arr`` is persisted (the registered query persists it, because
+    this plan consumes it four times: df counts, rank join, and both
+    verify sides)."""
     sh_rel = sh_arr.select(
         "doc_id",
         F.size("shingles").alias("n"),
@@ -407,9 +365,97 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return exact_pair_scores(cand, d).where(
-        F.col("jaccard") >= PPJOIN_THRESHOLD
+    # verify straight against sh_arr (both sides) — no re-shingling
+    a = sh_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
+    b = sh_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_sh_a"),
+            F.size("sh_b").cast("long").alias("n_sh_b"),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("overlap"),
+        )
+    )
+    jac = F.col("overlap").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("overlap")
+    )
+    return scored.select(
+        "doc_a", "doc_b", "n_sh_a", "n_sh_b", "overlap", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= PPJOIN_THRESHOLD)
+
+
+@query(
+    "jaccard_prefix_filter_join",
+    # Exact all-pairs oracle: hash-equality PROVES the prefix filter's
+    # completeness theorem held on this corpus (deterministically — not
+    # the probabilistic recall statement the LSH oracle makes).
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) - {SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(string_split(
+                 lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[i:i+{SHINGLE_W - 1}], ' ')
+             )) AS shingles
+      FROM documents
+    ), scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(a.shingles) AS BIGINT) AS n_sh_a,
+             CAST(len(b.shingles) AS BIGINT) AS n_sh_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS overlap
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_sh_a, n_sh_b, overlap,
+           CAST(overlap AS DOUBLE) / (n_sh_a + n_sh_b - overlap) AS jaccard
+    FROM scored
+    WHERE CAST(overlap AS DOUBLE) / (n_sh_a + n_sh_b - overlap)
+          >= {PPJOIN_THRESHOLD}
+    """,
+)
+
+
+def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity self-join via prefix filtering — the scalable
+    exact path next to ``dedup_minhash_lsh``'s probabilistic one: no
+    banding miss probability, no signatures. Shingles are globally
+    ordered rarest-first (by document frequency, then lexicographic);
+    each document exposes only its first ``n - ceil(t*n) + 1`` shingles
+    as blocking keys, and the completeness theorem guarantees any pair
+    with Jaccard >= t shares a prefix shingle (if the prefixes were
+    disjoint, the overlap could be at most ceil(t*n)-1 < t*n <= t*|union|).
+
+    100 TB shape: the df-rank join is shingle-keyed; the per-doc
+    prefix window partitions by doc (doc-sized partitions); candidate
+    blocks key on RARE shingles by construction — the hot shingles that
+    would explode a naive token join are exactly the ones the rarest-
+    first ordering pushes OUT of prefixes. Prefix lengths are exact
+    integer arithmetic (t = PP_NUM/PP_DEN), so no float ever decides a
+    block boundary.
+
+    Tokenize ONCE, reuse four times: the shingle-array relation feeds
+    the df counts, the rank join, and both verify sides, so it is
+    persisted (memory-and-disk — the distributed analog of writing the
+    tokenized corpus to an intermediate table, which is what a 100 TB
+    pipeline would do instead of re-tokenizing 3x; measured 7.4 s ->
+    2.5 s warm at sf0.1) and released in ``finally`` after the few-row
+    scored output is pinned (SURVEY T8 hygiene)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh_arr = doc_shingle_arrays(d).persist()
+    try:
+        return ppjoin_scored_pairs(sh_arr).transform(pin)
+    finally:
+        sh_arr.unpersist()
 
 
 @query(

@@ -422,7 +422,19 @@ def test_packing_fold_stays_jvm_side(spark):
 
 def test_prefix_filter_join_no_cartesian(spark):
     """Candidate generation is an equi-join on prefix shingles —
-    never a cartesian/nested-loop product over docs."""
-    plan = plan_of(spark, "jaccard_prefix_filter_join")
+    never a cartesian/nested-loop product over docs. Introspects the
+    pure plan builder (the registered query pins its output for the
+    persist-release hygiene, which would hide the join in a
+    checkpoint scan)."""
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        doc_shingle_arrays,
+        ppjoin_scored_pairs,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    df = ppjoin_scored_pairs(
+        doc_shingle_arrays(load_table(spark, SF, "documents"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
