@@ -208,6 +208,7 @@ NEW_OP_QUERIES = [
     "deterministic_corpus_shuffle",
     "jaccard_prefix_filter_join",
     "kmv_join_size_profile",
+    "kmv_join_size_estimate",
     "web_corpus_curation_funnel",
     "seasonal_naive_backtest",
     "cdc_net_aggregate_view",

@@ -263,11 +263,34 @@ K_JOIN = 256
 
 
 def _join_profile_sql(
-    fact: str, fact_key: str, dim: str, dim_key: str, name: str
+    fact: str,
+    fact_key: str,
+    dim: str,
+    dim_key: str,
+    name: str,
+    include_actual: bool = True,
 ) -> str:
     """One join's profile as a 1-row SELECT (DuckDB), mirroring
-    ``_join_profile`` expression for expression."""
+    ``_join_profile`` expression for expression. ``include_actual=False``
+    is the production estimator shape: prediction only, the exact join
+    never runs."""
     k = K_JOIN
+    actual_cte = (
+        f""",
+    actual AS (
+      SELECT CAST(sum(fa.c * di.c) AS BIGINT) AS actual_join_rows
+      FROM (SELECT {fact_key} AS jk, count(*) AS c FROM {fact} GROUP BY 1) fa
+      JOIN (SELECT {dim_key} AS jk, count(*) AS c FROM {dim} GROUP BY 1) di
+      USING (jk)
+    )"""
+        if include_actual
+        else ""
+    )
+    actual_flat_col = (
+        ", actual.actual_join_rows" if include_actual else ""
+    )
+    actual_flat_from = ", actual" if include_actual else ""
+    actual_out_col = ",\n           actual_join_rows" if include_actual else ""
     return f"""
     WITH keys AS (
       SELECT 'a' AS side, {fact_key} AS jk FROM {fact}
@@ -307,21 +330,15 @@ def _join_profile_sql(
       SELECT count(*) AS n_merged, max(h) AS kth,
              CAST(sum(in_a * in_b) AS BIGINT) AS n_common
       FROM mr WHERE rn <= {k}
-    ),
-    actual AS (
-      SELECT CAST(sum(fa.c * di.c) AS BIGINT) AS actual_join_rows
-      FROM (SELECT {fact_key} AS jk, count(*) AS c FROM {fact} GROUP BY 1) fa
-      JOIN (SELECT {dim_key} AS jk, count(*) AS c FROM {dim} GROUP BY 1) di
-      USING (jk)
-    ),
+    ){actual_cte},
     flat AS (
       SELECT
         (SELECT n_rows FROM est WHERE side = 'a') AS rows_a,
         (SELECT n_rows FROM est WHERE side = 'b') AS rows_b,
         (SELECT est_distinct FROM est WHERE side = 'a') AS est_distinct_a,
         (SELECT est_distinct FROM est WHERE side = 'b') AS est_distinct_b,
-        m.n_merged, m.kth, m.n_common, actual.actual_join_rows
-      FROM m, actual
+        m.n_merged, m.kth, m.n_common{actual_flat_col}
+      FROM m{actual_flat_from}
     ),
     e AS (
       SELECT *,
@@ -335,8 +352,7 @@ def _join_profile_sql(
     SELECT '{name}' AS join_name, rows_a, rows_b,
            est_distinct_a, est_distinct_b, est_common_keys,
            est_common_keys * (CAST(rows_a AS DOUBLE) / est_distinct_a)
-             * (CAST(rows_b AS DOUBLE) / est_distinct_b) AS est_join_rows,
-           actual_join_rows
+             * (CAST(rows_b AS DOUBLE) / est_distinct_b) AS est_join_rows{actual_out_col}
     FROM c
     """
 
@@ -365,9 +381,25 @@ def kmv_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: each side is one distinct partial-agg + bottom-k; the merged
     window touches <= 2k rows; the actual-cardinality evaluation is two
     key-count aggregates joined key-on-key (no row-level join)."""
-    k = K_JOIN
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return _join_profile(
+        orders, "o_custkey", customer, "c_custkey", "orders_x_customer"
+    ).unionByName(
+        _join_profile(
+            lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders"
+        )
+    )
 
-    def profile(fact, fact_key, dim, dim_key, name):
+
+def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
+    """One join's sketch-based size profile (see kmv_join_size_profile).
+    ``include_actual=False`` is the production estimator: prediction
+    from k-row sketches + two count-aggs only — the exact join NEVER
+    runs, which is the whole point of the estimator at 100 TB."""
+    k = K_JOIN
+    if True:
         keys = fact.select(
             F.lit("a").alias("side"), F.col(fact_key).alias("jk")
         ).unionByName(
@@ -404,17 +436,18 @@ def kmv_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
             )
         )
-        fa = fact.groupBy(F.col(fact_key).alias("jk")).agg(
-            F.count("*").alias("ca")
-        )
-        di = dim.groupBy(F.col(dim_key).alias("jk")).agg(
-            F.count("*").alias("cb")
-        )
-        actual = (
-            fa.join(di, "jk")
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("actual_join_rows"))
-        )
-        flat = a_row.crossJoin(b_row).crossJoin(m).crossJoin(actual)
+        flat = a_row.crossJoin(b_row).crossJoin(m)
+        if include_actual:
+            fa = fact.groupBy(F.col(fact_key).alias("jk")).agg(
+                F.count("*").alias("ca")
+            )
+            di = dim.groupBy(F.col(dim_key).alias("jk")).agg(
+                F.count("*").alias("cb")
+            )
+            actual = fa.join(di, "jk").agg(
+                F.sum(F.col("ca") * F.col("cb")).alias("actual_join_rows")
+            )
+            flat = flat.crossJoin(actual)
         e = flat.withColumn(
             "est_jaccard",
             F.col("n_common").cast("double") / F.col("n_merged").cast("double"),
@@ -431,28 +464,58 @@ def kmv_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = e.withColumn(
             "est_common_keys", F.col("est_jaccard") * F.col("est_union")
         )
-        return c.select(
+        cols = [
             F.lit(name).alias("join_name"),
-            "rows_a",
-            "rows_b",
-            "est_distinct_a",
-            "est_distinct_b",
-            "est_common_keys",
+            F.col("rows_a"),
+            F.col("rows_b"),
+            F.col("est_distinct_a"),
+            F.col("est_distinct_b"),
+            F.col("est_common_keys"),
             (
                 F.col("est_common_keys")
                 * (F.col("rows_a").cast("double") / F.col("est_distinct_a"))
                 * (F.col("rows_b").cast("double") / F.col("est_distinct_b"))
             ).alias("est_join_rows"),
-            "actual_join_rows",
-        )
+        ]
+        if include_actual:
+            cols.append(F.col("actual_join_rows"))
+        return c.select(*cols)
 
+
+@query(
+    "kmv_join_size_estimate",
+    oracle=(
+        "SELECT * FROM ("
+        + _join_profile_sql(
+            "orders", "o_custkey", "customer", "c_custkey",
+            "orders_x_customer", include_actual=False,
+        )
+        + ") UNION ALL SELECT * FROM ("
+        + _join_profile_sql(
+            "lineitem", "l_orderkey", "orders", "o_orderkey",
+            "lineitem_x_orders", include_actual=False,
+        )
+        + ")"
+    ),
+)
+def kmv_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of kmv_join_size_profile: identical
+    prediction pipeline, but the exact-cardinality evaluation leg is
+    gone — the predicted |A JOIN B| comes from two k-row KMV sketches
+    and two count aggregates, and the join itself never executes.
+    Registered separately so the bench reports the estimator's true
+    cost instead of the evaluation harness's."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return profile(
-        orders, "o_custkey", customer, "c_custkey", "orders_x_customer"
+    return _join_profile(
+        orders, "o_custkey", customer, "c_custkey", "orders_x_customer",
+        include_actual=False,
     ).unionByName(
-        profile(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders")
+        _join_profile(
+            lineitem, "l_orderkey", orders, "o_orderkey",
+            "lineitem_x_orders", include_actual=False,
+        )
     )
 
 
