@@ -89,8 +89,8 @@ class InMemorySchemaRegistry:
 
     def register_schema(
         self,
+        subject: str,
         schema_json: str,
-        subject: str = "default",
         compatibility: str = "FULL",
     ) -> int:
         """Register a new version under ``subject`` after checking it

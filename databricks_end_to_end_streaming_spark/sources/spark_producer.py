@@ -44,3 +44,27 @@ def to_confluent_wire(
         F.lit(topic).alias("topic"),
         key_num.cast("int").alias("partition"),
     )
+
+
+def register_and_wire(
+    events: DataFrame,
+    registry,
+    subject: str,
+    schema_json: str,
+    topic: str = "product-events",
+    n_partitions: int = 4,
+) -> tuple[int, DataFrame]:
+    """The reference producers' full handshake: REGISTER the schema
+    (compatibility-gated — producer.scala:60-61 registers with FULL)
+    and frame every event with the id the registry assigned, instead of
+    trusting a caller-supplied id that may not match what consumers
+    will resolve. One driver-side registration per job, amortized over
+    every produced row. ``registry`` is anything with
+    ``register_schema(subject, schema_json) -> id`` (InMemory,
+    ConfluentRest); raises ``IncompatibleSchemaError`` before a single
+    row is framed if the evolution violates the subject's level.
+    Returns (assigned_id, wire_df)."""
+    schema_id = registry.register_schema(subject, schema_json)
+    return schema_id, to_confluent_wire(
+        events, schema_id, schema_json, topic=topic, n_partitions=n_partitions
+    )

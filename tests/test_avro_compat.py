@@ -189,14 +189,14 @@ def test_in_memory_registry_register_schema_gates_on_full():
     )
 
     reg = InMemorySchemaRegistry({})
-    id1 = reg.register_schema(V1, subject="product")
-    id2 = reg.register_schema(V2, subject="product")
+    id1 = reg.register_schema("product", V1)
+    id2 = reg.register_schema("product", V2)
     assert id2 == id1 + 1
     # idempotent: same schema returns the same id, no new version
-    assert reg.register_schema(V2, subject="product") == id2
+    assert reg.register_schema("product", V2) == id2
     # checks run against the LATEST version (Confluent non-transitive
     # semantics): V2_NO_DEFAULT is fine vs V2 (category exists there)...
-    id_nd = reg.register_schema(V2_NO_DEFAULT, subject="product")
+    id_nd = reg.register_schema("product", V2_NO_DEFAULT)
     assert id_nd == id2 + 1
     # ...but a type change is incompatible in both directions
     v_retype = json.dumps(
@@ -211,7 +211,7 @@ def test_in_memory_registry_register_schema_gates_on_full():
         }
     )
     with pytest.raises(IncompatibleSchemaError):
-        reg.register_schema(v_retype, subject="product")
+        reg.register_schema("product", v_retype)
     # a different subject starts its own lineage
     other = json.dumps(
         {
@@ -220,6 +220,6 @@ def test_in_memory_registry_register_schema_gates_on_full():
             "fields": [{"name": "z", "type": "boolean"}],
         }
     )
-    id3 = reg.register_schema(other, subject="orders")
+    id3 = reg.register_schema("orders", other)
     assert id3 == id_nd + 1
     assert reg.get_schema(id3).name == "other"

@@ -81,3 +81,59 @@ def test_spark_producer_feeds_ingest_demux(spark, workdir):
     assert {(r["eventId"], r["type"], r["color"]) for r in flat} == {
         (e[1], e[2], e[5]) for e in ROWS
     }
+
+
+def test_register_and_wire_end_to_end(spark):
+    """Producer handshake: register v1 then evolve to v2 under FULL; the
+    assigned ids frame the wire bytes, and a consumer resolving THROUGH
+    THE SAME REGISTRY decodes both generations (the auto-registration
+    loop the reference's producers run, producer.scala:60-61)."""
+    from databricks_end_to_end_streaming_spark.avro.compat import (
+        IncompatibleSchemaError,
+    )
+    from databricks_end_to_end_streaming_spark.registry import (
+        InMemorySchemaRegistry,
+    )
+    from databricks_end_to_end_streaming_spark.schemas import PRODUCT_V1_JSON
+    from databricks_end_to_end_streaming_spark.sources.spark_producer import (
+        register_and_wire,
+    )
+
+    reg = InMemorySchemaRegistry({})
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    v1_events = df.select("productId", "eventId", "type", "timestamp")
+
+    id1, wire1 = register_and_wire(v1_events, reg, "product-value", PRODUCT_V1_JSON)
+    id2, wire2 = register_and_wire(df, reg, "product-value", PRODUCT_V2_JSON)
+    assert id2 == id1 + 1
+    # idempotent re-registration reuses the id
+    id2b, _ = register_and_wire(df, reg, "product-value", PRODUCT_V2_JSON)
+    assert id2b == id2
+
+    for wire, want_id in ((wire1, id1), (wire2, id2)):
+        got = wire.select(
+            confluent_schema_id("value").alias("sid"),
+            confluent_payload("value").alias("payload"),
+        ).collect()
+        assert all(r["sid"] == want_id for r in got)
+        # consumer path: resolve the framed id via the registry
+        schema_json = reg.get_schema_json(got[0]["sid"])
+        decoded = {
+            decode(bytes(r["payload"]), schema_json)["eventId"] for r in got
+        }
+        assert decoded == {"e-1", "e-2", "e-3"}
+
+    # an incompatible evolution never frames a row
+    import json as _json
+
+    bad = _json.dumps(
+        {
+            "type": "record",
+            "name": "product",
+            "fields": [{"name": "productId", "type": "long"}],
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(IncompatibleSchemaError):
+        register_and_wire(df, reg, "product-value", bad)
