@@ -46,6 +46,56 @@ def to_confluent_wire(
     )
 
 
+def to_glue_wire(
+    events: DataFrame,
+    schema_uuid: str,
+    schema_json: str | dict,
+    topic: str = "product-events",
+    n_partitions: int = 4,
+    compression: int = 0,
+) -> DataFrame:
+    """Event rows -> Kafka-producer-shaped rows with AWS Glue framing:
+    [version 3][compression byte][16-byte schema-version UUID][avro
+    payload] (ingest.scala:33-45) — the producer-side counterpart of the
+    demux's Glue header slicing. ``schema_uuid`` is the 32-hex-char
+    version id (dashes accepted). ``compression=5`` zlib-deflates each
+    payload (Arrow-batched, mirroring the demux's ``_inflate_compressed``);
+    0 stays entirely JVM-side."""
+    uuid_hex = str(schema_uuid).replace("-", "").lower()
+    if len(uuid_hex) != 32 or any(c not in "0123456789abcdef" for c in uuid_hex):
+        raise ValueError(f"not a Glue schema-version uuid: {schema_uuid!r}")
+    if compression not in (0, 5):
+        raise ValueError(f"Glue compression byte must be 0 or 5, got {compression}")
+    enc = encode_avro(events, schema_json, output_col="__payload")
+    if compression == 5:
+        import zlib
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        schema = enc.schema
+
+        def deflate(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["__payload"] = [
+                    zlib.compress(bytes(p)) for p in pdf["__payload"]
+                ]
+                yield pdf
+
+        enc = enc.mapInPandas(deflate, schema)
+    key_num = F.pmod(F.xxhash64("eventId"), F.lit(n_partitions))
+    header = F.concat(
+        F.lit(bytes([3, compression])), F.unhex(F.lit(uuid_hex))
+    )
+    return enc.select(
+        key_num.cast("string").cast("binary").alias("key"),
+        F.concat(header, F.col("__payload")).alias("value"),
+        F.lit(topic).alias("topic"),
+        key_num.cast("int").alias("partition"),
+    )
+
+
 def register_and_wire(
     events: DataFrame,
     registry,

@@ -137,3 +137,99 @@ def test_register_and_wire_end_to_end(spark):
 
     with _pytest.raises(IncompatibleSchemaError):
         register_and_wire(df, reg, "product-value", bad)
+
+
+def test_glue_wire_demuxes_back(spark):
+    """Glue-framed producer output round-trips through the demux's own
+    header slicers: version byte 3, compression byte, 16-byte UUID, and
+    payload decode — both uncompressed and zlib (compression=5)."""
+    import uuid as _uuid
+    import zlib as _zlib
+
+    from databricks_end_to_end_streaming_spark.functions.binary import (
+        glue_compression,
+        glue_payload,
+        glue_schema_uuid,
+    )
+    from databricks_end_to_end_streaming_spark.sources.spark_producer import (
+        to_glue_wire,
+    )
+
+    uid = _uuid.UUID(int=0x22222222222222222222222222222222)
+    df = spark.createDataFrame(ROWS, SCHEMA)
+
+    wire = to_glue_wire(df, uid.hex, PRODUCT_V2_JSON)
+    got = wire.select(
+        glue_schema_uuid("value").alias("uid"),
+        glue_compression("value").alias("comp"),
+        glue_payload("value").alias("payload"),
+    ).collect()
+    assert all(r["uid"] == uid.hex for r in got)
+    assert all(r["comp"] == 0 for r in got)
+    decoded = {
+        decode(bytes(r["payload"]), PRODUCT_V2_JSON)["eventId"] for r in got
+    }
+    assert decoded == {"e-1", "e-2", "e-3"}
+
+    # zlib path: compression byte 5, payload inflates back
+    wz = to_glue_wire(df, str(uid), PRODUCT_V2_JSON, compression=5)
+    gz = wz.select(
+        glue_compression("value").alias("comp"),
+        glue_payload("value").alias("payload"),
+    ).collect()
+    assert all(r["comp"] == 5 for r in gz)
+    dz = {
+        decode(_zlib.decompress(bytes(r["payload"])), PRODUCT_V2_JSON)["eventId"]
+        for r in gz
+    }
+    assert dz == {"e-1", "e-2", "e-3"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="uuid"):
+        to_glue_wire(df, "nope", PRODUCT_V2_JSON)
+    with _pytest.raises(ValueError, match="compression"):
+        to_glue_wire(df, uid.hex, PRODUCT_V2_JSON, compression=9)
+
+
+def test_glue_wire_feeds_ingest_demux(spark, workdir):
+    """Full Glue loop: distributed Glue-framed producer -> topic files ->
+    streaming demux with glue framing -> raw table rows decode."""
+    import uuid as _uuid
+
+    from databricks_end_to_end_streaming_spark.registry import (
+        InMemorySchemaRegistry,
+    )
+    from databricks_end_to_end_streaming_spark.sources import file_stream
+    from databricks_end_to_end_streaming_spark.sources.spark_producer import (
+        to_glue_wire,
+    )
+    from databricks_end_to_end_streaming_spark.streaming import (
+        ParquetTable,
+        ingest_avro_stream,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        glue_framing,
+    )
+
+    uid = _uuid.UUID(int=0x22222222222222222222222222222222)
+    reg = InMemorySchemaRegistry({uid.hex: PRODUCT_V2_JSON})
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    wire = to_glue_wire(df, uid.hex, PRODUCT_V2_JSON)
+    (
+        wire.withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("timestamp", F.current_timestamp())
+        .withColumn("timestampType", F.lit(0))
+        .write.mode("append")
+        .parquet(f"{workdir}/topic")
+    )
+    raw = ParquetTable(f"{workdir}/raw")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        reg,
+        raw,
+        checkpoint=f"{workdir}/cp",
+        framing=glue_framing(),
+    )
+    out = raw.read(spark)
+    assert out.count() == 3
