@@ -101,8 +101,9 @@ PLAN_QUERIES = [
     ("packing_next_fit_stats", "sequential fold as JVM aggregate() HOF over per-shard arrays: ONE partial-agg shuffle, no window, no Python"),
     ("kmv_weekly_users_rollup", "raw scan feeds ONE distinct partial-agg; daily bottom-k bounds state k/day; weekly merge runs on days-x-k sketch rows"),
     ("deterministic_corpus_shuffle", "seeded md5 permutation; range-partitioned global rank (uniform hash keys -> balanced ranges), NO 1-partition window"),
-    ("jaccard_prefix_filter_join", "rarest-first df-ordered prefixes as blocking keys (hot shingles pushed OUT of prefixes); exact verify on candidates only"),
+    ("jaccard_prefix_filter_join", "rarest-first df-ordered prefixes as blocking keys (hot shingles pushed OUT of prefixes); verify against the once-persisted shingle relation (plan via the unpinned builder)"),
     ("kmv_join_size_profile", "per-side distinct partial-agg + bottom-k; merged window <= 2k rows; actual-cardinality eval = key-count aggs joined, no row join"),
+    ("kmv_join_size_estimate", "the production estimator: identical prediction pipeline, evaluation leg GONE — the exact join never appears in the plan"),
     ("web_corpus_curation_funnel", "whole curation pass ONE plan: pinned survivor chain feeds 4 unioned stage aggregates; stages reuse standalone-query semantics"),
     ("seasonal_naive_backtest", "two tiny training aggs broadcast onto the test scan; int64 cents until ONE division per output column; no cross-row double sums"),
     ("cdc_net_aggregate_view", "counting-IVM path as a plan: (key,value,net) partial-agg -> surviving-multiplicity rollup; two key-bound exchanges total"),
@@ -110,10 +111,28 @@ PLAN_QUERIES = [
 ]
 
 
+def _plan_builders():
+    """Unpinned plan builders for queries whose REGISTERED form pins the
+    final output (a dumped plan of a localCheckpoint scan shows
+    nothing). Each returns the same logical plan the query materializes."""
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        doc_shingle_arrays,
+        ppjoin_scored_pairs,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    return {
+        "jaccard_prefix_filter_join": lambda spark, sf: ppjoin_scored_pairs(
+            doc_shingle_arrays(load_table(spark, sf, "documents"))
+        ),
+    }
+
+
 def main() -> None:
     spark = get_spark("plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = all_queries()
+    qs = dict(all_queries())
+    qs.update(_plan_builders())
     out = [
         "# PLANS — formatted physical plans of the headline queries",
         "",
