@@ -2093,3 +2093,96 @@ def cdc_net_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cents"
         ),
     )
+
+
+HIST_BIN_CENTS = 500  # $5-wide bins; ~100 bins over this corpus's range
+
+
+@query(
+    "histogram_quantile_rollup",
+    oracle=f"""
+    WITH hourly AS (
+      -- the persisted mergeable summary: per (day, hour, bin) counts
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             extract(hour FROM CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // {HIST_BIN_CENTS} AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    daily AS (
+      SELECT day, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM hourly GROUP BY day, bin
+    ),
+    cum AS (
+      SELECT day, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS BIGINT)
+               AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS total
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(total) AS BIGINT) AS total_events,
+           CAST(min(CASE WHEN cum * 2 >= total * 1 THEN bin END)
+                * {HIST_BIN_CENTS} AS BIGINT) AS p50_lo_cents,
+           CAST(min(CASE WHEN cum * 10 >= total * 9 THEN bin END)
+                * {HIST_BIN_CENTS} AS BIGINT) AS p90_lo_cents,
+           CAST(min(CASE WHEN cum * 100 >= total * 99 THEN bin END)
+                * {HIST_BIN_CENTS} AS BIGINT) AS p99_lo_cents
+    FROM cum GROUP BY day
+    """,
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summaries — the quantile analog of the KMV
+    rollup (kmv_weekly_users_rollup): fixed-width integer-cents
+    histogram bins per (day, hour) are the persisted summary a
+    production pipeline keeps per micro-batch/hour; daily p50/p90/p99
+    come from MERGING bins (count-sum monoid — associative, partial-
+    agg'd map-side), never from re-scanning raw events or from
+    percentile_approx, whose internal sketch is engine-opaque and not
+    hash-replayable. Quantile = lower bound of the first bin whose
+    cumulative count reaches ceil(q*total), computed by integer
+    cross-multiplication (cum*q_den >= total*q_num) — no float ever
+    picks a bin, so DuckDB reproduces every output bit-for-bit.
+
+    100 TB shape: the raw scan collapses to <=24h x ~100 bins per day in
+    ONE partial-agg exchange; the merge and the quantile window touch
+    only bin rows (bounded per group), so a year of data is ~900k
+    summary rows regardless of event volume. Error is bounded by the
+    bin width (here {HIST_BIN_CENTS} cents), the standard
+    fixed-histogram trade."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hourly = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            F.call_function("div", cents, F.lit(HIST_BIN_CENTS)).alias("bin"),
+        )
+        .groupBy("day", "hour", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    daily = hourly.groupBy("day", "bin").agg(F.sum("cnt").alias("cnt"))
+    w_cum = Window.partitionBy("day").orderBy("bin")
+    w_all = Window.partitionBy("day")
+    cum = daily.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+
+    def q_bin(num: int, den: int) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") * den >= F.col("total") * num, F.col("bin"))
+        )
+
+    return cum.groupBy("day").agg(
+        F.max("total").alias("total_events"),
+        (q_bin(1, 2) * HIST_BIN_CENTS).cast("long").alias("p50_lo_cents"),
+        (q_bin(9, 10) * HIST_BIN_CENTS).cast("long").alias("p90_lo_cents"),
+        (q_bin(99, 100) * HIST_BIN_CENTS).cast("long").alias("p99_lo_cents"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total_events",
+        "p50_lo_cents",
+        "p90_lo_cents",
+        "p99_lo_cents",
+    )

@@ -130,3 +130,66 @@ def test_moments_stage_over_real_stream(spark, workdir):
     for k in inc:
         assert inc[k]["n"] == batch[k]["n"]
         assert inc[k]["corr_xy"] == batch[k]["corr_xy"], k
+
+
+def test_histogram_rollup_merge_equals_direct(spark):
+    """Mergeability proof (the KMV-rollup analog): daily bins obtained
+    by merging the hourly summaries equal daily bins computed straight
+    from raw rows, bit-for-bit — the property that lets a production
+    pipeline persist hourly summaries and never rescan."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        HIST_BIN_CENTS,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        F.call_function("div", cents, F.lit(HIST_BIN_CENTS)).alias("bin"),
+    )
+    merged = (
+        base.groupBy("day", "hour", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("day", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = base.groupBy("day", "bin").agg(F.count("*").alias("cnt"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_histogram_quantile_within_bin_width_of_exact(spark):
+    """The reported p50 lower bound brackets the exact median within
+    one bin width — the fixed-histogram error contract."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        HIST_BIN_CENTS,
+        histogram_quantile_rollup,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day"]: r["p50_lo_cents"]
+        for r in histogram_quantile_rollup(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    exact = (
+        ev.select(F.to_date("ts").alias("day"), cents.alias("cents"))
+        .groupBy("day")
+        .agg(
+            F.expr("percentile(cents, 0.5)").alias("med")
+        )
+        .collect()
+    )
+    for r in exact:
+        day = r["day"].strftime("%Y-%m-%d")
+        lo = got[day]
+        assert lo <= r["med"] < lo + 2 * HIST_BIN_CENTS, (day, lo, r["med"])
