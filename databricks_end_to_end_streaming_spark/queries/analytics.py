@@ -2098,6 +2098,55 @@ def cdc_net_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BIN_CENTS = 500  # $5-wide bins; ~100 bins over this corpus's range
 
 
+def hist_hourly_bins(ev: DataFrame) -> DataFrame:
+    """(day, hour, bin, cnt): the persisted mergeable summary — one
+    partial-agg exchange collapses raw events to <=24h x ~100 bins per
+    day. Shared by the batch query and the streaming per-batch partial
+    (streaming/histogram_stage.py), so the two can never bin
+    differently."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            F.call_function("div", cents, F.lit(HIST_BIN_CENTS)).alias("bin"),
+        )
+        .groupBy("day", "hour", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantile_report(bins: DataFrame) -> DataFrame:
+    """(day, total_events, p50/p90/p99_lo_cents) from any relation of
+    (day, bin, cnt) rows (duplicates per (day,bin) allowed — they merge
+    by sum). Bin selection is integer cross-multiplication; no float
+    ever picks a bin. Shared batch/streaming report core."""
+    daily = bins.groupBy("day", "bin").agg(F.sum("cnt").alias("cnt"))
+    w_cum = Window.partitionBy("day").orderBy("bin")
+    w_all = Window.partitionBy("day")
+    cum = daily.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+
+    def q_bin(num: int, den: int) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") * den >= F.col("total") * num, F.col("bin"))
+        )
+
+    return cum.groupBy("day").agg(
+        F.max("total").alias("total_events"),
+        (q_bin(1, 2) * HIST_BIN_CENTS).cast("long").alias("p50_lo_cents"),
+        (q_bin(9, 10) * HIST_BIN_CENTS).cast("long").alias("p90_lo_cents"),
+        (q_bin(99, 100) * HIST_BIN_CENTS).cast("long").alias("p99_lo_cents"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total_events",
+        "p50_lo_cents",
+        "p90_lo_cents",
+        "p99_lo_cents",
+    )
+
+
 @query(
     "histogram_quantile_rollup",
     oracle=f"""
@@ -2152,37 +2201,4 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin width (here {HIST_BIN_CENTS} cents), the standard
     fixed-histogram trade."""
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    hourly = (
-        ev.select(
-            F.to_date("ts").alias("day"),
-            F.hour("ts").alias("hour"),
-            F.call_function("div", cents, F.lit(HIST_BIN_CENTS)).alias("bin"),
-        )
-        .groupBy("day", "hour", "bin")
-        .agg(F.count("*").alias("cnt"))
-    )
-    daily = hourly.groupBy("day", "bin").agg(F.sum("cnt").alias("cnt"))
-    w_cum = Window.partitionBy("day").orderBy("bin")
-    w_all = Window.partitionBy("day")
-    cum = daily.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "total", F.sum("cnt").over(w_all)
-    )
-
-    def q_bin(num: int, den: int) -> F.Column:
-        return F.min(
-            F.when(F.col("cum") * den >= F.col("total") * num, F.col("bin"))
-        )
-
-    return cum.groupBy("day").agg(
-        F.max("total").alias("total_events"),
-        (q_bin(1, 2) * HIST_BIN_CENTS).cast("long").alias("p50_lo_cents"),
-        (q_bin(9, 10) * HIST_BIN_CENTS).cast("long").alias("p90_lo_cents"),
-        (q_bin(99, 100) * HIST_BIN_CENTS).cast("long").alias("p99_lo_cents"),
-    ).select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "total_events",
-        "p50_lo_cents",
-        "p90_lo_cents",
-        "p99_lo_cents",
-    )
+    return hist_quantile_report(hist_hourly_bins(ev))
