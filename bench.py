@@ -211,6 +211,7 @@ NEW_OP_QUERIES = [
     "kmv_join_size_estimate",
     "web_corpus_curation_funnel",
     "seasonal_naive_backtest",
+    "histogram_quantile_rollup",
     "cdc_net_aggregate_view",
     "kmv_trailing_7day_users",
 ]
