@@ -48,3 +48,40 @@ def test_empty_corpus_returns_not_raises(spark, empty_dir, name):
         assert len(rows) == 4 and all(r.n_docs == 0 for r in rows)
     else:
         assert rows == []
+
+
+R7_QUERIES = [
+    "histogram_quantile_rollup",
+    "kmv_join_size_estimate",
+]
+
+R7_TABLES = ["orders", "customer", "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def empty_dir_r7(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("empty_r7"))
+    spark.createDataFrame([], EVENTS).write.parquet(f"{tmp}/events.parquet")
+    spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{tmp}/orders.parquet")
+    spark.createDataFrame([], "c_custkey long").write.parquet(
+        f"{tmp}/customer.parquet"
+    )
+    spark.createDataFrame([], "l_orderkey long").write.parquet(
+        f"{tmp}/lineitem.parquet"
+    )
+    return tmp
+
+
+@pytest.mark.parametrize("name", R7_QUERIES)
+def test_r7_empty_returns_not_raises(spark, empty_dir_r7, name):
+    rows = all_queries()[name](spark, empty_dir_r7).collect()
+    if name == "kmv_join_size_estimate":
+        # the estimator still emits its two join rows (zero-count sides)
+        assert {r.join_name for r in rows} <= {
+            "orders_x_customer",
+            "lineitem_x_orders",
+        }
+    else:
+        assert rows == []
