@@ -121,3 +121,53 @@ def test_await_batches_times_out_with_diagnostics(spark, workdir):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_stateful_silver_dedup_under_timed_triggers(spark, workdir):
+    """Stateful continuous mode: silver's dropDuplicates state must span
+    TRIGGERS — a duplicate eventId arriving in a later wave (while the
+    query keeps running) is dropped by the keyed state, not re-emitted.
+    The availableNow drains can't show this cross-trigger state
+    retention; only the always-on mode can."""
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        silver_transform,
+    )
+
+    wave1 = generate_events(30, seed=31, v1_ratio=0.3)
+    # wave 2 = 10 fresh events + 10 exact replays of wave-1 events
+    wave2 = generate_events(10, seed=32, v1_ratio=0.3) + [
+        dict(e) for e in wave1[:10]
+    ]
+    _ingest_wave(spark, workdir, wave1)
+
+    raw = ParquetTable(f"{workdir}/raw")
+    silver = ParquetTable(f"{workdir}/silver")
+    flat = raw.stream(spark).select("parsedValue.*")
+    q = run_continuous(
+        silver_transform(flat),
+        silver,
+        checkpoint=f"{workdir}/cp/silver",
+        query_name="silver_soak",
+        processing_time="500 milliseconds",
+    )
+    n1 = len({e["eventId"] for e in wave1})
+    try:
+        b1, _ = await_batches(q, min_batches=1, min_rows=len(wave1))
+        _ingest_wave(spark, workdir, wave2)
+        await_batches(
+            q, min_batches=b1 + 1, min_rows=len(wave1) + len(wave2)
+        )
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    out = silver.read(spark)
+    n_unique = len(
+        {e["eventId"] for e in wave1} | {e["eventId"] for e in wave2}
+    )
+    assert n_unique < len(wave1) + len(wave2)  # replays really planted
+    # keyed state held across triggers: exactly one row per eventId,
+    # and the wave-1 replays contributed nothing
+    assert out.count() == n_unique
+    assert out.select("eventId").distinct().count() == n_unique
+    assert n_unique == n1 + 10
