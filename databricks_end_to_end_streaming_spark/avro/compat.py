@@ -154,6 +154,15 @@ def _as_record_dict(s: Any) -> dict:
 def _resolve_record(
     writer: dict, reader: dict, path: str, issues: list[str]
 ) -> None:
+    # Avro resolution requires matching record names (we model no
+    # aliases); enums/fixed already enforce theirs, so records must too
+    # — a silent rename would pass a gate the production registry
+    # refuses.
+    if writer.get("name") != reader.get("name"):
+        issues.append(
+            f"{path}: record name {writer.get('name')!r} != "
+            f"{reader.get('name')!r}"
+        )
     wfields = {f["name"]: f for f in writer.get("fields", ())}
     for rf in reader.get("fields", ()):
         fpath = f"{path}.{rf['name']}"

@@ -423,8 +423,6 @@ def ppjoin_scored_pairs(sh_arr: DataFrame) -> DataFrame:
           >= {PPJOIN_THRESHOLD}
     """,
 )
-
-
 def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT similarity self-join via prefix filtering — the scalable
     exact path next to ``dedup_minhash_lsh``'s probabilistic one: no
@@ -456,6 +454,18 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ppjoin_scored_pairs(sh_arr).transform(pin)
     finally:
         sh_arr.unpersist()
+
+
+def jaccard_prefix_filter_join_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME logical plan as the registered query, unpinned and
+    unpersisted — for plan introspection (tests/test_plans.py,
+    tools/dump_plans.py, tools/shuffle_ledger.py), where the registered
+    form's eager pin would hide everything behind a checkpoint scan."""
+    return ppjoin_scored_pairs(
+        doc_shingle_arrays(load_table(spark, sf_dir, "documents"))
+    )
 
 
 @query(

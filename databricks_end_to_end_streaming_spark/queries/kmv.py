@@ -399,87 +399,86 @@ def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
     from k-row sketches + two count-aggs only — the exact join NEVER
     runs, which is the whole point of the estimator at 100 TB."""
     k = K_JOIN
-    if True:
-        keys = fact.select(
-            F.lit("a").alias("side"), F.col(fact_key).alias("jk")
-        ).unionByName(
-            dim.select(F.lit("b").alias("side"), F.col(dim_key).alias("jk"))
+    keys = fact.select(
+        F.lit("a").alias("side"), F.col(fact_key).alias("jk")
+    ).unionByName(
+        dim.select(F.lit("b").alias("side"), F.col(dim_key).alias("jk"))
+    )
+    rows_per = keys.groupBy("side").agg(F.count("*").alias("n_rows"))
+    # consumed by side_stats AND the merged-sketch tagging
+    sk = pin(kmv_sketch(keys, "jk", ["side"], k))
+    side_stats = sk.groupBy("side").agg(
+        F.count("*").alias("n_sk"), F.max("h").alias("kth")
+    )
+    est = kmv_estimate(
+        side_stats, k, n_col="n_sk"
+    ).join(rows_per, "side")
+    a_row = est.where(F.col("side") == "a").select(
+        F.col("n_rows").alias("rows_a"),
+        F.col("est_distinct").alias("est_distinct_a"),
+    )
+    b_row = est.where(F.col("side") == "b").select(
+        F.col("n_rows").alias("rows_b"),
+        F.col("est_distinct").alias("est_distinct_b"),
+    )
+    tag = sk.groupBy("h").agg(
+        F.max((F.col("side") == "a").cast("int")).alias("in_a"),
+        F.max((F.col("side") == "b").cast("int")).alias("in_b"),
+    )
+    mw = Window.partitionBy(F.lit(0)).orderBy("h")
+    m = (
+        tag.withColumn("rn", F.row_number().over(mw))
+        .where(F.col("rn") <= k)
+        .agg(
+            F.count("*").alias("n_merged"),
+            F.max("h").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
         )
-        rows_per = keys.groupBy("side").agg(F.count("*").alias("n_rows"))
-        # consumed by side_stats AND the merged-sketch tagging
-        sk = pin(kmv_sketch(keys, "jk", ["side"], k))
-        side_stats = sk.groupBy("side").agg(
-            F.count("*").alias("n_sk"), F.max("h").alias("kth")
+    )
+    flat = a_row.crossJoin(b_row).crossJoin(m)
+    if include_actual:
+        fa = fact.groupBy(F.col(fact_key).alias("jk")).agg(
+            F.count("*").alias("ca")
         )
-        est = kmv_estimate(
-            side_stats, k, n_col="n_sk"
-        ).join(rows_per, "side")
-        a_row = est.where(F.col("side") == "a").select(
-            F.col("n_rows").alias("rows_a"),
-            F.col("est_distinct").alias("est_distinct_a"),
+        di = dim.groupBy(F.col(dim_key).alias("jk")).agg(
+            F.count("*").alias("cb")
         )
-        b_row = est.where(F.col("side") == "b").select(
-            F.col("n_rows").alias("rows_b"),
-            F.col("est_distinct").alias("est_distinct_b"),
+        actual = fa.join(di, "jk").agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("actual_join_rows")
         )
-        tag = sk.groupBy("h").agg(
-            F.max((F.col("side") == "a").cast("int")).alias("in_a"),
-            F.max((F.col("side") == "b").cast("int")).alias("in_b"),
-        )
-        mw = Window.partitionBy(F.lit(0)).orderBy("h")
-        m = (
-            tag.withColumn("rn", F.row_number().over(mw))
-            .where(F.col("rn") <= k)
-            .agg(
-                F.count("*").alias("n_merged"),
-                F.max("h").alias("kth"),
-                F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
-            )
-        )
-        flat = a_row.crossJoin(b_row).crossJoin(m)
-        if include_actual:
-            fa = fact.groupBy(F.col(fact_key).alias("jk")).agg(
-                F.count("*").alias("ca")
-            )
-            di = dim.groupBy(F.col(dim_key).alias("jk")).agg(
-                F.count("*").alias("cb")
-            )
-            actual = fa.join(di, "jk").agg(
-                F.sum(F.col("ca") * F.col("cb")).alias("actual_join_rows")
-            )
-            flat = flat.crossJoin(actual)
-        e = flat.withColumn(
-            "est_jaccard",
-            F.col("n_common").cast("double") / F.col("n_merged").cast("double"),
-        ).withColumn(
-            "est_union",
-            F.when(
-                F.col("n_merged") < k, F.col("n_merged").cast("double")
-            ).otherwise(
-                F.lit(float(k - 1))
-                * F.lit(float(2**60))
-                / F.col("kth").cast("double")
-            ),
-        )
-        c = e.withColumn(
-            "est_common_keys", F.col("est_jaccard") * F.col("est_union")
-        )
-        cols = [
-            F.lit(name).alias("join_name"),
-            F.col("rows_a"),
-            F.col("rows_b"),
-            F.col("est_distinct_a"),
-            F.col("est_distinct_b"),
-            F.col("est_common_keys"),
-            (
-                F.col("est_common_keys")
-                * (F.col("rows_a").cast("double") / F.col("est_distinct_a"))
-                * (F.col("rows_b").cast("double") / F.col("est_distinct_b"))
-            ).alias("est_join_rows"),
-        ]
-        if include_actual:
-            cols.append(F.col("actual_join_rows"))
-        return c.select(*cols)
+        flat = flat.crossJoin(actual)
+    e = flat.withColumn(
+        "est_jaccard",
+        F.col("n_common").cast("double") / F.col("n_merged").cast("double"),
+    ).withColumn(
+        "est_union",
+        F.when(
+            F.col("n_merged") < k, F.col("n_merged").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1))
+            * F.lit(float(2**60))
+            / F.col("kth").cast("double")
+        ),
+    )
+    c = e.withColumn(
+        "est_common_keys", F.col("est_jaccard") * F.col("est_union")
+    )
+    cols = [
+        F.lit(name).alias("join_name"),
+        F.col("rows_a"),
+        F.col("rows_b"),
+        F.col("est_distinct_a"),
+        F.col("est_distinct_b"),
+        F.col("est_common_keys"),
+        (
+            F.col("est_common_keys")
+            * (F.col("rows_a").cast("double") / F.col("est_distinct_a"))
+            * (F.col("rows_b").cast("double") / F.col("est_distinct_b"))
+        ).alias("est_join_rows"),
+    ]
+    if include_actual:
+        cols.append(F.col("actual_join_rows"))
+    return c.select(*cols)
 
 
 @query(

@@ -535,7 +535,9 @@ class GlueRestRegistry:
                 status = out.get("SchemaVersionStatus", "AVAILABLE")
             else:
                 raise
-        uuid = out["SchemaVersionId"]
+        # canonicalize like every read-path access, so a proxy returning
+        # uppercase/undashed uuids still hits the cache on later reads
+        uuid = self._canonical_uuid(out["SchemaVersionId"])
         for _ in range(poll_attempts):
             if status != "PENDING":
                 break
@@ -545,10 +547,13 @@ class GlueRestRegistry:
             )
             status = polled.get("Status", "AVAILABLE")
         if status == "FAILURE":
+            # the SCHEMA's server-side level governs existing schemas;
+            # the ``compatibility`` argument only applies on the
+            # CreateSchema bootstrap — don't name a level we can't know
             raise IncompatibleSchemaError(
                 f"Glue rejected schema version {uuid} of "
-                f"{registry_name}/{schema_name}: compatibility "
-                f"{compatibility.upper()} violated (Status=FAILURE)",
+                f"{registry_name}/{schema_name}: the schema's configured "
+                "compatibility level was violated (Status=FAILURE)",
                 [f"{registry_name}/{schema_name}: Status=FAILURE"],
             )
         if status == "PENDING":

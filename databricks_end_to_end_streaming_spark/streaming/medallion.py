@@ -67,6 +67,24 @@ def gold_transform(df: DataFrame, cutoff) -> DataFrame:
     )
 
 
+def _append_writer(
+    df: DataFrame, target: ParquetTable, checkpoint: str, query_name: str
+):
+    """The one parquet-append writer both trigger modes share — sink
+    options can't drift between the availableNow drain and the
+    continuous mode. Caller picks the trigger and starts."""
+    w = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target.path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+    if target.partition_by:
+        w = w.partitionBy(*target.partition_by)
+    return w
+
+
 def _run_append(
     df: DataFrame,
     target: ParquetTable,
@@ -82,17 +100,11 @@ def _run_append(
         from .observe import observe_stream
 
         df = observe_stream(df, query_name, observe_rules)
-    w = (
-        df.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", target.path)
-        .option("checkpointLocation", checkpoint)
-        .queryName(query_name)
+    q = (
+        _append_writer(df, target, checkpoint, query_name)
         .trigger(availableNow=True)
+        .start()
     )
-    if target.partition_by:
-        w = w.partitionBy(*target.partition_by)
-    q = w.start()
     q.awaitTermination()
     if observe_rules is not None:
         from .observe import progress_metrics
@@ -115,17 +127,11 @@ def run_continuous(
     always-on mode: this is that mode, same transform, same sink, same
     checkpoint discipline, only the trigger differs. Pair with
     ``await_batches`` to soak N timed triggers in tests."""
-    w = (
-        df.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", target.path)
-        .option("checkpointLocation", checkpoint)
-        .queryName(query_name)
+    return (
+        _append_writer(df, target, checkpoint, query_name)
         .trigger(processingTime=processing_time)
+        .start()
     )
-    if target.partition_by:
-        w = w.partitionBy(*target.partition_by)
-    return w.start()
 
 
 def await_batches(

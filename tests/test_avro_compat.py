@@ -223,3 +223,18 @@ def test_in_memory_registry_register_schema_gates_on_full():
     id3 = reg.register_schema("orders", other)
     assert id3 == id_nd + 1
     assert reg.get_schema(id3).name == "other"
+
+
+def test_record_rename_is_flagged():
+    """Avro resolution requires matching record names; a rename with
+    identical fields must NOT pass the gate (the production registry
+    rejects it)."""
+    renamed = json.dumps(
+        {
+            "type": "record",
+            "name": "item",
+            "fields": json.loads(V1)["fields"],
+        }
+    )
+    issues = check_compatibility(renamed, V1, "FULL")
+    assert issues and any("record name" in i for i in issues)

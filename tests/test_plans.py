@@ -427,14 +427,10 @@ def test_prefix_filter_join_no_cartesian(spark):
     persist-release hygiene, which would hide the join in a
     checkpoint scan)."""
     from databricks_end_to_end_streaming_spark.queries.dedup import (
-        doc_shingle_arrays,
-        ppjoin_scored_pairs,
+        jaccard_prefix_filter_join_plan,
     )
-    from databricks_end_to_end_streaming_spark.tables import load_table
 
-    df = ppjoin_scored_pairs(
-        doc_shingle_arrays(load_table(spark, SF, "documents"))
-    )
+    df = jaccard_prefix_filter_join_plan(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -285,7 +285,7 @@ def test_glue_pending_polls_until_available(glue_write_stub):
 def test_glue_failure_status_is_incompatible(glue_write_stub):
     _GlueWriteStub.statuses = ["FAILURE"]
     reg = GlueRestRegistry(glue_write_stub)
-    with pytest.raises(IncompatibleSchemaError, match="FULL"):
+    with pytest.raises(IncompatibleSchemaError, match="compatibility"):
         reg.register_schema("reg", "product", AVSC, sleep=lambda s: None)
     # a FAILURE version is never cached as readable
     with pytest.raises(KeyError):

@@ -116,16 +116,10 @@ def _plan_builders():
     final output (a dumped plan of a localCheckpoint scan shows
     nothing). Each returns the same logical plan the query materializes."""
     from databricks_end_to_end_streaming_spark.queries.dedup import (
-        doc_shingle_arrays,
-        ppjoin_scored_pairs,
+        jaccard_prefix_filter_join_plan,
     )
-    from databricks_end_to_end_streaming_spark.tables import load_table
 
-    return {
-        "jaccard_prefix_filter_join": lambda spark, sf: ppjoin_scored_pairs(
-            doc_shingle_arrays(load_table(spark, sf, "documents"))
-        ),
-    }
+    return {"jaccard_prefix_filter_join": jaccard_prefix_filter_join_plan}
 
 
 def main() -> None:
