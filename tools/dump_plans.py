@@ -108,6 +108,7 @@ PLAN_QUERIES = [
     ("seasonal_naive_backtest", "two tiny training aggs broadcast onto the test scan; int64 cents until ONE division per output column; no cross-row double sums"),
     ("cdc_net_aggregate_view", "counting-IVM path as a plan: (key,value,net) partial-agg -> surviving-multiplicity rollup; two key-bound exchanges total"),
     ("kmv_trailing_7day_users", "sliding distinct from pinned daily sketches: contribution explode fans k rows/day to <=7 windows; bottom-k per window"),
+    ("histogram_quantile_rollup", "mergeable bin summaries: raw scan collapses to (day,hour,bin) partials in ONE partial-agg exchange; quantile window touches bin rows only"),
 ]
 
 
