@@ -454,6 +454,77 @@ def gold_incremental_stage(
     )
 
 
+def run_pipeline_continuous(
+    spark: SparkSession,
+    workdir: str,
+    raw: ParquetTable,
+    cutoff="2024-01-01 00:00:00",
+    watermark: str | None = None,
+    processing_time: str = "500 milliseconds",
+) -> dict:
+    """The ALWAYS-ON medallion: bronze, silver, and gold each as a
+    long-running processing-time-trigger query, cascading concurrently
+    (raw wave -> bronze trigger -> silver trigger -> gold rewrite) —
+    the operating mode the reference's Trigger.Once job DAG implies but
+    never runs. Each downstream stage starts only after its upstream
+    committed one non-empty batch, because ``ParquetTable.stream`` pins
+    its schema from a batch read of an EXISTING table. The cascade is
+    exactly-once end to end: every file source reads its upstream's
+    ``_spark_metadata`` commit log, so uncommitted files of an in-flight
+    trigger are invisible downstream.
+
+    Returns ``{"tables": {...}, "queries": {...}}``; stop with
+    ``stop_pipeline(result["queries"])``. Same transforms, sinks, and
+    checkpoints as :func:`run_pipeline` — only the triggers differ."""
+    bronze = ParquetTable(f"{workdir}/bronze", partition_by=["type"])
+    silver = ParquetTable(f"{workdir}/silver", partition_by=["type"])
+    gold = ParquetTable(f"{workdir}/gold")
+    qb = run_continuous(
+        bronze_transform(raw.stream(spark)),
+        bronze,
+        f"{workdir}/cp/bronze",
+        "bronze_continuous",
+        processing_time,
+    )
+    await_batches(qb, 1, min_rows=1)
+    qs = run_continuous(
+        silver_transform(bronze.stream(spark), watermark=watermark),
+        silver,
+        f"{workdir}/cp/silver",
+        "silver_continuous",
+        processing_time,
+    )
+    await_batches(qs, 1, min_rows=1)
+    agg = gold_transform(silver.stream(spark), cutoff)
+
+    def overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+        gold.overwrite(batch_df)
+
+    qg = (
+        agg.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/cp/gold")
+        .queryName("gold_continuous")
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+    return {
+        "tables": {"bronze": bronze, "silver": silver, "gold": gold},
+        "queries": {"bronze": qb, "silver": qs, "gold": qg},
+    }
+
+
+def stop_pipeline(queries: dict) -> None:
+    """Stop every stage of a continuous pipeline and wait for clean
+    termination (reverse order: downstream first, so no stage is left
+    reading a stopped upstream's half-committed trigger)."""
+    for name in ("gold", "silver", "bronze"):
+        q = queries.get(name)
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
+
+
 def run_pipeline(
     spark: SparkSession,
     workdir: str,

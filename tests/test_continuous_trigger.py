@@ -171,3 +171,63 @@ def test_stateful_silver_dedup_under_timed_triggers(spark, workdir):
     assert out.count() == n_unique
     assert out.select("eventId").distinct().count() == n_unique
     assert n_unique == n1 + 10
+
+
+def test_always_on_medallion_cascades_and_matches_batch(spark, workdir):
+    """Full always-on pipeline: bronze/silver/gold running CONCURRENTLY
+    under timed triggers; a second wave (with planted duplicate
+    eventIds) lands while all three run, cascades through, and the
+    final three tables match the sequential availableNow run_pipeline
+    bit-for-bit on the same raw data."""
+    import time as _time
+
+    from databricks_end_to_end_streaming_spark.streaming import run_pipeline
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        run_pipeline_continuous,
+        stop_pipeline,
+    )
+
+    wave1 = generate_events(40, seed=41, v1_ratio=0.3)
+    wave2 = generate_events(20, seed=42, v1_ratio=0.3) + [
+        dict(e) for e in wave1[:8]  # cross-wave duplicates
+    ]
+    _ingest_wave(spark, workdir, wave1)
+    raw = ParquetTable(f"{workdir}/raw")
+
+    live = run_pipeline_continuous(
+        spark, f"{workdir}/live", raw, cutoff="2024-01-01 00:00:00"
+    )
+    n_unique = len(
+        {e["eventId"] for e in wave1} | {e["eventId"] for e in wave2}
+    )
+    try:
+        _ingest_wave(spark, workdir, wave2)
+        # cascade: wait until silver has deduped BOTH waves
+        deadline = _time.monotonic() + 90
+        silver = live["tables"]["silver"]
+        while _time.monotonic() < deadline:
+            if (
+                silver.exists()
+                and silver.read(spark).count() == n_unique
+            ):
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError("silver never reached both waves")
+        # one more gold trigger period so the rewrite covers it
+        await_batches(
+            live["queries"]["gold"], 1, min_rows=1, timeout_sec=60
+        )
+        _time.sleep(1.5)
+    finally:
+        stop_pipeline(live["queries"])
+
+    ref = run_pipeline(
+        spark, f"{workdir}/ref", raw, cutoff="2024-01-01 00:00:00"
+    )
+    for name in ("bronze", "silver", "gold"):
+        got = live["tables"][name].read(spark)
+        want = ref[name].read(spark)
+        assert got.count() == want.count(), name
+        assert got.exceptAll(want).count() == 0, name
+        assert want.exceptAll(got).count() == 0, name
