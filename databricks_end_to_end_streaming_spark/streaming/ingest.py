@@ -431,6 +431,49 @@ def ingest_avro_stream(
     return query
 
 
+def ingest_avro_stream_continuous(
+    source_df: DataFrame,
+    registry: SchemaRegistry,
+    target: ParquetTable,
+    checkpoint: str,
+    framing: Framing | None = None,
+    mode: str = "PERMISSIVE",
+    query_name: str = "ingest_raw_continuous",
+    reader_schema_id: int | str | None = None,
+    quarantine: ParquetTable | None = None,
+    processing_time: str = "500 milliseconds",
+):
+    """The ALWAYS-ON form of :func:`ingest_avro_stream`: same demux body,
+    same checkpoint discipline, but a processing-time trigger and the
+    live ``StreamingQuery`` handle returned for the caller to stop —
+    completing the always-on chain next to
+    ``medallion.run_pipeline_continuous``. Each timed trigger passes its
+    real ``batch_id`` to the demux, so replay idempotence and the
+    per-(batch, schema) token'd append directories work exactly as in
+    the drain mode."""
+    framing = framing or confluent_framing()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        demux_decode_batch(
+            batch_df,
+            registry,
+            framing,
+            target,
+            mode=mode,
+            batch_id=batch_id,
+            reader_schema_id=reader_schema_id,
+            quarantine=quarantine,
+        )
+
+    return (
+        source_df.writeStream.foreachBatch(process)
+        .trigger(processingTime=processing_time)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def replay_quarantined(
     spark,
     quarantine: ParquetTable,

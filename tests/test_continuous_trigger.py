@@ -231,3 +231,53 @@ def test_always_on_medallion_cascades_and_matches_batch(spark, workdir):
         assert got.count() == want.count(), name
         assert got.exceptAll(want).count() == 0, name
         assert want.exceptAll(got).count() == 0, name
+
+
+def test_always_on_ingest_demux(spark, workdir):
+    """Continuous ingestion: the demux runs under a processing-time
+    trigger while wire data lands in waves; every wave is decoded and
+    appended exactly once, and the result matches the availableNow
+    drain of the same topic bit-for-bit."""
+    from databricks_end_to_end_streaming_spark.streaming.ingest import (
+        ingest_avro_stream,
+        ingest_avro_stream_continuous,
+    )
+
+    wave1 = generate_events(25, seed=51, v1_ratio=0.4)
+    wave2 = generate_events(15, seed=52, v1_ratio=0.4)
+    write_topic_files(spark, events_to_wire(wave1), f"{workdir}/topic")
+
+    raw = ParquetTable(f"{workdir}/raw_cont")
+    q = ingest_avro_stream_continuous(
+        file_stream(spark, f"{workdir}/topic"),
+        REGISTRY,
+        raw,
+        checkpoint=f"{workdir}/cp/cont",
+        processing_time="500 milliseconds",
+    )
+    try:
+        b1, r1 = await_batches(q, min_batches=1, min_rows=len(wave1))
+        assert r1 == len(wave1)
+        write_topic_files(spark, events_to_wire(wave2), f"{workdir}/topic")
+        await_batches(
+            q, min_batches=b1 + 1, min_rows=len(wave1) + len(wave2)
+        )
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = raw.read(spark)
+    assert got.count() == len(wave1) + len(wave2)
+
+    # parity with the drain mode on the same topic
+    raw_once = ParquetTable(f"{workdir}/raw_once")
+    ingest_avro_stream(
+        file_stream(spark, f"{workdir}/topic"),
+        REGISTRY,
+        raw_once,
+        checkpoint=f"{workdir}/cp/once",
+    )
+    want = raw_once.read(spark)
+    flat = lambda df: df.select("parsedValue.*")  # noqa: E731
+    assert flat(got).exceptAll(flat(want)).count() == 0
+    assert flat(want).exceptAll(flat(got)).count() == 0
