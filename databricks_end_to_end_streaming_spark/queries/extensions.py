@@ -325,3 +325,27 @@ def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item")
     )
     return cms_estimate(sketch, candidates).orderBy("item")
+
+
+@query("ann_ivfpq_topk")  # rows-only: approximate by construction
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (FAISS IVFPQ shape): the coarse
+    quantizer bounds candidates (nprobe inverted lists per query) AND
+    product quantization bounds per-candidate cost (ADC over 8 one-byte
+    codes) — the only variant where both the scan fraction and the
+    bytes-per-candidate are sublinear, which is what a 100 TB corpus
+    requires. Same 8-query top-5 task as the brute-force / LSH / IVF /
+    PQ variants; recall floor + planted-twin pytest in
+    tests/test_pq.py."""
+    from ..operators.pq import ivfpq_topk, train_pq_codebooks
+    from ..operators.similarity import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    books = train_pq_codebooks(emb)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivfpq_topk(emb, queries, cents, books, k=5, nprobe=3).select(
+        "query_id", "neighbor_id", "rank"
+    )

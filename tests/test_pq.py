@@ -110,3 +110,105 @@ def test_pq_train_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no rows"):
         train_pq_codebooks(empty, dim=64, m=8, k=16)
+
+
+def test_ivfpq_planted_twin_and_candidate_bounding(spark):
+    """IVF-PQ composition: a planted exact twin lands in the same IVF
+    cell (identical vectors quantize identically) and PQ-ADC ranks it
+    first; and the scored candidate set is genuinely BOUNDED — each
+    query scores only its probed cells' lists, strictly fewer than the
+    whole corpus (what distinguishes IVFPQ from pq_adc_topk's full
+    scan)."""
+    from databricks_end_to_end_streaming_spark.operators.pq import (
+        ivfpq_topk,
+    )
+    from databricks_end_to_end_streaming_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    df, vecs = emb_df(spark, twins=((0, 150), (3, 160)))
+    cents = train_ivf_centroids(df, n_centroids=8)
+    books = train_pq_codebooks(df, dim=DIM)
+    queries = df.where(F.col("vec_id").isin(0, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivfpq_topk(df, queries, cents, books, k=5, nprobe=2)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in out.where(F.col("rank") == 1).collect()
+    }
+    assert top1 == {0: 150, 3: 160}
+
+    # candidate bounding: probed lists cover < the whole corpus
+    lists = ivf_assign(df, cents, "embedding", nprobe=1).select(
+        "vec_id", F.col("cluster_ids")[0].alias("cell")
+    )
+    sizes = {r["cell"]: r["cnt"] for r in
+             lists.groupBy("cell").agg(F.count("*").alias("cnt")).collect()}
+    probed = ivf_assign(queries, cents, "qv", nprobe=2).collect()
+    for r in probed:
+        n_cand = sum(sizes.get(c, 0) for c in r["cluster_ids"])
+        assert n_cand < sum(sizes.values())
+
+
+def clustered_emb_df(spark, n=160, n_clusters=8, seed=11):
+    """Vectors with real cluster structure (tight gaussian blobs) —
+    isotropic random data has near-zero cosine signal, so PQ noise
+    swamps it and recall means nothing there; blobs are the regime ANN
+    indexes are built for."""
+    rs = np.random.RandomState(seed)
+    centers = rs.standard_normal((n_clusters, DIM)) * 3.0
+    vecs = np.stack(
+        [
+            centers[i % n_clusters] + rs.standard_normal(DIM) * 0.3
+            for i in range(n)
+        ]
+    ).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def test_ivfpq_recall_floor_vs_bruteforce(spark):
+    """On clustered data IVFPQ@nprobe=4 must (a) draw every reported
+    neighbor from the query's TRUE cluster — the guarantee the coarse
+    quantizer provides — and (b) beat a 0.5 exact-top-5 recall floor.
+    Within a tight blob all members share PQ codes (ADC ties), so exact
+    top-5 recall has a luck component; the floor reflects that, while
+    the cluster-membership check is deterministic."""
+    from databricks_end_to_end_streaming_spark.operators.pq import (
+        ivfpq_topk,
+    )
+    from databricks_end_to_end_streaming_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df, vecs = clustered_emb_df(spark)
+    cents = train_ivf_centroids(df, n_centroids=8)
+    books = train_pq_codebooks(df, dim=DIM)
+    qids = [0, 1, 2, 3]
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = ivfpq_topk(df, queries, cents, books, k=5, nprobe=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    norm = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
+    sims = norm @ norm.T
+    hits = total = 0
+    for q in qids:
+        # (a) every neighbor from the true cluster (i % 8 layout)
+        assert all(n % 8 == q % 8 for n in by_q[q]), (q, by_q[q])
+        s = sims[q].copy()
+        s[q] = -2
+        exact = set(np.argsort(-s)[:5].tolist())
+        hits += len(exact & by_q.get(q, set()))
+        total += 5
+    assert hits / total >= 0.5, (hits, total)
