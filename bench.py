@@ -214,6 +214,8 @@ NEW_OP_QUERIES = [
     "histogram_quantile_rollup",
     "cdc_net_aggregate_view",
     "kmv_trailing_7day_users",
+    # round-7 additions
+    "ann_ivfpq_topk",
 ]
 
 
