@@ -281,3 +281,61 @@ def test_always_on_ingest_demux(spark, workdir):
     flat = lambda df: df.select("parsedValue.*")  # noqa: E731
     assert flat(got).exceptAll(flat(want)).count() == 0
     assert flat(want).exceptAll(flat(got)).count() == 0
+
+
+def test_always_on_pipeline_resumes_from_checkpoints(spark, workdir):
+    """Stop the whole continuous pipeline, land a new wave while it is
+    DOWN, restart from the same checkpoints: the wave is picked up
+    exactly once (no replays of waves processed before the stop), and
+    silver still holds one row per eventId across the outage."""
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        run_pipeline_continuous,
+        stop_pipeline,
+    )
+
+    wave1 = generate_events(30, seed=61, v1_ratio=0.3)
+    wave2 = generate_events(15, seed=62, v1_ratio=0.3)
+    _ingest_wave(spark, workdir, wave1)
+    raw = ParquetTable(f"{workdir}/raw")
+
+    live = run_pipeline_continuous(spark, f"{workdir}/live", raw)
+    try:
+        silver = live["tables"]["silver"]
+        deadline = __import__("time").monotonic() + 60
+        n1 = len({e["eventId"] for e in wave1})
+        while __import__("time").monotonic() < deadline:
+            if silver.exists() and silver.read(spark).count() == n1:
+                break
+            __import__("time").sleep(0.5)
+        else:
+            raise TimeoutError("silver never saw wave 1")
+    finally:
+        stop_pipeline(live["queries"])
+
+    # outage: wave 2 lands while nothing is running
+    _ingest_wave(spark, workdir, wave2)
+
+    live2 = run_pipeline_continuous(spark, f"{workdir}/live", raw)
+    try:
+        silver = live2["tables"]["silver"]
+        n_all = len(
+            {e["eventId"] for e in wave1} | {e["eventId"] for e in wave2}
+        )
+        deadline = __import__("time").monotonic() + 60
+        while __import__("time").monotonic() < deadline:
+            if silver.exists() and silver.read(spark).count() == n_all:
+                break
+            __import__("time").sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"silver={silver.read(spark).count()} want={n_all}"
+            )
+        # exactly-once across the restart: no duplicated eventIds, and
+        # bronze holds exactly one flat row per raw event
+        assert (
+            silver.read(spark).select("eventId").distinct().count() == n_all
+        )
+        bronze = live2["tables"]["bronze"]
+        assert bronze.read(spark).count() == len(wave1) + len(wave2)
+    finally:
+        stop_pipeline(live2["queries"])
