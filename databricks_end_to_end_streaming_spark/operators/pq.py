@@ -106,6 +106,49 @@ def pq_encode(
     )
 
 
+def _adc_score_udf(codebooks: np.ndarray):
+    """Arrow-batched asymmetric-distance COSINE scorer over PQ codes —
+    the one scoring code path every PQ search variant shares
+    (``pq_adc_topk`` full scan, ``ivfpq_topk`` probed lists). The dot
+    product is the per-subspace LUT gather-sum; |x_hat|^2 is itself a
+    code-table lookup (disjoint coordinate blocks, so reconstruction
+    norms add across subspaces); ranking by raw inner product instead
+    would bias toward high-norm corpus vectors (MIPS, a different
+    task)."""
+    m, _kc, sub = codebooks.shape
+    norm2_lut = (codebooks**2).sum(axis=2)
+
+    @pandas_udf("double")
+    def adc_score(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        qmat = np.asarray(qv.tolist(), dtype=np.float64)
+        cmat = np.asarray(codes.tolist(), dtype=np.int64)
+        n = len(qmat)
+        dots = np.zeros(n, dtype=np.float64)
+        xnorm2 = np.zeros(n, dtype=np.float64)
+        for s in range(m):
+            qs = qmat[:, s * sub : (s + 1) * sub]
+            partial = np.einsum("nd,kd->nk", qs, codebooks[s])
+            dots += partial[np.arange(n), cmat[:, s]]
+            xnorm2 += norm2_lut[s][cmat[:, s]]
+        qnorm = np.sqrt((qmat**2).sum(axis=1))
+        return pd.Series(dots / np.maximum(qnorm * np.sqrt(xnorm2), 1e-12))
+
+    return adc_score
+
+
+def _topk_per_query(
+    scored: DataFrame, k: int, query_id_col: str
+) -> DataFrame:
+    """Shared top-k tail: only TOP_K rows per query survive to the
+    final (tiny) window exchange."""
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -124,27 +167,9 @@ def pq_adc_topk(
     reconstruction norms add across subspaces). Ranking by the raw
     inner product instead would bias toward high-norm corpus vectors —
     a different task (MIPS) than the cosine ANN the brute-force/LSH/IVF
-    variants solve. The broadcast join ships (query_id, qv) to every
-    partition of the compressed corpus; only TOP_K rows per query
-    survive to the final (tiny) window exchange."""
-    m, kc, sub = codebooks.shape
-    norm2_lut = (codebooks**2).sum(axis=2)  # (m, kc) reconstruction norms
-
-    @pandas_udf("double")
-    def adc_score(qv: pd.Series, codes: pd.Series) -> pd.Series:
-        qmat = np.asarray(qv.tolist(), dtype=np.float64)  # (n, dim)
-        cmat = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
-        n = len(qmat)
-        dots = np.zeros(n, dtype=np.float64)
-        xnorm2 = np.zeros(n, dtype=np.float64)
-        for s in range(m):
-            qs = qmat[:, s * sub : (s + 1) * sub]  # (n, sub)
-            partial = np.einsum("nd,kd->nk", qs, codebooks[s])  # (n, kc)
-            dots += partial[np.arange(n), cmat[:, s]]
-            xnorm2 += norm2_lut[s][cmat[:, s]]
-        qnorm = np.sqrt((qmat**2).sum(axis=1))
-        return pd.Series(dots / np.maximum(qnorm * np.sqrt(xnorm2), 1e-12))
-
+    variants solve — see ``_adc_score_udf``. The broadcast join ships
+    (query_id, qv) to every partition of the compressed corpus."""
+    adc_score = _adc_score_udf(codebooks)
     cand = codes_df.join(
         F.broadcast(queries), F.col(id_col) != F.col(query_id_col)
     )
@@ -153,12 +178,7 @@ def pq_adc_topk(
         F.col(id_col).alias("neighbor_id"),
         adc_score(F.col(query_vec_col), F.col(codes_col)).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank", "score")
-    )
+    return _topk_per_query(scored, k, query_id_col)
 
 
 def ivfpq_topk(
@@ -194,24 +214,7 @@ def ivfpq_topk(
     survive to the final window exchange."""
     from .similarity import ivf_assign
 
-    m, kc, sub = codebooks.shape
-    norm2_lut = (codebooks**2).sum(axis=2)
-
-    @pandas_udf("double")
-    def adc_score(qv: pd.Series, codes: pd.Series) -> pd.Series:
-        qmat = np.asarray(qv.tolist(), dtype=np.float64)
-        cmat = np.asarray(codes.tolist(), dtype=np.int64)
-        n = len(qmat)
-        dots = np.zeros(n, dtype=np.float64)
-        xnorm2 = np.zeros(n, dtype=np.float64)
-        for s in range(m):
-            qs = qmat[:, s * sub : (s + 1) * sub]
-            partial = np.einsum("nd,kd->nk", qs, codebooks[s])
-            dots += partial[np.arange(n), cmat[:, s]]
-            xnorm2 += norm2_lut[s][cmat[:, s]]
-        qnorm = np.sqrt((qmat**2).sum(axis=1))
-        return pd.Series(dots / np.maximum(qnorm * np.sqrt(xnorm2), 1e-12))
-
+    adc_score = _adc_score_udf(codebooks)
     lists = ivf_assign(emb, centroids, vec_col, nprobe=1).select(
         id_col, vec_col, F.col("cluster_ids")[0].alias("cluster_id")
     )
@@ -233,9 +236,4 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"),
         adc_score(F.col(query_vec_col), F.col("codes")).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank", "score")
-    )
+    return _topk_per_query(scored, k, query_id_col)

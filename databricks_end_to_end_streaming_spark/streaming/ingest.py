@@ -406,6 +406,41 @@ def ingest_avro_stream(
     SURVEY T1). ``quarantine`` captures poison pills (bad framing /
     unknown schema id) instead of failing the stream — see
     ``demux_decode_batch``."""
+    query = (
+        _demux_writer(
+            source_df,
+            registry,
+            target,
+            checkpoint,
+            framing,
+            mode,
+            query_name,
+            reader_schema_id,
+            quarantine,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def _demux_writer(
+    source_df: DataFrame,
+    registry: SchemaRegistry,
+    target: ParquetTable,
+    checkpoint: str,
+    framing: Framing | None,
+    mode: str,
+    query_name: str,
+    reader_schema_id: int | str | None,
+    quarantine: ParquetTable | None,
+):
+    """The one demux writeStream builder both trigger modes share —
+    the foreachBatch body and checkpoint discipline can't drift between
+    the availableNow drain and the always-on mode (the _append_writer
+    precedent, streaming/medallion.py). Caller picks the trigger and
+    starts."""
     framing = framing or confluent_framing()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -420,15 +455,11 @@ def ingest_avro_stream(
             quarantine=quarantine,
         )
 
-    query = (
+    return (
         source_df.writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
-        .start()
     )
-    query.awaitTermination()
-    return query
 
 
 def ingest_avro_stream_continuous(
@@ -451,25 +482,19 @@ def ingest_avro_stream_continuous(
     real ``batch_id`` to the demux, so replay idempotence and the
     per-(batch, schema) token'd append directories work exactly as in
     the drain mode."""
-    framing = framing or confluent_framing()
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        demux_decode_batch(
-            batch_df,
-            registry,
-            framing,
-            target,
-            mode=mode,
-            batch_id=batch_id,
-            reader_schema_id=reader_schema_id,
-            quarantine=quarantine,
-        )
-
     return (
-        source_df.writeStream.foreachBatch(process)
+        _demux_writer(
+            source_df,
+            registry,
+            target,
+            checkpoint,
+            framing,
+            mode,
+            query_name,
+            reader_schema_id,
+            quarantine,
+        )
         .trigger(processingTime=processing_time)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint)
         .start()
     )
 

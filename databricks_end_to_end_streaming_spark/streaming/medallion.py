@@ -200,6 +200,35 @@ def silver_stage(
     )
 
 
+def _gold_writer(
+    spark: SparkSession,
+    silver: ParquetTable,
+    gold: ParquetTable,
+    checkpoint: str,
+    cutoff,
+    query_name: str,
+):
+    """The one complete-mode gold writer both trigger modes share (the
+    parquet stand-in for Delta's complete toTable) — sink behavior
+    can't drift between the drain and the continuous mode. Each trigger
+    rewrites gold through the ATOMIC staged swap
+    (``ParquetTable.overwrite_atomic``): in continuous mode readers hit
+    gold WHILE triggers fire, and a plain overwrite would expose a
+    deleted-but-not-rewritten window every 500 ms. Caller picks the
+    trigger and starts."""
+    agg = gold_transform(silver.stream(spark), cutoff)
+
+    def overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+        gold.overwrite_atomic(batch_df)
+
+    return (
+        agg.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+
+
 def gold_stage(
     spark: SparkSession,
     silver: ParquetTable,
@@ -207,19 +236,10 @@ def gold_stage(
     checkpoint: str,
     cutoff,
 ) -> None:
-    """Complete-mode aggregation; each trigger rewrites the whole gold
-    table (K3) via foreachBatch overwrite (the parquet stand-in for
-    Delta's complete toTable)."""
-    agg = gold_transform(silver.stream(spark), cutoff)
-
-    def overwrite(batch_df: DataFrame, _batch_id: int) -> None:
-        gold.overwrite(batch_df)
-
+    """Complete-mode aggregation drain (K3): one availableNow pass over
+    what silver holds."""
     (
-        agg.writeStream.foreachBatch(overwrite)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .queryName("gold_layer")
+        _gold_writer(spark, silver, gold, checkpoint, cutoff, "gold_layer")
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
@@ -475,39 +495,77 @@ def run_pipeline_continuous(
 
     Returns ``{"tables": {...}, "queries": {...}}``; stop with
     ``stop_pipeline(result["queries"])``. Same transforms, sinks, and
-    checkpoints as :func:`run_pipeline` — only the triggers differ."""
+    checkpoints as :func:`run_pipeline` — only the triggers differ
+    (gold's rewrite goes through the shared ``_gold_writer``, whose
+    atomic staged swap is what lets readers hit gold while triggers
+    fire).
+
+    Schema evolution caveat (all of Structured Streaming, not this
+    wrapper): each stage pins its input schema when ITS query starts
+    (``ParquetTable.stream`` reads the upstream table once), so a
+    column that first appears in data arriving AFTER start is absent
+    downstream until the pipeline restarts — the standard
+    stop-and-restart-on-schema-change operating procedure (what Delta's
+    streaming source enforces by failing the query). The restart path
+    re-pins from the widened upstream and mergeSchema reads surface the
+    old rows with NULLs, exactly like the drain
+    (tests/test_continuous_trigger.py covers restart pickup)."""
     bronze = ParquetTable(f"{workdir}/bronze", partition_by=["type"])
     silver = ParquetTable(f"{workdir}/silver", partition_by=["type"])
     gold = ParquetTable(f"{workdir}/gold")
-    qb = run_continuous(
-        bronze_transform(raw.stream(spark)),
-        bronze,
-        f"{workdir}/cp/bronze",
-        "bronze_continuous",
-        processing_time,
-    )
-    await_batches(qb, 1, min_rows=1)
-    qs = run_continuous(
-        silver_transform(bronze.stream(spark), watermark=watermark),
-        silver,
-        f"{workdir}/cp/silver",
-        "silver_continuous",
-        processing_time,
-    )
-    await_batches(qs, 1, min_rows=1)
-    agg = gold_transform(silver.stream(spark), cutoff)
+    started: list = []
 
-    def overwrite(batch_df: DataFrame, _batch_id: int) -> None:
-        gold.overwrite(batch_df)
+    def _source_ready(q, table) -> None:
+        """A downstream stage can start once its upstream TABLE exists
+        (schema pinning is the only dependency). On a restart it
+        already does — no fresh data is required, so an idle pipeline
+        start doesn't fail; on first boot, wait for the upstream's
+        first non-empty commit."""
+        if table.exists():
+            return
+        await_batches(q, 1, min_rows=1)
 
-    qg = (
-        agg.writeStream.foreachBatch(overwrite)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{workdir}/cp/gold")
-        .queryName("gold_continuous")
-        .trigger(processingTime=processing_time)
-        .start()
-    )
+    try:
+        qb = run_continuous(
+            bronze_transform(raw.stream(spark)),
+            bronze,
+            f"{workdir}/cp/bronze",
+            "bronze_continuous",
+            processing_time,
+        )
+        started.append(qb)
+        _source_ready(qb, bronze)
+        qs = run_continuous(
+            silver_transform(bronze.stream(spark), watermark=watermark),
+            silver,
+            f"{workdir}/cp/silver",
+            "silver_continuous",
+            processing_time,
+        )
+        started.append(qs)
+        _source_ready(qs, silver)
+        qg = (
+            _gold_writer(
+                spark,
+                silver,
+                gold,
+                f"{workdir}/cp/gold",
+                cutoff,
+                "gold_continuous",
+            )
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+        started.append(qg)
+    except BaseException:
+        # never leak running queries the caller has no handle to
+        for q in started:
+            try:
+                q.stop()
+                q.awaitTermination()
+            except Exception:
+                pass
+        raise
     return {
         "tables": {"bronze": bronze, "silver": silver, "gold": gold},
         "queries": {"bronze": qb, "silver": qs, "gold": qg},

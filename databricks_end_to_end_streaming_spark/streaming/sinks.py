@@ -298,6 +298,44 @@ class ParquetTable:
             return
         df.write.mode("overwrite").parquet(self.path)
 
+    def _staged_swap_write(self, df: DataFrame) -> None:
+        """Atomic full-table rewrite: stage to a sibling dir, rename the
+        live dir aside, rename staging in, drop the aside copy. A crash
+        in any window leaves either the old or the new table intact and
+        recoverable (``_recover_swap`` heals the in-between states on the
+        next access). Relies on same-FS rename atomicity — local/POSIX
+        only; on an object store the Delta transaction log replaces this
+        protocol entirely."""
+        staging = self.path.rstrip("/") + "._staging"
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+        old = self.path.rstrip("/") + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+            os.rename(staging, self.path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, self.path)
+
+    def overwrite_atomic(self, df: DataFrame) -> None:
+        """Complete-mode rewrite that CONCURRENT READERS can live with:
+        unlike ``overwrite`` (Spark deletes the directory contents, then
+        writes — any reader in that window sees an empty/partial table),
+        the staged swap keeps a complete copy visible at every instant.
+        The always-on gold sink rewrites every trigger, so it must use
+        this; the availableNow drain tolerates plain ``overwrite``
+        because nothing reads mid-drain. Delta mode is transactional
+        either way and routes identically."""
+        self._recover_swap()
+        if self._delta(df.sparkSession):
+            self._delta_write(df, "overwrite", overwriteSchema="true")
+            return
+        self._staged_swap_write(df)
+
     def upsert(self, spark: SparkSession, updates: DataFrame, keys: list[str]) -> None:
         """SCD-type-1 merge: rows matching ``keys`` are replaced by the
         update, everything else is kept, new keys are inserted — the
@@ -355,26 +393,7 @@ class ParquetTable:
         merged = cur.join(upd, cond, "left_anti").unionByName(
             updates, allowMissingColumns=True
         )
-        staging = self.path.rstrip("/") + "._staging"
-        w = merged.write.mode("overwrite")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.parquet(staging)
-        # Local-FS swap semantics: rename the live dir ASIDE first, then
-        # rename staging into place, then delete the old copy — a crash
-        # at any point leaves either the old or the new table intact and
-        # recoverable (a crash between the two renames leaves only
-        # ._old, which _recover_swap renames back on the next access).
-        # This relies on same-FS rename being atomic, which holds on a
-        # local/POSIX FS only; on an object store there is no atomic
-        # rename, and this entire method is replaced by Delta's
-        # transactional MERGE.
-        old = self.path.rstrip("/") + "._old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self.path, old)
-        os.rename(staging, self.path)
-        shutil.rmtree(old)
+        self._staged_swap_write(merged)
 
     def delete_where(self, spark: SparkSession, condition: str) -> dict:
         """Targeted deletion (the GDPR right-to-erasure primitive and
@@ -415,17 +434,7 @@ class ParquetTable:
         survivors = current.where(
             ~F.coalesce(F.expr(condition), F.lit(False))
         )
-        staging = self.path.rstrip("/") + "._staging"
-        w = survivors.write.mode("overwrite")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.parquet(staging)
-        old = self.path.rstrip("/") + "._old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self.path, old)
-        os.rename(staging, self.path)
-        shutil.rmtree(old)
+        self._staged_swap_write(survivors)
         after = self.read(spark).count()
         return {
             "rows_before": before,

@@ -36,6 +36,19 @@ from databricks_end_to_end_streaming_spark.streaming.medallion import (
 REGISTRY = InMemorySchemaRegistry({1: PRODUCT_V1_JSON, 2: PRODUCT_V2_JSON})
 
 
+def _safe_count(spark, table) -> int:
+    """Poll-safe row count of a LIVE streaming sink directory: a plain
+    batch read lists files directly (bypassing _spark_metadata), so an
+    in-flight trigger's footerless file can crash the read — treat any
+    read error as 'not there yet' and let the poll retry."""
+    try:
+        if not table.exists():
+            return -1
+        return table.read(spark).count()
+    except Exception:
+        return -1
+
+
 def _ingest_wave(spark, workdir, events) -> None:
     """Land one wave of decoded rows in the raw table (availableNow
     ingest — the soak under test is the DOWNSTREAM bronze query).
@@ -206,19 +219,18 @@ def test_always_on_medallion_cascades_and_matches_batch(spark, workdir):
         deadline = _time.monotonic() + 90
         silver = live["tables"]["silver"]
         while _time.monotonic() < deadline:
-            if (
-                silver.exists()
-                and silver.read(spark).count() == n_unique
-            ):
+            if _safe_count(spark, silver) == n_unique:
                 break
             _time.sleep(0.5)
         else:
             raise TimeoutError("silver never reached both waves")
-        # one more gold trigger period so the rewrite covers it
+        # gold has consumed every silver row once its cumulative input
+        # reaches n_unique — THAT trigger's rewrite covers both waves
+        # (not a fixed sleep: the rewrite competes with two other
+        # streaming queries for slots)
         await_batches(
-            live["queries"]["gold"], 1, min_rows=1, timeout_sec=60
+            live["queries"]["gold"], 1, min_rows=n_unique, timeout_sec=90
         )
-        _time.sleep(1.5)
     finally:
         stop_pipeline(live["queries"])
 
@@ -304,7 +316,7 @@ def test_always_on_pipeline_resumes_from_checkpoints(spark, workdir):
         deadline = __import__("time").monotonic() + 60
         n1 = len({e["eventId"] for e in wave1})
         while __import__("time").monotonic() < deadline:
-            if silver.exists() and silver.read(spark).count() == n1:
+            if _safe_count(spark, silver) == n1:
                 break
             __import__("time").sleep(0.5)
         else:
@@ -323,12 +335,12 @@ def test_always_on_pipeline_resumes_from_checkpoints(spark, workdir):
         )
         deadline = __import__("time").monotonic() + 60
         while __import__("time").monotonic() < deadline:
-            if silver.exists() and silver.read(spark).count() == n_all:
+            if _safe_count(spark, silver) == n_all:
                 break
             __import__("time").sleep(0.5)
         else:
             raise TimeoutError(
-                f"silver={silver.read(spark).count()} want={n_all}"
+                f"silver={_safe_count(spark, silver)} want={n_all}"
             )
         # exactly-once across the restart: no duplicated eventIds, and
         # bronze holds exactly one flat row per raw event
