@@ -216,6 +216,7 @@ NEW_OP_QUERIES = [
     "kmv_trailing_7day_users",
     # round-7 additions
     "ann_ivfpq_topk",
+    "sq8_cosine_topk",
 ]
 
 

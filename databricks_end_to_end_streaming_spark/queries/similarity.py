@@ -436,6 +436,102 @@ _DQ_EXPR = f"""transform(sequence(0, {EMB_DIM - 1}), i ->
          * (element_at(maxs, i + 1) - element_at(mins, i + 1))) div 255)"""
 
 
+def sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, rank): cosine top-{K} over SQ8-
+    dequantized vectors — the SEARCH leg shared by the production query
+    (``sq8_cosine_topk``) and the recall evaluation. int64 dot product
+    and norms from the exact dequantized coordinates; only the final
+    two sqrt-divisions are float."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dqn = (
+        sq8_coded(emb)
+        .withColumn("dq", F.expr(_DQ_EXPR))
+        .withColumn(
+            "nd",
+            F.expr("aggregate(transform(dq, x -> x * x), 0L, (a, b) -> a + b)"),
+        )
+        .select("vec_id", "dq", "nd")
+    )
+    queries = dqn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dq").alias("qdq"),
+        F.col("nd").alias("qnd"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qdq, dq, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+    )
+    score = (dot.cast("double") / F.sqrt(F.col("qnd").cast("double"))) / F.sqrt(
+        F.col("nd").cast("double")
+    )
+    scored = dqn.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+_SQ8_SEARCH_SQL = f"""
+    dq AS (
+      SELECT vec_id,
+             list_transform(range(0, {EMB_DIM}), i ->
+               mins[i + 1]
+               + (CAST(codes[i + 1] AS BIGINT)
+                  * (maxs[i + 1] - mins[i + 1])) // 255) AS dq
+      FROM coded
+    ),
+    dqn AS (
+      SELECT vec_id, dq,
+             list_reduce(list_transform(dq, x -> x * x), (a, b) -> a + b)
+               AS nd
+      FROM dq
+    ),
+    sq8_topk AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY
+                   ((CAST(list_reduce(
+                       list_transform(range(0, {EMB_DIM}),
+                                      i -> q.dq[i + 1] * e.dq[i + 1]),
+                       (a, b) -> a + b) AS DOUBLE)
+                     / sqrt(CAST(q.nd AS DOUBLE)))
+                    / sqrt(CAST(e.nd AS DOUBLE))) DESC, e.vec_id
+               ) AS rank
+        FROM dqn q JOIN dqn e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    )
+"""
+
+
+@query(
+    "sq8_cosine_topk",
+    oracle=f"""
+    WITH {_SQ8_CODED_SQL},
+    {_SQ8_SEARCH_SQL}
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+    FROM sq8_topk
+    """,
+)
+def sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of SQ8 search: the top-{K} relation alone,
+    no exact brute-force leg riding along — the same prediction-vs-
+    evaluation split as kmv_join_size_estimate vs _profile. Every
+    comparison that decides a rank is exact int64 arithmetic, so the
+    whole ranking hash-verifies against DuckDB (unlike the float ANN
+    variants, which are recall-checked instead)."""
+    return sq8_search_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
 @query(
     "sq8_recall_eval",
     oracle=f"""
@@ -512,40 +608,11 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     search legs are broadcast-queries x corpus-scan with only TOP_K
     survivors per query reaching the tiny window exchange; the final
     recall join touches N_QUERIES*K rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dqn = (
-        sq8_coded(emb)
-        .withColumn("dq", F.expr(_DQ_EXPR))
-        .withColumn(
-            "nd",
-            F.expr("aggregate(transform(dq, x -> x * x), 0L, (a, b) -> a + b)"),
-        )
-        .select("vec_id", "dq", "nd")
-    )
     exact = knn_bruteforce_cosine(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    queries = dqn.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("dq").alias("qdq"),
-        F.col("nd").alias("qnd"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(qdq, dq, (x, y) -> x * y), 0L, (a, b) -> a + b)"
-    )
-    score = (dot.cast("double") / F.sqrt(F.col("qnd").cast("double"))) / F.sqrt(
-        F.col("nd").cast("double")
-    )
-    scored = dqn.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
-    sq8_topk = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
+    sq8_topk = sq8_search_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
     )
     hit = sq8_topk.withColumn("hit", F.lit(1))
     return (
