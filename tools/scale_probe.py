@@ -48,6 +48,11 @@ PROBES = [
     "dedup_exact",
     "text_quality_score",
     "ann_lsh_cosine_topk",
+    # round-7 additions
+    "histogram_quantile_rollup",
+    "kmv_join_size_estimate",
+    "ann_ivfpq_topk",
+    "sq8_cosine_topk",
     "rolling_7day_active_users",
     "tfidf_top_terms_per_lang",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
