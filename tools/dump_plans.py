@@ -109,6 +109,8 @@ PLAN_QUERIES = [
     ("cdc_net_aggregate_view", "counting-IVM path as a plan: (key,value,net) partial-agg -> surviving-multiplicity rollup; two key-bound exchanges total"),
     ("kmv_trailing_7day_users", "sliding distinct from pinned daily sketches: contribution explode fans k rows/day to <=7 windows; bottom-k per window"),
     ("histogram_quantile_rollup", "mergeable bin summaries: raw scan collapses to (day,hour,bin) partials in ONE partial-agg exchange; quantile window touches bin rows only"),
+    ("sq8_cosine_topk", "production SQ8 search: d-row stats shuffle + broadcast fold; broadcast queries x coded scan; int64 LUT-free dots; TOP_K survivors to the window"),
+    ("ann_ivfpq_topk", "IVFPQ: two Arrow map-only corpus passes (cell id + codes, raw vector dropped pre-shuffle); broadcast cell-id join bounds candidates; ADC scores codes"),
 ]
 
 
