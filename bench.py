@@ -217,6 +217,7 @@ NEW_OP_QUERIES = [
     # round-7 additions
     "ann_ivfpq_topk",
     "sq8_cosine_topk",
+    "timeseries_pattern_topk",
 ]
 
 

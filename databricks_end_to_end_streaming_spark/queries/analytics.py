@@ -2202,3 +2202,182 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-histogram trade."""
     ev = load_table(spark, sf_dir, "events")
     return hist_quantile_report(hist_hourly_bins(ev))
+
+
+TS_W = 7  # pattern window length (days)
+TS_TOPK = 20
+
+
+@query(
+    "timeseries_pattern_topk",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0 FROM events
+    ),
+    daily AS (
+      SELECT user_id,
+             CAST(datediff('day', d0,
+                           CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+               AS day_idx,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events CROSS JOIN d0 GROUP BY 1, 2
+    ),
+    pat AS (  -- corpus-wide first-{TS_W}-days pattern
+      SELECT list(c ORDER BY day_idx) AS p FROM (
+        SELECT day_idx, CAST(sum(cents) AS BIGINT) AS c
+        FROM daily WHERE day_idx < {TS_W} GROUP BY day_idx
+      )
+    ),
+    spans AS (
+      SELECT user_id, min(day_idx) AS lo, max(day_idx) AS hi
+      FROM daily GROUP BY user_id
+    ),
+    filled AS (  -- gapfill to a dense per-user series (missing day = 0)
+      SELECT s.user_id, s.lo,
+             list(COALESCE(d.cents, 0) ORDER BY t.i) AS series
+      FROM spans s
+      JOIN unnest(range(0, 100000)) AS t(i)
+        ON t.i <= s.hi - s.lo
+      LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day_idx = s.lo + t.i
+      GROUP BY s.user_id, s.lo
+    ),
+    wins AS (
+      SELECT f.user_id, f.lo + t.i AS start_day,
+             f.series[t.i + 1 : t.i + {TS_W}] AS x
+      FROM filled f
+      JOIN unnest(range(0, 100000)) AS t(i)
+        ON t.i + {TS_W} <= len(f.series)
+    ),
+    m AS (
+      SELECT w.user_id, w.start_day,
+             CAST(list_reduce(w.x, (a, b) -> a + b) AS BIGINT) AS sx,
+             CAST(list_reduce(list_transform(w.x, v -> v * v),
+                              (a, b) -> a + b) AS BIGINT) AS sxx,
+             CAST(list_reduce(list_transform(range(1, {TS_W} + 1),
+                              i -> w.x[i] * pat.p[i]),
+                              (a, b) -> a + b) AS BIGINT) AS sxp,
+             CAST(list_reduce(pat.p, (a, b) -> a + b) AS BIGINT) AS sp,
+             CAST(list_reduce(list_transform(pat.p, v -> v * v),
+                              (a, b) -> a + b) AS BIGINT) AS spp
+      FROM wins w CROSS JOIN pat
+    )
+    SELECT user_id, start_day,
+           CAST({TS_W} * sxp - sx * sp AS DOUBLE)
+             / (sqrt(CAST({TS_W} * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST({TS_W} * spp - sp * sp AS DOUBLE))) AS corr
+    FROM m
+    WHERE {TS_W} * sxx - sx * sx > 0 AND {TS_W} * spp - sp * sp > 0
+    ORDER BY corr DESC, user_id, start_day
+    LIMIT {TS_TOPK}
+    """,
+)
+def timeseries_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern search (the streaming-similarity-search
+    family, EDBT'19 theme): which user's {TS_W}-day spending window most
+    tracks the corpus-wide first-week pattern — z-normalized
+    (Pearson) subsequence matching, the UCR-suite-style primitive for
+    'find me series that behave like THIS'.
+
+    Bit-exact discipline (the corr_value_day_per_type recipe): daily
+    cents are exact int64; every subsequence's (Σx, Σx², Σxp) moments
+    are int64 folds over dense gap-filled arrays; the correlation is
+    ONE fixed IEEE expression over those exact integers, so the DuckDB
+    oracle hash-verifies every score, and zero-variance windows are
+    excluded by an INTEGER predicate, not a float epsilon.
+
+    100 TB shape: the raw scan collapses to (user, day) partials in one
+    partial-agg exchange; series assembly and window slicing are
+    map-side JVM HOFs over per-user arrays (bounded by the corpus's day
+    span); the {TS_W}-element pattern is a broadcast 1-row relation;
+    the global top-{TS_TOPK} is TakeOrderedAndProject — no global
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias(
+                "day_idx"
+            ),
+            cents.alias("c"),
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(F.sum("c").alias("cents"))
+    )
+    pat = (
+        daily.where(F.col("day_idx") < TS_W)
+        .groupBy("day_idx")
+        .agg(F.sum("cents").alias("c"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day_idx", "c"))),
+                lambda s: s.c,
+            ).alias("p")
+        )
+    )
+    # dense per-user series: gapfill missing days to 0 inside the
+    # user's own [lo, hi] span — map-side HOF over the collected pairs
+    filled = (
+        daily.groupBy("user_id")
+        .agg(
+            F.min("day_idx").alias("lo"),
+            F.max("day_idx").alias("hi"),
+            F.map_from_entries(
+                F.collect_list(F.struct("day_idx", "cents"))
+            ).alias("by_day"),
+        )
+        .select(
+            "user_id",
+            "lo",
+            F.expr(
+                "transform(sequence(lo, hi), d ->"
+                " coalesce(try_element_at(by_day, d), 0L))"
+            ).alias("series"),
+        )
+    )
+    wins = filled.select(
+        "user_id",
+        "lo",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(series) - {TS_W}), i ->"
+                f" slice(series, i + 1, {TS_W}))"
+            )
+        ).alias("i", "x"),
+    ).where(F.size("x") == TS_W)
+    m = wins.crossJoin(F.broadcast(pat)).select(
+        "user_id",
+        (F.col("lo") + F.col("i")).alias("start_day"),
+        F.expr("aggregate(x, 0L, (a, b) -> a + b)").alias("sx"),
+        F.expr(
+            "aggregate(transform(x, v -> v * v), 0L, (a, b) -> a + b)"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(zip_with(x, p, (v, q) -> v * q), 0L,"
+            " (a, b) -> a + b)"
+        ).alias("sxp"),
+        F.expr("aggregate(p, 0L, (a, b) -> a + b)").alias("sp"),
+        F.expr(
+            "aggregate(transform(p, v -> v * v), 0L, (a, b) -> a + b)"
+        ).alias("spp"),
+    )
+    w = TS_W
+    corr = (F.lit(w) * F.col("sxp") - F.col("sx") * F.col("sp")).cast(
+        "double"
+    ) / (
+        F.sqrt((F.lit(w) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.lit(w) * F.col("spp") - F.col("sp") * F.col("sp")).cast("double"))
+    )
+    return (
+        m.where(
+            (F.lit(w) * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.lit(w) * F.col("spp") - F.col("sp") * F.col("sp") > 0)
+        )
+        .select("user_id", "start_day", corr.alias("corr"))
+        .orderBy(F.desc("corr"), "user_id", "start_day")
+        .limit(TS_TOPK)
+    )
