@@ -434,3 +434,13 @@ def test_prefix_filter_join_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_timeseries_pattern_search_shape(spark):
+    """Global top-k without a global sort; the window-moment relation
+    joins the 1-row pattern by BROADCAST; daily collapse is partial-
+    agg'd before any per-user work."""
+    plan = plan_of(spark, "timeseries_pattern_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan
+    assert "partial" in plan.lower()
