@@ -2294,19 +2294,36 @@ def timeseries_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global top-{TS_TOPK} is TakeOrderedAndProject — no global
     sort."""
     ev = load_table(spark, sf_dir, "events")
-    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    return ts_pattern_topk_from_daily(ts_daily_cents(ev))
+
+
+def ts_daily_cents(ev: DataFrame) -> DataFrame:
+    """(user_id, day, cents): per-user daily integer-cents totals — the
+    persisted mergeable summary (sum monoid) the pattern search runs
+    on. Keyed by CALENDAR DATE, not a corpus-relative index, so
+    streaming partials from different batches fold correctly
+    (streaming/timeseries_stage.py); the query converts to a dense
+    index at read time."""
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    daily = (
-        ev.crossJoin(F.broadcast(d0))
-        .select(
-            "user_id",
-            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias(
-                "day_idx"
-            ),
-            cents.alias("c"),
-        )
-        .groupBy("user_id", "day_idx")
+    return (
+        ev.select("user_id", F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("user_id", "day")
         .agg(F.sum("c").alias("cents"))
+    )
+
+
+def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
+    """Pattern search over any (user_id, day, cents) relation
+    (duplicates per (user, day) allowed — they merge by sum), shared by
+    the batch query and the streaming fold."""
+    daily_by_date = daily_by_date.groupBy("user_id", "day").agg(
+        F.sum("cents").alias("cents")
+    )
+    d0 = daily_by_date.agg(F.min("day").alias("d0"))
+    daily = daily_by_date.crossJoin(F.broadcast(d0)).select(
+        "user_id",
+        F.datediff("day", "d0").cast("long").alias("day_idx"),
+        "cents",
     )
     pat = (
         daily.where(F.col("day_idx") < TS_W)

@@ -1,0 +1,77 @@
+"""Incremental time-series pattern search (streaming/timeseries_stage.py):
+drained == batch bit-for-bit, slicing insensitivity, replay idempotence,
+and the calendar-date (not corpus-relative-index) keying that makes the
+fold correct when a later batch moves the corpus's first day."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.queries.analytics import (
+    timeseries_pattern_topk,
+)
+from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+from databricks_end_to_end_streaming_spark.streaming.timeseries_stage import (
+    timeseries_stage,
+    timeseries_topk_from_log,
+)
+from databricks_end_to_end_streaming_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_drained_stream_equals_batch(spark, workdir):
+    ev = load_table(spark, SF_DIR, "events")
+    t = ParquetTable(f"{workdir}/ts")
+    stage = timeseries_stage(t)
+    for i in range(3):
+        stage(ev.where(F.col("event_id") % 3 == i), i)
+    got = _rows(timeseries_topk_from_log(spark, t))
+    want = _rows(timeseries_pattern_topk(spark, SF_DIR))
+    assert got == want and len(got) > 0
+
+
+def test_slicing_insensitive(spark, workdir):
+    ev = load_table(spark, SF_DIR, "events")
+    t1, t2 = ParquetTable(f"{workdir}/t1"), ParquetTable(f"{workdir}/t2")
+    s1, s2 = timeseries_stage(t1), timeseries_stage(t2)
+    for i in range(2):
+        s1(ev.where(F.col("event_id") % 2 == i), i)
+    for i in range(5):
+        s2(ev.where(F.col("user_id") % 5 == i), i)
+    assert _rows(timeseries_topk_from_log(spark, t1)) == _rows(
+        timeseries_topk_from_log(spark, t2)
+    )
+
+
+def test_replay_is_idempotent(spark, workdir):
+    ev = load_table(spark, SF_DIR, "events")
+    t = ParquetTable(f"{workdir}/ts")
+    stage = timeseries_stage(t)
+    stage(ev.where(F.col("event_id") % 2 == 0), 0)
+    stage(ev.where(F.col("event_id") % 2 == 1), 1)
+    before = _rows(timeseries_topk_from_log(spark, t))
+    stage(ev.where(F.col("event_id") % 2 == 1), 1)  # replay
+    assert _rows(timeseries_topk_from_log(spark, t)) == before
+
+
+def test_late_batch_moving_day_zero_folds_correctly(spark, workdir):
+    """The corpus's EARLIEST day arrives in the LAST batch: a
+    corpus-relative day index computed per batch would mis-anchor every
+    earlier partial; calendar-date keying + read-side anchoring must
+    reproduce the batch result regardless."""
+    ev = load_table(spark, SF_DIR, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    first_day = ev.where(F.to_date("ts") == F.lit(d0))
+    rest = ev.where(F.to_date("ts") != F.lit(d0))
+    t = ParquetTable(f"{workdir}/ts")
+    stage = timeseries_stage(t)
+    stage(rest, 0)
+    stage(first_day, 1)  # day zero arrives last
+    got = _rows(timeseries_topk_from_log(spark, t))
+    want = _rows(timeseries_pattern_topk(spark, SF_DIR))
+    assert got == want and len(got) > 0
