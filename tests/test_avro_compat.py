@@ -238,3 +238,64 @@ def test_record_rename_is_flagged():
     )
     issues = check_compatibility(renamed, V1, "FULL")
     assert issues and any("record name" in i for i in issues)
+
+
+# ---------------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PRIMS = ["boolean", "int", "long", "float", "double", "bytes", "string"]
+
+
+def _field(name: str, typ, default=None, with_default=False) -> dict:
+    f = {"name": name, "type": typ}
+    if with_default:
+        f["default"] = default
+    return f
+
+
+@st.composite
+def record_schemas(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    fields = []
+    for i in range(n):
+        typ = draw(st.sampled_from(_PRIMS))
+        with_default = draw(st.booleans())
+        default = {"boolean": True, "bytes": "", "string": ""}.get(typ, 0)
+        fields.append(_field(f"f{i}", typ, default, with_default))
+    return json.dumps({"type": "record", "name": "r", "fields": fields})
+
+
+@settings(max_examples=80, deadline=None)
+@given(record_schemas())
+def test_every_schema_is_full_compatible_with_itself(s):
+    assert check_compatibility(s, s, "FULL") == []
+
+
+@settings(max_examples=80, deadline=None)
+@given(record_schemas(), record_schemas())
+def test_full_equals_backward_intersect_forward(a, b):
+    full_ok = check_compatibility(a, b, "FULL") == []
+    bwd_ok = check_compatibility(a, b, "BACKWARD") == []
+    fwd_ok = check_compatibility(a, b, "FORWARD") == []
+    assert full_ok == (bwd_ok and fwd_ok)
+
+
+@settings(max_examples=80, deadline=None)
+@given(record_schemas())
+def test_adding_a_defaulted_field_preserves_full(s):
+    d = json.loads(s)
+    d["fields"] = d["fields"] + [
+        {"name": "added", "type": "string", "default": "x"}
+    ]
+    assert check_compatibility(json.dumps(d), s, "FULL") == []
+
+
+@settings(max_examples=80, deadline=None)
+@given(record_schemas(), record_schemas())
+def test_backward_and_forward_are_mirror_images(a, b):
+    # BACKWARD(a vs b) is by definition can_read(writer=b, reader=a),
+    # which is FORWARD(b vs a)
+    assert (check_compatibility(a, b, "BACKWARD") == []) == (
+        check_compatibility(b, a, "FORWARD") == []
+    )
