@@ -481,6 +481,7 @@ def run_pipeline_continuous(
     cutoff="2024-01-01 00:00:00",
     watermark: str | None = None,
     processing_time: str = "500 milliseconds",
+    progress_log: bool = False,
 ) -> dict:
     """The ALWAYS-ON medallion: bronze, silver, and gold each as a
     long-running processing-time-trigger query, cascading concurrently
@@ -513,6 +514,14 @@ def run_pipeline_continuous(
     bronze = ParquetTable(f"{workdir}/bronze", partition_by=["type"])
     silver = ParquetTable(f"{workdir}/silver", partition_by=["type"])
     gold = ParquetTable(f"{workdir}/gold")
+    listener = None
+    if progress_log:
+        # query-health sidecar (streaming/listener.py): per-batch rows/s,
+        # durations, state size across all three stages; returned under
+        # "listener" and detached by stop_pipeline
+        from .listener import attach_progress_log
+
+        listener = attach_progress_log(spark)
     started: list = []
 
     def _source_ready(q, table) -> None:
@@ -565,22 +574,35 @@ def run_pipeline_continuous(
                 q.awaitTermination()
             except Exception:
                 pass
+        if listener is not None:
+            spark.streams.removeListener(listener)
         raise
-    return {
+    out = {
         "tables": {"bronze": bronze, "silver": silver, "gold": gold},
         "queries": {"bronze": qb, "silver": qs, "gold": qg},
     }
+    if listener is not None:
+        out["listener"] = listener
+        out["spark"] = spark
+    return out
 
 
-def stop_pipeline(queries: dict) -> None:
+def stop_pipeline(pipeline_or_queries: dict) -> None:
     """Stop every stage of a continuous pipeline and wait for clean
     termination (reverse order: downstream first, so no stage is left
-    reading a stopped upstream's half-committed trigger)."""
+    reading a stopped upstream's half-committed trigger). Accepts
+    either the full ``run_pipeline_continuous`` result (also detaches
+    its progress listener) or the bare ``queries`` dict."""
+    queries = pipeline_or_queries.get("queries", pipeline_or_queries)
     for name in ("gold", "silver", "bronze"):
         q = queries.get(name)
         if q is not None:
             q.stop()
             q.awaitTermination()
+    listener = pipeline_or_queries.get("listener")
+    spark = pipeline_or_queries.get("spark")
+    if listener is not None and spark is not None:
+        spark.streams.removeListener(listener)
 
 
 def run_pipeline(

@@ -27,6 +27,7 @@ from databricks_end_to_end_streaming_spark.streaming import (
     ingest_avro_stream,
 )
 from databricks_end_to_end_streaming_spark.sources import file_stream
+from databricks_end_to_end_streaming_spark.tables import load_table
 from databricks_end_to_end_streaming_spark.streaming.medallion import (
     await_batches,
     bronze_transform,
@@ -351,3 +352,60 @@ def test_always_on_pipeline_resumes_from_checkpoints(spark, workdir):
         assert bronze.read(spark).count() == len(wave1) + len(wave2)
     finally:
         stop_pipeline(live2["queries"])
+
+
+def test_pipeline_progress_log_option(spark, workdir):
+    """progress_log=True attaches the query-health sidecar: after a
+    cascade, the listener holds per-batch rows for all three stages,
+    and stop_pipeline detaches it when given the full result."""
+    from databricks_end_to_end_streaming_spark.streaming.medallion import (
+        run_pipeline_continuous,
+        stop_pipeline,
+    )
+
+    wave = generate_events(25, seed=71, v1_ratio=0.3)
+    _ingest_wave(spark, workdir, wave)
+    raw = ParquetTable(f"{workdir}/raw")
+    live = run_pipeline_continuous(
+        spark, f"{workdir}/live", raw, progress_log=True
+    )
+    try:
+        await_batches(
+            live["queries"]["gold"], 1, min_rows=1, timeout_sec=60
+        )
+        import time as _time
+
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            names = {r[0] for r in live["listener"].snapshot()}
+            if {
+                "bronze_continuous",
+                "silver_continuous",
+                "gold_continuous",
+            } <= names:
+                break
+            _time.sleep(0.2)
+        assert {
+            "bronze_continuous",
+            "silver_continuous",
+            "gold_continuous",
+        } <= names
+    finally:
+        stop_pipeline(live)  # full-result form: also detaches listener
+    # detached: a fresh query afterwards must add NOTHING to the buffer
+    n_before = len(live["listener"].snapshot())
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{workdir}/raw")  # any existing stream source
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{workdir}/cp/after")
+        .queryName("after_detach")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    import time as _time
+
+    _time.sleep(2)  # listener bus drain window
+    assert len(live["listener"].snapshot()) == n_before
