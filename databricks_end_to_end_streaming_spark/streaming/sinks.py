@@ -336,6 +336,45 @@ class ParquetTable:
             return
         self._staged_swap_write(df)
 
+    def backfill_batch_column(
+        self, spark: SparkSession, batch_id: int = -1
+    ) -> int:
+        """The remediation exclude_batch's legacy warning names: stamp
+        every row that carries NO batch id with an explicit
+        ``_batch_id`` (default -1 — a value no real micro-batch uses,
+        so the rows stay PRIOR under replay exclusion exactly as the
+        degraded path treated them, but now via the column predicate).
+        One atomic staged-swap rewrite; idempotent (a second run finds
+        nothing null). Returns rows stamped."""
+        self._recover_swap()
+        if not self.exists():
+            return 0
+        cur = self.read(spark)
+        if "batchid" in cur.columns:
+            return 0  # token-partitioned table: already replay-exact
+        if "_batch_id" not in cur.columns:
+            stamped = cur.count()
+            # plain int literal: the stages write _batch_id as
+            # F.lit(batch_id) (IntegerType), and a wider stamp would
+            # break parquet schema merging against stage-written files
+            out = cur.withColumn("_batch_id", F.lit(batch_id))
+        else:
+            stamped = cur.where(F.col("_batch_id").isNull()).count()
+            if stamped == 0:
+                return 0
+            existing_t = cur.schema["_batch_id"].dataType
+            out = cur.withColumn(
+                "_batch_id",
+                F.coalesce(
+                    F.col("_batch_id"), F.lit(batch_id).cast(existing_t)
+                ),
+            )
+        if self._delta(spark):
+            self._delta_write(out, "overwrite", overwriteSchema="true")
+        else:
+            self._staged_swap_write(out)
+        return stamped
+
     def upsert(self, spark: SparkSession, updates: DataFrame, keys: list[str]) -> None:
         """SCD-type-1 merge: rows matching ``keys`` are replaced by the
         update, everything else is kept, new keys are inserted — the

@@ -191,3 +191,52 @@ def test_exclude_batch_legacy_and_null_rows(spark, workdir):
     )
     kept = {r.doc_id for r in exclude_batch(mixed, batch_id=7).collect()}
     assert kept == {1, 3}  # null row is prior; own batch excluded
+
+
+def test_backfill_batch_column_restores_exact_exclusion(spark, workdir):
+    """The remediation the legacy warning names: stamping _batch_id=-1
+    converts the degraded treat-all-as-prior table into a column-
+    excluded one (no more warning), keeps every legacy row PRIOR, and
+    is idempotent."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.streaming import sinks
+    from databricks_end_to_end_streaming_spark.streaming.sinks import (
+        exclude_batch,
+    )
+
+    t = ParquetTable(f"{workdir}/legacy")
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, fp string")
+    )
+    assert t.backfill_batch_column(spark) == 2
+    assert t.backfill_batch_column(spark) == 0  # idempotent
+
+    sinks._warned_legacy_batch_tables.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = exclude_batch(t.read(spark), batch_id=7, table_path=t.path)
+        assert out.count() == 2  # legacy rows stay prior
+        assert not any("backfill" in str(x.message) for x in w)  # silenced
+    # new-release rows now exclude exactly
+    t.append(
+        spark.createDataFrame([(3, "c")], "doc_id long, fp string").withColumn(
+            "_batch_id", F.lit(7)
+        )
+    )
+    assert exclude_batch(t.read(spark), batch_id=7, table_path=t.path).count() == 2
+    # mixed table: only the null rows get stamped
+    t2 = ParquetTable(f"{workdir}/mixed")
+    t2.append(
+        spark.createDataFrame([(1, "a")], "doc_id long, fp string").withColumn(
+            "_batch_id", F.lit(5)
+        )
+    )
+    t2.append(spark.createDataFrame([(2, "b")], "doc_id long, fp string"))
+    assert t2.backfill_batch_column(spark) == 1
+    got = {
+        (r["doc_id"], r["_batch_id"]) for r in t2.read(spark).collect()
+    }
+    assert got == {(1, 5), (2, -1)}
