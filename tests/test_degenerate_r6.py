@@ -53,6 +53,8 @@ def test_empty_corpus_returns_not_raises(spark, empty_dir, name):
 R7_QUERIES = [
     "histogram_quantile_rollup",
     "kmv_join_size_estimate",
+    "timeseries_pattern_topk",
+    "sq8_cosine_topk",
 ]
 
 R7_TABLES = ["orders", "customer", "lineitem"]
@@ -62,6 +64,9 @@ R7_TABLES = ["orders", "customer", "lineitem"]
 def empty_dir_r7(spark, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("empty_r7"))
     spark.createDataFrame([], EVENTS).write.parquet(f"{tmp}/events.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<float>"
+    ).write.parquet(f"{tmp}/embeddings.parquet")
     spark.createDataFrame(
         [], "o_orderkey long, o_custkey long"
     ).write.parquet(f"{tmp}/orders.parquet")
