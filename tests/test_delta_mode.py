@@ -151,6 +151,16 @@ class TestDeltaRouting:
         t.overwrite(spark.createDataFrame([(1,)], "id int"))
         assert routed == [("overwrite", {"overwriteSchema": "true"})]
 
+    def test_overwrite_atomic_routes_like_overwrite(
+        self, spark, tmp_path, routed
+    ):
+        # Delta is transactional either way: the atomic variant routes
+        # to the same transactional overwrite, no staged-swap dirs
+        t = ParquetTable(str(tmp_path / "r5"))
+        t.overwrite_atomic(spark.createDataFrame([(1,)], "id int"))
+        assert routed == [("overwrite", {"overwriteSchema": "true"})]
+        assert not t.exists()
+
     def test_read_and_stream_route_to_delta_format(
         self, spark, tmp_path, monkeypatch
     ):
