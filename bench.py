@@ -218,6 +218,7 @@ NEW_OP_QUERIES = [
     "ann_ivfpq_topk",
     "sq8_cosine_topk",
     "timeseries_pattern_topk",
+    "embedding_snapshot_drift",
 ]
 
 

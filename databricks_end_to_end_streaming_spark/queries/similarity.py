@@ -241,29 +241,8 @@ def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     with a mapInPandas per-partition NumPy int64 outer-product
     accumulator — same cells shuffle, identical result."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
-            "long"
-        ),
-    )
+    cells = gram_cells(e)
     n = e.agg(F.count("*").alias("n"))
-    qdf = e.select(q.alias("q"))
-    upper = qdf.select(
-        F.posexplode("q").alias("i", "qi"),
-        # slice from position i+1 (1-based) keeps j >= i: the diagonal
-        # and everything right of it
-        F.slice(F.col("q"), F.col("i") + 1, F.lit(EMB_DIM)).alias("rest"),
-    ).select("i", "qi", F.posexplode("rest").alias("p", "qj"))
-    cells = (
-        upper.select(
-            "i",
-            (F.col("i") + F.col("p")).alias("j"),
-            (F.col("qi") * F.col("qj")).alias("prod"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("prod").alias("dot_q"))
-    )
     moment = (
         F.col("dot_q").cast("double")
         / F.col("n").cast("double")
@@ -273,6 +252,36 @@ def embedding_second_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         cells.crossJoin(F.broadcast(n))
         .select("i", "j", "dot_q", moment.alias("moment"))
         .orderBy("i", "j")
+    )
+
+
+def gram_cells(e: DataFrame) -> DataFrame:
+    """(i, j, dot_q): exact-int64 upper-triangle Gram cells of an
+    embedding relation (the fixed-point discipline of
+    embedding_second_moment_matrix) — shared by the full-corpus moment
+    matrix and the snapshot drift monitor, so the two can never
+    quantize differently."""
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
+            "long"
+        ),
+    )
+    qdf = e.select(q.alias("q"))
+    upper = qdf.select(
+        F.posexplode("q").alias("i", "qi"),
+        # slice from position i+1 (1-based) keeps j >= i: the diagonal
+        # and everything right of it
+        F.slice(F.col("q"), F.col("i") + 1, F.lit(EMB_DIM)).alias("rest"),
+    ).select("i", "qi", F.posexplode("rest").alias("p", "qj"))
+    return (
+        upper.select(
+            "i",
+            (F.col("i") + F.col("p")).alias("j"),
+            (F.col("qi") * F.col("qj")).alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("prod").alias("dot_q"))
     )
 
 
@@ -672,4 +681,111 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup(emb, threshold=0.5)
         .select("vec_id", "label")
         .orderBy("vec_id")
+    )
+
+
+DRIFT_TOPK = 20
+
+
+@query(
+    "embedding_snapshot_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id % 2 AS snap,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_FP_SCALE}.0) AS BIGINT))
+             AS q
+      FROM embeddings
+    ),
+    n AS (
+      SELECT
+        CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM q
+    ),
+    pairs AS (
+      SELECT snap, i.i AS i, j.j AS j, q.q[i.i + 1] * q.q[j.j + 1] AS prod
+      FROM q,
+           unnest(range(0, {EMB_DIM})) AS i(i),
+           unnest(range(0, {EMB_DIM})) AS j(j)
+      WHERE j.j >= i.i
+    ),
+    cells AS (
+      SELECT i, j,
+        CAST(sum(CASE WHEN snap = 0 THEN prod ELSE 0 END) AS BIGINT) AS dot_a,
+        CAST(sum(CASE WHEN snap = 1 THEN prod ELSE 0 END) AS BIGINT) AS dot_b
+      FROM pairs GROUP BY i, j
+    ),
+    scored AS (
+      SELECT c.i, c.j, c.dot_a, c.dot_b,
+             abs(CAST(c.dot_a AS DECIMAL(38,0)) * n.n_b
+                 - CAST(c.dot_b AS DECIMAL(38,0)) * n.n_a) AS x_diff,
+             n.n_a, n.n_b
+      FROM cells c CROSS JOIN n
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           dot_a, dot_b,
+           CAST(x_diff AS DOUBLE)
+             / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE)
+             / {float(_FP_SCALE * _FP_SCALE)} AS moment_drift
+    FROM scored
+    ORDER BY x_diff DESC, i, j
+    LIMIT {DRIFT_TOPK}
+    """,
+)
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: compare two corpus
+    snapshots' second-moment (Gram) matrices cell by cell and surface
+    the {DRIFT_TOPK} most-drifted (i, j) cells — the check that catches
+    a silently retrained/re-normalized embedding model (or an upstream
+    featurization change) before it poisons ANN indexes and SemDeDup
+    thresholds built on the old geometry. Snapshots here are the
+    deterministic vec_id-parity halves (the driver corpus ships no
+    timestamps); swap any predicate pair in.
+
+    Exactness: both Grams come from the shared fixed-point
+    ``gram_cells`` core; per-cell drift |m_a - m_b| is computed by
+    integer CROSS-MULTIPLICATION |dot_a*n_b - dot_b*n_a| in
+    DECIMAL(38,0) (never a float subtraction of two divisions), so the
+    ranking and the reported doubles hash-verify. At 100 TB both
+    snapshots collapse to <= d(d+1)/2 cells before ONE shuffle each;
+    the compare is a cells x cells join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = gram_cells(e.where(F.col("vec_id") % 2 == 0)).withColumnRenamed(
+        "dot_q", "dot_a"
+    )
+    b = gram_cells(e.where(F.col("vec_id") % 2 == 1)).withColumnRenamed(
+        "dot_q", "dot_b"
+    )
+    n = e.agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    joined = (
+        a.join(b, ["i", "j"], "outer")
+        .fillna(0, subset=["dot_a", "dot_b"])
+        .crossJoin(F.broadcast(n))
+    )
+    x_diff = F.abs(
+        F.col("dot_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("dot_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    drift = (
+        x_diff.cast("double")
+        / F.col("n_a").cast("double")
+        / F.col("n_b").cast("double")
+        / F.lit(float(_FP_SCALE * _FP_SCALE))
+    )
+    return (
+        joined.select(
+            "i",
+            "j",
+            "dot_a",
+            "dot_b",
+            x_diff.alias("_x"),
+            drift.alias("moment_drift"),
+        )
+        .orderBy(F.desc("_x"), "i", "j")
+        .limit(DRIFT_TOPK)
+        .drop("_x")
     )
