@@ -69,3 +69,62 @@ def pca_from_log(
     ``operators/pca.project_embeddings`` for the map-only projection."""
     cov, mean, _n = covariance_from_log(spark, table, up_to_batch)
     return pca_components(cov, k), mean
+
+
+def drift_between_logs(
+    spark: SparkSession,
+    table_a: ParquetTable,
+    table_b: ParquetTable,
+    topk: int = 20,
+) -> DataFrame:
+    """Incremental form of ``queries/similarity.py::
+    embedding_snapshot_drift``: compare two accumulated cell logs (e.g.
+    last week's corpus vs this week's, each fed by its own
+    ``gram_stage``) without touching raw embeddings — the folds are the
+    exact Gram cells, so the drift ranking matches the batch monitor
+    bit-for-bit (tests/test_gram_stream.py proves it on parity-half
+    logs). Integer cross-multiplication |dot_a*n_b - dot_b*n_a| in
+    DECIMAL(38,0) ranks cells; no float subtraction of divisions."""
+    from ..operators.pca import FP_SCALE
+
+    def fold(table: ParquetTable, dot_alias: str, n_alias: str) -> DataFrame:
+        log = table.read(spark)
+        return log.groupBy("i", "j").agg(
+            F.sum("dot_q").alias(dot_alias),
+            # every cell of one batch carries that batch's row count:
+            # summing any fixed cell's n across the log = total rows
+            F.sum("n").alias(n_alias),
+        )
+
+    a = fold(table_a, "dot_a", "na_cell")
+    b = fold(table_b, "dot_b", "nb_cell")
+    joined = a.join(b, ["i", "j"], "outer").fillna(
+        0, subset=["dot_a", "dot_b", "na_cell", "nb_cell"]
+    )
+    n = joined.agg(
+        F.max("na_cell").alias("n_a"), F.max("nb_cell").alias("n_b")
+    )
+    joined = joined.drop("na_cell", "nb_cell").crossJoin(F.broadcast(n))
+    x_diff = F.abs(
+        F.col("dot_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("dot_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    drift = (
+        x_diff.cast("double")
+        / F.col("n_a").cast("double")
+        / F.col("n_b").cast("double")
+        / F.lit(float(FP_SCALE * FP_SCALE))
+    )
+    return (
+        joined.select(
+            "i",
+            "j",
+            "dot_a",
+            "dot_b",
+            x_diff.alias("_x"),
+            drift.alias("moment_drift"),
+        )
+        .orderBy(F.desc("_x"), "i", "j")
+        .limit(topk)
+        .drop("_x")
+    )

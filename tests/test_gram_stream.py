@@ -69,3 +69,31 @@ def test_prequential_view_excludes_later_batches(spark, workdir):
     cov0, mean0, n0 = covariance_from_log(spark, t, up_to_batch=0)
     cov_b, mean_b, n_b = covariance_stats(first)
     assert n0 == n_b and (cov0 == cov_b).all() and (mean0 == mean_b).all()
+
+
+def test_drift_between_logs_matches_batch_monitor(spark, workdir):
+    """Two gram_stage logs fed by the vec_id-parity halves reproduce the
+    batch embedding_snapshot_drift ranking bit-for-bit — drift between
+    corpus snapshots never touches raw embeddings again."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.similarity import (
+        embedding_snapshot_drift,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.gram import (
+        drift_between_logs,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    ta = ParquetTable(f"{workdir}/gram_a")
+    tb = ParquetTable(f"{workdir}/gram_b")
+    sa, sb = gram_stage(ta), gram_stage(tb)
+    # each snapshot arrives in two batches: the fold must merge
+    for i in range(2):
+        sa(emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 4 == 2 * i)), i)
+        sb(emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 4 == 2 * i + 1)), i)
+    got = sorted(tuple(r) for r in drift_between_logs(spark, ta, tb).collect())
+    want = sorted(tuple(r) for r in embedding_snapshot_drift(spark, sf).collect())
+    assert got == want and len(got) > 0
