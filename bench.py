@@ -219,6 +219,7 @@ NEW_OP_QUERIES = [
     "sq8_cosine_topk",
     "timeseries_pattern_topk",
     "embedding_snapshot_drift",
+    "neardup_safe_split",
 ]
 
 

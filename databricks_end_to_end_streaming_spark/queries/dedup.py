@@ -1093,3 +1093,74 @@ def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "neardup_safe_split",
+    oracle=_REACH_CTE
+    + """,
+    assign AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    ),
+    tagged AS (
+      SELECT *,
+             CASE
+               WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 32, 1)
+                    IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                 THEN 'train'
+               WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 32, 1)
+                    IN ('c','d')
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM assign
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split at NEAR-DUP-CLUSTER granularity:
+    membership hashes the cluster id, not the document id, so two
+    near-duplicate documents can NEVER straddle train and test — the
+    eval-contamination failure mode a plain per-document split
+    (``dataset_split_deterministic``) cannot prevent, and the reason
+    serious LLM eval splits are made dedup-aware. Singletons use their
+    own doc_id as cluster id, so the split stays a pure function of
+    content relationships: reproducible across re-runs, backfills, and
+    incremental arrivals with no stored state.
+
+    Shape: the cluster relation is the shared near-dup pipeline
+    (minhash -> LSH bands -> exact verify -> connected components,
+    ``neardup_cluster_relation``); the split itself adds one LEFT
+    broadcast-able join (clusters are the small side — only docs in
+    some near-dup pair appear) and a stateless md5 map + 3-group
+    aggregate. tests/test_dedup.py pins the zero-straddle invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = neardup_cluster_relation(d)
+    assign = d.join(F.broadcast(clusters), "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 32, 1)
+    split = (
+        F.when(
+            bucket.isin(*"0123456789ab"), F.lit("train")
+        )
+        .when(bucket.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        assign.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -217,3 +217,57 @@ def test_prefix_filter_join_exact_at_boundary(spark, tmp_path):
     assert set(got) == set(want) and (1, 2) in got and (1, 4) not in got
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_neardup_safe_split_never_straddles_clusters(spark):
+    """The invariant the query exists for: every near-dup cluster lands
+    ENTIRELY inside one split — no near-duplicate pair can leak between
+    train and test. Also: the per-doc split (dataset_split_deterministic
+    recipe) WOULD straddle on this corpus, proving the cluster-level
+    hash is load-bearing, not decorative."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        neardup_cluster_relation,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, sf, "documents")
+    clusters = neardup_cluster_relation(d)
+    assign = d.join(F.broadcast(clusters), "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+
+    def bucket(col):
+        b = F.substring(F.md5(F.col(col).cast("string")), 32, 1)
+        return (
+            F.when(b.isin(*"0123456789ab"), "train")
+            .when(b.isin("c", "d"), "val")
+            .otherwise("test")
+        )
+
+    by_cluster = assign.withColumn("split", bucket("cluster_id"))
+    straddling = (
+        by_cluster.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert straddling == 0
+
+    # real multi-doc clusters exist, so the invariant is non-vacuous
+    multi = (
+        clusters.groupBy("cluster_id").count().where(F.col("count") > 1)
+    )
+    assert multi.count() > 0
+
+    # the naive per-DOC hash does straddle at least one cluster here
+    by_doc = assign.withColumn("split", bucket("doc_id"))
+    naive_straddling = (
+        by_doc.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert naive_straddling > 0
