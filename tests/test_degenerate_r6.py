@@ -55,6 +55,7 @@ R7_QUERIES = [
     "kmv_join_size_estimate",
     "timeseries_pattern_topk",
     "sq8_cosine_topk",
+    "embedding_snapshot_drift",
 ]
 
 R7_TABLES = ["orders", "customer", "lineitem"]
