@@ -2223,11 +2223,14 @@ TS_TOPK = 20
                   AS BIGINT) AS cents
       FROM events CROSS JOIN d0 GROUP BY 1, 2
     ),
-    pat AS (  -- corpus-wide first-{TS_W}-days pattern
-      SELECT list(c ORDER BY day_idx) AS p FROM (
+    pat AS (  -- corpus-wide first-{TS_W}-days pattern, gap-filled to
+              -- exactly {TS_W} dense entries (zero-event days = 0)
+      SELECT list(COALESCE(pc.c, 0) ORDER BY t.i) AS p
+      FROM unnest(range(0, {TS_W})) AS t(i)
+      LEFT JOIN (
         SELECT day_idx, CAST(sum(cents) AS BIGINT) AS c
         FROM daily WHERE day_idx < {TS_W} GROUP BY day_idx
-      )
+      ) pc ON pc.day_idx = t.i
     ),
     spans AS (
       SELECT user_id, min(day_idx) AS lo, max(day_idx) AS hi
@@ -2292,7 +2295,15 @@ def timeseries_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side JVM HOFs over per-user arrays (bounded by the corpus's day
     span); the {TS_W}-element pattern is a broadcast 1-row relation;
     the global top-{TS_TOPK} is TakeOrderedAndProject — no global
-    sort."""
+    sort.
+
+    int64 headroom: the pattern entries are CORPUS-wide daily totals,
+    so spp = sum(p_i^2) (and {TS_W}*spp - sp^2) wraps past a
+    ~3e9-cents (~$30M) corpus-day; beyond that, scale the pattern to
+    its own cents/1000 units or widen the moment casts to
+    DECIMAL(38,0) on BOTH sides (ANSI mode fails loudly at the
+    boundary rather than wrapping — the same bound discipline as
+    corr_value_day_per_type)."""
     ev = load_table(spark, sf_dir, "events")
     return ts_pattern_topk_from_daily(ts_daily_cents(ev))
 
@@ -2325,14 +2336,24 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
         F.datediff("day", "d0").cast("long").alias("day_idx"),
         "cents",
     )
+    # the pattern is gap-filled to EXACTLY TS_W dense entries (a
+    # zero-event calendar day in the corpus's first week would
+    # otherwise shorten p, and zip_with's null padding would NULL every
+    # correlation downstream — silently, since the WHERE guards are
+    # integer-only)
     pat = (
         daily.where(F.col("day_idx") < TS_W)
         .groupBy("day_idx")
         .agg(F.sum("cents").alias("c"))
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("day_idx", "c"))),
-                lambda s: s.c,
+            F.map_from_entries(
+                F.collect_list(F.struct("day_idx", "c"))
+            ).alias("by_day")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0L, {TS_W - 1}L), d ->"
+                " coalesce(try_element_at(by_day, d), 0L))"
             ).alias("p")
         )
     )
@@ -2356,16 +2377,25 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
             ).alias("series"),
         )
     )
-    wins = filled.select(
-        "user_id",
-        "lo",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(series) - {TS_W}), i ->"
-                f" slice(series, i + 1, {TS_W}))"
-            )
-        ).alias("i", "x"),
-    ).where(F.size("x") == TS_W)
+    # users whose whole span is shorter than the window yield no
+    # subsequence — and MUST be filtered before the transform: for them
+    # sequence(0, size-W) runs DESCENDING into negatives and
+    # slice(series, 0, W) throws (the oracle's join condition
+    # t.i + W <= len skips them structurally)
+    wins = (
+        filled.where(F.size("series") >= TS_W)
+        .select(
+            "user_id",
+            "lo",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(series) - {TS_W}), i ->"
+                    f" slice(series, i + 1, {TS_W}))"
+                )
+            ).alias("i", "x"),
+        )
+        .where(F.size("x") == TS_W)
+    )
     m = wins.crossJoin(F.broadcast(pat)).select(
         "user_id",
         (F.col("lo") + F.col("i")).alias("start_day"),

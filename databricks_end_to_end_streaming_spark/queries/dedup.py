@@ -1142,21 +1142,15 @@ def neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able join (clusters are the small side — only docs in
     some near-dup pair appear) and a stateless md5 map + 3-group
     aggregate. tests/test_dedup.py pins the zero-straddle invariant."""
+    from .text import split_bucket
+
     d = load_table(spark, sf_dir, "documents")
     clusters = neardup_cluster_relation(d)
     assign = d.join(F.broadcast(clusters), "doc_id", "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     )
-    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 32, 1)
-    split = (
-        F.when(
-            bucket.isin(*"0123456789ab"), F.lit("train")
-        )
-        .when(bucket.isin("c", "d"), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        assign.withColumn("split", split)
+        assign.withColumn("split", split_bucket(F.col("cluster_id")))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),

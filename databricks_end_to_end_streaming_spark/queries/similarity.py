@@ -545,20 +545,7 @@ def sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sq8_recall_eval",
     oracle=f"""
     WITH {_SQ8_CODED_SQL},
-    dq AS (
-      SELECT vec_id,
-             list_transform(range(0, {EMB_DIM}), i ->
-               mins[i + 1]
-               + (CAST(codes[i + 1] AS BIGINT)
-                  * (maxs[i + 1] - mins[i + 1])) // 255) AS dq
-      FROM coded
-    ),
-    dqn AS (
-      SELECT vec_id, dq,
-             list_reduce(list_transform(dq, x -> x * x), (a, b) -> a + b)
-               AS nd
-      FROM dq
-    ),
+    {_SQ8_SEARCH_SQL},
     exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -569,23 +556,6 @@ def sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
                ) AS rank
         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-        WHERE q.vec_id < {N_QUERIES}
-      ) WHERE rank <= {TOP_K}
-    ),
-    sq8_topk AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-               row_number() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY
-                   ((CAST(list_reduce(
-                       list_transform(range(0, {EMB_DIM}),
-                                      i -> q.dq[i + 1] * e.dq[i + 1]),
-                       (a, b) -> a + b) AS DOUBLE)
-                     / sqrt(CAST(q.nd AS DOUBLE)))
-                    / sqrt(CAST(e.nd AS DOUBLE))) DESC, e.vec_id
-               ) AS rank
-        FROM dqn q JOIN dqn e ON e.vec_id <> q.vec_id
         WHERE q.vec_id < {N_QUERIES}
       ) WHERE rank <= {TOP_K}
     )
@@ -761,11 +731,21 @@ def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
         F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
     )
-    joined = (
-        a.join(b, ["i", "j"], "outer")
-        .fillna(0, subset=["dot_a", "dot_b"])
-        .crossJoin(F.broadcast(n))
+    cells = a.join(b, ["i", "j"], "outer").fillna(
+        0, subset=["dot_a", "dot_b"]
     )
+    return rank_drift(cells, n, DRIFT_TOPK)
+
+
+def rank_drift(cells: DataFrame, n: DataFrame, topk: int) -> DataFrame:
+    """The one drift-ranking tail the batch monitor and the incremental
+    log comparison (``streaming/gram.py::drift_between_logs``) share —
+    the two carry a bit-for-bit equality contract, so the scoring must
+    live once. ``cells``: (i, j, dot_a, dot_b) exact int64 Gram cells;
+    ``n``: one row (n_a, n_b). Ranks by the integer cross-multiplied
+    |dot_a*n_b - dot_b*n_a| in DECIMAL(38,0); the reported double is
+    one fixed IEEE chain at the end."""
+    joined = cells.crossJoin(F.broadcast(n))
     x_diff = F.abs(
         F.col("dot_a").cast("decimal(38,0)") * F.col("n_b")
         - F.col("dot_b").cast("decimal(38,0)") * F.col("n_a")
@@ -786,6 +766,6 @@ def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             drift.alias("moment_drift"),
         )
         .orderBy(F.desc("_x"), "i", "j")
-        .limit(DRIFT_TOPK)
+        .limit(topk)
         .drop("_x")
     )

@@ -219,6 +219,20 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_bucket(id_col: F.Column) -> F.Column:
+    """The one 12/2/2 md5 train/val/test bucketing rule — shared by the
+    per-document split below and the near-dup-cluster split
+    (queries/dedup.py::neardup_safe_split), so the two can never fork
+    the split semantics. Last hex char of md5(CAST(id AS STRING)):
+    0-b train, c-d val, e-f test."""
+    b = F.substring(F.md5(id_col.cast("string").cast("binary")), 32, 1)
+    return (
+        F.when(b.isin(*"0123456789ab"), "train")
+        .when(b.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+
+
 @query(
     "dataset_split_deterministic",
     oracle="""
@@ -251,14 +265,8 @@ def dataset_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless map + one 3-group aggregate (no shuffle wider than the
     final 3-row combine)."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 32, 1)
-    split = (
-        F.when(bucket.isin(*"0123456789ab"), "train")
-        .when(bucket.isin("c", "d"), "val")
-        .otherwise("test")
-    )
     return (
-        d.select(split.alias("split"), "n_chars")
+        d.select(split_bucket(F.col("doc_id")).alias("split"), "n_chars")
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),

@@ -84,8 +84,10 @@ def drift_between_logs(
     exact Gram cells, so the drift ranking matches the batch monitor
     bit-for-bit (tests/test_gram_stream.py proves it on parity-half
     logs). Integer cross-multiplication |dot_a*n_b - dot_b*n_a| in
-    DECIMAL(38,0) ranks cells; no float subtraction of divisions."""
-    from ..operators.pca import FP_SCALE
+    DECIMAL(38,0) ranks cells; the scoring is the SHARED ``rank_drift``
+    tail (queries/similarity.py), so the bit-for-bit contract with the
+    batch monitor cannot drift."""
+    from ..queries.similarity import rank_drift
 
     def fold(table: ParquetTable, dot_alias: str, n_alias: str) -> DataFrame:
         log = table.read(spark)
@@ -104,27 +106,5 @@ def drift_between_logs(
     n = joined.agg(
         F.max("na_cell").alias("n_a"), F.max("nb_cell").alias("n_b")
     )
-    joined = joined.drop("na_cell", "nb_cell").crossJoin(F.broadcast(n))
-    x_diff = F.abs(
-        F.col("dot_a").cast("decimal(38,0)") * F.col("n_b")
-        - F.col("dot_b").cast("decimal(38,0)") * F.col("n_a")
-    )
-    drift = (
-        x_diff.cast("double")
-        / F.col("n_a").cast("double")
-        / F.col("n_b").cast("double")
-        / F.lit(float(FP_SCALE * FP_SCALE))
-    )
-    return (
-        joined.select(
-            "i",
-            "j",
-            "dot_a",
-            "dot_b",
-            x_diff.alias("_x"),
-            drift.alias("moment_drift"),
-        )
-        .orderBy(F.desc("_x"), "i", "j")
-        .limit(topk)
-        .drop("_x")
-    )
+    cells = joined.drop("na_cell", "nb_cell")
+    return rank_drift(cells, n, topk)

@@ -46,11 +46,20 @@ PROGRESS_SCHEMA = T.StructType(
 class ProgressLogListener(StreamingQueryListener):
     """Buffers one row per committed micro-batch across EVERY query on
     the session (filter by ``query_name`` when reading). Thread-safe:
-    Spark delivers listener events on its own bus thread."""
+    Spark delivers listener events on its own bus thread.
 
-    def __init__(self) -> None:
+    BOUNDED: the buffer keeps the newest ``max_rows`` events
+    (drop-oldest) — an always-on pipeline at 500 ms triggers emits
+    ~500k events/day, and a listener nobody flushes must not grow the
+    driver heap forever. Flush periodically to a metrics table to keep
+    full history; the default cap holds roughly a day of three-stage
+    500 ms progress either way."""
+
+    def __init__(self, max_rows: int = 500_000) -> None:
+        from collections import deque
+
         self._lock = threading.Lock()
-        self._rows: list[tuple] = []
+        self._rows: "deque[tuple]" = deque(maxlen=max_rows)
 
     # -- StreamingQueryListener interface (events we don't record are
     # required abstract methods on the Python listener) --------------
@@ -99,7 +108,8 @@ class ProgressLogListener(StreamingQueryListener):
         caller's cadence concern (metrics sidecar, not a ledger) —
         flush once per inspection interval."""
         with self._lock:
-            rows, self._rows = self._rows, []
+            rows = list(self._rows)
+            self._rows.clear()
         if rows:
             table.append(spark.createDataFrame(rows, PROGRESS_SCHEMA))
         return len(rows)

@@ -494,8 +494,11 @@ def run_pipeline_continuous(
     ``_spark_metadata`` commit log, so uncommitted files of an in-flight
     trigger are invisible downstream.
 
-    Returns ``{"tables": {...}, "queries": {...}}``; stop with
-    ``stop_pipeline(result["queries"])``. Same transforms, sinks, and
+    Returns ``{"tables": {...}, "queries": {...}}`` (plus
+    ``"listener"``/``"spark"`` when ``progress_log=True``); stop with
+    ``stop_pipeline(result)`` — the FULL result, which also detaches
+    the listener (the bare-queries form cannot). Same transforms,
+    sinks, and
     checkpoints as :func:`run_pipeline` — only the triggers differ
     (gold's rewrite goes through the shared ``_gold_writer``, whose
     atomic staged swap is what lets readers hit gold while triggers

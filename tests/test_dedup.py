@@ -239,15 +239,11 @@ def test_neardup_safe_split_never_straddles_clusters(spark):
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     )
 
-    def bucket(col):
-        b = F.substring(F.md5(F.col(col).cast("string")), 32, 1)
-        return (
-            F.when(b.isin(*"0123456789ab"), "train")
-            .when(b.isin("c", "d"), "val")
-            .otherwise("test")
-        )
+    from databricks_end_to_end_streaming_spark.queries.text import (
+        split_bucket,
+    )
 
-    by_cluster = assign.withColumn("split", bucket("cluster_id"))
+    by_cluster = assign.withColumn("split", split_bucket(F.col("cluster_id")))
     straddling = (
         by_cluster.groupBy("cluster_id")
         .agg(F.countDistinct("split").alias("k"))
@@ -263,7 +259,7 @@ def test_neardup_safe_split_never_straddles_clusters(spark):
     assert multi.count() > 0
 
     # the naive per-DOC hash does straddle at least one cluster here
-    by_doc = assign.withColumn("split", bucket("doc_id"))
+    by_doc = assign.withColumn("split", split_bucket(F.col("doc_id")))
     naive_straddling = (
         by_doc.groupBy("cluster_id")
         .agg(F.countDistinct("split").alias("k"))

@@ -75,3 +75,53 @@ def test_late_batch_moving_day_zero_folds_correctly(spark, workdir):
     got = _rows(timeseries_topk_from_log(spark, t))
     want = _rows(timeseries_pattern_topk(spark, SF_DIR))
     assert got == want and len(got) > 0
+
+
+def test_short_span_user_yields_no_window_not_a_crash(spark):
+    """A user active fewer than TS_W distinct days must contribute NO
+    subsequence — not crash the query (unfiltered, sequence(0, size-W)
+    runs descending and slice(series, 0, W) throws). Mixed frame: one
+    30-day user, one 3-day user."""
+    import datetime as dt
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        TS_W,
+        ts_pattern_topk_from_daily,
+    )
+
+    rows = [
+        (1, dt.date(2024, 1, 1) + dt.timedelta(days=i), 100 + i)
+        for i in range(30)
+    ] + [(2, dt.date(2024, 1, 1) + dt.timedelta(days=i), 50) for i in range(3)]
+    daily = spark.createDataFrame(
+        rows, "user_id long, day date, cents long"
+    )
+    out = ts_pattern_topk_from_daily(daily).collect()
+    assert len(out) > 0
+    assert all(r["user_id"] == 1 for r in out)  # the 3-day user: no window
+    assert all(r["corr"] is not None for r in out)
+
+
+def test_sparse_first_week_pattern_is_gapfilled(spark):
+    """A zero-event calendar day inside the corpus's first week must not
+    shorten the pattern (which would NULL every correlation via
+    zip_with padding): the pattern gap-fills to TS_W entries."""
+    import datetime as dt
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        ts_pattern_topk_from_daily,
+    )
+
+    # day 3 of the corpus has no events AT ALL
+    rows = [
+        (u, dt.date(2024, 1, 1) + dt.timedelta(days=i), 100 * u + i)
+        for u in (1, 2)
+        for i in range(14)
+        if i != 3
+    ]
+    daily = spark.createDataFrame(
+        rows, "user_id long, day date, cents long"
+    )
+    out = ts_pattern_topk_from_daily(daily).collect()
+    assert len(out) > 0
+    assert all(r["corr"] is not None for r in out)
