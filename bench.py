@@ -220,6 +220,7 @@ NEW_OP_QUERIES = [
     "timeseries_pattern_topk",
     "embedding_snapshot_drift",
     "neardup_safe_split",
+    "scd2_temporal_enrichment",
 ]
 
 

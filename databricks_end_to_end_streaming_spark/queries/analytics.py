@@ -2428,3 +2428,101 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
         .orderBy(F.desc("corr"), "user_id", "start_day")
         .limit(TS_TOPK)
     )
+
+
+@query(
+    "scd2_temporal_enrichment",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    ), hist AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+             ) AS valid_to
+      FROM changes
+    ), enriched AS (
+      SELECT h.state AS state_at_event, e.user_id,
+             CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events e JOIN hist h
+        ON h.user_id = e.user_id
+       AND CAST(e.ts AS TIMESTAMP) >= h.valid_from
+       AND (h.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < h.valid_to)
+    )
+    SELECT state_at_event,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM enriched
+    GROUP BY state_at_event
+    """,
+)
+def scd2_temporal_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (validity-window) join — the standard warehouse
+    enrichment an SCD2 history exists FOR: each event joins the state
+    version VALID AT ITS TIMESTAMP (``valid_from <= ts < valid_to``,
+    open current interval), then rolls up spend per state-at-event.
+    Complements ``asof_last_event_value`` (as-of by latest preceding
+    event) with the dimension-history form: point-in-time-correct
+    attribution that a plain join to the CURRENT dimension row gets
+    wrong for every historical event.
+
+    Uniqueness by construction: intervals partition each user's
+    timeline (half-open, boundaries from the same total (ts, event_id)
+    order the history build uses), so every event matches EXACTLY one
+    version — tests/test_stream_joins.py pins join-count == event
+    count, including at change boundaries and zero-length intervals
+    from equal-timestamp changes.
+
+    Scale shape: the join is equi on user_id with a range residual —
+    one key-bound shuffle, per-user sorted intervals; history rows are
+    the collapsed change subset (<< events). Spend stays exact int64
+    cents until the final sums."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    hist = changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    ev = e.select("user_id", "ts", cents.alias("cents"))
+    enriched = ev.join(
+        hist,
+        (ev["user_id"] == hist["user_id"])
+        & (ev["ts"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (ev["ts"] < hist["valid_to"])),
+    )
+    return enriched.groupBy(
+        F.col("state").alias("state_at_event")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+        F.countDistinct(ev["user_id"]).alias("n_users"),
+    )

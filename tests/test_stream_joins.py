@@ -135,3 +135,55 @@ def test_stream_stream_full_outer_emits_both_sides(spark, workdir):
     assert ("req1", "conf-in") in got       # matched
     assert ("req4", None) in got            # left-only null-extended
     assert (None, "conf-only") in got       # right-only null-extended
+
+
+def test_scd2_temporal_join_matches_every_event_exactly_once(spark):
+    """Validity intervals partition each user's timeline, so the
+    temporal join is 1:1 with events — including at change boundaries
+    and zero-length intervals from equal-timestamp changes (a planted
+    frame exercises both)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a change at the same ts as an event; two changes at
+        # one identical timestamp (zero-length interval)
+        (1, t0, 1, "a", 1.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b", 1.0, None),
+        (3, t0 + dt.timedelta(minutes=1), 1, "c", 1.0, None),  # same ts
+        (4, t0 + dt.timedelta(minutes=2), 1, "c", 1.0, None),
+        # user 2: single state
+        (5, t0, 2, "a", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = changes.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    joined = ev.alias("e").join(
+        hist.alias("h"),
+        (F.col("e.user_id") == F.col("h.user_id"))
+        & (F.col("e.ts") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("e.ts") < F.col("h.valid_to"))),
+    )
+    assert joined.count() == ev.count()  # exactly one version per event
+    assert (
+        joined.select("e.event_id").distinct().count() == ev.count()
+    )
