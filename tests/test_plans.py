@@ -444,3 +444,20 @@ def test_timeseries_pattern_search_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Broadcast" in plan
     assert "partial" in plan.lower()
+
+
+def test_scd2_temporal_join_is_key_bound(spark):
+    """The validity-window join is equi on user_id with a range
+    residual — never a cartesian product; spend rollup partial-aggs."""
+    plan = plan_of(spark, "scd2_temporal_enrichment")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_neardup_safe_split_broadcasts_clusters(spark):
+    """The cluster relation (docs in near-dup pairs only) broadcasts
+    onto the corpus scan; the split is a stateless map + 3-group agg."""
+    plan = plan_of(spark, "neardup_safe_split")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
