@@ -111,6 +111,10 @@ PLAN_QUERIES = [
     ("histogram_quantile_rollup", "mergeable bin summaries: raw scan collapses to (day,hour,bin) partials in ONE partial-agg exchange; quantile window touches bin rows only"),
     ("sq8_cosine_topk", "production SQ8 search: d-row stats shuffle + broadcast fold; broadcast queries x coded scan; int64 LUT-free dots; TOP_K survivors to the window"),
     ("ann_ivfpq_topk", "IVFPQ: two Arrow map-only corpus passes (cell id + codes, raw vector dropped pre-shuffle); broadcast cell-id join bounds candidates; ADC scores codes"),
+    ("timeseries_pattern_topk", "daily partial-agg collapse -> map-side HOF gapfill/window slicing over per-user arrays -> broadcast 1-row pattern -> TakeOrdered top-k"),
+    ("embedding_snapshot_drift", "two Gram-cell collapses (<= d(d+1)/2 cells each before ONE shuffle) -> cells-x-cells outer join -> decimal cross-multiplied ranking"),
+    ("scd2_temporal_enrichment", "history build = two user-keyed windows on ONE exchange; validity join equi-on-user + range residual; exact-cents partial-agg rollup"),
+    ("neardup_safe_split", "shared near-dup cluster relation -> BROADCAST cluster map onto the corpus -> stateless md5 split + 3-group aggregate"),
 ]
 
 
