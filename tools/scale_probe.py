@@ -53,6 +53,9 @@ PROBES = [
     "kmv_join_size_estimate",
     "ann_ivfpq_topk",
     "sq8_cosine_topk",
+    "timeseries_pattern_topk",
+    "embedding_snapshot_drift",
+    "scd2_temporal_enrichment",
     "rolling_7day_active_users",
     "tfidf_top_terms_per_lang",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
