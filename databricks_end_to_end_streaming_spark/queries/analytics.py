@@ -1014,10 +1014,8 @@ def user_event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scd2_user_state_history",
-    oracle="""
-    WITH ordered AS (
+_SCD2_HIST_CTE = """
+    ordered AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev
@@ -1025,33 +1023,27 @@ def user_event_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), changes AS (
       SELECT user_id, event_type AS state, ts AS valid_from, event_id
       FROM ordered WHERE prev IS NULL OR prev <> event_type
+    ), hist AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+             ) AS valid_to,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+             ) AS version
+      FROM changes
     )
-    SELECT user_id, state, valid_from,
-           lead(valid_from) OVER w AS valid_to,
-           CAST(row_number() OVER w AS BIGINT) AS version,
-           CAST(CASE WHEN lead(valid_from) OVER w IS NULL
-                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
-    FROM changes
-    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-    """,
-)
-def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type-2 build from an event log: collapse
-    each user's consecutive identical event_types into versioned validity
-    intervals (valid_from, valid_to, is_current) — the standard
-    warehouse history-table derivation (Kimball SCD2), as one pass of
-    window functions. Deterministic: every window orders on the unique
-    (ts, event_id) prefix, so change detection, lead() and row_number()
-    are total-order-stable across engines and partitionings.
+"""
 
-    Scale shape: both windows partition by user_id — one shuffle on the
-    key, then linear per-partition scans; change rows (the second
-    window's input) are a collapsed subset. No joins, no driver work.
-    The streaming twin of this derivation is ParquetTable.upsert
-    (SCD type-1); type-2 needs the full ordered log, hence batch."""
-    from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+def scd2_history(e: DataFrame) -> DataFrame:
+    """(user_id, state, valid_from, valid_to, version): the SCD2
+    interval build every consumer shares — the history query, the
+    temporal-enrichment join, and the boundary tests construct
+    intervals from this ONE definition (half-open boundaries, the
+    (ts, event_id) total-order tiebreak), so the 'boundaries from the
+    same total order' invariant cannot fork. Mirrors _SCD2_HIST_CTE
+    expression for expression."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.select(
@@ -1076,7 +1068,42 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
-        F.lead("valid_from").over(w2).isNull().cast("long").alias("is_current"),
+    )
+
+
+@query(
+    "scd2_user_state_history",
+    oracle=f"""
+    WITH {_SCD2_HIST_CTE}
+    SELECT user_id, state, valid_from, valid_to,
+           CAST(version AS BIGINT) AS version,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM hist
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: collapse
+    each user's consecutive identical event_types into versioned validity
+    intervals (valid_from, valid_to, is_current) — the standard
+    warehouse history-table derivation (Kimball SCD2), as one pass of
+    window functions. Deterministic: every window orders on the unique
+    (ts, event_id) prefix, so change detection, lead() and row_number()
+    are total-order-stable across engines and partitionings.
+
+    Scale shape: both windows partition by user_id — one shuffle on the
+    key, then linear per-partition scans; change rows (the second
+    window's input) are a collapsed subset. No joins, no driver work.
+    The streaming twin of this derivation is ParquetTable.upsert
+    (SCD type-1); type-2 needs the full ordered log, hence batch."""
+    h = scd2_history(load_table(spark, sf_dir, "events"))
+    return h.select(
+        "user_id",
+        "state",
+        "valid_from",
+        "valid_to",
+        "version",
+        F.col("valid_to").isNull().cast("long").alias("is_current"),
     )
 
 
@@ -2432,22 +2459,9 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
 
 @query(
     "scd2_temporal_enrichment",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev
-      FROM events
-    ), changes AS (
-      SELECT user_id, event_type AS state, ts AS valid_from, event_id
-      FROM ordered WHERE prev IS NULL OR prev <> event_type
-    ), hist AS (
-      SELECT user_id, state, valid_from,
-             lead(valid_from) OVER (
-               PARTITION BY user_id ORDER BY valid_from, event_id
-             ) AS valid_to
-      FROM changes
-    ), enriched AS (
+    oracle=f"""
+    WITH {_SCD2_HIST_CTE},
+    enriched AS (
       SELECT h.state AS state_at_event, e.user_id,
              CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events e JOIN hist h
@@ -2484,45 +2498,27 @@ def scd2_temporal_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one key-bound shuffle, per-user sorted intervals; history rows are
     the collapsed change subset (<< events). Spend stays exact int64
     cents until the final sums."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        e.select(
-            "user_id",
-            "event_type",
-            "ts",
-            "event_id",
-            F.lag("event_type").over(w).alias("prev"),
-        )
-        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("valid_from"),
-            "event_id",
-        )
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-    hist = changes.select(
-        "user_id",
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
+    hist = scd2_history(e).select(
+        "user_id", "state", "valid_from", "valid_to"
     )
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     ev = e.select("user_id", "ts", cents.alias("cents"))
-    enriched = ev.join(
-        hist,
-        (ev["user_id"] == hist["user_id"])
-        & (ev["ts"] >= hist["valid_from"])
-        & (hist["valid_to"].isNull() | (ev["ts"] < hist["valid_to"])),
+    # explicit aliases: both sides derive from the same scan, and an
+    # unaliased ev["user_id"] == hist["user_id"] resolves through
+    # Spark's ambiguous-self-join machinery (it logs 'trivially true
+    # equals predicate') — the aliased form is a plainly-resolved
+    # equi-key that can never collapse to literal true
+    enriched = ev.alias("e").join(
+        hist.alias("h"),
+        (F.col("e.user_id") == F.col("h.user_id"))
+        & (F.col("e.ts") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("e.ts") < F.col("h.valid_to"))),
     )
     return enriched.groupBy(
-        F.col("state").alias("state_at_event")
+        F.col("h.state").alias("state_at_event")
     ).agg(
         F.count("*").alias("n_events"),
         F.sum("cents").alias("total_cents"),
-        F.countDistinct(ev["user_id"]).alias("n_users"),
+        F.countDistinct(F.col("e.user_id")).alias("n_users"),
     )

@@ -163,20 +163,13 @@ def test_scd2_temporal_join_matches_every_event_exactly_once(spark):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.select(
-            "user_id", "event_type", "ts", "event_id",
-            F.lag("event_type").over(w).alias("prev"),
-        )
-        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    # the PRODUCTION interval builder — the pin covers the shared
+    # definition both registered scd2 queries consume
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        scd2_history,
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    hist = changes.select(
-        "user_id",
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-    )
+
+    hist = scd2_history(ev).select("user_id", "valid_from", "valid_to")
     joined = ev.alias("e").join(
         hist.alias("h"),
         (F.col("e.user_id") == F.col("h.user_id"))
