@@ -2281,24 +2281,29 @@ TS_TOPK = 20
         ON t.i + {TS_W} <= len(f.series)
     ),
     m AS (
+      -- quadratic moments in HUGEINT (int128): spp = sum(p_i^2) wraps
+      -- int64 past a ~3e9-cents corpus-day; linear sums stay BIGINT
+      -- (bound ~1.3e18 cents/day, documented)
       SELECT w.user_id, w.start_day,
              CAST(list_reduce(w.x, (a, b) -> a + b) AS BIGINT) AS sx,
-             CAST(list_reduce(list_transform(w.x, v -> v * v),
-                              (a, b) -> a + b) AS BIGINT) AS sxx,
-             CAST(list_reduce(list_transform(range(1, {TS_W} + 1),
-                              i -> w.x[i] * pat.p[i]),
-                              (a, b) -> a + b) AS BIGINT) AS sxp,
+             list_reduce(list_transform(w.x, v -> CAST(v AS HUGEINT) * v),
+                         (a, b) -> a + b) AS sxx,
+             list_reduce(list_transform(range(1, {TS_W} + 1),
+                         i -> CAST(w.x[i] AS HUGEINT) * pat.p[i]),
+                         (a, b) -> a + b) AS sxp,
              CAST(list_reduce(pat.p, (a, b) -> a + b) AS BIGINT) AS sp,
-             CAST(list_reduce(list_transform(pat.p, v -> v * v),
-                              (a, b) -> a + b) AS BIGINT) AS spp
+             list_reduce(list_transform(pat.p, v -> CAST(v AS HUGEINT) * v),
+                         (a, b) -> a + b) AS spp
       FROM wins w CROSS JOIN pat
     )
     SELECT user_id, start_day,
-           CAST({TS_W} * sxp - sx * sp AS DOUBLE)
-             / (sqrt(CAST({TS_W} * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST({TS_W} * spp - sp * sp AS DOUBLE))) AS corr
+           CAST({TS_W} * sxp - CAST(sx AS HUGEINT) * sp AS DOUBLE)
+             / (sqrt(CAST({TS_W} * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                * sqrt(CAST({TS_W} * spp - CAST(sp AS HUGEINT) * sp
+                            AS DOUBLE))) AS corr
     FROM m
-    WHERE {TS_W} * sxx - sx * sx > 0 AND {TS_W} * spp - sp * sp > 0
+    WHERE {TS_W} * sxx - CAST(sx AS HUGEINT) * sx > 0
+      AND {TS_W} * spp - CAST(sp AS HUGEINT) * sp > 0
     ORDER BY corr DESC, user_id, start_day
     LIMIT {TS_TOPK}
     """,
@@ -2324,13 +2329,16 @@ def timeseries_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global top-{TS_TOPK} is TakeOrderedAndProject — no global
     sort.
 
-    int64 headroom: the pattern entries are CORPUS-wide daily totals,
-    so spp = sum(p_i^2) (and {TS_W}*spp - sp^2) wraps past a
-    ~3e9-cents (~$30M) corpus-day; beyond that, scale the pattern to
-    its own cents/1000 units or widen the moment casts to
-    DECIMAL(38,0) on BOTH sides (ANSI mode fails loudly at the
-    boundary rather than wrapping — the same bound discipline as
-    corr_value_day_per_type)."""
+    Numeric headroom (r8): the pattern entries are CORPUS-wide daily
+    totals, so the quadratic moments (sxx, sxp, spp and the
+    {TS_W}*m2 - m1^2 discriminants) are computed in DECIMAL(38,0)
+    (Spark) / HUGEINT (oracle) — sum(p_i^2) wraps int64 past a
+    ~3e9-cents (~$30M) corpus-day, which any real 100 TB corpus
+    exceeds. The linear sums (sx, sp) stay int64 with a ~1.3e18
+    cents/day bound ($13 quadrillion/day — unreachable); the widened
+    bound on the discriminants is 1e38. Proven by
+    tests/test_timeseries_stage.py's >3e9-cents/day synthetic corpus,
+    which the old int64 folds fail under ANSI."""
     ev = load_table(spark, sf_dir, "events")
     return ts_pattern_topk_from_daily(ts_daily_cents(ev))
 
@@ -2423,34 +2431,46 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
         )
         .where(F.size("x") == TS_W)
     )
+    # quadratic moments fold in DECIMAL(38,0): each int64 x int64
+    # product is cast per-factor to DECIMAL(19,0) (product precision 38,
+    # never an intermediate int64), the accumulator stays (38,0); the
+    # linear sums sx/sp are safe in int64 up to ~1.3e18 cents/day
     m = wins.crossJoin(F.broadcast(pat)).select(
         "user_id",
         (F.col("lo") + F.col("i")).alias("start_day"),
         F.expr("aggregate(x, 0L, (a, b) -> a + b)").alias("sx"),
         F.expr(
-            "aggregate(transform(x, v -> v * v), 0L, (a, b) -> a + b)"
+            "aggregate(x, CAST(0 AS DECIMAL(38,0)), (a, b) ->"
+            " a + CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))"
         ).alias("sxx"),
         F.expr(
-            "aggregate(zip_with(x, p, (v, q) -> v * q), 0L,"
-            " (a, b) -> a + b)"
+            "aggregate(zip_with(x, p, (v, q) ->"
+            " CAST(v AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))),"
+            " CAST(0 AS DECIMAL(38,0)), (a, b) -> a + b)"
         ).alias("sxp"),
         F.expr("aggregate(p, 0L, (a, b) -> a + b)").alias("sp"),
         F.expr(
-            "aggregate(transform(p, v -> v * v), 0L, (a, b) -> a + b)"
+            "aggregate(p, CAST(0 AS DECIMAL(38,0)), (a, b) ->"
+            " a + CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))"
         ).alias("spp"),
     )
     w = TS_W
-    corr = (F.lit(w) * F.col("sxp") - F.col("sx") * F.col("sp")).cast(
-        "double"
-    ) / (
-        F.sqrt((F.lit(w) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-        * F.sqrt((F.lit(w) * F.col("spp") - F.col("sp") * F.col("sp")).cast("double"))
+    dec19 = "decimal(19,0)"
+    wd = F.lit(w).cast("decimal(2,0)")
+    disc_x = wd * F.col("sxx") - F.col("sx").cast(dec19) * F.col("sx").cast(
+        dec19
+    )
+    disc_p = wd * F.col("spp") - F.col("sp").cast(dec19) * F.col("sp").cast(
+        dec19
+    )
+    num = wd * F.col("sxp") - F.col("sx").cast(dec19) * F.col("sp").cast(
+        dec19
+    )
+    corr = num.cast("double") / (
+        F.sqrt(disc_x.cast("double")) * F.sqrt(disc_p.cast("double"))
     )
     return (
-        m.where(
-            (F.lit(w) * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
-            & (F.lit(w) * F.col("spp") - F.col("sp") * F.col("sp") > 0)
-        )
+        m.where((disc_x > 0) & (disc_p > 0))
         .select("user_id", "start_day", corr.alias("corr"))
         .orderBy(F.desc("corr"), "user_id", "start_day")
         .limit(TS_TOPK)

@@ -125,3 +125,59 @@ def test_sparse_first_week_pattern_is_gapfilled(spark):
     out = ts_pattern_topk_from_daily(daily).collect()
     assert len(out) > 0
     assert all(r["corr"] is not None for r in out)
+
+
+def test_corpus_scale_moments_do_not_overflow_int64(spark):
+    """>3e9-cents/day synthetic corpus (the r8 headroom fix): the
+    corpus-wide pattern's spp = sum(p_i^2) is ~1.1e20 here — past
+    int64 — so the old 0L moment folds fail (ANSI overflow) or wrap;
+    the DECIMAL(38,0) folds must reproduce the exact-arithmetic
+    Pearson scores of a sequential big-int twin."""
+    import datetime as dt
+    import math
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        TS_W,
+        ts_pattern_topk_from_daily,
+    )
+
+    base = 2_000_000_000  # 2e9 cents/user/day -> ~4e9 corpus-day
+    rows = [
+        (
+            u,
+            dt.date(2024, 1, 1) + dt.timedelta(days=i),
+            base + 13_000_000 * ((i * (u + 2)) % 11),
+        )
+        for u in (1, 2)
+        for i in range(14)
+    ]
+    daily = spark.createDataFrame(rows, "user_id long, day date, cents long")
+    out = ts_pattern_topk_from_daily(daily).collect()
+    assert len(out) > 0
+
+    # sequential twin over exact Python ints (arbitrary precision)
+    by_user: dict[int, dict[int, int]] = {}
+    for u, d, c in rows:
+        by_user.setdefault(u, {})[(d - dt.date(2024, 1, 1)).days] = c
+    p = [sum(by_user[u].get(i, 0) for u in by_user) for i in range(TS_W)]
+    assert sum(v * v for v in p) > 2**63 - 1  # the premise: int64 wraps
+    expected: dict[tuple[int, int], float] = {}
+    for u, days in by_user.items():
+        lo, hi = min(days), max(days)
+        series = [days.get(i, 0) for i in range(lo, hi + 1)]
+        for s in range(len(series) - TS_W + 1):
+            x = series[s : s + TS_W]
+            sx, sp = sum(x), sum(p)
+            sxx = sum(v * v for v in x)
+            spp = sum(v * v for v in p)
+            sxp = sum(v * q for v, q in zip(x, p))
+            dx, dp = TS_W * sxx - sx * sx, TS_W * spp - sp * sp
+            if dx > 0 and dp > 0:
+                expected[(u, lo + s)] = float(TS_W * sxp - sx * sp) / (
+                    math.sqrt(float(dx)) * math.sqrt(float(dp))
+                )
+    # 16 windows total < TS_TOPK, so the query returns ALL of them
+    got = {(r["user_id"], r["start_day"]): r["corr"] for r in out}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12), (k, got[k], v)
