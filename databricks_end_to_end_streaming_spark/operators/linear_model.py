@@ -1,0 +1,125 @@
+"""Closed-form linear text-quality classifier over hashed features —
+the nearest-centroid / Rocchio model (Rocchio 1971; the "nearest
+class centroid" text classifier in Manning et al., IIR ch. 14 — public
+knowledge), trained on weak labels and applied as a broadcast-weights
+dot product.
+
+This is the fastText-shaped quality gate every public LLM pipeline
+runs (GPT-3, LLaMA, RefinedWeb all score candidate documents with a
+linear classifier trained against a reference corpus): here the
+teacher is the engine's own Gopher rule gate
+(queries/text.py::gopher_quality_rules) on a training split, and the
+student is a 64-weight linear model over the feature-hashed buckets
+(operators/vectorize.py::hashed_tf_sparse) that generalizes the gate
+to a margin score.
+
+Engine-exactness (the corpus discipline): training reduces to EXACT
+int64 sufficient statistics — per-bucket signed-count sums per class
+(s0_b, s1_b) and class sizes (n0, n1); every float that follows is a
+FIXED IEEE chain over those integers (w_b = s1_b/n1 - s0_b/n0, folded
+per doc in bucket order — the lm_fluency_score sorted-fold pattern),
+so DuckDB replays scores and predictions bit-for-bit. No ln() (no
+cross-engine bit guarantee), no float aggregation in engine-chosen
+order.
+
+Decision rule: nearest centroid in Euclidean distance,
+  ||x - c1||^2 < ||x - c0||^2  <=>  x.(c1 - c0) > (||c1||^2 - ||c0||^2)/2,
+so score = x.w - bias with w = c1 - c0; score > 0 predicts class 1.
+
+100 TB shape: training is ONE partial-agg'd shuffle collapsing the
+(doc, bucket) relation to <= dim x 2 cells plus a 1-row class count;
+the sufficient statistics are a sum monoid (streaming partials fold);
+scoring joins the corpus against a broadcast dim-row weights relation
+and folds per doc inside the one (doc, bucket) shuffle the vectorizer
+already pays — no per-doc state, no second pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def centroid_stats(feats: DataFrame, labels: DataFrame) -> DataFrame:
+    """Exact int64 sufficient statistics of the two class centroids:
+    (bucket, s0, s1) — signed hashed-count sums per class — from a
+    sparse (doc_id, bucket, weight) feature relation and a
+    (doc_id, lab in {0,1}) label relation. A sum monoid: partials from
+    corpus slices fold by addition, so training is incremental."""
+    j = feats.join(labels, "doc_id")
+    return j.groupBy("bucket").agg(
+        F.sum(F.col("weight") * (1 - F.col("lab"))).cast("long").alias("s0"),
+        F.sum(F.col("weight") * F.col("lab")).cast("long").alias("s1"),
+    )
+
+
+def class_counts(labels: DataFrame) -> DataFrame:
+    """1-row (n0, n1) class sizes — the denominators of the centroids."""
+    return labels.agg(
+        F.sum((1 - F.col("lab")).cast("long")).alias("n0"),
+        F.sum(F.col("lab").cast("long")).alias("n1"),
+    )
+
+
+def centroid_weights(stats: DataFrame, counts: DataFrame) -> DataFrame:
+    """(bucket, s0, s1, w): the trained linear weights
+    w_b = s1_b/n1 - s0_b/n0 (one fixed IEEE chain per bucket over the
+    exact integers — both divisions correctly rounded, identical in any
+    engine). Requires both classes non-empty (n0, n1 > 0); with an
+    empty class the centroid is undefined and w is +-Inf by IEEE.
+    <= dim rows: broadcast-sized by construction."""
+    j = stats.crossJoin(F.broadcast(counts))
+    c1 = F.col("s1").cast("double") / F.col("n1")
+    c0 = F.col("s0").cast("double") / F.col("n0")
+    return j.select("bucket", "s0", "s1", (c1 - c0).alias("w"))
+
+
+def centroid_bias(stats: DataFrame, counts: DataFrame) -> DataFrame:
+    """1-row (bias): (||c1||^2 - ||c0||^2) / 2, folded over buckets in
+    bucket order (sorted fold — deterministic operand order, so the
+    float sum is engine-exact)."""
+    j = stats.crossJoin(F.broadcast(counts))
+    c1 = F.col("s1").cast("double") / F.col("n1")
+    c0 = F.col("s0").cast("double") / F.col("n0")
+    per = j.select("bucket", (c1 * c1 - c0 * c0).alias("d"))
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "d"))),
+            lambda st: st["d"],
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return per.agg((fold * F.lit(0.5)).alias("bias"))
+
+
+def centroid_scores(
+    feats: DataFrame, weights: DataFrame, bias: DataFrame
+) -> DataFrame:
+    """(doc_id, score, predicted): the broadcast-weights dot product
+    x.w - bias, the per-doc sum folded in bucket order (sorted fold);
+    predicted = 1 iff score > 0 (nearest-centroid decision). Documents
+    with no tokens have no feature rows and are absent — a gate cannot
+    judge an empty document."""
+    j = feats.join(F.broadcast(weights.select("bucket", "w")), "bucket")
+    terms = j.select(
+        "doc_id",
+        "bucket",
+        (F.col("weight").cast("double") * F.col("w")).alias("t"),
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "t"))),
+            lambda st: st["t"],
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mx = terms.groupBy("doc_id").agg(fold.alias("mx"))
+    scored = mx.crossJoin(F.broadcast(bias))
+    score = F.col("mx") - F.col("bias")
+    return scored.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).cast("long").alias("predicted"),
+    )

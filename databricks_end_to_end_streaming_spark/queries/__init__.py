@@ -68,6 +68,7 @@ def _load_modules() -> None:
     # Import for registration side-effects.
     from . import (  # noqa: F401
         analytics,
+        classifier,
         dedup,
         dq,
         extensions,
