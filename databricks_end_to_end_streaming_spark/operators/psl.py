@@ -1,0 +1,195 @@
+"""Public-Suffix-List eTLD+1 derivation as a broadcast dimension join
+— the real registrable-domain algorithm (publicsuffix.org/list, the
+Mozilla-maintained list; algorithm per its published spec) behind the
+slot queries/web.py::registered_domain documents.
+
+``PSL_SNAPSHOT`` is a vendored SUBSET of the public list — enough to
+cover the synthetic corpus plus the canonical multi-label, wildcard
+and exception shapes (co.uk, com.au, *.kawasaki.jp, !city.kawasaki.jp).
+In production the full ~10k-rule list drops into the same relation; the
+algorithm below is rule-count-independent.
+
+Matching algorithm (the spec, re-expressed relationally):
+
+1. explode the normalized host into its label-suffix candidates
+   (a.b.co.uk -> a.b.co.uk, b.co.uk, co.uk, uk), each emitted twice —
+   as itself (exact rules) and with its first label replaced by '*'
+   (wildcard rules, so the single-label candidate's form '*' matches
+   the list's implicit default rule);
+2. equi-join the candidate keys against the broadcast rules relation;
+3. per host, the prevailing rule is the exception rule if any matched,
+   else the matched rule with the most labels (never empty: '*'
+   always matches);
+4. the public suffix is the host's last ``labels`` labels (one fewer
+   for an exception rule); eTLD+1 is one label more, NULL when the
+   host IS a public suffix.
+
+100 TB shape: candidates explode the DISTINCT-domain relation (domain-
+count-, not doc-count-, bounded) by <= label-depth x 2 rows; the rules
+side is a broadcast dim; the per-domain argmax is one agg on the
+already-domain-keyed rows. Everything else is map-side string work in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# Vendored snapshot (subset) of the Public Suffix List: '!' marks
+# exception rules, '*' a wildcard label; '*' alone is the list's
+# implicit default rule ("the prevailing rule is '*' when no rule
+# matches").
+PSL_SNAPSHOT: list[str] = [
+    "*",
+    "com", "org", "net", "edu", "gov", "io", "co",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "jp", "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp",
+    "br", "com.br", "net.br", "org.br",
+    "in", "co.in", "net.in", "org.in",
+    "nz", "co.nz", "org.nz",
+    "za", "co.za", "org.za",
+    "cn", "com.cn", "net.cn", "org.cn",
+    "mx", "com.mx", "org.mx",
+    "kr", "co.kr", "or.kr",
+    "tr", "com.tr", "org.tr",
+    "ar", "com.ar", "org.ar",
+]
+
+
+def _parsed_rules() -> list[tuple[str, int, int]]:
+    """(key, labels, is_exc) triples: exception '!' stripped (the key is
+    what a candidate string equals), labels counted WITH the wildcard
+    label per the spec."""
+    out = []
+    for r in PSL_SNAPSHOT:
+        is_exc = 1 if r.startswith("!") else 0
+        key = r[1:] if is_exc else r
+        out.append((key, key.count(".") + 1, is_exc))
+    return out
+
+
+def psl_rules_df(spark: SparkSession) -> DataFrame:
+    """The broadcast rules dimension: (rule, labels, is_exc)."""
+    return spark.createDataFrame(
+        _parsed_rules(), "rule string, labels int, is_exc int"
+    )
+
+
+def psl_rules_values_sql() -> str:
+    """The SAME rules as an inline SQL VALUES list, so the DuckDB oracle
+    joins the identical relation."""
+    rows = ", ".join(
+        f"('{k}', {n}, {e})" for k, n, e in _parsed_rules()
+    )
+    return f"(VALUES {rows})"
+
+
+def psl_registered_domains(domains: DataFrame, rules: DataFrame) -> DataFrame:
+    """(domain, ps_labels, public_suffix, reg_domain_psl) for a relation
+    with a normalized ``domain`` column (lowercase host, no port).
+    reg_domain_psl is NULL when the host is itself a public suffix."""
+    parts = domains.select(
+        "domain", F.split("domain", r"\.").alias("ls")
+    )
+    cand = parts.select(
+        "domain",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(ls) - 1), i ->"
+                " array_join(slice(ls, i + 1, size(ls) - i), '.'))"
+            )
+        ).alias("i", "c"),
+    )
+    keys = cand.select("domain", F.col("c").alias("key")).union(
+        cand.select(
+            "domain", F.regexp_replace("c", r"^[^.]+", "*").alias("key")
+        )
+    )
+    hits = keys.join(
+        F.broadcast(rules), keys["key"] == rules["rule"]
+    ).groupBy("domain").agg(
+        F.max("is_exc").alias("has_exc"),
+        F.max(F.when(F.col("is_exc") == 1, F.col("labels"))).alias(
+            "exc_labels"
+        ),
+        F.max(F.when(F.col("is_exc") == 0, F.col("labels"))).alias(
+            "best_labels"
+        ),
+    )
+    scored = hits.withColumn(
+        "ps_labels",
+        F.when(F.col("has_exc") == 1, F.col("exc_labels") - 1).otherwise(
+            F.col("best_labels")
+        ),
+    ).withColumn("ls", F.split("domain", r"\."))
+    return scored.select(
+        "domain",
+        "ps_labels",
+        F.expr(
+            "array_join(slice(ls, size(ls) - ps_labels + 1, ps_labels), '.')"
+        ).alias("public_suffix"),
+        F.when(
+            F.size("ls") > F.col("ps_labels"),
+            F.expr(
+                "array_join(slice(ls, size(ls) - ps_labels, ps_labels + 1),"
+                " '.')"
+            ),
+        ).alias("reg_domain_psl"),
+    )
+
+
+def psl_match_sql(domains_cte: str) -> str:
+    """DuckDB CTE chain mirroring ``psl_registered_domains`` over a CTE
+    named ``domains_cte`` exposing a ``domain`` column. Exposes ``psl``:
+    (domain, ps_labels, public_suffix, reg_domain_psl)."""
+    return f"""
+    parts AS (
+      SELECT domain, string_split(domain, '.') AS ls FROM {domains_cte}
+    ),
+    cand AS (
+      SELECT domain,
+             array_to_string(list_slice(ls, i, len(ls)), '.') AS c
+      FROM parts, unnest(range(1, len(ls) + 1)) AS t(i)
+    ),
+    keys AS (
+      SELECT domain, c AS key FROM cand
+      UNION ALL
+      SELECT domain, regexp_replace(c, '^[^.]+', '*') FROM cand
+    ),
+    hits AS (
+      SELECT k.domain,
+             max(r.is_exc) AS has_exc,
+             max(CASE WHEN r.is_exc = 1 THEN r.labels END) AS exc_labels,
+             max(CASE WHEN r.is_exc = 0 THEN r.labels END) AS best_labels
+      FROM keys k
+      JOIN {psl_rules_values_sql()} AS r(rule, labels, is_exc)
+        ON k.key = r.rule
+      GROUP BY k.domain
+    ),
+    psl AS (
+      SELECT domain,
+             CASE WHEN has_exc = 1 THEN exc_labels - 1
+                  ELSE best_labels END AS ps_labels,
+             array_to_string(
+               list_slice(string_split(domain, '.'),
+                          len(string_split(domain, '.'))
+                            - (CASE WHEN has_exc = 1 THEN exc_labels - 1
+                                    ELSE best_labels END) + 1,
+                          len(string_split(domain, '.'))), '.')
+               AS public_suffix,
+             CASE WHEN len(string_split(domain, '.')) >
+                    (CASE WHEN has_exc = 1 THEN exc_labels - 1
+                          ELSE best_labels END)
+               THEN array_to_string(
+                 list_slice(string_split(domain, '.'),
+                            len(string_split(domain, '.'))
+                              - (CASE WHEN has_exc = 1 THEN exc_labels - 1
+                                      ELSE best_labels END),
+                            len(string_split(domain, '.'))), '.')
+             END AS reg_domain_psl
+      FROM hits
+    )"""

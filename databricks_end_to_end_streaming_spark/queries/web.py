@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.psl import psl_match_sql
 from ..tables import load_table
 from . import query
 
@@ -85,9 +86,12 @@ _NORM_DOMAIN_SQL = (
 
 
 def registered_domain(domain_col: F.Column) -> F.Column:
-    """eTLD+1 heuristic: the last two labels of the normalized host.
-    (A public-suffix list would slot in here as a broadcast dimension
-    join at scale; the heuristic keeps the oracle self-contained.)"""
+    """eTLD+1 heuristic: the last two labels of the normalized host —
+    wrong for multi-label public suffixes (foo.co.uk -> co.uk). Kept as
+    the self-contained fallback; the REAL derivation is the vendored
+    Public Suffix List broadcast join (operators/psl.py), which
+    ``domain_accounting_rollup`` and ``url_registered_domain_psl`` use
+    (r7 verdict ask #7)."""
     return F.regexp_extract(domain_col, r"([^.]+\.[^.]+)$", 1)
 
 
@@ -121,18 +125,28 @@ def domain_accounting_rollup(partials: DataFrame) -> DataFrame:
     just the per-domain row count — no countDistinct over raw docs, so
     the rollup works identically on the batch relation and on the
     streaming log after its addition-fold."""
+    from ..operators.psl import psl_registered_domains, psl_rules_df
+
     out = partials.groupBy("domain").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_langs"),
         F.sum("n_tracking").cast("long").alias("n_tracking"),
     )
-    # reg_domain is a function of the group key: derive it post-agg so
-    # it rides the same shuffle instead of widening the partial-agg rows
-    return out.withColumn(
-        "reg_domain", registered_domain(F.col("domain"))
-    ).select(
-        "domain", "reg_domain", "n_docs", "n_tokens", "n_langs", "n_tracking"
+    # reg_domain is a function of the group key: derive it post-agg (on
+    # the domain-count-bounded relation, never the raw docs) via the
+    # Public Suffix List broadcast join; a host that IS a public suffix
+    # accounts under itself
+    psl = psl_registered_domains(
+        out.select("domain"), psl_rules_df(partials.sparkSession)
+    )
+    return out.join(psl, "domain").select(
+        "domain",
+        F.coalesce("reg_domain_psl", "domain").alias("reg_domain"),
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_tracking",
     )
 
 
@@ -142,18 +156,23 @@ def domain_accounting_rollup(partials: DataFrame) -> DataFrame:
     WITH u AS ({_URL_SQL}),
     d AS (
       SELECT *, {_NORM_DOMAIN_SQL} AS domain FROM u
-    )
-    SELECT
-      domain,
-      regexp_extract(domain, '([^.]+\\.[^.]+)$', 1) AS reg_domain,
-      count(*) AS n_docs,
-      CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
-        AS n_tokens,
-      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-      CAST(sum(CASE WHEN url LIKE '%?ref=%' THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_tracking
-    FROM d
-    GROUP BY domain
+    ),
+    acc AS (
+      SELECT
+        domain,
+        count(*) AS n_docs,
+        CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+          AS n_tokens,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(sum(CASE WHEN url LIKE '%?ref=%' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tracking
+      FROM d
+      GROUP BY domain
+    ),{psl_match_sql('acc')}
+    SELECT a.domain,
+           COALESCE(p.reg_domain_psl, a.domain) AS reg_domain,
+           a.n_docs, a.n_tokens, a.n_langs, a.n_tracking
+    FROM acc a JOIN psl p USING (domain)
     """,
 )
 def url_domain_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,6 +186,125 @@ def url_domain_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     == batch holds by construction (``streaming/web_stage.py``)."""
     d = with_url(load_table(spark, sf_dir, "documents"))
     return domain_accounting_rollup(domain_lang_partials(d))
+
+
+# ------------------------------------------------------- PSL eTLD+1
+
+
+def with_url_psl(d: DataFrame) -> DataFrame:
+    """URL variant whose hosts exercise the PSL shapes the plain
+    .example.com corpus can't reach: every 17th doc lands under the
+    !city.kawasaki.jp exception, every 19th under the *.kawasaki.jp
+    wildcard, every 11th on .example.co.uk and every 13th on
+    .example.com.au (multi-label suffixes where the last-two-labels
+    heuristic is WRONG); everything else keeps the standard
+    derivation. Mirrors _URL_PSL_SQL exactly (same CASE order)."""
+    base = F.when(F.col("doc_id") % 5 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    tail = (
+        F.when(F.col("doc_id") % 17 == 0, F.lit(".city.kawasaki.jp"))
+        .when(F.col("doc_id") % 19 == 0, F.lit(".sub.kawasaki.jp"))
+        .when(F.col("doc_id") % 11 == 0, F.lit(".example.co.uk"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(".example.com.au"))
+        .otherwise(
+            F.concat(
+                F.lit(".example"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                    F.lit(".org")
+                ),
+            )
+        )
+    )
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        base,
+        tail,
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.withColumn("url", url)
+
+
+_URL_PSL_SQL = """
+  SELECT *, 'https://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+    || (CASE WHEN doc_id % 17 = 0 THEN '.city.kawasaki.jp'
+             WHEN doc_id % 19 = 0 THEN '.sub.kawasaki.jp'
+             WHEN doc_id % 11 = 0 THEN '.example.co.uk'
+             WHEN doc_id % 13 = 0 THEN '.example.com.au'
+             ELSE '.example' ||
+               (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END)
+    || '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+"""
+
+
+@query(
+    "url_registered_domain_psl",
+    oracle=f"""
+    WITH u AS ({_URL_PSL_SQL}),
+    d AS (
+      SELECT *, {_NORM_DOMAIN_SQL} AS domain FROM u
+    ),
+    acc AS (
+      SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+    ),{psl_match_sql('acc')}
+    SELECT a.domain, p.public_suffix, p.reg_domain_psl,
+           regexp_extract(a.domain, '([^.]+\\.[^.]+)$', 1)
+             AS reg_domain_heuristic,
+           CAST(p.reg_domain_psl IS DISTINCT FROM
+                regexp_extract(a.domain, '([^.]+\\.[^.]+)$', 1)
+                AS BIGINT) AS psl_differs,
+           CAST(a.n_docs AS BIGINT) AS n_docs
+    FROM acc a JOIN psl p USING (domain)
+    ORDER BY domain
+    """,
+)
+def url_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) derivation via the vendored Public
+    Suffix List (operators/psl.py) over a host mix with multi-label
+    suffixes, a wildcard rule and an exception rule — reported beside
+    the last-two-labels heuristic with a per-domain disagreement flag
+    (the .co.uk/.com.au/kawasaki.jp rows MUST differ; the pytest pins
+    it). Plan: the PSL match runs on the DISTINCT-domain relation
+    (domain-count-bounded) against a broadcast rules dim; the corpus
+    pays only the one domain-keyed accounting shuffle."""
+    from ..operators.psl import psl_registered_domains, psl_rules_df
+
+    d = with_url_psl(load_table(spark, sf_dir, "documents"))
+    doms = (
+        d.withColumn("domain", norm_domain())
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    psl = psl_registered_domains(
+        doms.select("domain"), psl_rules_df(spark)
+    )
+    heur = registered_domain(F.col("domain"))
+    return (
+        doms.join(psl, "domain")
+        .select(
+            "domain",
+            "public_suffix",
+            "reg_domain_psl",
+            heur.alias("reg_domain_heuristic"),
+            (~F.col("reg_domain_psl").eqNullSafe(heur))
+            .cast("long")
+            .alias("psl_differs"),
+            "n_docs",
+        )
+        .orderBy("domain")
+    )
 
 
 # ---------------------------------------------------- blocklist pass

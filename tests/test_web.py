@@ -204,3 +204,48 @@ def test_curation_funnel_monotone_and_consistent(spark, workdir):
     assert seq[0] == 7 and all(a >= b for a, b in zip(seq, seq[1:]))
     assert out["after_blocklist"].n_docs == 6  # tracked doc dropped
     assert out["after_exact_dedup"].n_docs == 3  # 4 dups collapse to 1
+
+
+def test_psl_beats_heuristic_on_multilabel_suffixes(spark):
+    """The r8 PSL join: where the last-two-labels heuristic and the
+    Public Suffix List disagree (foo.co.uk), the PSL answer is the
+    registrable domain; wildcard (*.kawasaki.jp) and exception
+    (!city.kawasaki.jp) rules follow the published algorithm."""
+    from databricks_end_to_end_streaming_spark.operators.psl import (
+        psl_registered_domains,
+        psl_rules_df,
+    )
+
+    doms = spark.createDataFrame(
+        [
+            ("foo.co.uk",),
+            ("www2.bar.com.au",),
+            ("plain.example.com",),
+            ("src.sub.kawasaki.jp",),   # *.kawasaki.jp: sub.* IS a suffix
+            ("src.city.kawasaki.jp",),  # !city.kawasaki.jp: exception
+            ("co.uk",),                 # a bare public suffix: no eTLD+1
+        ],
+        "domain string",
+    )
+    got = {
+        r["domain"]: (r["public_suffix"], r["reg_domain_psl"])
+        for r in psl_registered_domains(doms, psl_rules_df(spark)).collect()
+    }
+    assert got["foo.co.uk"] == ("co.uk", "foo.co.uk")
+    assert got["www2.bar.com.au"] == ("com.au", "bar.com.au")
+    assert got["plain.example.com"] == ("com", "example.com")
+    assert got["src.sub.kawasaki.jp"] == (
+        "sub.kawasaki.jp",
+        "src.sub.kawasaki.jp",
+    )
+    assert got["src.city.kawasaki.jp"] == ("kawasaki.jp", "city.kawasaki.jp")
+    assert got["co.uk"] == ("co.uk", None)
+    # the heuristic is WRONG on exactly the multi-label rows
+    heur = {
+        r["domain"]: r["h"]
+        for r in doms.select(
+            "domain", registered_domain(F.col("domain")).alias("h")
+        ).collect()
+    }
+    assert heur["foo.co.uk"] == "co.uk" != got["foo.co.uk"][1]
+    assert heur["plain.example.com"] == got["plain.example.com"][1]
