@@ -1,0 +1,157 @@
+"""Perceptual image near-duplicate detection: aHash / dHash signatures
+(the classic average-hash and difference-hash from the public pHash
+family; see also Zauner 2010, "Implementation and Benchmarking of
+Perceptual Image Hash Functions") + banded Hamming pairing.
+
+Completes the multimodal dedup story: text near-dup has MinHash/LSH,
+SimHash and PPJoin; images get the standard perceptual-hash pipeline —
+decode -> grayscale -> fixed tiny grid -> 64-bit signature — which is
+invariant to resizing and global brightness shifts BY CONSTRUCTION
+(aHash thresholds each cell against the image's own mean; dHash keeps
+only the sign of adjacent-cell differences), so a re-encoded, resized
+or brightness-shifted copy lands within a few Hamming bits of the
+original.
+
+Determinism discipline: decode goes through the environment-portable
+``_decode_payload`` (stdlib PNG/WAV/fake-raw here, Pillow when
+present); grayscale is exact integer ITU-R BT.601 luma
+((299R + 587G + 114B) // 1000); the grid is block-MEAN downscaling
+with integer floor boundaries and the threshold comparisons are
+integer cross-multiplications (cell * n_cells > grid_sum) — no float
+anywhere, so the signatures are bit-identical across hosts and the
+pytest NumPy twin reproduces them exactly.
+
+100 TB shape: hashing streams Arrow record batches (mapInPandas) and
+drops the payload immediately — downstream shuffles carry 2 longs per
+image; pairing reuses the generic banded Hamming self-join
+(operators/simhash.py::hamming_neardup_pairs): 4 x 16-bit chunks,
+pairs within Hamming <= 3 guaranteed by pigeonhole, never O(n^2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .multimodal import _decode_payload
+from .simhash import hamming_neardup_pairs
+
+GRID = 8  # aHash grid; dHash uses (GRID+1) x GRID
+PHASH_BITS = GRID * GRID  # 64
+
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    """Exact integer BT.601 luma (//1000) for >=3 channels; channel 0
+    for gray/gray+alpha. int64 2-D output."""
+    if arr.ndim == 2:
+        arr = arr[:, :, np.newaxis]
+    a = arr.astype(np.int64)
+    if a.shape[2] >= 3:
+        return (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    return a[:, :, 0]
+
+
+def _grid_means(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean downscale to (out_h, out_w) with integer floor
+    boundaries; every block is non-empty (hi = max(lo+1, ...)), so
+    images smaller than the grid effectively nearest-neighbor
+    upsample. Returns the exact integer (block_sums, block_areas)
+    pair — the cell mean is sum/area as a RATIONAL, which callers
+    compare by cross-multiplication so no float ever rounds a bit."""
+    h, w = gray.shape
+    ys = [(i * h) // out_h for i in range(out_h)] + [h]
+    xs = [(j * w) // out_w for j in range(out_w)] + [w]
+    sums = np.empty((out_h, out_w), dtype=np.int64)
+    areas = np.empty((out_h, out_w), dtype=np.int64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
+            block = gray[y0:y1, x0:x1]
+            sums[i, j] = int(block.sum())
+            areas[i, j] = block.size
+    return sums, areas
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def ahash_dhash(arr: np.ndarray) -> tuple[int, int]:
+    """(ahash, dhash) signed-int64 signatures of one decoded image.
+    aHash bit (i*8+j): grid mean > image-grid mean, compared exactly by
+    cross-multiplication. dHash bit: cell mean > right neighbor's,
+    cross-multiplied likewise (sum_l * area_r > sum_r * area_l)."""
+    if arr.ndim == 4:  # multi-frame: hash frame 0
+        arr = arr[0]
+    gray = _to_gray(arr)
+    s, a = _grid_means(gray, GRID, GRID)
+    # mean_ij > global mean  <=>  s_ij * sum(a) * ... ; with equal-area
+    # comparison unavailable (areas vary), cross-multiply through the
+    # global rational mean: s_ij/a_ij > S/A  <=>  s_ij*A > S*a_ij
+    S, A = int(s.sum()), int(a.sum())
+    ah = 0
+    for i in range(GRID):
+        for j in range(GRID):
+            if int(s[i, j]) * A > S * int(a[i, j]):
+                ah |= 1 << (i * GRID + j)
+    sd, ad = _grid_means(gray, GRID, GRID + 1)
+    dh = 0
+    for i in range(GRID):
+        for j in range(GRID):
+            if int(sd[i, j]) * int(ad[i, j + 1]) > int(sd[i, j + 1]) * int(
+                ad[i, j]
+            ):
+                dh |= 1 << (i * GRID + j)
+    return _signed64(ah), _signed64(dh)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, ahash, dhash) over the media schema — Arrow-batched,
+    payload dropped on output."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                arr = _decode_payload(bytes(payload), m)
+                ah, dh = ahash_dhash(arr)
+                rows.append({"media_id": media_id, "ahash": ah, "dhash": dh})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(mapper, out_schema)
+
+
+def phash_neardup_pairs(
+    media: DataFrame, sig: str = "dhash", max_hamming: int = 3
+) -> DataFrame:
+    """(media_a, media_b, hamming): image pairs within ``max_hamming``
+    bits on the chosen perceptual hash — the banded self-join, exact
+    bit_count(xor) verification."""
+    hashes = perceptual_hashes(media)
+    return (
+        hamming_neardup_pairs(
+            hashes,
+            id_col="media_id",
+            sig_col=sig,
+            bits=PHASH_BITS,
+            n_chunks=4,
+            max_hamming=max_hamming,
+        )
+        .withColumnRenamed("media_id_a", "media_a")
+        .withColumnRenamed("media_id_b", "media_b")
+    )

@@ -58,55 +58,83 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _chunk(col: F.Column, i: int) -> F.Column:
-    """i-th 15-bit chunk of the signature (shiftrightunsigned + mask)."""
-    return F.shiftrightunsigned(col, i * CHUNK_BITS).bitwiseAND(
-        F.lit((1 << CHUNK_BITS) - 1)
+def _chunk(col: F.Column, i: int, chunk_bits: int = CHUNK_BITS) -> F.Column:
+    """i-th chunk of the signature (shiftrightunsigned + mask — correct
+    for signatures using bit 63, i.e. negative longs)."""
+    return F.shiftrightunsigned(col, i * chunk_bits).bitwiseAND(
+        F.lit((1 << chunk_bits) - 1)
     )
 
 
-def simhash_neardup_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+def hamming_neardup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = BITS,
+    n_chunks: int = N_CHUNKS,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs (doc_a, doc_b, hamming) with Hamming(simhash) <= max_hamming.
-
-    Candidates come from the chunk self-join; the exact Hamming distance
-    (bit_count of xor) verifies each candidate. max_hamming must be
-    < N_CHUNKS for the pigeonhole guarantee.
-    """
-    if max_hamming >= N_CHUNKS:
-        raise ValueError("banding guarantees recall only for hamming < N_CHUNKS")
-    sigs = simhash_signatures(docs, text_col)
+    """Generic banded Hamming pairing over any (id, signature) relation:
+    pairs (id_a, id_b, hamming) with Hamming(sig) <= max_hamming.
+    Candidates come from the chunk self-join (two signatures within
+    Hamming distance < n_chunks share at least one of the n_chunks
+    equal-width chunks — pigeonhole); exact bit_count(xor) verifies
+    each candidate. Shared by the text SimHash and the perceptual image
+    hashes (operators/phash.py). Never O(n^2): the self-join keys on
+    (chunk_id, chunk_value)."""
+    if max_hamming >= n_chunks:
+        raise ValueError("banding guarantees recall only for hamming < n_chunks")
+    if bits % n_chunks != 0:
+        raise ValueError("bits must divide into n_chunks equal chunks")
+    chunk_bits = bits // n_chunks
     chunks = sigs.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("chunk_id"), _chunk(F.col("simhash"), i).alias("chunk"))
-                    for i in range(N_CHUNKS)
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        _chunk(F.col(sig_col), i, chunk_bits).alias("chunk"),
+                    )
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    ).select("_id", "_sig", "c.chunk_id", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a._id").alias(f"{id_col}_a"),
+            F.col("b._id").alias(f"{id_col}_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return cand.select(
+        f"{id_col}_a", f"{id_col}_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs (doc_a, doc_b, hamming) with Hamming(simhash) <= max_hamming
+    — the text instantiation of ``hamming_neardup_pairs``."""
+    if max_hamming >= N_CHUNKS:  # validate before building the plan
+        raise ValueError("banding guarantees recall only for hamming < n_chunks")
     return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+        hamming_neardup_pairs(
+            simhash_signatures(docs, text_col), max_hamming=max_hamming
+        )
+        .withColumnRenamed("doc_id_a", "doc_a")
+        .withColumnRenamed("doc_id_b", "doc_b")
     )

@@ -208,7 +208,22 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (hist_0..hist_3) — array columns can't be canonicalized by
     the driver's sort/hash compare."""
     d = load_table(spark, sf_dir, "documents")
-    media = d.select(
+    stats = image_feature_stats(_docs_as_media(d))
+    return stats.select(
+        "media_id",
+        "mean_intensity",
+        "std_intensity",
+        "min_intensity",
+        "max_intensity",
+        *[F.col("histogram")[i].alias(f"hist_{i}") for i in range(4)],
+    )
+
+
+def _docs_as_media(d: DataFrame) -> DataFrame:
+    """Each document's UTF-8 bytes as a fake/raw 1 x n_chars x 1 raster
+    in the media schema — the deterministic in-container image corpus
+    the multimodal queries share."""
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.col("text").cast("binary").alias("payload"),
@@ -221,14 +236,23 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fake/raw").alias("format"),
         ).alias("meta"),
     )
-    stats = image_feature_stats(media)
-    return stats.select(
-        "media_id",
-        "mean_intensity",
-        "std_intensity",
-        "min_intensity",
-        "max_intensity",
-        *[F.col("histogram")[i].alias(f"hist_{i}") for i in range(4)],
+
+
+@query("image_phash_neardup")  # rows-only: bit-63 hash + banding join is
+# faithfully pytest-twinned (tests/test_phash.py), not SQL-replayed
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (operators/phash.py): dHash over
+    the document-raster corpus, banded Hamming pairing <= 3 bits. The
+    corpus's exact-duplicate documents yield identical rasters
+    (hamming 0) and its planted near-dup texts land within a few bits,
+    so the pair list is non-empty and deterministic. Payload drops at
+    the hash; pairing shuffles 2 longs per image through the 4 x 16-bit
+    chunk self-join — never O(n^2)."""
+    from ..operators.phash import phash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return phash_neardup_pairs(_docs_as_media(d)).orderBy(
+        "media_a", "media_b"
     )
 
 
