@@ -393,12 +393,14 @@ def kmv_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
-    """One join's sketch-based size profile (see kmv_join_size_profile).
-    ``include_actual=False`` is the production estimator: prediction
-    from k-row sketches + two count-aggs only — the exact join NEVER
-    runs, which is the whole point of the estimator at 100 TB."""
-    k = K_JOIN
+def join_size_summaries(fact, fact_key, dim, dim_key):
+    """The PERSISTABLE sufficient statistics of the join-size estimator:
+    (rows_per: side -> exact row count, sk: the two bottom-k KMV
+    sketches, <= 2k rows total). This is what a production system
+    maintains per table (the kmv_weekly_users_rollup pattern) —
+    prediction then never touches the raw tables; the bench's
+    kmv_join_predict_persisted extra times exactly that marginal
+    cost."""
     keys = fact.select(
         F.lit("a").alias("side"), F.col(fact_key).alias("jk")
     ).unionByName(
@@ -406,7 +408,17 @@ def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
     )
     rows_per = keys.groupBy("side").agg(F.count("*").alias("n_rows"))
     # consumed by side_stats AND the merged-sketch tagging
-    sk = pin(kmv_sketch(keys, "jk", ["side"], k))
+    sk = pin(kmv_sketch(keys, "jk", ["side"], K_JOIN))
+    return rows_per, sk
+
+
+def join_size_predict(rows_per, sk, name, actual=None):
+    """Prediction tail over the (possibly persisted) summaries — shared
+    bit-for-bit by the scan-inclusive queries and the persisted-sketch
+    bench path (tests/test_kmv.py pins the equality). ``actual`` is the
+    optional 1-row exact-cardinality evaluation leg (profile query
+    only)."""
+    k = K_JOIN
     side_stats = sk.groupBy("side").agg(
         F.count("*").alias("n_sk"), F.max("h").alias("kth")
     )
@@ -436,6 +448,18 @@ def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
         )
     )
     flat = a_row.crossJoin(b_row).crossJoin(m)
+    if actual is not None:
+        flat = flat.crossJoin(actual)
+    return _score_profile(flat, name, k, include_actual=actual is not None)
+
+
+def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
+    """One join's sketch-based size profile (see kmv_join_size_profile).
+    ``include_actual=False`` is the production estimator: prediction
+    from k-row sketches + two count-aggs only — the exact join NEVER
+    runs, which is the whole point of the estimator at 100 TB."""
+    rows_per, sk = join_size_summaries(fact, fact_key, dim, dim_key)
+    actual = None
     if include_actual:
         fa = fact.groupBy(F.col(fact_key).alias("jk")).agg(
             F.count("*").alias("ca")
@@ -446,7 +470,10 @@ def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
         actual = fa.join(di, "jk").agg(
             F.sum(F.col("ca") * F.col("cb")).alias("actual_join_rows")
         )
-        flat = flat.crossJoin(actual)
+    return join_size_predict(rows_per, sk, name, actual)
+
+
+def _score_profile(flat, name, k, include_actual=False):
     e = flat.withColumn(
         "est_jaccard",
         F.col("n_common").cast("double") / F.col("n_merged").cast("double"),

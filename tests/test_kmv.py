@@ -301,3 +301,40 @@ def test_trailing_window_equals_window_sketch_of_raw(spark):
         agg = sk.agg(F.count("*").alias("n"), F.max("h").alias("kth")).first()
         want.add((w.strftime("%Y-%m-%d"), agg.n, agg.kth))
     assert got == want and len(got) > 0
+
+
+def test_persisted_summary_prediction_equals_scan_inclusive(spark, workdir):
+    """The r8 persisted-sketch path: predicting from parquet-persisted
+    (rows_per, sketch) summaries must reproduce kmv_join_size_estimate
+    bit-for-bit — the marginal-prediction bench number measures the
+    same computation, just from its maintained inputs."""
+    from databricks_end_to_end_streaming_spark.queries.kmv import (
+        join_size_predict,
+        join_size_summaries,
+        kmv_join_size_estimate,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        r["join_name"]: tuple(r)
+        for r in kmv_join_size_estimate(spark, sf).collect()
+    }
+    got = {}
+    for fact, fk, dim, dk, name in [
+        ("orders", "o_custkey", "customer", "c_custkey", "orders_x_customer"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem_x_orders"),
+    ]:
+        rows_per, sk = join_size_summaries(
+            load_table(spark, sf, fact), fk, load_table(spark, sf, dim), dk
+        )
+        rows_per.write.mode("overwrite").parquet(f"{workdir}/{name}_rows")
+        sk.write.mode("overwrite").parquet(f"{workdir}/{name}_sk")
+        out = join_size_predict(
+            spark.read.parquet(f"{workdir}/{name}_rows"),
+            spark.read.parquet(f"{workdir}/{name}_sk"),
+            name,
+        ).collect()
+        assert len(out) == 1
+        got[name] = tuple(out[0])
+    assert got == want
