@@ -8,43 +8,42 @@ W-token windows; a suffix array finds the MAXIMAL repeated span at
 every position — "this 137-token run also appears elsewhere in the
 corpus" — which is what substring-level dedup actually cuts on.
 
-Construction is Manber-Myers PREFIX DOUBLING, which is join/sort-bound
-and therefore Spark-shaped (the sequential Kasai/DC3 algorithms are
-not):
+Construction is sort/join-bound and therefore Spark-shaped (the
+sequential Kasai/DC3 algorithms are not) — the r8 shape is ESCALATING
+WINDOW-SORT, a Manber-Myers variant where the extension key is the
+suffix's own token window instead of a rank-table lookup:
 
 1. doc_token_arrays: per-document token array, plus one UNIQUE per-doc
    sentinel token appended — suffixes never compare past their own
    document, and all suffixes become globally distinct.
-2. initial rank at k = W_INIT (8): dense rank of the DISTINCT 8-token
-   window STRINGS (NUL-joined — see _grams for why string order equals
-   token-sequence order). Ranking 8-grams directly skips the first
-   log2(8) = 3 doubling rounds, the dominant cost of the r5 shape
-   (each round is a fixed number of Spark jobs, and the operator is
-   round-overhead-bound, not data-bound).
-3. round k -> 2k: new key = (rank_k[p], rank_k[p + k] or 0); dense-rank
-   the DISTINCT key pairs and join back. After O(log maxlen) rounds
-   every rank is unique: that rank IS the suffix-array order. The
-   in-loop ranking uses DETERMINISTIC arithmetic bucketing (prev-round
-   ranks are dense in [1, max], so floor((rank-1)*P/max) is a balanced
-   range split) — no repartitionByRange sampling job, no frozen pin,
-   and the distinct-pair count doubles as a free convergence check.
-4. LCP of rank-adjacent suffixes by descending the SAME rank tables:
-   lcp += k whenever rank_k matches at offset lcp. Below k = W_INIT no
-   rank tables exist; equality of length-k prefixes is tested against
-   the map-only gram-string relation instead (descent needs EQUALITY,
-   not order, so no ranking work for the small powers).
+2. initial rank at width W_INIT (8): ONE range shuffle of every
+   position's 8-token window STRING (NUL-joined — see _grams for why
+   string order equals token-sequence order) gives sorted-position
+   ranks; unique ranks are SETTLED forever, tied ranks stay ACTIVE.
+3. round w -> 4w: only the ACTIVE suffixes re-sort, each by its own
+   w-token window array fetched via a per-doc grouped slice
+   (_windows_for) — refinement is LOCAL to the tied class (a class of
+   size m owns rank interval [R, R+m-1]); a window reaching the
+   suffix's end contains the unique sentinel, so ranks provably
+   totalize by w >= max repeated-span length. No corpus-wide join
+   anywhere in the loop: per-round shuffle work is
+   (surviving duplicate mass) x w tokens.
+4. LCP of rank-adjacent suffixes in two passes (adjacent_lcp): a fused
+   width-W_INIT compare for every pair off the gram string each rank
+   row already carries (one rank self-join, no window fetch), then
+   width-w_final windows for the duplicate-mass-bound DEEP tail only.
 5. A repeated span of length >= L starts at position p iff p's LCP
    with one of its suffix-array NEIGHBORS is >= L (the max LCP over
    all other suffixes is always attained at an adjacent rank — the
    classic suffix-array property), so per-position repeat lengths come
    from the neighbor relation alone, never from all pairs.
 
-Scale shape: every round is one equi-join on (doc_id, off) plus one
-distinct + arithmetically-bucketed rank — key-bound shuffles,
-O(log maxlen) rounds, nothing quadratic anywhere. Rank tables are
-pinned per round (iterative-algorithm lineage hygiene, same as
-connected_components / PageRank); the LCP descent pins every second
-round only (bounded lineage at half the materialization jobs).
+Scale shape: one corpus-wide range sort at W_INIT, then every round
+touches only the surviving active rows (duplicate-mass-bound) with
+payload w tokens each — key-bound shuffles, O(log_4 maxlen) rounds,
+nothing quadratic anywhere. All iteration states are pinned
+(iterative-algorithm lineage hygiene, same as connected_components /
+PageRank).
 
 Exactness is pytest-pinned against a sequential Python suffix array on
 the same tokens (tests/test_suffix.py); there is no tractable SQL
@@ -107,18 +106,6 @@ def corpus_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _gram_arrays(arrays: DataFrame, w: int) -> DataFrame:
-    """(doc_id, off, garr): the width-``w`` token window starting at
-    every position as a token ARRAY — map-only. Used by the LCP
-    descent's fused residual round, where sentinels must compare as
-    whole tokens (the string form would split a sentinel's own NUL)."""
-    g = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 1),
-        lambda i: F.slice("toks", i + 1, w),
-    )
-    return arrays.select("doc_id", F.posexplode(g).alias("off", "garr"))
-
-
 def _grams(arrays: DataFrame, w: int) -> DataFrame:
     """(doc_id, off, gram): the width-``w`` token window starting at
     every position, as a NUL-joined string — MAP-ONLY from the pinned
@@ -145,11 +132,17 @@ def _ranked_init(
     (equal grams co-locate by construction), then rank =
     min(global row number) over the gram class — the SORTED-POSITION
     rank (count of strictly-smaller suffixes + 1), which is what makes
-    the doubling updates class-local. Returns
-    ((doc_id, off, rank, tied), n)."""
+    the escalation updates class-local. Returns
+    ((doc_id, off, rank, tied, gram), n) — the gram string stays on the
+    row so downstream passes never re-fetch their own window."""
     spark = arrays.sparkSession
-    g8 = _grams(arrays, W_INIT)
-    parted = g8.repartitionByRange(n_parts, "gram").sortWithinPartitions("gram")
+    # pin the gram relation so repartitionByRange's bound-sampling job
+    # reads materialized rows instead of re-running the window
+    # generation over every position
+    g8 = pin(_grams(arrays, W_INIT))
+    # no sortWithinPartitions: the ranking windows below sort by gram
+    # anyway, so a pre-sort in the exchange would be paid twice
+    parted = g8.repartitionByRange(n_parts, "gram")
     # frozen: repartitionByRange re-samples bounds per job (ranking.py
     # has the full rationale)
     with_pid = pin(
@@ -184,7 +177,9 @@ def _ranked_init(
         # gram class is not: it equals the class's global start position
         .withColumn("rank", F.min("_rn").over(w_g).cast("long"))
         .withColumn("tied", F.count("*").over(w_g) > F.lit(1))
-        .select("doc_id", "off", "rank", "tied")
+        # gram rides along: every rank row keeps its own W_INIT window
+        # string, so the LCP pass needs NO window join (adjacent_lcp)
+        .select("doc_id", "off", "rank", "tied", "gram")
     )
     return pin(ranked), n
 
@@ -192,84 +187,106 @@ def _ranked_init(
 def suffix_rank_tables(
     arrays: DataFrame,
 ) -> tuple[dict[int, DataFrame], int]:
-    """Prefix-doubling rank tables over ``doc_token_arrays`` output:
-    {k: (doc_id, off, rank)} where equal rank at k means equal length-k
-    prefixes, for k = W_INIT, 2*W_INIT, ... until every suffix's rank is
-    unique. Returns (tables, n).
+    """Suffix-array ranks over ``doc_token_arrays`` output by ESCALATING
+    WINDOW-SORT (the r8 shape): {W_INIT: init, w_final: final} where the
+    final relation's ranks are the suffix-array permutation. Returns
+    (tables, n).
 
     Ranks are SORTED-POSITION ranks (count of strictly-smaller suffixes
-    + 1, ties sharing the value), not dense ranks — equality semantics
-    are identical, and a tied class of size m owns the rank interval
-    [R, R+m-1], so re-ranking after a doubling step is LOCAL to the
-    class: new rank = R + RANK() by the extension key within the class.
-    That makes the classic settled/active split work in Spark terms:
+    + 1, ties sharing the value), so a tied class of size m owns the
+    rank interval [R, R+m-1] and refinement is LOCAL to the class. Each
+    round quadruples the comparison width w and re-sorts ONLY the
+    still-tied ACTIVE suffixes by their own w-token windows (arrays
+    compare lexicographically element-wise, shorter-is-prefix first —
+    exactly w-prefix order): new rank = R + RANK() over the class by
+    window, tied = window equals a class neighbor's. No rank-table
+    lookups, no corpus-wide joins — a round touches active rows only:
+    the windows come from a per-doc grouped slice of the token arrays
+    (``_windows_for``), so per-round shuffle work is
+    (surviving duplicate mass) x w tokens. Termination: a window that
+    reaches the suffix's end contains its unique sentinel, so equal
+    windows imply both suffixes extend past w — every real tie breaks
+    by w >= max repeated-span length, and ranks totalize.
 
-    * settled suffixes (unique rank) never change — they accumulate in
-      a lazy union of pinned pieces, no per-round merge shuffle;
-    * only the still-tied ACTIVE rows (typically a tiny, duplicate-mass
-      -bound fraction) are re-windowed each round; the rank2 lookup
-      streams the full table map-side against the (AQE-broadcast when
-      small) active relation.
-
-    A round is therefore ~2 light jobs instead of the r5 shape's 5
-    full-relation jobs, while the 100 TB story strengthens: per-round
-    shuffle work tracks the surviving duplicate mass, not the corpus."""
+    The width sequence (W_INIT, 4x per round) trades per-round payload
+    against round count; the payload-mass product stays bounded by
+    duplicate mass x w_final, the same bound the final LCP windows pay
+    (adjacent_lcp pass 2)."""
     n_parts = arrays.sparkSession.sparkContext.defaultParallelism
     init, n = _ranked_init(arrays, n_parts)
-    tables: dict[int, DataFrame] = {
-        W_INIT: init.select("doc_id", "off", "rank")
-    }
-    settled_pieces = [
-        init.where(~F.col("tied")).select("doc_id", "off", "rank")
-    ]
-    active = init.where("tied").select("doc_id", "off", "rank")
+    cols = ["doc_id", "off", "rank", "gram"]
+    tables: dict[int, DataFrame] = {W_INIT: init.select(*cols)}
+    settled_pieces = [init.where(~F.col("tied")).select(*cols)]
+    active = init.where("tied").select(*cols)
     n_active = active.count()  # cheap: init is pinned
-    k = W_INIT
+    w = W_INIT
     while n_active > 0:
-        if k > n:
-            # prefix doubling must totalize by k >= max suffix length;
-            # k > n without convergence means two suffixes are literally
-            # identical — possible only when the per-doc sentinel is not
-            # unique (duplicate doc_id rows; _norm strips NUL so token
-            # collisions cannot happen). Fail loudly instead of
-            # doubling forever.
+        if w >= n:
+            # the previous round's width already covered the longest
+            # possible suffix (max length <= n), so surviving ties mean
+            # two suffixes are literally identical — possible only when
+            # the per-doc sentinel is not unique (duplicate doc_id rows;
+            # _norm strips NUL so token collisions cannot happen). Fail
+            # loudly instead of escalating forever.
             raise ValueError(
                 "suffix ranks did not totalize: duplicate doc_id rows "
                 "make suffixes indistinguishable — doc_id must be "
                 "unique per document"
             )
-        # rank2 = current rank of the suffix k positions ahead. Every
-        # ACTIVE suffix has length > k (a shorter one ends in its unique
-        # sentinel inside the k-prefix and would already be settled), so
-        # the lookup always hits: inner join is safe.
-        nxt = tables[k].select(
-            "doc_id",
-            (F.col("off") - k).alias("off"),
-            F.col("rank").alias("rank2"),
-        )
-        looked = active.join(nxt, ["doc_id", "off"])
-        w1 = Window.partitionBy("rank").orderBy("rank2")
-        wm = Window.partitionBy("rank", "rank2")
+        w *= 4
+        wins = _windows_for(active.select("doc_id", "off"), arrays, w)
+        wcl = Window.partitionBy("rank").orderBy("win")
+        neighbor_tie = F.coalesce(
+            F.col("win") == F.lag("win").over(wcl), F.lit(False)
+        ) | F.coalesce(F.col("win") == F.lead("win").over(wcl), F.lit(False))
         upd = pin(
-            looked.select(
+            active.join(wins, ["doc_id", "off"])
+            .select(
                 "doc_id",
                 "off",
-                (F.col("rank") + F.rank().over(w1) - F.lit(1)).alias(
-                    "rank"
+                (F.col("rank") + F.rank().over(wcl) - F.lit(1)).alias(
+                    "new_rank"
                 ),
-                (F.count("*").over(wm) > F.lit(1)).alias("tied"),
+                neighbor_tie.alias("tied"),
+                "gram",
             )
+            .withColumnRenamed("new_rank", "rank")
         )
-        k *= 2
-        tables[k] = _union_all(
-            settled_pieces + [upd.select("doc_id", "off", "rank")]
-        )
-        settled_pieces.append(
-            upd.where(~F.col("tied")).select("doc_id", "off", "rank")
-        )
-        active = upd.where("tied").select("doc_id", "off", "rank")
+        settled_pieces.append(upd.where(~F.col("tied")).select(*cols))
+        active = upd.where("tied").select(*cols)
         n_active = active.count()  # cheap: upd is pinned
+    tables[w] = _union_all(settled_pieces) if w > W_INIT else tables[W_INIT]
     return tables, n
+
+
+def _windows_for(needs: DataFrame, arrays: DataFrame, w: int) -> DataFrame:
+    """(doc_id, off, win): the width-``w`` token window at exactly the
+    requested (doc_id, off) positions — offsets grouped per document so
+    each needed document's array is joined ONCE and sliced per offset.
+    Payload: one token array per distinct needed doc + w tokens per
+    needed position (both duplicate-mass-bounded for the suffix loop's
+    active sets and the LCP deep pairs)."""
+    per_doc = (
+        needs.distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("off").alias("offs"))
+    )
+    return (
+        per_doc.join(arrays, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "offs",
+                    lambda o: F.struct(
+                        o.alias("off"),
+                        F.slice("toks", o + 1, F.lit(w)).alias("win"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.off", "x.win")
+    )
 
 
 def _union_all(pieces: list[DataFrame]) -> DataFrame:
@@ -279,90 +296,19 @@ def _union_all(pieces: list[DataFrame]) -> DataFrame:
     return out
 
 
-def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
-    """(a_doc, a_off, b_doc, b_off, lcp): LCP between every suffix and
-    its successor in suffix-array order, via descending rank-table
-    comparison (lcp grows by k whenever the length-k prefixes at offset
-    lcp still match). Powers below W_INIT have no rank table; their
-    equality tests run against the map-only gram-string relation
-    instead (same join shape, string payload)."""
-    final = tables[max(tables)]
-    a = final.select(
-        F.col("doc_id").alias("a_doc"), F.col("off").alias("a_off"), "rank"
-    )
-    b = final.select(
-        F.col("doc_id").alias("b_doc"),
-        F.col("off").alias("b_off"),
-        (F.col("rank") - 1).alias("rank"),
-    )
-    pairs = a.join(b, "rank").select(
-        "a_doc", "a_off", "b_doc", "b_off", F.lit(0).alias("lcp")
-    )
-    # skip the FINAL rank table: its ranks are a permutation (that is
-    # the doubling loop's exit condition), so no two distinct suffixes
-    # can match at its k — the comparison would be a guaranteed no-op
-    # costing the largest join round.
-    rounds = [(k, tables[k]) for k in sorted(tables, reverse=True)[1:]]
-    for i, (k, rel) in enumerate(rounds):
-        ra = rel.select(
-            F.col("doc_id").alias("a_doc"),
-            F.col("off").alias("_ao"),
-            F.col("rank").alias("_ra"),
-        )
-        rb = rel.select(
-            F.col("doc_id").alias("b_doc"),
-            F.col("off").alias("_bo"),
-            F.col("rank").alias("_rb"),
-        )
-        pairs = (
-            pairs.withColumn("_ao", F.col("a_off") + F.col("lcp"))
-            .withColumn("_bo", F.col("b_off") + F.col("lcp"))
-            .join(ra, ["a_doc", "_ao"], "left")
-            .join(rb, ["b_doc", "_bo"], "left")
-            .withColumn(
-                "lcp",
-                F.when(
-                    F.col("_ra").isNotNull()
-                    & (F.col("_ra") == F.col("_rb")),
-                    F.col("lcp") + F.lit(k),
-                ).otherwise(F.col("lcp")),
-            )
-            .drop("_ao", "_bo", "_ra", "_rb")
-        )
-        # pin every SECOND descent round: lineage stays bounded at <=4
-        # joins while half the materialization jobs disappear — the
-        # descent is round-overhead-bound like the doubling loop.
-        if i % 2 == 1:
-            pairs = pin(pairs)
-    # FUSED residual round: after descending every rank-table power down
-    # to W_INIT, the remaining lcp residue is < W_INIT. Instead of
-    # log2(W_INIT) more join rounds at k = 4, 2, 1, fetch the W_INIT
-    # token-array windows at offset lcp for both sides (two joins — the
-    # cost of ONE descent round) and count their common token prefix
-    # with a JVM higher-order expression. Sentinels compare as whole
-    # tokens, so LCPs still stop exactly at document boundaries.
-    g = _gram_arrays(arrays, W_INIT)
-    ga = g.select(
-        F.col("doc_id").alias("a_doc"),
-        F.col("off").alias("_ao"),
-        F.col("garr").alias("_ga"),
-    )
-    gb = g.select(
-        F.col("doc_id").alias("b_doc"),
-        F.col("off").alias("_bo"),
-        F.col("garr").alias("_gb"),
-    )
-    eq = F.zip_with("_ga", "_gb", lambda x, y: x.eqNullSafe(y))
-    residual = F.coalesce(
+def _common_prefix_len(ga: str, gb: str) -> F.Column:
+    """Length of the common prefix of two token-array columns — one JVM
+    higher-order fold (stop flag at the first mismatch); zip_with pads
+    the shorter array with nulls and eqNullSafe treats them as a value,
+    but a real mismatch (the sentinel, unique per doc) always stops the
+    fold before padding can be reached."""
+    eq = F.zip_with(ga, gb, lambda x, y: x.eqNullSafe(y))
+    return F.coalesce(
         F.aggregate(
             eq,
-            F.struct(
-                F.lit(0).alias("n"), F.lit(False).alias("stop")
-            ),
+            F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
             lambda acc, m: F.struct(
-                F.when(
-                    acc.getField("stop") | ~m, acc.getField("n")
-                )
+                F.when(acc.getField("stop") | ~m, acc.getField("n"))
                 .otherwise(acc.getField("n") + 1)
                 .alias("n"),
                 (acc.getField("stop") | ~m).alias("stop"),
@@ -370,15 +316,121 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
         ).getField("n"),
         F.lit(0),
     )
-    pairs = (
-        pairs.withColumn("_ao", F.col("a_off") + F.col("lcp"))
-        .withColumn("_bo", F.col("b_off") + F.col("lcp"))
-        .join(ga, ["a_doc", "_ao"], "left")
-        .join(gb, ["b_doc", "_bo"], "left")
-        .withColumn("lcp", F.col("lcp") + residual)
-        .drop("_ao", "_bo", "_ga", "_gb")
+
+
+def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
+    """(a_doc, a_off, b_doc, b_off, lcp): LCP between every suffix and
+    its successor in suffix-array order — two passes (r8 shape,
+    replacing the per-power rank-table descent):
+
+    1. FUSED width-W_INIT compare for EVERY pair: both sides' W_INIT
+       token windows (map-only from the pinned arrays) meet in two
+       equi-joins and a JVM fold counts the common prefix. Pairs whose
+       count is < W_INIT are DONE — that count IS the lcp (their
+       W_INIT-prefixes differ). This one linear pass settles all but
+       the duplicate-mass-bound tail.
+    2. DEEP pairs (count == W_INIT, i.e. lcp >= W_INIT — exactly the
+       positions inside long repeats) fetch width-k_max windows, where
+       k_max = the final rank table's k: ranks are unique at k_max, so
+       every adjacent lcp is <= k_max - 1 and one fold finishes it.
+       The windows are built ONLY for the needed offsets by grouping
+       them per document and slicing that document's array once per
+       offset — the join payload is one token array per deep DOC plus
+       k_max tokens per deep position, both bounded by the surviving
+       duplicate mass, never by the corpus.
+
+    Sentinels compare as whole tokens, so LCPs stop exactly at document
+    boundaries in both passes."""
+    k_max = max(tables)
+    final = tables[k_max]
+    # pass 1: every rank row carries its own W_INIT gram string (from
+    # init, riding the loop relations), so ONE rank self-join delivers
+    # both sides' windows to every adjacent pair. The NUL-joined string
+    # splits back into elements where real tokens are whole elements
+    # and a sentinel ("\x00" + doc_id) becomes ["", doc_id] — the ""
+    # marks how many REAL tokens precede the sentinel, so
+    # lcp = least(elementwise match count, real-token count of either
+    # side): a mismatch before either sentinel is the true lcp; equal
+    # sentinel positions cap the count; unequal ones mismatch on
+    # "" vs a (never-empty) real token.
+    a = final.select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("off").alias("a_off"),
+        F.split("gram", SENTINEL_PREFIX).alias("_ga"),
+        "rank",
     )
-    return pin(pairs)
+    b = final.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("off").alias("b_off"),
+        F.split("gram", SENTINEL_PREFIX).alias("_gb"),
+        (F.col("rank") - 1).alias("rank"),
+    )
+
+    def _cap(col: str) -> F.Column:
+        pos = F.array_position(col, "")
+        return F.when(pos == 0, F.lit(W_INIT)).otherwise(pos - 1)
+
+    lcp8 = F.least(
+        _common_prefix_len("_ga", "_gb"), _cap("_ga"), _cap("_gb")
+    )
+    scored = pin(
+        a.join(b, "rank").select(
+            "a_doc", "a_off", "b_doc", "b_off", lcp8.alias("lcp")
+        )
+    )
+    shallow = scored.where(F.col("lcp") < W_INIT)
+    deep = scored.where(F.col("lcp") >= W_INIT).select(
+        "a_doc", "a_off", "b_doc", "b_off"
+    )
+    # pass 2: width-k_max windows for the deep offsets only
+    needs = (
+        deep.select(F.col("a_doc").alias("doc_id"), F.col("a_off").alias("off"))
+        .union(
+            deep.select(
+                F.col("b_doc").alias("doc_id"), F.col("b_off").alias("off")
+            )
+        )
+        .distinct()
+    )
+    per_doc = needs.groupBy("doc_id").agg(F.collect_list("off").alias("offs"))
+    wins = (
+        per_doc.join(arrays, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "offs",
+                    lambda o: F.struct(
+                        o.alias("off"),
+                        F.slice("toks", o + 1, F.lit(k_max)).alias("win"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.off", "x.win")
+    )
+    wa = wins.select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("off").alias("a_off"),
+        F.col("win").alias("_ga"),
+    )
+    wb = wins.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("off").alias("b_off"),
+        F.col("win").alias("_gb"),
+    )
+    deep_scored = (
+        deep.join(wa, ["a_doc", "a_off"])
+        .join(wb, ["b_doc", "b_off"])
+        .select(
+            "a_doc",
+            "a_off",
+            "b_doc",
+            "b_off",
+            _common_prefix_len("_ga", "_gb").alias("lcp"),
+        )
+    )
+    return pin(shallow.unionByName(deep_scored))
 
 
 def position_repeat_lengths(docs: DataFrame, text_col: str = "text") -> DataFrame:
