@@ -82,7 +82,7 @@ PLAN_QUERIES = [
     ("leakage_safe_group_split", "stateless md5(source) map + 3-row aggregate; zero wide shuffles"),
     ("range_frame_trailing_stats", "true RANGE frame in microsecond int math: one user exchange + sort, two-pointer sliding frame"),
     ("gapfill_hourly_event_series", "generated calendar spine (1-row bounds -> sequence explode) LEFT-joined by the hourly rollup"),
-    ("sa_repeated_span_stats", "prefix-doubling suffix array: O(log maxlen) join+range-rank rounds, LCP via rank-table descent"),
+    ("sa_repeated_span_stats", "escalating window-sort suffix array: one range sort at W=8, then active-only re-sorts; LCP = rank self-join + deep-tail windows"),
     ("copurchase_graph_triangles", "mutual top-K graph (degree <= K by construction) -> two equi-joins enumerate each triangle once"),
     ("rfm_customer_scores", "customer collapse in ONE partial agg; 3 range-partitioned global ranks over the aggregate only"),
     ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
@@ -115,6 +115,9 @@ PLAN_QUERIES = [
     ("embedding_snapshot_drift", "two Gram-cell collapses (<= d(d+1)/2 cells each before ONE shuffle) -> cells-x-cells outer join -> decimal cross-multiplied ranking"),
     ("scd2_temporal_enrichment", "history build = two user-keyed windows on ONE exchange; validity join equi-on-user + range residual; exact-cents partial-agg rollup"),
     ("neardup_safe_split", "shared near-dup cluster relation -> BROADCAST cluster map onto the corpus -> stateless md5 split + 3-group aggregate"),
+    ("quality_classifier_weights", "training = ONE (doc,bucket)->bucket partial-agg to <=64x2 int64 cells + 1-row class counts; weights a fixed IEEE chain"),
+    ("quality_classifier_scores", "corpus pays only the vectorizer's (doc,bucket) shuffle; 64-row weights + 1-row bias BROADCAST; per-doc sorted fold"),
+    ("url_registered_domain_psl", "PSL match on the DISTINCT-domain relation: label-suffix explode (x2 keys) -> broadcast rules join -> per-domain argmax"),
 ]
 
 

@@ -58,6 +58,12 @@ PROBES = [
     "scd2_temporal_enrichment",
     "rolling_7day_active_users",
     "tfidf_top_terms_per_lang",
+    # round-8 additions
+    "quality_classifier_scores",
+    "quality_classifier_eval",
+    "url_registered_domain_psl",
+    "image_phash_neardup",
+    "sa_repeated_span_stats",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
