@@ -323,16 +323,17 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
     its successor in suffix-array order — two passes (r8 shape,
     replacing the per-power rank-table descent):
 
-    1. FUSED width-W_INIT compare for EVERY pair: both sides' W_INIT
-       token windows (map-only from the pinned arrays) meet in two
-       equi-joins and a JVM fold counts the common prefix. Pairs whose
-       count is < W_INIT are DONE — that count IS the lcp (their
-       W_INIT-prefixes differ). This one linear pass settles all but
-       the duplicate-mass-bound tail.
+    1. FUSED width-W_INIT compare for EVERY pair: each rank row already
+       carries its own W_INIT gram string, so ONE rank self-join
+       delivers both sides' windows and a JVM fold counts the common
+       prefix. Pairs whose count is < W_INIT are DONE — that count IS
+       the lcp (their W_INIT-prefixes differ). This one linear pass
+       settles all but the duplicate-mass-bound tail.
     2. DEEP pairs (count == W_INIT, i.e. lcp >= W_INIT — exactly the
        positions inside long repeats) fetch width-k_max windows, where
-       k_max = the final rank table's k: ranks are unique at k_max, so
-       every adjacent lcp is <= k_max - 1 and one fold finishes it.
+       k_max = the loop's final width: no two suffixes share a
+       k_max-window (that is the exit condition), so every adjacent
+       lcp is <= k_max - 1 and one fold finishes it.
        The windows are built ONLY for the needed offsets by grouping
        them per document and slicing that document's array once per
        offset — the join payload is one token array per deep DOC plus
