@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 from .multimodal import _decode_payload
 from .simhash import hamming_neardup_pairs
 
-GRID = 8  # aHash grid; dHash uses (GRID+1) x GRID
+GRID = 8  # aHash grid; dHash uses GRID rows x (GRID+1) cols
 PHASH_BITS = GRID * GRID  # 64
 
 
@@ -56,7 +56,9 @@ def _to_gray(arr: np.ndarray) -> np.ndarray:
     return a[:, :, 0]
 
 
-def _grid_means(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+def _grid_means(
+    gray: np.ndarray, out_h: int, out_w: int
+) -> tuple[np.ndarray, np.ndarray]:
     """Block-mean downscale to (out_h, out_w) with integer floor
     boundaries; every block is non-empty (hi = max(lo+1, ...)), so
     images smaller than the grid effectively nearest-neighbor

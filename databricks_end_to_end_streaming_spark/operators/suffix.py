@@ -383,33 +383,16 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
     deep = scored.where(F.col("lcp") >= W_INIT).select(
         "a_doc", "a_off", "b_doc", "b_off"
     )
-    # pass 2: width-k_max windows for the deep offsets only
-    needs = (
-        deep.select(F.col("a_doc").alias("doc_id"), F.col("a_off").alias("off"))
-        .union(
-            deep.select(
-                F.col("b_doc").alias("doc_id"), F.col("b_off").alias("off")
-            )
+    # pass 2: width-k_max windows for the deep offsets only (the same
+    # grouped-slice fetch the escalation loop uses)
+    needs = deep.select(
+        F.col("a_doc").alias("doc_id"), F.col("a_off").alias("off")
+    ).union(
+        deep.select(
+            F.col("b_doc").alias("doc_id"), F.col("b_off").alias("off")
         )
-        .distinct()
     )
-    per_doc = needs.groupBy("doc_id").agg(F.collect_list("off").alias("offs"))
-    wins = (
-        per_doc.join(arrays, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    "offs",
-                    lambda o: F.struct(
-                        o.alias("off"),
-                        F.slice("toks", o + 1, F.lit(k_max)).alias("win"),
-                    ),
-                )
-            ).alias("x"),
-        )
-        .select("doc_id", "x.off", "x.win")
-    )
+    wins = _windows_for(needs, arrays, k_max)
     wa = wins.select(
         F.col("doc_id").alias("a_doc"),
         F.col("off").alias("a_off"),

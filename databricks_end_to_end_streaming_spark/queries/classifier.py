@@ -29,48 +29,47 @@ from ..operators.linear_model import (
     centroid_weights,
     class_counts,
 )
+from ..pin import pin
 from ..tables import load_table
 from . import query
-from .text import _GOPHER_STOPS, _occurrences, _occurrences_sql
+from .text import (
+    GOPHER_FEAT_CTE,
+    GOPHER_PASS_SQL,
+    gopher_features,
+    gopher_passes,
+    hashed_tf_cte,
+)
 
 CLS_DIM = 64  # feature-hash buckets (operators/vectorize.py default)
 
 
 def weak_quality_labels(docs: DataFrame) -> DataFrame:
     """(doc_id, lab): the Gopher rule gate as weak supervision — the
-    same four rules as queries/text.py::gopher_quality_rules (word
-    count, mean word length, alpha-word ratio, stopword hits), reduced
-    to the 0/1 teacher label the classifier distills."""
-    nrm = F.trim(F.regexp_replace("text", r"\s+", " "))
-    base = docs.select("doc_id", nrm.alias("nrm"))
-    toks = F.split(F.col("nrm"), " ")
-    n_tokens = F.size(toks).cast("long")
-    char_sum = (F.length("nrm") - (F.size(toks) - F.lit(1))).cast("long")
-    alpha_words = F.size(
-        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
-    ).cast("long")
-    stop_hits = sum(
-        [_occurrences("nrm", w) for w in _GOPHER_STOPS],
-        F.lit(0).cast("long"),
+    SHARED gate of queries/text.py::gopher_quality_rules (same feature
+    projection, same predicate object), reduced to the 0/1 teacher
+    label the classifier distills; a gate-threshold change retrains the
+    teacher automatically."""
+    return gopher_features(docs).select(
+        "doc_id", gopher_passes().cast("long").alias("lab")
     )
-    passes = (
-        n_tokens.between(50, 100000)
-        & (char_sum.cast("double") / n_tokens).between(3.0, 10.0)
-        & (alpha_words.cast("double") / n_tokens >= 0.8)
-        & (stop_hits >= 2)
-    )
-    return base.select("doc_id", passes.cast("long").alias("lab"))
 
 
-def _train_parts(docs: DataFrame):
+def _train_parts(docs: DataFrame, pin_shared: bool = True):
     """Shared assembly: sparse features over ALL docs, labels, and the
-    (stats, counts, weights, bias) trained on the even-doc_id half.
-    The split is deterministic and engine-portable (doc_id % 2; swap in
-    text.py::split_bucket's md5 split for production ratios)."""
+    (stats, counts) trained on the even-doc_id half. The split is
+    deterministic and engine-portable (doc_id % 2; swap in
+    text.py::split_bucket's md5 split for production ratios).
+
+    feats and labels are consumed by 2-3 plan branches each (training
+    sums, scoring, the weak-label join) — pin them so the vectorizer
+    explode and the rule regexes run ONCE (the PPJoin tokenize-once
+    lesson; ``pin_shared=False`` is the plan-dump view)."""
     from ..operators.vectorize import hashed_tf_sparse
 
     feats = hashed_tf_sparse(docs, dim=CLS_DIM)
     labels = weak_quality_labels(docs)
+    if pin_shared:
+        feats, labels = pin(feats), pin(labels)
     train_lab = labels.where(F.col("doc_id") % 2 == 0)
     stats = centroid_stats(
         feats.where(F.col("doc_id") % 2 == 0), train_lab
@@ -79,43 +78,12 @@ def _train_parts(docs: DataFrame):
     return feats, labels, stats, counts
 
 
-_FEATS_CTE = """
-    words AS (
-      SELECT doc_id,
-             unnest(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
-      FROM documents
-    ), signed AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
-             CASE WHEN substr(md5(w), 9, 1) < '8' THEN 1 ELSE -1 END AS s
-      FROM words
-    ), feats AS (
-      SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
-      FROM signed GROUP BY doc_id, bucket
-    )"""
+# the SAME feature-hash and Gopher-gate SQL the standalone queries use
+# (text.py) — one definition each
+_FEATS_CTE = hashed_tf_cte(CLS_DIM)
 
-_LAB_CTE = f"""
-    nrm AS (
-      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
-      FROM documents
-    ), gfeat AS (
-      SELECT doc_id,
-        CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens,
-        CAST(length(nrm) - (len(string_split(nrm, ' ')) - 1) AS BIGINT)
-          AS char_sum,
-        CAST(len(list_filter(string_split(nrm, ' '),
-                             w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
-          AS alpha_words,
-        {' + '.join(_occurrences_sql('nrm', w) for w in _GOPHER_STOPS)}
-          AS stop_hits
-      FROM nrm
-    ), lab AS (
-      SELECT doc_id,
-        CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
-               AND CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0
-               AND CAST(alpha_words AS DOUBLE) / n_tokens >= 0.8
-               AND stop_hits >= 2
-             THEN 1 ELSE 0 END AS BIGINT) AS lab
+_LAB_CTE = f"""{GOPHER_FEAT_CTE}, lab AS (
+      SELECT doc_id, CAST({GOPHER_PASS_SQL} AS BIGINT) AS lab
       FROM gfeat
     )"""
 
@@ -174,7 +142,10 @@ def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics are a sum monoid, so at 100 TB training is a
     single pass and partials from corpus slices merge by addition."""
     d = load_table(spark, sf_dir, "documents")
-    _, _, stats, counts = _train_parts(d)
+    # no pin: this query consumes feats/labels exactly once each, so
+    # Catalyst should keep pushing the doc_id % 2 training filter down
+    # to the scan instead of materializing the full corpus's features
+    _, _, stats, counts = _train_parts(d, pin_shared=False)
     return centroid_weights(stats, counts).orderBy("bucket")
 
 
@@ -271,4 +242,22 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tn"),
         (F.sum(agree).cast("double") / F.count("*")).alias("accuracy"),
+    )
+
+
+def quality_classifier_scores_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unpinned builder of the scoring plan for tools/dump_plans.py —
+    same logical plan, shared subtrees visible instead of checkpoint
+    scans."""
+    d = load_table(spark, sf_dir, "documents")
+    feats, labels, stats, counts = _train_parts(d, pin_shared=False)
+    weights = centroid_weights(stats, counts)
+    bias = centroid_bias(stats, counts)
+    return (
+        centroid_scores(feats, weights, bias)
+        .join(labels.withColumnRenamed("lab", "weak_label"), "doc_id")
+        .select("doc_id", "score", "predicted", "weak_label")
+        .orderBy("doc_id")
     )

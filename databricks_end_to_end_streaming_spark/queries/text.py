@@ -1585,23 +1585,32 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hashed_tf_features",
-    oracle="""
-    WITH words AS (
+def hashed_tf_cte(dim: int) -> str:
+    """The hashed_tf_sparse oracle as a reusable CTE chain exposing
+    ``feats`` (doc_id, bucket, weight) — shared with the classifier's
+    oracles (queries/classifier.py) so the feature hash has exactly one
+    SQL definition."""
+    return f"""
+    words AS (
       SELECT doc_id,
              unnest(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
       FROM documents
     ), signed AS (
       SELECT doc_id,
-             ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {dim} AS bucket,
              CASE WHEN substr(md5(w), 9, 1) < '8' THEN 1 ELSE -1 END AS s
       FROM words
-    )
-    SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
-    FROM signed
-    GROUP BY doc_id, bucket
-    ORDER BY doc_id, bucket
+    ), feats AS (
+      SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+      FROM signed GROUP BY doc_id, bucket
+    )"""
+
+
+@query(
+    "hashed_tf_features",
+    oracle=f"""
+    WITH {hashed_tf_cte(64)}
+    SELECT doc_id, bucket, weight FROM feats ORDER BY doc_id, bucket
     """,
 )
 def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,14 +1630,14 @@ def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_STOPS = ["the", "and", "of", "to", "a"]
 
-
-@query(
-    "gopher_quality_rules",
-    oracle=f"""
-    WITH nrm AS (
+# Shared Gopher-gate SQL (the classifier's weak-label oracle reuses
+# these verbatim — queries/classifier.py — so a threshold tweak changes
+# the gate AND its distillation teacher together).
+GOPHER_FEAT_CTE = f"""
+    nrm AS (
       SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
       FROM documents
-    ), feat AS (
+    ), gfeat AS (
       SELECT doc_id,
         CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens,
         CAST(length(nrm) - (len(string_split(nrm, ' ')) - 1) AS BIGINT)
@@ -1639,61 +1648,84 @@ _GOPHER_STOPS = ["the", "and", "of", "to", "a"]
         {' + '.join(_occurrences_sql('nrm', w) for w in _GOPHER_STOPS)}
           AS stop_hits
       FROM nrm
-    )
-    SELECT doc_id, n_tokens,
-      CAST(char_sum AS DOUBLE) / n_tokens    AS mean_word_len,
-      CAST(alpha_words AS DOUBLE) / n_tokens AS alpha_word_ratio,
-      stop_hits,
-      CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+    )"""
+
+GOPHER_PASS_SQL = """CASE WHEN n_tokens BETWEEN 50 AND 100000
              AND CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0
              AND CAST(alpha_words AS DOUBLE) / n_tokens >= 0.8
              AND stop_hits >= 2
-           THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
-    FROM feat
-    """,
-)
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style document quality gate (Rae et al. 2021, public): word
-    count in [50, 100k], mean word length in [3, 10], >=80% of words
-    containing an alphabetic character, and >=2 stopword hits — ALL rules
-    evaluated in ONE narrow projection pass (no shuffle, no UDF; the
-    per-word alpha test is a JVM higher-order ``filter``). Each ratio is
-    a single IEEE division of exact integers, so the pass/fail booleans
-    are bit-identical across engines."""
-    d = load_table(spark, sf_dir, "documents")
+           THEN 1 ELSE 0 END"""
+
+
+def gopher_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, char_sum, alpha_words, stop_hits): the exact
+    integer features all four Gopher rules read — ONE narrow projection
+    pass, no shuffle, no UDF (the per-word alpha test is a JVM
+    higher-order ``filter``)."""
     nrm = F.trim(F.regexp_replace("text", r"\s+", " "))
-    base = d.select("doc_id", nrm.alias("nrm"))
+    base = docs.select("doc_id", nrm.alias("nrm"))
     toks = F.split(F.col("nrm"), " ")
-    n_tokens = F.size(toks).cast("long")
-    char_sum = (F.length("nrm") - (F.size(toks) - F.lit(1))).cast("long")
-    alpha_words = F.size(
-        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
-    ).cast("long")
     stop_hits = sum(
         [_occurrences("nrm", w) for w in _GOPHER_STOPS], F.lit(0).cast("long")
     )
-    feat = base.select(
+    return base.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        char_sum.alias("char_sum"),
-        alpha_words.alias("alpha_words"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.length("nrm") - (F.size(toks) - F.lit(1)))
+        .cast("long")
+        .alias("char_sum"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("alpha_words"),
         stop_hits.alias("stop_hits"),
     )
+
+
+def gopher_passes() -> F.Column:
+    """The gate predicate over ``gopher_features`` output. Each ratio is
+    a single IEEE division of exact integers, so the booleans are
+    bit-identical across engines (GOPHER_PASS_SQL is the oracle twin)."""
     mean_len = F.col("char_sum").cast("double") / F.col("n_tokens")
     alpha_ratio = F.col("alpha_words").cast("double") / F.col("n_tokens")
-    passes = (
+    return (
         F.col("n_tokens").between(50, 100000)
         & mean_len.between(3.0, 10.0)
         & (alpha_ratio >= 0.8)
         & (F.col("stop_hits") >= 2)
     )
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH {GOPHER_FEAT_CTE}
+    SELECT doc_id, n_tokens,
+      CAST(char_sum AS DOUBLE) / n_tokens    AS mean_word_len,
+      CAST(alpha_words AS DOUBLE) / n_tokens AS alpha_word_ratio,
+      stop_hits,
+      CAST({GOPHER_PASS_SQL} AS BIGINT) AS passes_gopher
+    FROM gfeat
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, public): word
+    count in [50, 100k], mean word length in [3, 10], >=80% of words
+    containing an alphabetic character, and >=2 stopword hits — the
+    shared ``gopher_features`` projection + ``gopher_passes`` predicate
+    (also the classifier's weak-label teacher)."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = gopher_features(d)
     return feat.select(
         "doc_id",
         "n_tokens",
-        mean_len.alias("mean_word_len"),
-        alpha_ratio.alias("alpha_word_ratio"),
+        (F.col("char_sum").cast("double") / F.col("n_tokens")).alias(
+            "mean_word_len"
+        ),
+        (F.col("alpha_words").cast("double") / F.col("n_tokens")).alias(
+            "alpha_word_ratio"
+        ),
         "stop_hits",
-        passes.cast("long").alias("passes_gopher"),
+        gopher_passes().cast("long").alias("passes_gopher"),
     )
 
 

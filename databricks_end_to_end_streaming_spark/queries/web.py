@@ -136,11 +136,13 @@ def domain_accounting_rollup(partials: DataFrame) -> DataFrame:
     # reg_domain is a function of the group key: derive it post-agg (on
     # the domain-count-bounded relation, never the raw docs) via the
     # Public Suffix List broadcast join; a host that IS a public suffix
-    # accounts under itself
+    # accounts under itself. LEFT join: a degenerate host that matches
+    # no PSL candidate (e.g. the empty domain a non-https URL
+    # normalizes to) must keep its accounting row, not vanish.
     psl = psl_registered_domains(
         out.select("domain"), psl_rules_df(partials.sparkSession)
     )
-    return out.join(psl, "domain").select(
+    return out.join(psl, "domain", "left").select(
         "domain",
         F.coalesce("reg_domain_psl", "domain").alias("reg_domain"),
         "n_docs",
@@ -172,7 +174,7 @@ def domain_accounting_rollup(partials: DataFrame) -> DataFrame:
     SELECT a.domain,
            COALESCE(p.reg_domain_psl, a.domain) AS reg_domain,
            a.n_docs, a.n_tokens, a.n_langs, a.n_tracking
-    FROM acc a JOIN psl p USING (domain)
+    FROM acc a LEFT JOIN psl p USING (domain)
     """,
 )
 def url_domain_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:

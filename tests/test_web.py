@@ -249,3 +249,27 @@ def test_psl_beats_heuristic_on_multilabel_suffixes(spark):
     }
     assert heur["foo.co.uk"] == "co.uk" != got["foo.co.uk"][1]
     assert heur["plain.example.com"] == got["plain.example.com"][1]
+
+
+def test_unmatched_domain_keeps_its_accounting_row(spark):
+    """A URL the normalizer can't parse (non-https) yields domain '' —
+    which matches no PSL candidate; the rollup must KEEP that group
+    (left join) rather than silently dropping its counts (r8 review)."""
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        domain_accounting_rollup,
+        domain_lang_partials,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "src0", 5, "http://plain.example.com/x"),
+            (2, "d e", "en", "src0", 3, "https://ok.example.com/y"),
+        ],
+        DOCS_SCHEMA + ", url string",
+    ).withColumn("domain", norm_domain())
+    got = {r.domain: r for r in domain_accounting_rollup(
+        domain_lang_partials(d)
+    ).collect()}
+    assert got[""].n_docs == 1 and got[""].n_tokens == 3
+    assert got[""].reg_domain == ""  # accounts under itself
+    assert got["ok.example.com"].reg_domain == "example.com"

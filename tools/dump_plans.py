@@ -125,11 +125,17 @@ def _plan_builders():
     """Unpinned plan builders for queries whose REGISTERED form pins the
     final output (a dumped plan of a localCheckpoint scan shows
     nothing). Each returns the same logical plan the query materializes."""
+    from databricks_end_to_end_streaming_spark.queries.classifier import (
+        quality_classifier_scores_plan,
+    )
     from databricks_end_to_end_streaming_spark.queries.dedup import (
         jaccard_prefix_filter_join_plan,
     )
 
-    return {"jaccard_prefix_filter_join": jaccard_prefix_filter_join_plan}
+    return {
+        "jaccard_prefix_filter_join": jaccard_prefix_filter_join_plan,
+        "quality_classifier_scores": quality_classifier_scores_plan,
+    }
 
 
 def main() -> None:
