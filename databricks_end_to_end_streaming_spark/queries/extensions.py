@@ -242,18 +242,34 @@ def _docs_as_media(d: DataFrame) -> DataFrame:
 # faithfully pytest-twinned (tests/test_phash.py), not SQL-replayed
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs (operators/phash.py): dHash over
-    the document-raster corpus, banded Hamming pairing <= 3 bits. The
-    corpus's exact-duplicate documents yield identical rasters
-    (hamming 0) and its planted near-dup texts land within a few bits,
-    so the pair list is non-empty and deterministic. Payload drops at
-    the hash; pairing shuffles 2 longs per image through the 4 x 16-bit
-    chunk self-join — never O(n^2)."""
+    16-row document rasters, banded Hamming pairing <= 3 bits. Each
+    >=256-char document's bytes reshape to a 16 x (n/16) grayscale
+    raster so BOTH grid axes carry signal (a 1-row raster degenerates:
+    its block means are all ~the text's mean byte, collapsing ~200 docs
+    into one alternating-bit hash and spraying ~123k spurious pairs at
+    sf0.1; the 2-D shape yields the ~110 REAL near-dup pairs — exact
+    duplicates at hamming 0, planted near-dup texts within a few bits).
+    Payload drops at the hash; pairing shuffles 2 longs per image
+    through the 4 x 16-bit chunk self-join — never O(n^2)."""
     from ..operators.phash import phash_neardup_pairs
 
-    d = load_table(spark, sf_dir, "documents")
-    return phash_neardup_pairs(_docs_as_media(d)).orderBy(
-        "media_a", "media_b"
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 256
     )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.floor(F.length("text") / 16).cast("int").alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("meta"),
+    )
+    return phash_neardup_pairs(media).orderBy("media_a", "media_b")
 
 
 @query("pq_quantize_embeddings")  # rows-only: k-means codebooks aren't SQL

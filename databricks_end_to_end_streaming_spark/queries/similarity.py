@@ -769,3 +769,226 @@ def rank_drift(cells: DataFrame, n: DataFrame, topk: int) -> DataFrame:
         .limit(topk)
         .drop("_x")
     )
+
+
+# ------------------------------------------------ JL random projection
+
+JL_K = 16  # projected dimensionality (4x reduction from EMB_DIM)
+
+
+def _jl_signs() -> list[list[int]]:
+    """The +-1 projection matrix (Achlioptas 2003: Rademacher entries
+    satisfy the Johnson-Lindenstrauss lemma), derived per cell from
+    md5("jl:i:j") — the engine's stored-RNG-free determinism
+    convention, so BOTH engines (and any re-run) materialize the
+    identical matrix from the formula alone."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0] < "8"
+            else -1
+            for j in range(JL_K)
+        ]
+        for i in range(EMB_DIM)
+    ]
+
+
+def jl_project(e: DataFrame) -> DataFrame:
+    """(vec_id, y array<long>): exact int64 projection of the
+    fixed-point-quantized embedding onto the JL_K +-1 directions —
+    map-only (the matrix is a literal in the plan), no shuffle, which
+    is the whole point at 100 TB: 4x fewer bytes into every downstream
+    pairwise stage for a JL-bounded distortion."""
+    signs = _jl_signs()
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_FP_SCALE))).cast(
+            "long"
+        ),
+    )
+    base = e.select("vec_id", q.alias("q"))
+    y = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "q",
+                    F.array(*[F.lit(signs[i][j]) for i in range(EMB_DIM)]),
+                    lambda a, b: a * b.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for j in range(JL_K)
+        ]
+    )
+    return base.select("vec_id", y.alias("y"))
+
+
+def _jl_proj_sql() -> str:
+    """CTE ``proj`` (vec_id, y BIGINT[]) mirroring jl_project."""
+    signs = _jl_signs()
+    cols = ", ".join(
+        "list_reduce(list_transform(range(0, %d), i -> q[i + 1] *"
+        " ([%s]::BIGINT[])[i + 1]), (a, b) -> a + b)"
+        % (EMB_DIM, ", ".join(str(signs[i][j]) for i in range(EMB_DIM)))
+        for j in range(JL_K)
+    )
+    return f"""
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_FP_SCALE}.0) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, [{cols}] AS y FROM qz
+    )"""
+
+
+def _int_cosine_rank_sql(rel: str, vec: str, dim: int, out: str) -> str:
+    """Top-{TOP_K} ranking CTE ``{out}`` by exact-int cosine over the
+    ``{vec}`` BIGINT[] column of CTE ``{rel}``: int64 dot + int64
+    norms, ONE identically-parenthesized float chain at the end, ties
+    by neighbor id (the sq8_recall_eval discipline)."""
+    dot = (
+        f"list_reduce(list_transform(range(0, {dim}),"
+        f" i -> a.{vec}[i + 1] * b.{vec}[i + 1]), (x, y) -> x + y)"
+    )
+    nrm = (
+        lambda s: f"list_reduce(list_transform(range(0, {dim}),"
+        f" i -> {s}.{vec}[i + 1] * {s}.{vec}[i + 1]), (x, y) -> x + y)"
+    )
+    return f"""{out} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST({dot} AS DOUBLE)
+                          / (sqrt(CAST({nrm('a')} AS DOUBLE))
+                             * sqrt(CAST({nrm('b')} AS DOUBLE))) DESC,
+                          b.vec_id
+               ) AS rank
+        FROM {rel} a JOIN {rel} b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    )"""
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH {_jl_proj_sql()}
+    SELECT vec_id,
+           {', '.join(f"y[{j + 1}] AS y_{j}" for j in range(JL_K))}
+    FROM proj ORDER BY vec_id
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction (Achlioptas 2003
+    +-1 projections, public): every embedding maps to {JL_K} exact
+    int64 coordinates via a literal md5-seeded sign matrix — the
+    cheap-projection stage a large-scale similarity pipeline runs
+    before pairwise work to cut bytes/FLOPs 4x with lemma-bounded
+    distortion. Map-only, zero shuffles; hash-oracled because the
+    whole projection is integer arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = jl_project(e)
+    return proj.select(
+        "vec_id",
+        *[F.col("y")[j].alias(f"y_{j}") for j in range(JL_K)],
+    ).orderBy("vec_id")
+
+
+@query(
+    "jl_recall_eval",
+    oracle=f"""
+    WITH {_jl_proj_sql()},
+    {_int_cosine_rank_sql('qz', 'q', EMB_DIM, 'exact')},
+    {_int_cosine_rank_sql('proj', 'y', JL_K, 'approx')}
+    SELECT x.query_id,
+           CAST(count(s.neighbor_id) AS INTEGER) AS n_hits,
+           CAST(count(s.neighbor_id) AS DOUBLE) / {TOP_K} AS recall
+    FROM exact x
+    LEFT JOIN approx s
+      ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def jl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of cosine ranking in the {JL_K}-dim projected
+    space against the exact {EMB_DIM}-dim ranking — the admissibility
+    gate for the 4x reduction (the same evaluation shape as
+    sq8_recall_eval). Both rankings are engine-exact: int64 dots and
+    norms from the quantized coordinates, one identically-parenthesized
+    float chain, vec_id tiebreak — so the oracle hash-verifies the
+    recall numbers themselves.
+
+    Expected reading on THIS corpus: low recall. The driver embeddings
+    are isotropic (no neighborhood structure), so exact top-{TOP_K}
+    cosine margins are ~0 and any k < d projection scrambles the
+    ranking — the gate truthfully REJECTS the reduction here, which is
+    precisely its job; tests/test_jl.py plants genuinely-near twins
+    and shows the projection preserves them (twin stays rank-1), i.e.
+    low recall is a property of this corpus, not a projection bug."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_FP_SCALE))
+            ).cast("long"),
+        ).alias("v"),
+    )
+    proj = jl_project(e).withColumnRenamed("y", "v")
+
+    def topk(rel: DataFrame) -> DataFrame:
+        a = rel.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        nrm = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        score = dot.cast("double") / (
+            F.sqrt(nrm("qv").cast("double")) * F.sqrt(nrm("v").cast("double"))
+        )
+        scored = rel.join(
+            F.broadcast(a), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("s")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("s"), "neighbor_id"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact, approx = topk(qz), topk(proj)
+    hit = approx.withColumnRenamed("neighbor_id", "hit_id")
+    return (
+        exact.join(
+            hit,
+            (exact["query_id"] == hit["query_id"])
+            & (exact["neighbor_id"] == hit["hit_id"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(
+            F.count("hit_id").cast("int").alias("n_hits"),
+            (F.count("hit_id").cast("double") / F.lit(TOP_K)).alias(
+                "recall"
+            ),
+        )
+    )
