@@ -227,6 +227,8 @@ NEW_OP_QUERIES = [
     "quality_classifier_eval",
     "url_registered_domain_psl",
     "image_phash_neardup",
+    "embedding_random_projection",
+    "jl_recall_eval",
 ]
 
 

@@ -64,6 +64,8 @@ PROBES = [
     "url_registered_domain_psl",
     "image_phash_neardup",
     "sa_repeated_span_stats",
+    "embedding_random_projection",
+    "jl_recall_eval",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
