@@ -229,6 +229,7 @@ NEW_OP_QUERIES = [
     "image_phash_neardup",
     "embedding_random_projection",
     "jl_recall_eval",
+    "quality_classifier_calibration",
 ]
 
 

@@ -261,3 +261,65 @@ def quality_classifier_scores_plan(
         .select("doc_id", "score", "predicted", "weak_label")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_classifier_calibration",
+    oracle=f"""
+    WITH {_FEATS_CTE}, {_LAB_CTE}, {_TRAIN_CTE}, {_SCORE_CTE},
+    deciled AS (
+      SELECT ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile,
+             score, weak_label
+      FROM scored
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(weak_label) AS BIGINT) AS n_teacher_pass,
+           CAST(sum(weak_label) AS DOUBLE) / count(*) AS teacher_pass_rate,
+           min(score) AS min_score,
+           max(score) AS max_score
+    FROM deciled GROUP BY decile ORDER BY decile
+    """,
+)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration by rank-decile: bucket every scored document
+    into 10 equal-frequency score bands (best scores = decile 1) and
+    report the teacher-label pass rate per band — the monotonicity
+    check that tells you whether the classifier's SCORE (not just its
+    sign) is usable as a sampling weight / threshold knob, the way
+    GPT-3's pipeline used its classifier score inside a Pareto
+    acceptance rule. Deciles come from the range-partitioned global
+    rank + NTILE arithmetic (operators/ranking.py — no single-partition
+    window at scale); per-band stats are one partial-agg'd 10-group
+    aggregate; min/max of floats are order-independent, so every
+    column hash-verifies."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.ranking import global_row_number_counted, ntile_from_rank
+
+    feats, labels, stats, counts = _train_parts(d)
+    weights = centroid_weights(stats, counts)
+    bias = centroid_bias(stats, counts)
+    scored = (
+        centroid_scores(feats, weights, bias)
+        .join(labels.withColumnRenamed("lab", "weak_label"), "doc_id")
+        .withColumn("_neg", -F.col("score"))
+    )
+    ranked, total = global_row_number_counted(
+        scored, ["_neg", "doc_id"], "rn"
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_from_rank("rn", total, 10)
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("weak_label").cast("long").alias("n_teacher_pass"),
+            (F.sum("weak_label").cast("double") / F.count("*")).alias(
+                "teacher_pass_rate"
+            ),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decile")
+    )

@@ -115,3 +115,23 @@ def test_corpus_distillation_beats_chance(spark):
     assert row["accuracy"] >= 0.8
     # both classes actually predicted (not a constant classifier)
     assert row["n_tp"] > 0 and row["n_tn"] > 0
+
+
+def test_calibration_is_monotone_at_the_extremes(spark):
+    """The top score-decile must be overwhelmingly teacher-pass and the
+    bottom one overwhelmingly teacher-fail — the property that makes
+    the score usable as a sampling weight, not just a sign."""
+    from databricks_end_to_end_streaming_spark.queries.classifier import (
+        quality_classifier_calibration,
+    )
+
+    rows = {
+        r["decile"]: r
+        for r in quality_classifier_calibration(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == set(range(1, 11))
+    assert rows[1]["teacher_pass_rate"] >= 0.9
+    assert rows[10]["teacher_pass_rate"] <= 0.1
+    assert rows[1]["min_score"] > rows[10]["max_score"]

@@ -66,6 +66,7 @@ PROBES = [
     "sa_repeated_span_stats",
     "embedding_random_projection",
     "jl_recall_eval",
+    "quality_classifier_calibration",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
