@@ -118,6 +118,9 @@ PLAN_QUERIES = [
     ("quality_classifier_weights", "training = ONE (doc,bucket)->bucket partial-agg to <=64x2 int64 cells + 1-row class counts; weights a fixed IEEE chain"),
     ("quality_classifier_scores", "corpus pays only the vectorizer's (doc,bucket) shuffle; 64-row weights + 1-row bias BROADCAST; per-doc sorted fold"),
     ("url_registered_domain_psl", "PSL match on the DISTINCT-domain relation: label-suffix explode (x2 keys) -> broadcast rules join -> per-domain argmax"),
+    ("embedding_random_projection", "JL +-1 projection as a LITERAL sign matrix in the plan: map-only int64 folds, ZERO exchanges"),
+    ("jl_recall_eval", "two broadcast-queries x scan ranking legs (64-dim exact vs 16-dim projected) -> TOP_K window rows -> recall join on N*K rows"),
+    ("quality_classifier_calibration", "range-partitioned global rank + NTILE arithmetic (no 1-partition window) -> 10-group partial agg"),
 ]
 
 
