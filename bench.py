@@ -230,6 +230,7 @@ NEW_OP_QUERIES = [
     "embedding_random_projection",
     "jl_recall_eval",
     "quality_classifier_calibration",
+    "audio_energy_neardup",
 ]
 
 

@@ -389,3 +389,45 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, queries, cents, books, k=5, nprobe=3).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+@query("audio_energy_neardup")  # rows-only: bit-63 hash + banding join is
+# faithfully pytest-twinned (tests/test_audiohash.py), not SQL-replayed
+def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (operators/audiohash.py): gain-invariant
+    energy-delta fingerprints over the document-byte PCM corpus
+    (each >=130-byte document's bytes as a mono 8-bit sample stream —
+    deterministic in-container audio), banded Hamming pairing <= 3
+    bits. The corpus models RE-INGESTION — every 7th clip also arrives
+    under a second media id (the most common real dedup case: the same
+    recording uploaded twice) — so the pair list deterministically
+    contains those hamming-0 matches plus any organic envelope
+    near-dups. Payload drops at the hash; 1 long per clip downstream."""
+    from ..operators.audiohash import audio_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 130
+    )
+
+    def clips(docs: DataFrame, ids: F.Column) -> DataFrame:
+        return docs.select(
+            ids.alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.struct(
+                F.length("text").cast("int").alias("width"),
+                F.lit(1).alias("height"),
+                F.lit(1).alias("channels"),
+                F.lit(8000).alias("sample_rate"),
+                F.lit(1).alias("n_frames"),
+                F.lit("fake/raw").alias("format"),
+            ).alias("meta"),
+        )
+
+    media = clips(d, F.col("doc_id")).unionByName(
+        clips(
+            d.where(F.col("doc_id") % 7 == 0),
+            F.col("doc_id") + F.lit(1_000_000),
+        )
+    )
+    return audio_neardup_pairs(media).orderBy("media_a", "media_b")

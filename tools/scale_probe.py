@@ -67,6 +67,7 @@ PROBES = [
     "embedding_random_projection",
     "jl_recall_eval",
     "quality_classifier_calibration",
+    "audio_energy_neardup",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
