@@ -124,6 +124,74 @@ def hamming_neardup_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def _chunk_rows(
+    sigs: DataFrame, id_col: str, sig_col: str, n_chunks: int, chunk_bits: int
+) -> DataFrame:
+    """Explode a signature relation into its (chunk_id, chunk) band rows."""
+    return sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        _chunk(F.col(sig_col), i, chunk_bits).alias("chunk"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "_sig", "c.chunk_id", "c.chunk")
+
+
+def hamming_pairs_probe_index(
+    probe: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = BITS,
+    n_chunks: int = N_CHUNKS,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Asymmetric banded Hamming pairing: every ``index`` signature
+    within ``max_hamming`` of some ``probe`` signature. The incremental
+    serving shape — a small new batch probes the accumulated corpus
+    index — so candidate generation is |probe-bands| x matching index
+    bands, NOT the full index self-join (history never re-pairs against
+    itself). Pairs are emitted with id_a < id_b regardless of which side
+    they came from; probe-vs-probe pairs are found too (the probe is a
+    subset of the index in the dedup use), deduplicated by the final
+    ``distinct``. Same recall guarantee as ``hamming_neardup_pairs``
+    (pigeonhole over equal-width chunks)."""
+    if max_hamming >= n_chunks:
+        raise ValueError("banding guarantees recall only for hamming < n_chunks")
+    if bits % n_chunks != 0:
+        raise ValueError("bits must divide into n_chunks equal chunks")
+    chunk_bits = bits // n_chunks
+    p = _chunk_rows(probe, id_col, sig_col, n_chunks, chunk_bits).alias("p")
+    x = _chunk_rows(index, id_col, sig_col, n_chunks, chunk_bits).alias("x")
+    cand = (
+        p.join(
+            x,
+            (F.col("p.chunk_id") == F.col("x.chunk_id"))
+            & (F.col("p.chunk") == F.col("x.chunk"))
+            & (F.col("p._id") != F.col("x._id")),
+        )
+        .select(
+            F.least("p._id", "x._id").alias(f"{id_col}_a"),
+            F.greatest("p._id", "x._id").alias(f"{id_col}_b"),
+            F.least("p._sig", "x._sig").alias("sig_a"),
+            F.greatest("p._sig", "x._sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return cand.select(
+        f"{id_col}_a", f"{id_col}_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def simhash_neardup_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:

@@ -64,6 +64,15 @@ SENTINEL_PREFIX = "\x00"  # reserved: stripped from text by _norm below
 # single tokens, skipping the k = 1, 2, 4 doubling rounds entirely.
 W_INIT = 8
 
+# A tied class above this many positions routes through the skew-safe
+# re-rank (_reranked_skew) instead of the per-class window sort: a
+# Window.partitionBy("rank") places the WHOLE class in one task, so a
+# pathologically repetitive corpus (one document duplicated across most
+# of the corpus) would serialize a corpus-sized class carrying w-token
+# window arrays on a single executor. Below the threshold the one-task
+# sort is cheaper than the skew path's extra exchanges.
+SKEW_CLASS_THRESHOLD = 1 << 16
+
 
 def _norm(col: str = "text") -> F.Column:
     # NUL is the sentinel/separator namespace: strip it from real text
@@ -184,8 +193,94 @@ def _ranked_init(
     return pin(ranked), n
 
 
+def _active_stats(ranked: DataFrame) -> tuple[int, int]:
+    """(n_active, max_class): surviving tied-row count and the largest
+    tied class's size, in ONE aggregate job over the pinned relation
+    (partial aggregation keeps a giant class from concentrating rows
+    anywhere — only per-class counts shuffle)."""
+    row = (
+        ranked.where("tied")
+        .groupBy("rank")
+        .count()
+        .agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("n"),
+            F.coalesce(F.max("count"), F.lit(0)).alias("mx"),
+        )
+        .first()
+    )
+    return int(row["n"]), int(row["mx"])
+
+
+def _reranked_skew(joined: DataFrame, n_parts: int) -> DataFrame:
+    """Skew-safe round update: same result as the per-class window sort
+    (new rank = class start + count of strictly-smaller windows in the
+    class; tied = another position shares the window), with NO per-class
+    task. Shape:
+
+    1. collapse positions to DISTINCT (rank, win) rows with counts —
+       identical windows (the pathological mass) compress under partial
+       aggregation before the shuffle;
+    2. ONE range partition over (rank, win) gives the global window
+       order; per-partition prefix sums + collected partition offsets
+       turn it into ``_pref`` = positions in strictly-smaller (rank, win)
+       rows — the _ranked_init machinery, generalized to weighted rows
+       (a giant class of DISTINCT windows splits across partitions by
+       range instead of landing in one task);
+    3. the class base (min ``_pref`` per rank) comes from a partial-agg
+       groupBy, so new rank = rank + (_pref - base) without any
+       class-sized window;
+    4. positions re-join their window's new rank on (rank, win) — AQE
+       skew-join splits the giant class's partition at runtime.
+    """
+    spark = joined.sparkSession
+    dw = joined.groupBy("rank", "win").agg(F.count("*").alias("cnt"))
+    parted = dw.repartitionByRange(n_parts, "rank", "win")
+    # frozen: repartitionByRange re-samples bounds per job
+    with_pid = pin(
+        parted.withColumn("_pid", F.spark_partition_id()),
+        require_frozen=True,
+        site="suffix.skew_round_pids",
+    )
+    pid_sums = with_pid.groupBy("_pid").agg(F.sum("cnt").alias("s")).collect()
+    sums = {r["_pid"]: r["s"] for r in pid_sums}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "_pid int, _offset long",
+        )
+    )
+    w_pid = (
+        Window.partitionBy("_pid")
+        .orderBy("rank", "win")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = with_pid.join(offsets_df, "_pid").withColumn(
+        "_pref", F.col("_offset") + F.sum("cnt").over(w_pid) - F.col("cnt")
+    )
+    base = scored.groupBy("rank").agg(F.min("_pref").alias("_base"))
+    dwr = scored.join(base, "rank").select(
+        "rank",
+        "win",
+        (F.col("rank") + F.col("_pref") - F.col("_base")).alias("_new_rank"),
+        (F.col("cnt") > 1).alias("_tied"),
+    )
+    return joined.join(dwr, ["rank", "win"]).select(
+        "doc_id",
+        "off",
+        F.col("_new_rank").alias("rank"),
+        F.col("_tied").alias("tied"),
+        "gram",
+    )
+
+
 def suffix_rank_tables(
     arrays: DataFrame,
+    skew_threshold: int = SKEW_CLASS_THRESHOLD,
+    timings: list | None = None,
 ) -> tuple[dict[int, DataFrame], int]:
     """Suffix-array ranks over ``doc_token_arrays`` output by ESCALATING
     WINDOW-SORT (the r8 shape): {W_INIT: init, w_final: final} where the
@@ -211,14 +306,29 @@ def suffix_rank_tables(
     The width sequence (W_INIT, 4x per round) trades per-round payload
     against round count; the payload-mass product stays bounded by
     duplicate mass x w_final, the same bound the final LCP windows pay
-    (adjacent_lcp pass 2)."""
+    (adjacent_lcp pass 2).
+
+    Classes larger than ``skew_threshold`` positions route through the
+    skew-safe ``_reranked_skew`` update instead of the per-class window
+    sort (class sizes only shrink round-over-round, so the gate is
+    checked against each round's measured max class). ``timings``, if
+    given, collects (phase, width, n_active, max_class, seconds) tuples
+    per round — the measured basis for the README's per-round wall
+    breakdown."""
+    import time
+
     n_parts = arrays.sparkSession.sparkContext.defaultParallelism
+    t0 = time.monotonic()
     init, n = _ranked_init(arrays, n_parts)
+    n_active, max_class = _active_stats(init)
+    if timings is not None:
+        timings.append(
+            ("init", W_INIT, n_active, max_class, time.monotonic() - t0)
+        )
     cols = ["doc_id", "off", "rank", "gram"]
     tables: dict[int, DataFrame] = {W_INIT: init.select(*cols)}
     settled_pieces = [init.where(~F.col("tied")).select(*cols)]
     active = init.where("tied").select(*cols)
-    n_active = active.count()  # cheap: init is pinned
     w = W_INIT
     while n_active > 0:
         if w >= n:
@@ -233,28 +343,47 @@ def suffix_rank_tables(
                 "make suffixes indistinguishable — doc_id must be "
                 "unique per document"
             )
+        t0 = time.monotonic()
         w *= 4
         wins = _windows_for(active.select("doc_id", "off"), arrays, w)
-        wcl = Window.partitionBy("rank").orderBy("win")
-        neighbor_tie = F.coalesce(
-            F.col("win") == F.lag("win").over(wcl), F.lit(False)
-        ) | F.coalesce(F.col("win") == F.lead("win").over(wcl), F.lit(False))
-        upd = pin(
-            active.join(wins, ["doc_id", "off"])
-            .select(
-                "doc_id",
-                "off",
-                (F.col("rank") + F.rank().over(wcl) - F.lit(1)).alias(
-                    "new_rank"
-                ),
-                neighbor_tie.alias("tied"),
-                "gram",
+        joined = active.join(wins, ["doc_id", "off"])
+        if max_class > skew_threshold:
+            # pin: the joined relation feeds both the distinct-window
+            # aggregate and the final rank join-back; its size is
+            # duplicate-mass x w, the same bound the window path pays
+            upd = pin(_reranked_skew(pin(joined), n_parts))
+        else:
+            wcl = Window.partitionBy("rank").orderBy("win")
+            neighbor_tie = F.coalesce(
+                F.col("win") == F.lag("win").over(wcl), F.lit(False)
+            ) | F.coalesce(
+                F.col("win") == F.lead("win").over(wcl), F.lit(False)
             )
-            .withColumnRenamed("new_rank", "rank")
-        )
+            upd = pin(
+                joined.select(
+                    "doc_id",
+                    "off",
+                    (F.col("rank") + F.rank().over(wcl) - F.lit(1)).alias(
+                        "new_rank"
+                    ),
+                    neighbor_tie.alias("tied"),
+                    "gram",
+                ).withColumnRenamed("new_rank", "rank")
+            )
         settled_pieces.append(upd.where(~F.col("tied")).select(*cols))
         active = upd.where("tied").select(*cols)
-        n_active = active.count()  # cheap: upd is pinned
+        prev_max = max_class
+        n_active, max_class = _active_stats(upd)
+        if timings is not None:
+            timings.append(
+                (
+                    "skew" if prev_max > skew_threshold else "sort",
+                    w,
+                    n_active,
+                    max_class,
+                    time.monotonic() - t0,
+                )
+            )
     tables[w] = _union_all(settled_pieces) if w > W_INIT else tables[W_INIT]
     return tables, n
 
@@ -417,14 +546,21 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
     return pin(shallow.unionByName(deep_scored))
 
 
-def position_repeat_lengths(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def position_repeat_lengths(
+    docs: DataFrame,
+    text_col: str = "text",
+    skew_threshold: int = SKEW_CLASS_THRESHOLD,
+    timings: list | None = None,
+) -> DataFrame:
     """(doc_id, off, max_repeat): for every REAL token position, the
     length of the longest span starting there that also occurs somewhere
     else in the corpus (same or another document). Sentinel positions are
     excluded; the sentinel guarantee means max_repeat never counts past
     a document's end."""
     arrays = pin(doc_token_arrays(docs, text_col))
-    tables, _n = suffix_rank_tables(arrays)
+    tables, _n = suffix_rank_tables(
+        arrays, skew_threshold=skew_threshold, timings=timings
+    )
     pairs = adjacent_lcp(tables, arrays)
     up = pairs.select(
         F.col("a_doc").alias("doc_id"), F.col("a_off").alias("off"), "lcp"

@@ -15,6 +15,10 @@ from ..operators.similarity import ann_lsh_topk
 from ..tables import load_table
 from . import query
 
+# Reserved namespace for synthetic re-ingestion twin ids: real doc_ids
+# stay below 2^40, so flagged ids can never collide with a real media id.
+REINGEST_ID_FLAG = 1 << 40
+
 
 @query(
     "dedup_simhash",
@@ -424,10 +428,14 @@ def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("meta"),
         )
 
+    # Re-ingested twins live in a reserved high-bit namespace (bit 40,
+    # ~1.1e12) so a synthetic id can never collide with a real doc_id at
+    # any realistic scale factor (real ids stay below 2^40; the old
+    # doc_id + 1e6 scheme collided once a corpus passed a million docs).
     media = clips(d, F.col("doc_id")).unionByName(
         clips(
             d.where(F.col("doc_id") % 7 == 0),
-            F.col("doc_id") + F.lit(1_000_000),
+            F.col("doc_id") + F.lit(REINGEST_ID_FLAG),
         )
     )
     return audio_neardup_pairs(media).orderBy("media_a", "media_b")

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.phash import PHASH_BITS, perceptual_hashes
-from ..operators.simhash import hamming_neardup_pairs
+from ..operators.simhash import hamming_neardup_pairs, hamming_pairs_probe_index
 from .sinks import ParquetTable
 
 
@@ -78,20 +78,36 @@ def pairs_with_batch(
 ) -> DataFrame:
     """Incremental serving shape: pairs involving at least one signature
     from ``batch_id`` — new content probed against everything seen so
-    far, without re-pairing the history against itself."""
-    all_pairs = phash_pairs_from_log(
-        spark, sig_table, sig=sig, max_hamming=max_hamming,
-        up_to_batch=batch_id,
-    )
-    batch_ids = (
+    far. The batch's band rows join DIRECTLY against the log's chunk
+    index (batch-side build, log-side probe), so candidate generation
+    is |batch-bands| x matching log bands; history-vs-history candidates
+    are never generated, let alone Hamming-verified."""
+    log = (
         sig_table.read(spark)
-        .where(F.col("_batch_id") == batch_id)
-        .select(F.col("media_id").alias("_bid"))
-        .distinct()
+        .where(F.col("_batch_id") <= batch_id)
+        .select("media_id", sig)
+        .dropDuplicates(["media_id"])
     )
-    return all_pairs.join(
-        F.broadcast(batch_ids),
-        (all_pairs["media_a"] == batch_ids["_bid"])
-        | (all_pairs["media_b"] == batch_ids["_bid"]),
+    batch_sigs = log.join(
+        F.broadcast(
+            sig_table.read(spark)
+            .where(F.col("_batch_id") == batch_id)
+            .select("media_id")
+            .distinct()
+        ),
+        "media_id",
         "leftsemi",
+    )
+    return (
+        hamming_pairs_probe_index(
+            batch_sigs,
+            log,
+            id_col="media_id",
+            sig_col=sig,
+            bits=PHASH_BITS,
+            n_chunks=4,
+            max_hamming=max_hamming,
+        )
+        .withColumnRenamed("media_id_a", "media_a")
+        .withColumnRenamed("media_id_b", "media_b")
     )

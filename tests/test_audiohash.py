@@ -91,6 +91,7 @@ def test_gain_scaled_and_noisy_twins_pair_unrelated_does_not(spark):
 
 def test_corpus_query_finds_exact_dup_streams(spark):
     from databricks_end_to_end_streaming_spark.queries.extensions import (
+        REINGEST_ID_FLAG,
         audio_energy_neardup,
     )
 
@@ -101,6 +102,7 @@ def test_corpus_query_finds_exact_dup_streams(spark):
     reingested = {
         (r["media_a"], r["media_b"])
         for r in pairs
-        if r["hamming"] == 0 and r["media_b"] - r["media_a"] == 1_000_000
+        if r["hamming"] == 0
+        and r["media_b"] - r["media_a"] == REINGEST_ID_FLAG
     }
     assert len(reingested) >= 50  # ~427/7 eligible docs

@@ -151,6 +151,34 @@ def test_nul_token_cannot_collide_with_sentinel(spark):
     assert got[(0, 0)] == 4 and got[(1, 0)] == 4
 
 
+def test_skew_path_matches_reference_on_pathological_corpus(spark):
+    """ADVICE r8: a tied class above the threshold must route through
+    the skew-safe re-rank (no class-sized single task) and produce the
+    IDENTICAL suffix array. Corpus: one 12-token document duplicated 40x
+    (every round's dominant class ~ corpus size) plus organic text; a
+    threshold of 4 forces the skew branch, and the result must match
+    both the sequential reference and the window-sort path."""
+    body = "alpha beta gamma delta alpha beta gamma delta epsilon zeta eta theta"
+    texts = {d: body for d in range(40)}
+    texts[100] = "organic words beta gamma appear once here"
+    texts[101] = "alpha beta gamma delta prefix shared then diverges"
+    timings: list = []
+    got = {
+        (r.doc_id, r.off): r.max_repeat
+        for r in position_repeat_lengths(
+            _spark_docs(spark, texts), skew_threshold=4, timings=timings
+        ).collect()
+    }
+    assert any(t[0] == "skew" for t in timings), timings
+    assert got == _py_reference(texts)
+    # the default (window-sort) path agrees bit-for-bit
+    window_path = {
+        (r.doc_id, r.off): r.max_repeat
+        for r in position_repeat_lengths(_spark_docs(spark, texts)).collect()
+    }
+    assert got == window_path
+
+
 def test_degenerate_corpora(spark):
     # single doc, single token: 2 positions (token + sentinel)
     one = {0: "hello"}
