@@ -546,18 +546,15 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
     return pin(shallow.unionByName(deep_scored))
 
 
-def position_repeat_lengths(
-    docs: DataFrame,
-    text_col: str = "text",
+def _position_repeats(
+    arrays: DataFrame,
     skew_threshold: int = SKEW_CLASS_THRESHOLD,
     timings: list | None = None,
 ) -> DataFrame:
-    """(doc_id, off, max_repeat): for every REAL token position, the
-    length of the longest span starting there that also occurs somewhere
-    else in the corpus (same or another document). Sentinel positions are
-    excluded; the sentinel guarantee means max_repeat never counts past
-    a document's end."""
-    arrays = pin(doc_token_arrays(docs, text_col))
+    """(doc_id, off, max_repeat) over a pinned ``doc_token_arrays``
+    relation — the shared core of ``position_repeat_lengths`` and
+    ``exact_substr_removal`` (which also needs ``arrays`` for the token
+    reconstruction)."""
     tables, _n = suffix_rank_tables(
         arrays, skew_threshold=skew_threshold, timings=timings
     )
@@ -581,4 +578,104 @@ def position_repeat_lengths(
         per_pos.join(doc_len, "doc_id")
         .where(F.col("off") < F.col("n_tokens"))
         .select("doc_id", "off", "max_repeat")
+    )
+
+
+def position_repeat_lengths(
+    docs: DataFrame,
+    text_col: str = "text",
+    skew_threshold: int = SKEW_CLASS_THRESHOLD,
+    timings: list | None = None,
+) -> DataFrame:
+    """(doc_id, off, max_repeat): for every REAL token position, the
+    length of the longest span starting there that also occurs somewhere
+    else in the corpus (same or another document). Sentinel positions are
+    excluded; the sentinel guarantee means max_repeat never counts past
+    a document's end."""
+    arrays = pin(doc_token_arrays(docs, text_col))
+    return _position_repeats(arrays, skew_threshold, timings)
+
+
+def exact_substr_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 8,
+    skew_threshold: int = SKEW_CLASS_THRESHOLD,
+    timings: list | None = None,
+) -> DataFrame:
+    """ExactSubstr CUT, end-to-end (Lee et al. 2022 §4.1, the operation
+    their released dedup tool performs): remove from every document each
+    token that sits inside ANY repeated span of >= ``min_len`` tokens —
+    variable-length maximal repeats from the distributed suffix array,
+    not fixed-W windows (operators/spans.py is the fixed-W cousin).
+    Returns (doc_id, n_tokens, n_removed, cleaned_text), one row per
+    document, in the suffix machinery's normalized token space
+    (lowercased, whitespace-collapsed — the space the repeat profile is
+    defined over).
+
+    Coverage semantics: position p is removed iff some q <= p has
+    max_repeat(q) >= min_len and q + max_repeat(q) > p. Because
+    max_repeat(q) is the MAXIMAL repeat starting at q, this is exactly
+    "p lies inside some repeated span of length >= min_len" (any
+    sub-span of a repeated span is repeated, so maximality loses
+    nothing). All copies of a duplicated span are cut — the released
+    ExactSubstr policy.
+
+    Scale shape: coverage is ONE running-max window per document over
+    the repeat profile (a doc's positions sort within one task — bounded
+    by the longest document, not the corpus); covered positions collapse
+    to MERGED intervals (lag + running interval count), so the per-doc
+    span list the reconstruction probes is #gaps-sized, never
+    position-sized; the token filter is a per-row higher-order function
+    — map-only, whole-stage codegen, no UDF. Everything upstream
+    inherits the suffix loop's duplicate-mass bounds."""
+    arrays = pin(doc_token_arrays(docs, text_col))
+    rep = _position_repeats(arrays, skew_threshold, timings)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    reach = F.max(
+        F.when(
+            F.col("max_repeat") >= min_len, F.col("off") + F.col("max_repeat")
+        )
+    ).over(w_run)
+    covered = rep.withColumn(
+        "_covered", F.coalesce(reach > F.col("off"), F.lit(False))
+    ).where("_covered")
+    # covered positions are contiguous runs by construction (running
+    # max); a run starts where the previous covered off is not off - 1
+    w_doc = Window.partitionBy("doc_id").orderBy("off")
+    w_doc_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ivls = (
+        covered.withColumn(
+            "_new",
+            (
+                F.coalesce(F.lag("off").over(w_doc), F.lit(-2))
+                != F.col("off") - 1
+            ).cast("int"),
+        )
+        .withColumn("_ivl", F.sum("_new").over(w_doc_run))
+        .groupBy("doc_id", "_ivl")
+        .agg(F.min("off").alias("s"), (F.max("off") + 1).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivls"))
+    )
+    toks = arrays.select(
+        "doc_id", F.expr("slice(toks, 1, size(toks) - 1)").alias("ws")
+    )
+    out = toks.join(ivls, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.expr(
+            "filter(ws, (w, i) -> NOT exists(coalesce(ivls, array()), "
+            "v -> v.s <= i AND i < v.e))"
+        ).alias("kept"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", "kept").alias("cleaned_text"),
     )

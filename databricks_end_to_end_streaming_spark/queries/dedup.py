@@ -1095,6 +1095,30 @@ def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("exact_substr_cut")  # rows-only: the suffix-array cut has no
+# tractable SQL replay (quadratic); exactness is pytest-pinned against a
+# sequential reference (tests/test_suffix.py::test_exact_substr_removal*)
+def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal END-TO-END (Lee et al. 2022 — the operation
+    the profile query above only measures): cut every token inside a
+    >= 8-token span that repeats anywhere in the corpus, all copies,
+    at the profiled variable lengths (operators/suffix.py
+    ``exact_substr_removal``). Per-doc accounting plus an md5 of the
+    cleaned text (scalar, hashable) rather than the full cleaned body —
+    the driver compare stays cheap while still pinning the exact output
+    bytes."""
+    from ..operators.suffix import exact_substr_removal
+
+    d = load_table(spark, sf_dir, "documents")
+    out = exact_substr_removal(d, min_len=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
 @query(
     "neardup_safe_split",
     oracle=_REACH_CTE
