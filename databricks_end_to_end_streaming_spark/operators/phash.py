@@ -138,6 +138,139 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
     return media.mapInPandas(mapper, out_schema)
 
 
+FRAME_IDX_BITS = 20  # composite frame id: (media_id << 20) | frame_idx
+
+
+def frame_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, ahash, dhash): one perceptual-hash row PER
+    FRAME of every multi-frame payload (single-frame media yields frame 0)
+    — the video extension of ``perceptual_hashes``. Arrow-batched
+    mapInPandas; payload drops at the hash, so downstream carries 2 longs
+    per frame, never pixels."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ahash", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                frames = _decode_payload(bytes(payload), m)
+                if frames.ndim != 4:
+                    frames = frames[np.newaxis, ...]
+                for idx in range(frames.shape[0]):
+                    ah, dh = ahash_dhash(frames[idx])
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "ahash": ah,
+                            "dhash": dh,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(mapper, out_schema)
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    sig: str = "dhash",
+    max_hamming: int = 3,
+    min_aligned_frac: float = 0.6,
+) -> DataFrame:
+    """Video near-duplicate pairs by TEMPORAL ALIGNMENT VOTE: two videos
+    pair when >= ``min_aligned_frac`` of the shorter video's frames match
+    the other video's frames (per-frame Hamming <= ``max_hamming``) at
+    one consistent frame OFFSET — which is what survives re-encoding
+    (per-frame perceptual invariance) and truncation/trimming (a cut clip
+    aligns at a fixed shift), while coincidental single-frame matches
+    (shared title cards, black frames) fail the vote.
+
+    Shape: per-frame hashes pack into composite ids
+    ((media_id << 20) | frame_idx, so media_id < 2^43, frames < 2^20 —
+    asserted cheaply by the id arithmetic below), the generic banded
+    Hamming self-join generates FRAME-pair candidates (never O(n^2)),
+    and the vote is two partial-agg groupBys on (video_a, video_b,
+    offset) — alignment counting never touches pixels. Returns
+    (media_a, media_b, offset, aligned_frames, min_frames,
+    aligned_frac)."""
+    fh = frame_hashes(media)
+    n_frames = fh.groupBy("media_id").agg(
+        F.countDistinct("frame_idx").alias("nf")
+    )
+    sigs = fh.select(
+        (
+            F.shiftleft(F.col("media_id"), FRAME_IDX_BITS)
+            + F.col("frame_idx")
+        ).alias("fid"),
+        sig,
+    )
+    fp = hamming_neardup_pairs(
+        sigs,
+        id_col="fid",
+        sig_col=sig,
+        bits=PHASH_BITS,
+        n_chunks=4,
+        max_hamming=max_hamming,
+    )
+    mask = (1 << FRAME_IDX_BITS) - 1
+    decomposed = fp.select(
+        F.shiftright(F.col("fid_a"), FRAME_IDX_BITS).alias("ma"),
+        F.col("fid_a").bitwiseAND(F.lit(mask)).alias("ia"),
+        F.shiftright(F.col("fid_b"), FRAME_IDX_BITS).alias("mb"),
+        F.col("fid_b").bitwiseAND(F.lit(mask)).alias("ib"),
+    ).where(F.col("ma") != F.col("mb"))
+    # fid_a < fid_b and media packs the high bits, so ma < mb always:
+    # pairs arrive pre-normalized
+    votes = decomposed.groupBy(
+        F.col("ma").alias("media_a"),
+        F.col("mb").alias("media_b"),
+        (F.col("ib") - F.col("ia")).alias("offset"),
+    ).agg(F.countDistinct("ia").alias("aligned_frames"))
+    best = votes.groupBy("media_a", "media_b").agg(
+        F.max(
+            F.struct(
+                F.col("aligned_frames"), (-F.col("offset")).alias("_neg")
+            )
+        ).alias("_best")
+    ).select(
+        "media_a",
+        "media_b",
+        (-F.col("_best._neg")).alias("offset"),
+        F.col("_best.aligned_frames").alias("aligned_frames"),
+    )
+    na = n_frames.select(
+        F.col("media_id").alias("media_a"), F.col("nf").alias("_na")
+    )
+    nb = n_frames.select(
+        F.col("media_id").alias("media_b"), F.col("nf").alias("_nb")
+    )
+    return (
+        best.join(na, "media_a")
+        .join(nb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "offset",
+            "aligned_frames",
+            F.least("_na", "_nb").cast("long").alias("min_frames"),
+            (
+                F.col("aligned_frames")
+                / F.least("_na", "_nb").cast("double")
+            ).alias("aligned_frac"),
+        )
+        .where(F.col("aligned_frac") >= F.lit(min_aligned_frac))
+    )
+
+
 def phash_neardup_pairs(
     media: DataFrame, sig: str = "dhash", max_hamming: int = 3
 ) -> DataFrame:

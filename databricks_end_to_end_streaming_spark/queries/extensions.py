@@ -439,3 +439,56 @@ def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return audio_neardup_pairs(media).orderBy("media_a", "media_b")
+
+
+@query("video_temporal_neardup")  # rows-only: per-frame perceptual hash +
+# temporal alignment vote is pytest-twinned (tests/test_videohash.py:
+# truncated/re-encoded clip caught at the right offset, title-card
+# splice rejected), not SQL-replayed
+def video_temporal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (operators/phash.py video_neardup_pairs):
+    documents >= 288 bytes become deterministic fake/raw clips (each
+    consecutive 96-byte slice is one 6x16 gray frame, <= 12 frames), and
+    every 5th clip ALSO re-arrives truncated — first frame dropped, same
+    bytes after — under the reserved re-ingestion namespace: the trimmed
+    re-upload case. The planted twins must pair at offset -1 with full
+    alignment; coincidental single-frame matches fail the >= 60% vote.
+    Payload drops at the per-frame hash: 2 longs per frame downstream."""
+    from ..operators.phash import video_neardup_pairs
+
+    FRAME_BYTES = 96  # 6 rows x 16 cols x 1 channel
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("bin")
+    )
+    d = d.where(F.length("bin") >= 3 * FRAME_BYTES).withColumn(
+        "nf",
+        F.least(
+            (F.length("bin") / FRAME_BYTES).cast("int"), F.lit(12)
+        ),
+    )
+
+    def vids(rows: DataFrame, ids: F.Column, payload: F.Column, nf: F.Column) -> DataFrame:
+        return rows.select(
+            ids.alias("media_id"),
+            F.lit("video").alias("kind"),
+            payload.alias("payload"),
+            F.struct(
+                F.lit(16).alias("width"),
+                F.lit(6).alias("height"),
+                F.lit(1).alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                nf.cast("int").alias("n_frames"),
+                F.lit("fake/raw").alias("format"),
+            ).alias("meta"),
+        )
+
+    base = vids(d, F.col("doc_id"), F.col("bin"), F.col("nf"))
+    twins = vids(
+        d.where(F.col("doc_id") % 5 == 0),
+        F.col("doc_id") + F.lit(REINGEST_ID_FLAG),
+        F.expr(f"substring(bin, {FRAME_BYTES + 1}, {FRAME_BYTES * 11})"),
+        F.col("nf") - 1,
+    )
+    return video_neardup_pairs(base.unionByName(twins)).orderBy(
+        "media_a", "media_b"
+    )
