@@ -109,6 +109,7 @@ def main() -> None:
             **_bench_ocf(),
             **_bench_new_ops(spark, sf_dir, qs),
             **_bench_kmv_persisted(spark, sf_dir),
+            **_bench_psl_rules(spark, sf_dir),
             **_bench_sf1(spark, sf_dir),
         }
     )
@@ -231,6 +232,9 @@ NEW_OP_QUERIES = [
     "jl_recall_eval",
     "quality_classifier_calibration",
     "audio_energy_neardup",
+    # round-9 additions
+    "exact_substr_cut",
+    "video_temporal_neardup",
 ]
 
 
@@ -287,6 +291,48 @@ def _bench_kmv_persisted(spark, sf_dir: str) -> dict:
         pred.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return {"kmv_join_predict_persisted_sec": round(best, 3)}
+
+
+def _bench_psl_rules(spark, sf_dir: str) -> dict:
+    """Rule-count independence of the PSL eTLD+1 join (r9, verdict ask
+    #4): the SAME distinct-domain relation matched against the full
+    ~9.5k-rule snapshot vs the ~60-rule vendored subset. The broadcast
+    dim size is the only difference, so the two times should be within
+    noise of each other — measured, not asserted."""
+    from databricks_end_to_end_streaming_spark.operators.psl import (
+        PSL_SNAPSHOT,
+        load_psl_rules,
+        psl_registered_domains,
+        psl_rules_df,
+    )
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        norm_domain,
+        with_url_psl,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    doms = (
+        with_url_psl(load_table(spark, sf_dir, "documents"))
+        .withColumn("domain", norm_domain())
+        .select("domain")
+        .distinct()
+        .localCheckpoint(eager=True)  # time the match, not the scan
+    )
+    out = {}
+    for label, rules in (
+        ("full", load_psl_rules()),
+        ("subset", list(PSL_SNAPSHOT)),
+    ):
+        best = float("inf")
+        for _trial in range(3):
+            t0 = time.time()
+            psl_registered_domains(
+                doms, psl_rules_df(spark, rules)
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[f"psl_match_{label}_rules_sec"] = round(best, 3)
+        out[f"psl_match_{label}_rules_n"] = len(rules)
+    return out
 
 
 def _bench_new_ops(spark, sf_dir: str, qs) -> dict:

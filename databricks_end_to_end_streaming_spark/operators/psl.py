@@ -3,11 +3,21 @@
 Mozilla-maintained list; algorithm per its published spec) behind the
 slot queries/web.py::registered_domain documents.
 
-``PSL_SNAPSHOT`` is a vendored SUBSET of the public list — enough to
-cover the synthetic corpus plus the canonical multi-label, wildcard
-and exception shapes (co.uk, com.au, *.kawasaki.jp, !city.kawasaki.jp).
-In production the full ~10k-rule list drops into the same relation; the
-algorithm below is rule-count-independent.
+Rules come from the FULL public list by default: ``load_psl_rules``
+parses a ``public_suffix_list.dat`` snapshot (``SPARK_GRAFT_PSL_PATH``,
+else the OS-packaged copy at /usr/share/publicsuffix/ — the ~9.5k-rule
+Mozilla list), normalizes its IDN U-label rules to punycode A-labels
+(the `idna` library, UTS #46 mapping), and prepends the list's implicit
+'*' default rule. ``PSL_SNAPSHOT`` remains as the no-snapshot fallback
+SUBSET (the canonical multi-label, wildcard and exception shapes). The
+algorithm is rule-count-independent — the broadcast dim size is the
+only thing that changes between the two (measured: bench extra
+``psl_rules_full_vs_subset``).
+
+Hosts with non-ASCII labels normalize through ``punycode_hosts``
+(Arrow-batched pandas UDF over the DISTINCT-domain relation — domain-
+count-bounded, never per-doc) so U-label and A-label spellings of the
+same host derive the same registered domain.
 
 Matching algorithm (the spec, re-expressed relationally):
 
@@ -33,10 +43,12 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-# Vendored snapshot (subset) of the Public Suffix List: '!' marks
+# Vendored FALLBACK subset of the Public Suffix List, used only when no
+# full snapshot file is available (see load_psl_rules): '!' marks
 # exception rules, '*' a wildcard label; '*' alone is the list's
 # implicit default rule ("the prevailing rule is '*' when no rule
 # matches").
@@ -60,32 +72,115 @@ PSL_SNAPSHOT: list[str] = [
 ]
 
 
-def _parsed_rules() -> list[tuple[str, int, int]]:
+PSL_SYSTEM_PATHS = (
+    "/usr/share/publicsuffix/effective_tld_names.dat",
+    "/usr/share/publicsuffix/public_suffix_list.dat",
+)
+
+_rules_cache: dict[str, list[str]] = {}
+
+
+def _punycode_label(label: str) -> str:
+    """One host/rule label to its A-label: ASCII labels lowercase
+    unchanged ('*' included); U-labels encode via IDNA UTS #46. Labels
+    the codec rejects (malformed real-world hosts) degrade to bare
+    lowercase so normalization never throws mid-pipeline."""
+    if label == "*" or label.isascii():
+        return label.lower()
+    try:
+        import idna
+
+        return idna.encode(label, uts46=True).decode("ascii")
+    except Exception:  # noqa: BLE001 - malformed labels keep their bytes
+        return label.lower()
+
+
+def puny_host(host: str) -> str:
+    """Full-host punycode normalization: lowercase, strip one trailing
+    dot, per-label A-label encoding. ASCII hosts take the fast path."""
+    h = host.strip().rstrip(".").lower()
+    if h.isascii():
+        return h
+    return ".".join(_punycode_label(l) for l in h.split("."))
+
+
+def load_psl_rules(path: str | None = None) -> list[str]:
+    """The rules list: a ``public_suffix_list.dat`` snapshot parsed from
+    ``path``, else ``SPARK_GRAFT_PSL_PATH``, else the OS-packaged copy
+    (PSL_SYSTEM_PATHS), else the vendored ``PSL_SNAPSHOT`` subset.
+    Comment/blank lines drop, U-label rules normalize to punycode, the
+    implicit '*' default rule is prepended, duplicates (a U-label rule
+    whose A-label twin is also listed) collapse. Cached per path."""
+    import os
+
+    cand = [path] if path else [os.environ.get("SPARK_GRAFT_PSL_PATH")]
+    cand += list(PSL_SYSTEM_PATHS)
+    chosen = next((p for p in cand if p and os.path.isfile(p)), None)
+    if chosen is None:
+        return list(PSL_SNAPSHOT)
+    if chosen in _rules_cache:
+        return _rules_cache[chosen]
+    rules: list[str] = ["*"]
+    seen = {"*"}
+    with open(chosen, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            raw = line.split()[0]
+            is_exc = raw.startswith("!")
+            key = raw[1:] if is_exc else raw
+            norm = ".".join(_punycode_label(l) for l in key.split("."))
+            rule = ("!" + norm) if is_exc else norm
+            if rule not in seen:
+                seen.add(rule)
+                rules.append(rule)
+    _rules_cache[chosen] = rules
+    return rules
+
+
+def _parsed_rules(raw: list[str] | None = None) -> list[tuple[str, int, int]]:
     """(key, labels, is_exc) triples: exception '!' stripped (the key is
     what a candidate string equals), labels counted WITH the wildcard
-    label per the spec."""
+    label per the spec. Defaults to the FULL loaded list."""
     out = []
-    for r in PSL_SNAPSHOT:
+    for r in raw if raw is not None else load_psl_rules():
         is_exc = 1 if r.startswith("!") else 0
         key = r[1:] if is_exc else r
         out.append((key, key.count(".") + 1, is_exc))
     return out
 
 
-def psl_rules_df(spark: SparkSession) -> DataFrame:
+def psl_rules_df(
+    spark: SparkSession, raw: list[str] | None = None
+) -> DataFrame:
     """The broadcast rules dimension: (rule, labels, is_exc)."""
     return spark.createDataFrame(
-        _parsed_rules(), "rule string, labels int, is_exc int"
+        _parsed_rules(raw), "rule string, labels int, is_exc int"
     )
 
 
-def psl_rules_values_sql() -> str:
+def psl_rules_values_sql(raw: list[str] | None = None) -> str:
     """The SAME rules as an inline SQL VALUES list, so the DuckDB oracle
-    joins the identical relation."""
+    joins the identical relation (punycode normalization keeps every
+    rule ASCII, so the literal list needs no escaping)."""
     rows = ", ".join(
-        f"('{k}', {n}, {e})" for k, n, e in _parsed_rules()
+        f"('{k}', {n}, {e})" for k, n, e in _parsed_rules(raw)
     )
     return f"(VALUES {rows})"
+
+
+def punycode_hosts(domains: DataFrame, col: str = "domain") -> DataFrame:
+    """Replace ``col`` with its punycode-normalized form — Arrow-batched
+    pandas UDF, meant for the DISTINCT-domain relation (domain-count-
+    bounded; ASCII rows short-circuit inside the batch loop)."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _puny(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: puny_host(h) if h is not None else None)
+
+    return domains.withColumn(col, _puny(F.col(col)))
 
 
 def psl_registered_domains(domains: DataFrame, rules: DataFrame) -> DataFrame:

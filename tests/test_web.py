@@ -251,6 +251,59 @@ def test_psl_beats_heuristic_on_multilabel_suffixes(spark):
     assert heur["plain.example.com"] == got["plain.example.com"][1]
 
 
+def test_full_psl_snapshot_loaded_and_idn_hosts_normalize(spark):
+    """r9 (verdict ask #4): the FULL OS-packaged PSL snapshot (~9.5k
+    rules, IDN rules punycoded) backs the rules dim by default, and
+    U-label hosts normalize to the same registered domain as their
+    xn-- spellings."""
+    from databricks_end_to_end_streaming_spark.operators.psl import (
+        load_psl_rules,
+        psl_registered_domains,
+        psl_rules_df,
+        punycode_hosts,
+        puny_host,
+    )
+
+    rules = load_psl_rules()
+    assert len(rules) > 9000, len(rules)  # the full list, not the subset
+    assert all(r.isascii() for r in rules)  # IDN rules punycoded
+    assert "xn--p1ai" in rules  # .рф, present only via IDN normalization
+    assert "!www.ck" in rules and "*.ck" in rules  # full-list exceptions
+
+    # scalar normalization: U-label and A-label spellings converge
+    assert puny_host("ПрИмЕр.рф.") == "xn--e1afmkfd.xn--p1ai"
+    assert puny_host("xn--e1afmkfd.xn--p1ai") == "xn--e1afmkfd.xn--p1ai"
+    assert puny_host("Plain.Example.COM") == "plain.example.com"
+
+    doms = punycode_hosts(
+        spark.createDataFrame(
+            [
+                ("пример.рф",),                  # U-label spelling
+                ("xn--e1afmkfd.xn--p1ai",),      # A-label spelling
+                ("shop.公司.cn",),               # IDN second-level suffix
+                ("www.ck",),                     # full-list exception rule
+                ("anything.foo.ck",),            # full-list wildcard rule
+                ("deep.example.co.uk",),
+            ],
+            "domain string",
+        )
+    )
+    got = {
+        r["domain"]: (r["public_suffix"], r["reg_domain_psl"])
+        for r in psl_registered_domains(doms, psl_rules_df(spark)).collect()
+    }
+    # both spellings of the same host derive the identical answer
+    assert got["xn--e1afmkfd.xn--p1ai"] == (
+        "xn--p1ai",
+        "xn--e1afmkfd.xn--p1ai",
+    )
+    assert len(got) == 5  # the two spellings collapsed to one key
+    assert got["shop.xn--55qx5d.cn"] == ("xn--55qx5d.cn", "shop.xn--55qx5d.cn")
+    assert got["www.ck"] == ("ck", "www.ck")  # exception: ck is the suffix
+    assert got["anything.foo.ck"] == ("foo.ck", "anything.foo.ck")
+    assert got["deep.example.co.uk"] == ("co.uk", "example.co.uk")
+
+
 def test_unmatched_domain_keeps_its_accounting_row(spark):
     """A URL the normalizer can't parse (non-https) yields domain '' —
     which matches no PSL candidate; the rollup must KEEP that group
