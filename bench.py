@@ -235,6 +235,7 @@ NEW_OP_QUERIES = [
     # round-9 additions
     "exact_substr_cut",
     "video_temporal_neardup",
+    "logistic_quality_eval",
 ]
 
 

@@ -93,6 +93,133 @@ def centroid_bias(stats: DataFrame, counts: DataFrame) -> DataFrame:
     return per.agg((fold * F.lit(0.5)).alias("bias"))
 
 
+def _with_intercept(dense: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """(doc_id, x, lab?): the dense feature array with a constant 1.0
+    intercept slot appended (slot ``dim`` — so one weight vector carries
+    bias too)."""
+    return dense.withColumn(
+        "x", F.concat(F.col(vec_col), F.array(F.lit(1.0)))
+    ).drop(vec_col)
+
+
+def logistic_margin(x_col: str, w: list[float]) -> F.Column:
+    """w.x as a map-only fold over the dense array against a LITERAL
+    weight array — zero shuffles, whole-stage codegen."""
+    wl = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        F.zip_with(F.col(x_col), wl, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def logistic_train(
+    dense: DataFrame,
+    labels: DataFrame,
+    dim: int,
+    n_steps: int = 8,
+    l2: float = 1e-3,
+) -> list[float]:
+    """Full-batch L2-regularized logistic regression over the hashed
+    dense features, fitted by IRLS/Newton — the learned upgrade of the
+    closed-form centroid model (the public LLM pipelines train
+    logistic/fastText quality classifiers; IRLS per Bishop PRML §4.3.3,
+    public method). Returns the ``dim + 1`` weights (last = intercept).
+
+    Iteration shape (the PCA/eigh discipline — the corpus never leaves
+    the executors, only dim-sized aggregates do): each step (1) scores
+    every document's sigmoid MAP-ONLY against the current weights as a
+    literal array (one JVM fold per row, no shuffle), (2) reduces the
+    gradient X'(p - y) and the Hessian X'SX in one Arrow-batched
+    mapInPandas pass — each batch emits ONE (dim+1)(dim+2)/2 + (dim+1)
+    partial (BLAS inside the batch, upper triangle only), so the shuffle
+    carries per-batch partials, never per-doc rows — and (3) collects
+    the dim-sized sums to the driver, which applies the damped Newton
+    update with one (dim+1) x (dim+1) NumPy solve. n_steps bounded
+    passes over the PINNED joined relation; work is O(n x dim^2) per
+    pass — the standard Newton trade, with dim the capacity knob.
+
+    Floats: margins/sigmoids are fixed IEEE chains per row; the
+    gradient/Hessian reductions are float sums over batch partials
+    (engine order) — rows-only by design; exactness evidence is the
+    NumPy twin pytest (tolerance-pinned weights, sign-exact
+    predictions), not a SQL hash replay."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..pin import pin
+
+    j = pin(
+        _with_intercept(dense).join(labels, "doc_id").select("x", "lab")
+    )
+    n = j.count()
+    if n == 0:
+        raise ValueError("logistic_train needs a non-empty training set")
+    dimp1 = dim + 1
+    iu, ju = np.triu_indices(dimp1)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["x"].tolist(), dtype=np.float64)
+            p = pdf["_p"].to_numpy(dtype=np.float64)
+            y = pdf["lab"].to_numpy(dtype=np.float64)
+            s = p * (1.0 - p)
+            H = (X * s[:, None]).T @ X
+            g = X.T @ (p - y)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(dimp1)]),
+                    "j": np.concatenate([ju, np.full(dimp1, -1)]),
+                    "v": np.concatenate([H[iu, ju], g]),
+                }
+            )
+
+    w = [0.0] * dimp1
+    for _ in range(n_steps):
+        z = logistic_margin("x", w)
+        scored = j.select(
+            "x",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("_p"),
+            F.col("lab").cast("double").alias("lab"),
+        )
+        rows = (
+            scored.mapInPandas(partials, "i int, j int, v double")
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+        H = np.zeros((dimp1, dimp1))
+        g = np.zeros(dimp1)
+        for r in rows:
+            if r["j"] == -1:
+                g[r["i"]] = r["v"]
+            else:
+                H[r["i"], r["j"]] = r["v"]
+                H[r["j"], r["i"]] = r["v"]
+        wv = np.asarray(w)
+        grad = g / n + l2 * wv
+        hess = H / n + l2 * np.eye(dimp1)
+        w = (wv + np.linalg.solve(hess, -grad)).tolist()
+    return w
+
+
+def logistic_scores(dense: DataFrame, w: list[float]) -> DataFrame:
+    """(doc_id, score, predicted): map-only scoring against the trained
+    literal weights — score = w.x (a log-odds margin), predicted = 1 iff
+    score > 0. Same serving shape as the centroid model: the corpus-side
+    cost is the vectorizer; the model is a literal."""
+    z = logistic_margin("x", w)
+    return _with_intercept(dense).select(
+        "doc_id",
+        z.alias("score"),
+        (z > 0).cast("long").alias("predicted"),
+    )
+
+
 def centroid_scores(
     feats: DataFrame, weights: DataFrame, bias: DataFrame
 ) -> DataFrame:
