@@ -60,9 +60,12 @@ from ..pin import pin
 
 SENTINEL_PREFIX = "\x00"  # reserved: stripped from text by _norm below
 
-# Initial direct-ranking width: rank distinct 8-gram strings instead of
-# single tokens, skipping the k = 1, 2, 4 doubling rounds entirely.
-W_INIT = 8
+# Initial direct-ranking width: rank distinct 16-gram strings instead
+# of single tokens, skipping the k = 1, 2, 4, 8 doubling rounds
+# entirely. 16 (vs the original 8) settles more ranks in the init sort,
+# usually saves a whole escalation round on natural text, and shrinks
+# the LCP deep tail to pairs with lcp >= 16 (r9 A/B at sf0.1: ~1 s).
+W_INIT = 16
 
 # A tied class above this many positions routes through the skew-safe
 # re-rank (_reranked_skew) instead of the per-class window sort: a
@@ -143,7 +146,15 @@ def _ranked_init(
     rank (count of strictly-smaller suffixes + 1), which is what makes
     the escalation updates class-local. Returns
     ((doc_id, off, rank, tied, gram), n) — the gram string stays on the
-    row so downstream passes never re-fetch their own window."""
+    row so downstream passes never re-fetch their own window.
+
+    (r9 note: an explicit-sampled-bounds variant — bucket id as a pure
+    fold expression over boundary literals, no frozen pin, no
+    intermediate materializations — was built and MEASURED SLOWER at
+    sf0.1: 7.8 s init vs 2.6 s, because the per-row 2x n_parts string
+    comparisons and the 2-3 recomputations of the gram relation cost
+    more than the two localCheckpoints they replace. The two-pin
+    repartitionByRange shape stays.)"""
     spark = arrays.sparkSession
     # pin the gram relation so repartitionByRange's bound-sampling job
     # reads materialized rows instead of re-running the window
@@ -173,11 +184,12 @@ def _ranked_init(
         )
     )
     w_rn = Window.partitionBy("_pid").orderBy("gram")
-    # equal grams are CO-LOCATED by the range partitioning, so the gram
-    # class is exactly the (_pid, gram) class — and [_pid] ⊆ [_pid, gram]
-    # means both windows run off the ONE exchange on _pid (partitioning
-    # by a subset satisfies clustering on the superset), instead of a
-    # second full shuffle on the gram strings.
+    # equal grams share a bucket by construction (the id is a function
+    # of the gram), so the gram class is exactly the (_pid, gram) class
+    # — and [_pid] ⊆ [_pid, gram] means both windows run off the ONE
+    # exchange on _pid (partitioning by a subset satisfies clustering
+    # on the superset), instead of a second full shuffle on the gram
+    # strings.
     w_g = Window.partitionBy("_pid", "gram")
     ranked = (
         with_pid.join(offsets_df, "_pid")
@@ -373,7 +385,14 @@ def suffix_rank_tables(
         settled_pieces.append(upd.where(~F.col("tied")).select(*cols))
         active = upd.where("tied").select(*cols)
         prev_max = max_class
-        n_active, max_class = _active_stats(upd)
+        if prev_max > skew_threshold:
+            n_active, max_class = _active_stats(upd)
+        else:
+            # class sizes only shrink round-over-round, so once below
+            # the threshold the skew gate can never re-trigger — the
+            # cheaper count() suffices and max_class stays a valid
+            # (stale) upper bound
+            n_active = upd.where("tied").count()
         if timings is not None:
             timings.append(
                 (
@@ -425,12 +444,12 @@ def _union_all(pieces: list[DataFrame]) -> DataFrame:
     return out
 
 
-def _common_prefix_len(ga: str, gb: str) -> F.Column:
-    """Length of the common prefix of two token-array columns — one JVM
-    higher-order fold (stop flag at the first mismatch); zip_with pads
-    the shorter array with nulls and eqNullSafe treats them as a value,
-    but a real mismatch (the sentinel, unique per doc) always stops the
-    fold before padding can be reached."""
+def _common_prefix_len(ga, gb) -> F.Column:
+    """Length of the common prefix of two token-array columns (names or
+    Columns) — one JVM higher-order fold (stop flag at the first
+    mismatch); zip_with pads the shorter array with nulls and eqNullSafe
+    treats them as a value, but a real mismatch (the sentinel, unique
+    per doc) always stops the fold before padding can be reached."""
     eq = F.zip_with(ga, gb, lambda x, y: x.eqNullSafe(y))
     return F.coalesce(
         F.aggregate(
@@ -483,6 +502,10 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
     # side): a mismatch before either sentinel is the true lcp; equal
     # sentinel positions cap the count; unequal ones mismatch on
     # "" vs a (never-empty) real token.
+    # (r9 note: a bucketed lead()-window pairing — one exchange, each
+    # gram moved once — was built and MEASURED 2x SLOWER at sf0.1 than
+    # this self-join; the union + window + struct-lead plan defeats the
+    # codegen/AQE path the join gets. The join stays.)
     a = final.select(
         F.col("doc_id").alias("a_doc"),
         F.col("off").alias("a_off"),
@@ -496,7 +519,7 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
         (F.col("rank") - 1).alias("rank"),
     )
 
-    def _cap(col: str) -> F.Column:
+    def _cap(col) -> F.Column:
         pos = F.array_position(col, "")
         return F.when(pos == 0, F.lit(W_INIT)).otherwise(pos - 1)
 
@@ -505,36 +528,48 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
     )
     scored = pin(
         a.join(b, "rank").select(
-            "a_doc", "a_off", "b_doc", "b_off", lcp8.alias("lcp")
+            "rank", "a_doc", "a_off", "b_doc", "b_off", lcp8.alias("lcp")
         )
     )
-    shallow = scored.where(F.col("lcp") < W_INIT)
-    deep = scored.where(F.col("lcp") >= W_INIT).select(
-        "a_doc", "a_off", "b_doc", "b_off"
-    )
+    shallow = scored.where(F.col("lcp") < W_INIT).drop("rank")
+    deep = scored.where(F.col("lcp") >= W_INIT).drop("lcp")
     # pass 2: width-k_max windows for the deep offsets only (the same
-    # grouped-slice fetch the escalation loop uses)
-    needs = deep.select(
-        F.col("a_doc").alias("doc_id"), F.col("a_off").alias("off")
-    ).union(
+    # grouped-slice fetch the escalation loop uses). The pair's a-side
+    # rank is unique per deep pair, so a LONG view keyed on it needs
+    # just ONE window join + ONE regroup to deliver both sides' windows
+    # — instead of two separate composite-key join-backs (the r8 shape;
+    # each exchange here is fixed-overhead-bound at bench SF).
+    long = deep.select(
+        "rank",
+        F.lit("a").alias("_side"),
+        F.col("a_doc").alias("doc_id"),
+        F.col("a_off").alias("off"),
+        "a_doc", "a_off", "b_doc", "b_off",
+    ).unionByName(
         deep.select(
-            F.col("b_doc").alias("doc_id"), F.col("b_off").alias("off")
+            "rank",
+            F.lit("b").alias("_side"),
+            F.col("b_doc").alias("doc_id"),
+            F.col("b_off").alias("off"),
+            "a_doc", "a_off", "b_doc", "b_off",
         )
     )
-    wins = _windows_for(needs, arrays, k_max)
-    wa = wins.select(
-        F.col("doc_id").alias("a_doc"),
-        F.col("off").alias("a_off"),
-        F.col("win").alias("_ga"),
-    )
-    wb = wins.select(
-        F.col("doc_id").alias("b_doc"),
-        F.col("off").alias("b_off"),
-        F.col("win").alias("_gb"),
-    )
+    wins = _windows_for(long.select("doc_id", "off"), arrays, k_max)
     deep_scored = (
-        deep.join(wa, ["a_doc", "a_off"])
-        .join(wb, ["b_doc", "b_off"])
+        long.join(wins, ["doc_id", "off"])
+        .groupBy("rank")
+        .agg(
+            F.first("a_doc").alias("a_doc"),
+            F.first("a_off").alias("a_off"),
+            F.first("b_doc").alias("b_doc"),
+            F.first("b_off").alias("b_off"),
+            F.first(
+                F.when(F.col("_side") == "a", F.col("win")), ignorenulls=True
+            ).alias("_ga"),
+            F.first(
+                F.when(F.col("_side") == "b", F.col("win")), ignorenulls=True
+            ).alias("_gb"),
+        )
         .select(
             "a_doc",
             "a_off",

@@ -158,10 +158,13 @@ def test_skew_path_matches_reference_on_pathological_corpus(spark):
     (every round's dominant class ~ corpus size) plus organic text; a
     threshold of 4 forces the skew branch, and the result must match
     both the sequential reference and the window-sort path."""
-    body = "alpha beta gamma delta alpha beta gamma delta epsilon zeta eta theta"
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    # 60-token body: suffixes stay tied past W_INIT, so the duplicated
+    # mass survives the init ranking and the loop actually runs
+    body = " ".join(words[i % len(words)] for i in range(60))
     texts = {d: body for d in range(40)}
     texts[100] = "organic words beta gamma appear once here"
-    texts[101] = "alpha beta gamma delta prefix shared then diverges"
+    texts[101] = body.rsplit(" ", 20)[0] + " then diverges completely"
     timings: list = []
     got = {
         (r.doc_id, r.off): r.max_repeat
