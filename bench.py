@@ -312,6 +312,17 @@ def _bench_psl_rules(spark, sf_dir: str) -> dict:
     )
     from databricks_end_to_end_streaming_spark.tables import load_table
 
+    full = load_psl_rules()
+    if len(full) <= len(PSL_SNAPSHOT):
+        # no full snapshot on this host: timing "full vs subset" would
+        # measure the same ~60-rule relation twice — record why instead
+        # of a vacuous pair of numbers
+        return {
+            "psl_match_rules_note": (
+                "no PSL snapshot file available; full==subset fallback, "
+                "comparison skipped"
+            )
+        }
     doms = (
         with_url_psl(load_table(spark, sf_dir, "documents"))
         .withColumn("domain", norm_domain())
@@ -321,7 +332,7 @@ def _bench_psl_rules(spark, sf_dir: str) -> dict:
     )
     out = {}
     for label, rules in (
-        ("full", load_psl_rules()),
+        ("full", full),
         ("subset", list(PSL_SNAPSHOT)),
     ):
         best = float("inf")

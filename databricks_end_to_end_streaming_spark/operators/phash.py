@@ -195,24 +195,39 @@ def video_neardup_pairs(
     (shared title cards, black frames) fail the vote.
 
     Shape: per-frame hashes pack into composite ids
-    ((media_id << 20) | frame_idx, so media_id < 2^43, frames < 2^20 —
-    asserted cheaply by the id arithmetic below), the generic banded
-    Hamming self-join generates FRAME-pair candidates (never O(n^2)),
-    and the vote is two partial-agg groupBys on (video_a, video_b,
-    offset) — alignment counting never touches pixels. Returns
+    ((media_id << 20) | frame_idx — guarded per row: an id outside
+    0 <= media_id < 2^43 or frame_idx >= 2^20 raises instead of
+    silently bleeding frame bits into media bits; the raise_error sits
+    INSIDE the fid expression so Catalyst cannot prune it), the generic
+    banded Hamming self-join generates FRAME-pair candidates (never
+    O(n^2)), and the vote is two partial-agg groupBys on (video_a,
+    video_b, offset) — alignment counting never touches pixels. Returns
     (media_a, media_b, offset, aligned_frames, min_frames,
     aligned_frac)."""
     fh = frame_hashes(media)
     n_frames = fh.groupBy("media_id").agg(
         F.countDistinct("frame_idx").alias("nf")
     )
-    sigs = fh.select(
-        (
-            F.shiftleft(F.col("media_id"), FRAME_IDX_BITS)
-            + F.col("frame_idx")
-        ).alias("fid"),
-        sig,
+    in_bounds = (
+        (F.col("media_id") >= 0)
+        & (F.col("media_id") < F.lit(1 << (63 - FRAME_IDX_BITS)))
+        & (F.col("frame_idx") >= 0)
+        & (F.col("frame_idx") < F.lit(1 << FRAME_IDX_BITS))
     )
+    packed = F.shiftleft(F.col("media_id"), FRAME_IDX_BITS) + F.col(
+        "frame_idx"
+    )
+    fid = F.when(in_bounds, packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("composite frame id out of range: media_id="),
+                F.col("media_id"),
+                F.lit(" frame_idx="),
+                F.col("frame_idx"),
+            )
+        ).cast("long")
+    )
+    sigs = fh.select(fid.alias("fid"), sig)
     fp = hamming_neardup_pairs(
         sigs,
         id_col="fid",

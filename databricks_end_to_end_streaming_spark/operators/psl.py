@@ -17,7 +17,11 @@ only thing that changes between the two (measured: bench extra
 Hosts with non-ASCII labels normalize through ``punycode_hosts``
 (Arrow-batched pandas UDF over the DISTINCT-domain relation — domain-
 count-bounded, never per-doc) so U-label and A-label spellings of the
-same host derive the same registered domain.
+same host derive the same registered domain. Wiring: the IDN-aware
+production path is ``queries/web.py::url_registered_domain_idn``
+(rows-only — DuckDB cannot replay the IDNA codec); the hash-oracled
+domain queries run on the ASCII synthetic corpus and skip the UDF so
+their plans stay fully SQL-replayable.
 
 Matching algorithm (the spec, re-expressed relationally):
 
@@ -80,18 +84,42 @@ PSL_SYSTEM_PATHS = (
 _rules_cache: dict[str, list[str]] = {}
 
 
+try:  # optional dependency, probed once: without it IDN labels cannot
+    # normalize — degrade LOUDLY (one-time warning), never silently
+    import idna as _idna
+except ImportError:  # pragma: no cover - environment-dependent
+    _idna = None
+
+_warned_no_idna = False
+
+
 def _punycode_label(label: str) -> str:
     """One host/rule label to its A-label: ASCII labels lowercase
     unchanged ('*' included); U-labels encode via IDNA UTS #46. Labels
-    the codec rejects (malformed real-world hosts) degrade to bare
-    lowercase so normalization never throws mid-pipeline."""
+    the CODEC rejects (malformed real-world hosts) degrade to bare
+    lowercase so normalization never throws mid-pipeline — but a
+    MISSING `idna` package is not a malformed label: it warns once
+    (per process) that IDN rules/hosts are passing through
+    un-normalized, so a wrong-registered-domain corpus can't happen
+    silently."""
     if label == "*" or label.isascii():
         return label.lower()
-    try:
-        import idna
+    if _idna is None:
+        global _warned_no_idna
+        if not _warned_no_idna:
+            _warned_no_idna = True
+            import warnings
 
-        return idna.encode(label, uts46=True).decode("ascii")
-    except Exception:  # noqa: BLE001 - malformed labels keep their bytes
+            warnings.warn(
+                "the 'idna' package is not installed: non-ASCII PSL "
+                "rules/hosts keep their U-label form, so A-label "
+                "spellings of IDN hosts will NOT match them",
+                stacklevel=3,
+            )
+        return label.lower()
+    try:
+        return _idna.encode(label, uts46=True).decode("ascii")
+    except (UnicodeError, _idna.IDNAError):  # malformed labels keep bytes
         return label.lower()
 
 
@@ -113,8 +141,16 @@ def load_psl_rules(path: str | None = None) -> list[str]:
     whose A-label twin is also listed) collapse. Cached per path."""
     import os
 
-    cand = [path] if path else [os.environ.get("SPARK_GRAFT_PSL_PATH")]
-    cand += list(PSL_SYSTEM_PATHS)
+    if path is not None:
+        # an EXPLICIT snapshot must exist: falling back to a different
+        # rule set than the caller pinned would silently change results
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"PSL snapshot not found: {path}")
+        cand = [path]
+    else:
+        cand = [os.environ.get("SPARK_GRAFT_PSL_PATH")] + list(
+            PSL_SYSTEM_PATHS
+        )
     chosen = next((p for p in cand if p and os.path.isfile(p)), None)
     if chosen is None:
         return list(PSL_SNAPSHOT)

@@ -87,21 +87,7 @@ def hamming_neardup_pairs(
     if bits % n_chunks != 0:
         raise ValueError("bits must divide into n_chunks equal chunks")
     chunk_bits = bits // n_chunks
-    chunks = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_id"),
-                        _chunk(F.col(sig_col), i, chunk_bits).alias("chunk"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("_id", "_sig", "c.chunk_id", "c.chunk")
+    chunks = _chunk_rows(sigs, id_col, sig_col, n_chunks, chunk_bits)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -16,9 +16,9 @@ suffix's own token window instead of a rank-table lookup:
 1. doc_token_arrays: per-document token array, plus one UNIQUE per-doc
    sentinel token appended — suffixes never compare past their own
    document, and all suffixes become globally distinct.
-2. initial rank at width W_INIT (8): ONE range shuffle of every
-   position's 8-token window STRING (NUL-joined — see _grams for why
-   string order equals token-sequence order) gives sorted-position
+2. initial rank at width W_INIT (16): ONE range shuffle of every
+   position's W_INIT-token window STRING (NUL-joined — see _grams for
+   why string order equals token-sequence order) gives sorted-position
    ranks; unique ranks are SETTLED forever, tied ranks stay ACTIVE.
 3. round w -> 4w: only the ACTIVE suffixes re-sort, each by its own
    w-token window array fetched via a per-doc grouped slice
@@ -155,7 +155,6 @@ def _ranked_init(
     comparisons and the 2-3 recomputations of the gram relation cost
     more than the two localCheckpoints they replace. The two-pin
     repartitionByRange shape stays.)"""
-    spark = arrays.sparkSession
     # pin the gram relation so repartitionByRange's bound-sampling job
     # reads materialized rows instead of re-running the window
     # generation over every position
@@ -170,26 +169,13 @@ def _ranked_init(
         require_frozen=True,
         site="suffix.range_partitioned_grams",
     )
-    counts = with_pid.groupBy("_pid").count().collect()
-    sizes = {row["_pid"]: row["count"] for row in counts}
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    n = acc
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()],
-            "_pid int, _offset long",
-        )
-    )
+    offsets_df, n = _partition_offsets(with_pid)
     w_rn = Window.partitionBy("_pid").orderBy("gram")
-    # equal grams share a bucket by construction (the id is a function
-    # of the gram), so the gram class is exactly the (_pid, gram) class
-    # — and [_pid] ⊆ [_pid, gram] means both windows run off the ONE
-    # exchange on _pid (partitioning by a subset satisfies clustering
-    # on the superset), instead of a second full shuffle on the gram
-    # strings.
+    # equal grams are CO-LOCATED by the range partitioning, so the gram
+    # class is exactly the (_pid, gram) class — and [_pid] ⊆ [_pid, gram]
+    # means both windows run off the ONE exchange on _pid (partitioning
+    # by a subset satisfies clustering on the superset), instead of a
+    # second full shuffle on the gram strings.
     w_g = Window.partitionBy("_pid", "gram")
     ranked = (
         with_pid.join(offsets_df, "_pid")
@@ -223,6 +209,32 @@ def _active_stats(ranked: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["mx"])
 
 
+def _partition_offsets(
+    with_pid: DataFrame, weight: str | None = None
+) -> tuple[DataFrame, int]:
+    """Broadcast (_pid, _offset) relation + grand total for a (pinned,
+    frozen-pid) partitioned relation: _offset = cumulative size of all
+    lower partition ids, size = row count (``weight=None``) or the sum
+    of ``weight``. The shared machinery of the init ranking and the
+    skew-safe round re-rank."""
+    agg = (F.count("*") if weight is None else F.sum(weight)).alias("s")
+    sums = {
+        r["_pid"]: r["s"]
+        for r in with_pid.groupBy("_pid").agg(agg).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    df = F.broadcast(
+        with_pid.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "_pid int, _offset long",
+        )
+    )
+    return df, acc
+
+
 def _reranked_skew(joined: DataFrame, n_parts: int) -> DataFrame:
     """Skew-safe round update: same result as the per-class window sort
     (new rank = class start + count of strictly-smaller windows in the
@@ -244,7 +256,6 @@ def _reranked_skew(joined: DataFrame, n_parts: int) -> DataFrame:
     4. positions re-join their window's new rank on (rank, win) — AQE
        skew-join splits the giant class's partition at runtime.
     """
-    spark = joined.sparkSession
     dw = joined.groupBy("rank", "win").agg(F.count("*").alias("cnt"))
     parted = dw.repartitionByRange(n_parts, "rank", "win")
     # frozen: repartitionByRange re-samples bounds per job
@@ -253,25 +264,19 @@ def _reranked_skew(joined: DataFrame, n_parts: int) -> DataFrame:
         require_frozen=True,
         site="suffix.skew_round_pids",
     )
-    pid_sums = with_pid.groupBy("_pid").agg(F.sum("cnt").alias("s")).collect()
-    sums = {r["_pid"]: r["s"] for r in pid_sums}
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()],
-            "_pid int, _offset long",
-        )
-    )
+    offsets_df, _total = _partition_offsets(with_pid, weight="cnt")
     w_pid = (
         Window.partitionBy("_pid")
         .orderBy("rank", "win")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    scored = with_pid.join(offsets_df, "_pid").withColumn(
-        "_pref", F.col("_offset") + F.sum("cnt").over(w_pid) - F.col("cnt")
+    # pinned: the prefix-sum window feeds both the class-base aggregate
+    # and the final rank join — one materialization, not two window runs
+    scored = pin(
+        with_pid.join(offsets_df, "_pid").withColumn(
+            "_pref",
+            F.col("_offset") + F.sum("cnt").over(w_pid) - F.col("cnt"),
+        )
     )
     base = scored.groupBy("rank").agg(F.min("_pref").alias("_base"))
     dwr = scored.join(base, "rank").select(
@@ -523,12 +528,17 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
         pos = F.array_position(col, "")
         return F.when(pos == 0, F.lit(W_INIT)).otherwise(pos - 1)
 
-    lcp8 = F.least(
+    lcp_init = F.least(
         _common_prefix_len("_ga", "_gb"), _cap("_ga"), _cap("_gb")
     )
     scored = pin(
         a.join(b, "rank").select(
-            "rank", "a_doc", "a_off", "b_doc", "b_off", lcp8.alias("lcp")
+            "rank",
+            "a_doc",
+            "a_off",
+            "b_doc",
+            "b_off",
+            lcp_init.alias("lcp"),
         )
     )
     shallow = scored.where(F.col("lcp") < W_INIT).drop("rank")

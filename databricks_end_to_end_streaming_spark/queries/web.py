@@ -309,6 +309,55 @@ def url_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("url_registered_domain_idn")  # rows-only: the IDNA/punycode codec
+# has no DuckDB replay; convergence of U-label and A-label spellings is
+# pytest-asserted (tests/test_web.py)
+def url_registered_domain_idn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDN-aware registered-domain path END-TO-END (wires
+    operators/psl.py::punycode_hosts into production): corpus domains
+    plus planted U-label/A-label spelling PAIRS of the same IDN hosts
+    flow through punycode normalization (Arrow-batched pandas UDF over
+    the distinct-domain relation — domain-count-bounded) and the
+    full-PSL broadcast join. Each planted pair must collapse to ONE
+    normalized domain (n_spellings = 2) with the correct IDN public
+    suffix — the convergence the ASCII-only oracled queries cannot
+    exercise."""
+    from ..operators.psl import (
+        psl_registered_domains,
+        psl_rules_df,
+        punycode_hosts,
+    )
+
+    corpus = (
+        with_url_psl(load_table(spark, sf_dir, "documents"))
+        .withColumn("domain", norm_domain())
+        .select("domain")
+        .distinct()
+    )
+    planted = spark.createDataFrame(
+        [
+            ("пример.рф",),
+            ("xn--e1afmkfd.xn--p1ai",),
+            ("shop.公司.cn",),
+            ("shop.xn--55qx5d.cn",),
+            ("bücher.example.co.uk",),
+            ("xn--bcher-kva.example.co.uk",),
+        ],
+        "domain string",
+    )
+    doms = (
+        punycode_hosts(corpus.unionByName(planted))
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_spellings"))
+    )
+    psl = psl_registered_domains(doms.select("domain"), psl_rules_df(spark))
+    return (
+        doms.join(psl, "domain")
+        .select("domain", "n_spellings", "public_suffix", "reg_domain_psl")
+        .orderBy("domain")
+    )
+
+
 # ---------------------------------------------------- blocklist pass
 
 

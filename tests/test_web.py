@@ -304,6 +304,36 @@ def test_full_psl_snapshot_loaded_and_idn_hosts_normalize(spark):
     assert got["deep.example.co.uk"] == ("co.uk", "example.co.uk")
 
 
+def test_idn_query_converges_spelling_pairs(spark):
+    """url_registered_domain_idn (the wired punycode_hosts production
+    path): each planted U-label/A-label pair collapses to one normalized
+    domain with both spellings counted, and derives the IDN rule's
+    public suffix."""
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        url_registered_domain_idn,
+    )
+
+    rows = {
+        r["domain"]: r
+        for r in url_registered_domain_idn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["xn--e1afmkfd.xn--p1ai"]["n_spellings"] == 2
+    assert rows["xn--e1afmkfd.xn--p1ai"]["public_suffix"] == "xn--p1ai"
+    assert rows["shop.xn--55qx5d.cn"]["n_spellings"] == 2
+    assert (
+        rows["shop.xn--55qx5d.cn"]["reg_domain_psl"] == "shop.xn--55qx5d.cn"
+    )
+    assert rows["xn--bcher-kva.example.co.uk"]["n_spellings"] == 2
+    assert (
+        rows["xn--bcher-kva.example.co.uk"]["reg_domain_psl"]
+        == "example.co.uk"
+    )
+    # no U-label spelling survives normalization
+    assert all(d.isascii() for d in rows)
+
+
 def test_unmatched_domain_keeps_its_accounting_row(spark):
     """A URL the normalizer can't parse (non-https) yields domain '' —
     which matches no PSL candidate; the rollup must KEEP that group

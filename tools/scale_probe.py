@@ -68,6 +68,11 @@ PROBES = [
     "jl_recall_eval",
     "quality_classifier_calibration",
     "audio_energy_neardup",
+    # round-9 additions
+    "exact_substr_cut",
+    "video_temporal_neardup",
+    "logistic_quality_eval",
+    "url_registered_domain_psl",  # re-probe under the full 9.5k-rule PSL
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
