@@ -121,6 +121,10 @@ PLAN_QUERIES = [
     ("embedding_random_projection", "JL +-1 projection as a LITERAL sign matrix in the plan: map-only int64 folds, ZERO exchanges"),
     ("jl_recall_eval", "two broadcast-queries x scan ranking legs (64-dim exact vs 16-dim projected) -> TOP_K window rows -> recall join on N*K rows"),
     ("quality_classifier_calibration", "range-partitioned global rank + NTILE arithmetic (no 1-partition window) -> 10-group partial agg"),
+    # round-9 additions
+    ("video_temporal_neardup", "per-frame Arrow hashing (payload dropped at the hash) -> banded chunk self-join on composite (video,frame) ids -> two partial-agg alignment votes; pixels never shuffle"),
+    ("exact_substr_cut", "ExactSubstr cut tail: per-doc running-max coverage window over the pinned repeat profile -> merged-interval collapse -> per-row HOF token filter (map-only reconstruction)"),
+    ("url_registered_domain_idn", "punycode pandas UDF on the DISTINCT-domain relation only (never per-doc) -> label-suffix explode -> broadcast 9.5k-rule PSL join"),
 ]
 
 
