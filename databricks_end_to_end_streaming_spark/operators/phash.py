@@ -64,19 +64,31 @@ def _grid_means(
     images smaller than the grid effectively nearest-neighbor
     upsample. Returns the exact integer (block_sums, block_areas)
     pair — the cell mean is sum/area as a RATIONAL, which callers
-    compare by cross-multiplication so no float ever rounds a bit."""
+    compare by cross-multiplication so no float ever rounds a bit.
+
+    Vectorized via an exact int64 INTEGRAL IMAGE (one cumsum pass, then
+    each block sum is 4 lookups) — same values as the per-block loop it
+    replaces (summing ints in any order is exact), but the per-frame
+    cost no longer scans pixels per cell; this is what makes the video
+    path's ~n_frames x 2 grids per clip affordable (r9 bench:
+    video_temporal_neardup was mapInPandas-CPU-bound here). Possibly-
+    overlapping upsample blocks are handled for free by the lookup
+    form."""
     h, w = gray.shape
-    ys = [(i * h) // out_h for i in range(out_h)] + [h]
-    xs = [(j * w) // out_w for j in range(out_w)] + [w]
-    sums = np.empty((out_h, out_w), dtype=np.int64)
-    areas = np.empty((out_h, out_w), dtype=np.int64)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
-            block = gray[y0:y1, x0:x1]
-            sums[i, j] = int(block.sum())
-            areas[i, j] = block.size
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(gray.astype(np.int64), axis=0, out=integ[1:, 1:])
+    np.cumsum(integ[1:, 1:], axis=1, out=integ[1:, 1:])
+    y0 = np.fromiter(((i * h) // out_h for i in range(out_h)), np.int64)
+    x0 = np.fromiter(((j * w) // out_w for j in range(out_w)), np.int64)
+    y1 = np.maximum(y0 + 1, np.append(y0[1:], h))
+    x1 = np.maximum(x0 + 1, np.append(x0[1:], w))
+    sums = (
+        integ[y1][:, x1]
+        - integ[y0][:, x1]
+        - integ[y1][:, x0]
+        + integ[y0][:, x0]
+    )
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     return sums, areas
 
 
@@ -186,13 +198,34 @@ def video_neardup_pairs(
     max_hamming: int = 3,
     min_aligned_frac: float = 0.6,
 ) -> DataFrame:
-    """Video near-duplicate pairs by TEMPORAL ALIGNMENT VOTE: two videos
-    pair when >= ``min_aligned_frac`` of the shorter video's frames match
-    the other video's frames (per-frame Hamming <= ``max_hamming``) at
-    one consistent frame OFFSET — which is what survives re-encoding
-    (per-frame perceptual invariance) and truncation/trimming (a cut clip
-    aligns at a fixed shift), while coincidental single-frame matches
-    (shared title cards, black frames) fail the vote.
+    """Video near-duplicate pairs by TEMPORAL ALIGNMENT VOTE over the
+    per-frame perceptual hashes — hash, then vote (see
+    ``video_pairs_from_frame_hashes`` for the vote semantics and scale
+    shape)."""
+    return video_pairs_from_frame_hashes(
+        frame_hashes(media),
+        sig=sig,
+        max_hamming=max_hamming,
+        min_aligned_frac=min_aligned_frac,
+    )
+
+
+def video_pairs_from_frame_hashes(
+    fh: DataFrame,
+    sig: str = "dhash",
+    max_hamming: int = 3,
+    min_aligned_frac: float = 0.6,
+) -> DataFrame:
+    """Video near-duplicate pairs by TEMPORAL ALIGNMENT VOTE from a
+    (media_id, frame_idx, ahash, dhash) relation: two videos pair when
+    >= ``min_aligned_frac`` of the shorter video's frames match the
+    other video's frames (per-frame Hamming <= ``max_hamming``) at one
+    consistent frame OFFSET — which is what survives re-encoding
+    (per-frame perceptual invariance) and truncation/trimming (a cut
+    clip aligns at a fixed shift), while coincidental single-frame
+    matches (shared title cards, black frames) fail the vote. Taking
+    the hash RELATION (not media) lets the streaming signature log
+    (streaming/videohash_stage.py) share the exact batch semantics.
 
     Shape: per-frame hashes pack into composite ids
     ((media_id << 20) | frame_idx — guarded per row: an id outside
@@ -204,7 +237,6 @@ def video_neardup_pairs(
     video_b, offset) — alignment counting never touches pixels. Returns
     (media_a, media_b, offset, aligned_frames, min_frames,
     aligned_frac)."""
-    fh = frame_hashes(media)
     n_frames = fh.groupBy("media_id").agg(
         F.countDistinct("frame_idx").alias("nf")
     )
