@@ -246,7 +246,9 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LOGISTIC_DIM = 128  # logistic hash buckets (the capacity knob)
-LOGISTIC_STEPS = 8
+LOGISTIC_STEPS = 6  # IRLS is converged by ~5 on this teacher: held-out
+# accuracy is identical at 5/6/8 steps (measured both SFs), so take the
+# cheaper run
 LOGISTIC_L2 = 1e-2
 
 
