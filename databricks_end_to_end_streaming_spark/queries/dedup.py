@@ -1119,6 +1119,78 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("dedup_pipeline_lee2022")  # rows-only: stage 2 is the suffix-array
+# cut (no tractable SQL replay); stage semantics are pytest-pinned on a
+# constructed corpus (tests/test_suffix.py::test_lee2022_pipeline*)
+def dedup_pipeline_lee2022(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Lee et al. 2022 dedup recipe, composed end-to-end —
+    the two methods the paper applies in sequence, as one pipeline:
+
+    1. **NearDup**: MinHash-LSH clusters (exact-Jaccard verified) keep
+       only the highest-quality member per cluster (canonical_selection
+       — most tokens, ties to lowest doc_id);
+    2. **ExactSubstr**: the surviving corpus is scrubbed of every
+       >= 8-token span that still repeats anywhere in it, all copies
+       (operators/suffix.py exact_substr_removal).
+
+    Output: per-stage exact accounting (stage, n_docs, n_tokens) in the
+    suffix machinery's normalized token space — the shrinkage report a
+    dedup run hands its operator. Scale shape: stage 1 is the banded
+    LSH chain (never O(n^2)) + an anti-join; stage 2 inherits the
+    suffix loop's duplicate-mass bounds; the accounting is three 1-row
+    aggregates.
+
+    Honest corpus note: on the driver's synthetic documents ALL
+    >= 8-token repeat mass lives inside near-dup clusters, so stage 2
+    removes 0 tokens after stage 1 has run (measured at both sf0.001
+    and sf0.01) — exactly the paper's observation that the two methods
+    overlap but are not redundant; the pytest proves stage 2 fires when
+    a repeated span crosses docs that are NOT near-dups of each other
+    (tests/test_suffix.py::test_lee2022_pipeline_stage_accounting)."""
+    from ..operators.suffix import doc_token_arrays, exact_substr_removal
+
+    d = load_table(spark, sf_dir, "documents")
+    sel = canonical_selection(d)
+    survivors = d.join(
+        sel.where(F.col("is_canonical") == 0).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    cut = exact_substr_removal(survivors, min_len=8)
+
+    def stage_row(label: str, rel: DataFrame, tokens: F.Column) -> DataFrame:
+        return rel.agg(
+            F.lit(label).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tokens), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+
+    raw_toks = doc_token_arrays(d).select(
+        (F.size("toks") - 1).alias("nt")
+    )
+    return (
+        stage_row("0_raw", raw_toks, F.col("nt"))
+        .unionByName(
+            stage_row(
+                "1_neardup",
+                doc_token_arrays(survivors).select(
+                    (F.size("toks") - 1).alias("nt")
+                ),
+                F.col("nt"),
+            )
+        )
+        .unionByName(
+            stage_row(
+                "2_exact_substr",
+                cut,
+                F.col("n_tokens") - F.col("n_removed"),
+            )
+        )
+    )
+
+
 @query(
     "neardup_safe_split",
     oracle=_REACH_CTE

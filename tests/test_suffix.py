@@ -269,6 +269,54 @@ def test_exact_substr_removal_randomized(spark):
         assert got == _py_removal(texts, 3), f"trial {trial}: {texts}"
 
 
+def test_lee2022_pipeline_stage_accounting(spark, workdir):
+    """dedup_pipeline_lee2022: NearDup drops the exact-duplicate copy
+    (cluster -> canonical), then ExactSubstr cuts the cross-doc span
+    from BOTH surviving carriers; the per-stage accounting matches the
+    hand-computed values and the sequential removal reference."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        dedup_pipeline_lee2022,
+    )
+
+    span = "one two three four five six seven eight nine ten"  # 10 toks
+    texts = {
+        # 3 exact copies: NearDup keeps ONE (most tokens, then min id)
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu",
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu",
+        # two distinct docs sharing a 10-token span: both get cut
+        3: f"intro {span} tail three words here",
+        4: f"{span} completely different ending for this one",
+        5: "nothing shared with anything else at all whatsoever",
+    }
+    spark.createDataFrame(list(texts.items()), DOCS_SCHEMA).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(f"{workdir}/lee/documents.parquet")
+    rows = {
+        r["stage"]: r
+        for r in dedup_pipeline_lee2022(spark, f"{workdir}/lee").collect()
+    }
+    n_raw = sum(len(t.split()) for t in texts.values())
+    assert rows["0_raw"]["n_docs"] == 6
+    assert rows["0_raw"]["n_tokens"] == n_raw
+    # NearDup: docs 1 and 2 drop (doc 0 canonical by min id among ties)
+    surv = {0, 3, 4, 5}
+    assert rows["1_neardup"]["n_docs"] == 4
+    assert rows["1_neardup"]["n_tokens"] == sum(
+        len(texts[d].split()) for d in surv
+    )
+    # ExactSubstr on the survivors: the sequential reference agrees
+    ref = _py_removal({d: texts[d] for d in surv}, 8)
+    want_tokens = sum(nt - nr for nt, nr, _ in ref.values())
+    assert rows["2_exact_substr"]["n_docs"] == 4
+    assert rows["2_exact_substr"]["n_tokens"] == want_tokens
+    # and the cut really removed the planted span from both carriers
+    assert ref[3][1] >= 10 and ref[4][1] >= 10
+    assert want_tokens < rows["1_neardup"]["n_tokens"]
+
+
 def test_degenerate_corpora(spark):
     # single doc, single token: 2 positions (token + sentinel)
     one = {0: "hello"}
