@@ -236,6 +236,8 @@ NEW_OP_QUERIES = [
     "exact_substr_cut",
     "video_temporal_neardup",
     "logistic_quality_eval",
+    "decontaminate_exact_substr",
+    "dedup_pipeline_lee2022",
 ]
 
 

@@ -53,6 +53,7 @@ rows-only — the IVF/PQ/HLL discipline.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -541,7 +542,7 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
             lcp_init.alias("lcp"),
         )
     )
-    shallow = scored.where(F.col("lcp") < W_INIT).drop("rank")
+    shallow = scored.where(F.col("lcp") < W_INIT)
     deep = scored.where(F.col("lcp") >= W_INIT).drop("lcp")
     # pass 2: width-k_max windows for the deep offsets only (the same
     # grouped-slice fetch the escalation loop uses). The pair's a-side
@@ -581,6 +582,7 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
             ).alias("_gb"),
         )
         .select(
+            "rank",
             "a_doc",
             "a_off",
             "b_doc",
@@ -588,6 +590,9 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
             _common_prefix_len("_ga", "_gb").alias("lcp"),
         )
     )
+    # rank rides along (the a-side suffix's rank): downstream consumers
+    # that need lcp indexed by rank order (cross_set_max_spans) read it;
+    # the repeat profile just ignores it
     return pin(shallow.unionByName(deep_scored))
 
 
@@ -639,6 +644,127 @@ def position_repeat_lengths(
     a document's end."""
     arrays = pin(doc_token_arrays(docs, text_col))
     return _position_repeats(arrays, skew_threshold, timings)
+
+
+# Reserved namespace for benchmark doc ids inside the union suffix
+# array (bit 41 — disjoint from the re-ingestion namespace at bit 40).
+BENCH_ID_FLAG = 1 << 41
+
+
+def cross_set_max_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    skew_threshold: int = SKEW_CLASS_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, off, cross_repeat): for every TRAIN token position, the
+    length of the longest span starting there that ALSO OCCURS in the
+    BENCHMARK set — variable-length, substring-level decontamination
+    (the ExactSubstr test-set scrub of Lee et al. 2022 §6.1: a train
+    example is contaminated when it shares a >= L-token verbatim span
+    with an eval example; fixed-k shingle overlap — the sibling
+    ``decontaminate_ngram_overlap`` — cannot report span LENGTHS or
+    catch spans that straddle shingle boundaries at lower k).
+
+    Method: build ONE suffix array over train ∪ benchmark (benchmark
+    ids move to the reserved bit-41 namespace; per-doc sentinels keep
+    LCPs inside documents). For a train suffix s, its max LCP against
+    ANY benchmark suffix is attained at the NEAREST benchmark suffix
+    above or below in suffix-array order, and equals the min of
+    adjacent LCPs between them (the classic range-min property). The
+    nearest-benchmark range-mins come from SEGMENTED running minima:
+    segment id = count of benchmark suffixes at-or-before this rank
+    (an exact vectorized searchsorted over the COLLECTED benchmark rank
+    list — benchmarks are small by definition, the same asymmetry the
+    shingle decontaminator's broadcast exploits), then one running-min
+    window per direction partitioned by segment. Work: the suffix
+    array's usual bounds + two window passes over n rows; nothing
+    quadratic, nothing corpus-sized collected. Caveat (documented, same
+    acceptance as the per-doc coverage window): one SEGMENT sorts in
+    one task — segments are benchmark-interval-sized, so a corpus whose
+    benchmark suffixes are extremely sparse concentrates rows; split
+    ranks arithmetically per segment if that ever binds."""
+    t = train.select(F.col("doc_id"), F.col(text_col).alias("text"))
+    b = bench.select(
+        (F.col("doc_id") + F.lit(BENCH_ID_FLAG)).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    arrays = pin(doc_token_arrays(t.unionByName(b)))
+    tables, _n = suffix_rank_tables(arrays, skew_threshold=skew_threshold)
+    pairs = adjacent_lcp(tables, arrays)
+    final = tables[max(tables)]
+    is_bench = F.col("doc_id") >= F.lit(BENCH_ID_FLAG)
+    ranks = final.select("doc_id", "off", "rank", is_bench.alias("_b"))
+    lcp_prev = pairs.select(
+        (F.col("rank") + 1).alias("rank"), F.col("lcp").alias("_lp")
+    )
+    lcp_next = pairs.select("rank", F.col("lcp").alias("_ln"))
+    r = pin(
+        ranks.join(lcp_prev, "rank", "left").join(lcp_next, "rank", "left")
+    )
+    bench_ranks = sorted(
+        row["rank"] for row in r.where("_b").select("rank").collect()
+    )
+    if not bench_ranks:
+        return r.where(~F.col("_b")).select(
+            "doc_id", "off", F.lit(0).cast("int").alias("cross_repeat")
+        )
+    import bisect
+
+    from pyspark.sql.types import LongType
+
+    br = bench_ranks  # closure-shipped; benchmark-token-count-sized
+
+    @F.pandas_udf(LongType())
+    def _seg_up(rank: pd.Series) -> pd.Series:
+        return rank.map(lambda x: bisect.bisect_right(br, x))
+
+    @F.pandas_udf(LongType())
+    def _seg_dn(rank: pd.Series) -> pd.Series:
+        return rank.map(lambda x: len(br) - bisect.bisect_left(br, x))
+
+    seg = r.withColumn("_su", _seg_up("rank")).withColumn(
+        "_sd", _seg_dn("rank")
+    )
+    w_up = (
+        Window.partitionBy("_su")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_dn = (
+        Window.partitionBy("_sd")
+        .orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the benchmark anchor's own lcp_prev/lcp_next point OUTSIDE its
+    # segment's wanted range — mask it so the running min starts at the
+    # first adjacency with the benchmark suffix itself
+    m_up = F.min(F.when(~F.col("_b"), F.col("_lp"))).over(w_up)
+    m_dn = F.min(F.when(~F.col("_b"), F.col("_ln"))).over(w_dn)
+    out = (
+        seg.withColumn(
+            "_mu", F.when(F.col("_su") >= 1, m_up)
+        )
+        .withColumn("_md", F.when(F.col("_sd") >= 1, m_dn))
+        .where(~F.col("_b"))
+        .select(
+            "doc_id",
+            "off",
+            F.greatest(
+                F.coalesce(F.col("_mu"), F.lit(0)),
+                F.coalesce(F.col("_md"), F.lit(0)),
+            )
+            .cast("int")
+            .alias("cross_repeat"),
+        )
+    )
+    # sentinel positions are not real tokens
+    doc_len = arrays.select("doc_id", (F.size("toks") - 1).alias("_nt"))
+    return (
+        out.join(doc_len, "doc_id")
+        .where(F.col("off") < F.col("_nt"))
+        .select("doc_id", "off", "cross_repeat")
+    )
 
 
 def exact_substr_removal(

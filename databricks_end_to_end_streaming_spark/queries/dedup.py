@@ -1119,6 +1119,41 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("decontaminate_exact_substr")  # rows-only: suffix-array machinery
+# (quadratic SQL replay); the operator is pytest-pinned against a
+# BRUTE-FORCE cross-set LCP reference, incl. randomized corpora
+# (tests/test_suffix.py::test_cross_set_*)
+def decontaminate_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length SUBSTRING-level decontamination (Lee et al. 2022
+    §6.1): for every training document, the length of the longest
+    verbatim token span it shares with the benchmark set (the
+    deterministic doc_id % 97 == 0 slice, the same stand-in the shingle
+    decontaminator uses) — the scrub that catches eval leakage the
+    fixed-k shingle join can only flag, at its exact span length.
+    Output per train doc: max shared span, positions inside >= 8-token
+    shared spans, and the contaminated flag. Scale shape: one union
+    suffix array + two segmented running-min window passes; the only
+    collected relation is the benchmark's rank list (benchmark-sized by
+    definition)."""
+    from ..operators.suffix import cross_set_max_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    cross = cross_set_max_spans(train, bench)
+    return (
+        cross.groupBy("doc_id")
+        .agg(
+            F.max("cross_repeat").cast("long").alias("max_shared_span"),
+            F.sum((F.col("cross_repeat") >= 8).cast("long")).alias(
+                "n_pos_shared8"
+            ),
+            (F.max("cross_repeat") >= 8).cast("long").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_pipeline_lee2022")  # rows-only: stage 2 is the suffix-array
 # cut (no tractable SQL replay); stage semantics are pytest-pinned on a
 # constructed corpus (tests/test_suffix.py::test_lee2022_pipeline*)

@@ -317,6 +317,108 @@ def test_lee2022_pipeline_stage_accounting(spark, workdir):
     assert want_tokens < rows["1_neardup"]["n_tokens"]
 
 
+def _py_cross_set(train: dict[int, str], bench: dict[int, str], flag: int):
+    """Brute-force cross-set reference: for every train position, max
+    LCP against EVERY benchmark suffix by direct comparison — no
+    suffix-array neighbor property, so it independently checks the
+    operator's range-min derivation."""
+    def toks(t, d):
+        return t.replace(SENTINEL_PREFIX, "").lower().split() + [
+            f"{SENTINEL_PREFIX}{d}"
+        ]
+
+    btoks = {d: toks(t, d + flag) for d, t in bench.items()}
+    bsufs = [
+        tuple(ts[o:]) for ts in btoks.values() for o in range(len(ts))
+    ]
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    out = {}
+    for d, t in train.items():
+        ts = toks(t, d)
+        for o in range(len(ts) - 1):  # skip the sentinel position
+            suf = tuple(ts[o:])
+            out[(d, o)] = max((lcp(suf, bs) for bs in bsufs), default=0)
+    return out
+
+
+def test_cross_set_max_spans_matches_bruteforce(spark):
+    """Variable-length substring decontamination: the distributed
+    nearest-benchmark range-min equals brute-force max LCP against
+    every benchmark suffix — planted contamination found at its exact
+    length, clean docs at 0."""
+    from databricks_end_to_end_streaming_spark.operators.suffix import (
+        BENCH_ID_FLAG,
+        cross_set_max_spans,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = {
+        0: f"intro {leak} tail words",          # contains the eval span
+        1: "totally clean document nothing shared here",
+        2: f"{leak} starts this one then diverges",
+        3: "alpha beta gamma only a short prefix overlap",  # 3 tokens
+    }
+    bench = {
+        0: f"question: {leak} answer: something",
+        1: "unrelated benchmark prompt with its own words",
+    }
+    t_df = _spark_docs(spark, train)
+    b_df = _spark_docs(spark, bench)
+    got = {
+        (r.doc_id, r.off): r.cross_repeat
+        for r in cross_set_max_spans(t_df, b_df).collect()
+    }
+    want = _py_cross_set(train, bench, BENCH_ID_FLAG)
+    assert got == want
+    # the planted leak reads exactly 8 at its start positions
+    assert got[(0, 1)] == 8 and got[(2, 0)] == 8
+    assert max(v for (d, _), v in got.items() if d == 1) <= 1
+    assert got[(3, 0)] == 3  # partial overlap reported at true length
+
+
+def test_cross_set_randomized_against_bruteforce(spark):
+    import random
+
+    from databricks_end_to_end_streaming_spark.operators.suffix import (
+        BENCH_ID_FLAG,
+        cross_set_max_spans,
+    )
+
+    rng = random.Random(9)
+    for trial in range(3):
+        train = {
+            d: " ".join(
+                rng.choice(["a", "b", "c"]) for _ in range(rng.randint(1, 10))
+            )
+            for d in range(rng.randint(1, 4))
+        }
+        bench = {
+            d: " ".join(
+                rng.choice(["a", "b", "c"]) for _ in range(rng.randint(1, 8))
+            )
+            for d in range(rng.randint(1, 3))
+        }
+        got = {
+            (r.doc_id, r.off): r.cross_repeat
+            for r in cross_set_max_spans(
+                _spark_docs(spark, train), _spark_docs(spark, bench)
+            ).collect()
+        }
+        assert got == _py_cross_set(train, bench, BENCH_ID_FLAG), (
+            trial,
+            train,
+            bench,
+        )
+
+
 def test_degenerate_corpora(spark):
     # single doc, single token: 2 positions (token + sentinel)
     one = {0: "hello"}

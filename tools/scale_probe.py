@@ -73,6 +73,8 @@ PROBES = [
     "video_temporal_neardup",
     "logistic_quality_eval",
     "url_registered_domain_psl",  # re-probe under the full 9.5k-rule PSL
+    "decontaminate_exact_substr",
+    "dedup_pipeline_lee2022",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
