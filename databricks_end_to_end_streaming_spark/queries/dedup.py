@@ -1135,22 +1135,32 @@ def decontaminate_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix array + two segmented running-min window passes; the only
     collected relation is the benchmark's rank list (benchmark-sized by
     definition)."""
-    from ..operators.suffix import cross_set_max_spans
-
     d = load_table(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 97 == 0)
     train = d.where(F.col("doc_id") % 97 != 0)
+    return decontam_accounting(train, bench).orderBy("doc_id")
+
+
+def decontam_accounting(
+    train: DataFrame, bench: DataFrame, min_len: int = 8
+) -> DataFrame:
+    """(doc_id, max_shared_span, n_pos_shared8, contaminated): per-doc
+    substring-contamination accounting over any train relation — shared
+    by the registered query and the per-batch streaming stage
+    (streaming/decontam_stage.py; contamination depends only on
+    (doc, benchmark), so the stage runs this per micro-batch with no
+    cross-batch state)."""
+    from ..operators.suffix import cross_set_max_spans
+
     cross = cross_set_max_spans(train, bench)
-    return (
-        cross.groupBy("doc_id")
-        .agg(
-            F.max("cross_repeat").cast("long").alias("max_shared_span"),
-            F.sum((F.col("cross_repeat") >= 8).cast("long")).alias(
-                "n_pos_shared8"
-            ),
-            (F.max("cross_repeat") >= 8).cast("long").alias("contaminated"),
-        )
-        .orderBy("doc_id")
+    return cross.groupBy("doc_id").agg(
+        F.max("cross_repeat").cast("long").alias("max_shared_span"),
+        F.sum((F.col("cross_repeat") >= min_len).cast("long")).alias(
+            "n_pos_shared8"
+        ),
+        (F.max("cross_repeat") >= min_len)
+        .cast("long")
+        .alias("contaminated"),
     )
 
 
