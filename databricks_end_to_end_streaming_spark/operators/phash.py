@@ -75,18 +75,24 @@ def _grid_means(
     overlapping upsample blocks are handled for free by the lookup
     form."""
     h, w = gray.shape
+    if h == 0 or w == 0:
+        # degenerate frame: the replaced per-block loop produced all-zero
+        # sums AND areas (empty slices) and hashing proceeded — keep that
+        # contract instead of raising inside the Arrow mapper
+        z = np.zeros((out_h, out_w), dtype=np.int64)
+        return z, z.copy()
     integ = np.zeros((h + 1, w + 1), dtype=np.int64)
     np.cumsum(gray.astype(np.int64), axis=0, out=integ[1:, 1:])
     np.cumsum(integ[1:, 1:], axis=1, out=integ[1:, 1:])
-    y0 = np.fromiter(((i * h) // out_h for i in range(out_h)), np.int64)
-    x0 = np.fromiter(((j * w) // out_w for j in range(out_w)), np.int64)
+    y0 = np.arange(out_h, dtype=np.int64) * h // out_h
+    x0 = np.arange(out_w, dtype=np.int64) * w // out_w
     y1 = np.maximum(y0 + 1, np.append(y0[1:], h))
     x1 = np.maximum(x0 + 1, np.append(x0[1:], w))
     sums = (
-        integ[y1][:, x1]
-        - integ[y0][:, x1]
-        - integ[y1][:, x0]
-        + integ[y0][:, x0]
+        integ[np.ix_(y1, x1)]
+        - integ[np.ix_(y0, x1)]
+        - integ[np.ix_(y1, x0)]
+        + integ[np.ix_(y0, x0)]
     )
     areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     return sums, areas

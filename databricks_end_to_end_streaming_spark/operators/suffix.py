@@ -684,9 +684,30 @@ def cross_set_max_spans(
     one task — segments are benchmark-interval-sized, so a corpus whose
     benchmark suffixes are extremely sparse concentrates rows; split
     ranks arithmetically per segment if that ever binds."""
-    t = train.select(F.col("doc_id"), F.col(text_col).alias("text"))
+    # namespace guard (the phash composite-id discipline): a train id at
+    # or above the benchmark flag — or a bench id outside [0, flag) —
+    # would silently misclassify documents across sets; raise instead.
+    # The raise_error lives INSIDE the id expression so Catalyst cannot
+    # prune it.
+    def _guarded(col: F.Column, what: str) -> F.Column:
+        ok = (col >= 0) & (col < F.lit(BENCH_ID_FLAG))
+        return F.when(ok, col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what} doc_id outside [0, 2^41): "),
+                    col.cast("string"),
+                )
+            ).cast("long")
+        )
+
+    t = train.select(
+        _guarded(F.col("doc_id"), "train").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
     b = bench.select(
-        (F.col("doc_id") + F.lit(BENCH_ID_FLAG)).alias("doc_id"),
+        (_guarded(F.col("doc_id"), "bench") + F.lit(BENCH_ID_FLAG)).alias(
+            "doc_id"
+        ),
         F.col(text_col).alias("text"),
     )
     arrays = pin(doc_token_arrays(t.unionByName(b)))
@@ -706,58 +727,67 @@ def cross_set_max_spans(
         row["rank"] for row in r.where("_b").select("rank").collect()
     )
     if not bench_ranks:
-        return r.where(~F.col("_b")).select(
+        # no benchmark suffixes: every cross_repeat is 0 — fall through
+        # to the SAME sentinel/zero-token filtering as the normal path
+        out = r.where(~F.col("_b")).select(
             "doc_id", "off", F.lit(0).cast("int").alias("cross_repeat")
         )
-    import bisect
+    else:
+        import numpy as np
+        from pyspark.sql.types import LongType
 
-    from pyspark.sql.types import LongType
+        br = np.asarray(bench_ranks, dtype=np.int64)
+        # closure-shipped; benchmark-token-count-sized. Vectorized
+        # searchsorted — one binary-search batch per Arrow chunk, no
+        # per-row Python.
+        n_bench = len(bench_ranks)
 
-    br = bench_ranks  # closure-shipped; benchmark-token-count-sized
-
-    @F.pandas_udf(LongType())
-    def _seg_up(rank: pd.Series) -> pd.Series:
-        return rank.map(lambda x: bisect.bisect_right(br, x))
-
-    @F.pandas_udf(LongType())
-    def _seg_dn(rank: pd.Series) -> pd.Series:
-        return rank.map(lambda x: len(br) - bisect.bisect_left(br, x))
-
-    seg = r.withColumn("_su", _seg_up("rank")).withColumn(
-        "_sd", _seg_dn("rank")
-    )
-    w_up = (
-        Window.partitionBy("_su")
-        .orderBy("rank")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_dn = (
-        Window.partitionBy("_sd")
-        .orderBy(F.col("rank").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # the benchmark anchor's own lcp_prev/lcp_next point OUTSIDE its
-    # segment's wanted range — mask it so the running min starts at the
-    # first adjacency with the benchmark suffix itself
-    m_up = F.min(F.when(~F.col("_b"), F.col("_lp"))).over(w_up)
-    m_dn = F.min(F.when(~F.col("_b"), F.col("_ln"))).over(w_dn)
-    out = (
-        seg.withColumn(
-            "_mu", F.when(F.col("_su") >= 1, m_up)
-        )
-        .withColumn("_md", F.when(F.col("_sd") >= 1, m_dn))
-        .where(~F.col("_b"))
-        .select(
-            "doc_id",
-            "off",
-            F.greatest(
-                F.coalesce(F.col("_mu"), F.lit(0)),
-                F.coalesce(F.col("_md"), F.lit(0)),
+        @F.pandas_udf(LongType())
+        def _seg_up(rank: pd.Series) -> pd.Series:
+            return pd.Series(
+                np.searchsorted(br, rank.to_numpy(), side="right")
             )
-            .cast("int")
-            .alias("cross_repeat"),
+
+        @F.pandas_udf(LongType())
+        def _seg_dn(rank: pd.Series) -> pd.Series:
+            return pd.Series(
+                n_bench
+                - np.searchsorted(br, rank.to_numpy(), side="left")
+            )
+
+        seg = r.withColumn("_su", _seg_up("rank")).withColumn(
+            "_sd", _seg_dn("rank")
         )
-    )
+        w_up = (
+            Window.partitionBy("_su")
+            .orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_dn = (
+            Window.partitionBy("_sd")
+            .orderBy(F.col("rank").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # the benchmark anchor's own lcp_prev/lcp_next point OUTSIDE its
+        # segment's wanted range — mask it so the running min starts at
+        # the first adjacency with the benchmark suffix itself
+        m_up = F.min(F.when(~F.col("_b"), F.col("_lp"))).over(w_up)
+        m_dn = F.min(F.when(~F.col("_b"), F.col("_ln"))).over(w_dn)
+        out = (
+            seg.withColumn("_mu", F.when(F.col("_su") >= 1, m_up))
+            .withColumn("_md", F.when(F.col("_sd") >= 1, m_dn))
+            .where(~F.col("_b"))
+            .select(
+                "doc_id",
+                "off",
+                F.greatest(
+                    F.coalesce(F.col("_mu"), F.lit(0)),
+                    F.coalesce(F.col("_md"), F.lit(0)),
+                )
+                .cast("int")
+                .alias("cross_repeat"),
+            )
+        )
     # sentinel positions are not real tokens
     doc_len = arrays.select("doc_id", (F.size("toks") - 1).alias("_nt"))
     return (

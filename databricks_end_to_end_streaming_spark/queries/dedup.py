@@ -1130,8 +1130,11 @@ def decontaminate_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic doc_id % 97 == 0 slice, the same stand-in the shingle
     decontaminator uses) — the scrub that catches eval leakage the
     fixed-k shingle join can only flag, at its exact span length.
-    Output per train doc: max shared span, positions inside >= 8-token
-    shared spans, and the contaminated flag. Scale shape: one union
+    Output per train doc: max shared span, the count of positions where
+    a >= 8-token shared span STARTS (suffix-start grain, the same
+    convention as sa_repeated_span_stats' n_pos_rep8 — coverage mass is
+    what exact_substr_removal computes when you go on to cut), and the
+    contaminated flag. Scale shape: one union
     suffix array + two segmented running-min window passes; the only
     collected relation is the benchmark's rank list (benchmark-sized by
     definition)."""
@@ -1149,11 +1152,14 @@ def decontam_accounting(
     by the registered query and the per-batch streaming stage
     (streaming/decontam_stage.py; contamination depends only on
     (doc, benchmark), so the stage runs this per micro-batch with no
-    cross-batch state)."""
+    cross-batch state). n_pos_shared8 counts span START positions (the
+    suffix grain). EVERY train doc gets a row — a zero-token doc has no
+    positions and therefore reports (0, 0, 0) via the left join, so log
+    consumers can anti-join against the accounting safely."""
     from ..operators.suffix import cross_set_max_spans
 
     cross = cross_set_max_spans(train, bench)
-    return cross.groupBy("doc_id").agg(
+    agg = cross.groupBy("doc_id").agg(
         F.max("cross_repeat").cast("long").alias("max_shared_span"),
         F.sum((F.col("cross_repeat") >= min_len).cast("long")).alias(
             "n_pos_shared8"
@@ -1161,6 +1167,12 @@ def decontam_accounting(
         (F.max("cross_repeat") >= min_len)
         .cast("long")
         .alias("contaminated"),
+    )
+    return train.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("max_shared_span", F.lit(0)).alias("max_shared_span"),
+        F.coalesce("n_pos_shared8", F.lit(0)).alias("n_pos_shared8"),
+        F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
     )
 
 
@@ -1218,13 +1230,9 @@ def dedup_pipeline_lee2022(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stage_row("0_raw", raw_toks, F.col("nt"))
         .unionByName(
-            stage_row(
-                "1_neardup",
-                doc_token_arrays(survivors).select(
-                    (F.size("toks") - 1).alias("nt")
-                ),
-                F.col("nt"),
-            )
+            # cut already carries each survivor's n_tokens in the same
+            # normalized space — no second tokenize pass (r9 review)
+            stage_row("1_neardup", cut, F.col("n_tokens"))
         )
         .unionByName(
             stage_row(

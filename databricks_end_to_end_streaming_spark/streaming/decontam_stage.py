@@ -44,9 +44,12 @@ def decontam_stage(acc_table: ParquetTable, bench: DataFrame):
 def contaminated_from_log(
     spark: SparkSession, acc_table: ParquetTable
 ) -> DataFrame:
-    """The folded accounting log: one row per doc ever ingested (replays
-    fold away by doc_id — per-doc rows are a pure function of
-    (doc, benchmark), so duplicates are identical)."""
+    """The folded accounting log: one row per doc ever ingested —
+    including zero-token docs, which decontam_accounting reports as
+    (0, 0, 0) via its every-doc left join, so an anti-join against this
+    log is a safe "never scrubbed" test. Replays fold away by doc_id:
+    per-doc rows are a pure function of (doc, benchmark), so duplicates
+    are identical."""
     return (
         acc_table.read(spark)
         .select("doc_id", "max_shared_span", "n_pos_shared8", "contaminated")

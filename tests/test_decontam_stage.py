@@ -28,6 +28,7 @@ def _corpus(spark):
         3: "clean document two nothing shared either",
         4: "alpha beta gamma short prefix only here",
         5: "another clean training document entirely",
+        6: "",  # zero-token doc: must still get a (0, 0, 0) row
     }
     train = spark.createDataFrame(list(texts.items()), DOCS_SCHEMA)
     bench = spark.createDataFrame(
@@ -64,3 +65,18 @@ def test_drained_log_equals_batch_accounting(spark, workdir):
     assert by_id[0] == (10, 1) and by_id[2] == (10, 1)
     assert by_id[4] == (3, 0)  # partial overlap, below threshold
     assert by_id[1][1] == 0 and by_id[3][1] == 0 and by_id[5][1] == 0
+    # START-grain count: the 10-token leak has 3 offsets whose shared
+    # suffix is still >= 8 tokens (lengths 10, 9, 8)
+    starts = {d: n for d, _, n, _ in got}
+    assert starts[0] == 3 and starts[2] == 3
+    # the zero-token doc is present, all zeros (every-doc contract)
+    assert by_id[6] == (0, 0) and starts[6] == 0
+
+
+def test_empty_benchmark_path_matches_normal_shape(spark):
+    """With an EMPTY benchmark, the accounting must keep the exact
+    every-doc/zero shape the normal path produces — one row per train
+    doc, all zeros, no sentinel-position leakage."""
+    train, bench = _corpus(spark)
+    got = _rows(decontam_accounting(train, bench.where("doc_id < 0")))
+    assert got == [(d, 0, 0, 0) for d in range(7)]
