@@ -125,6 +125,8 @@ PLAN_QUERIES = [
     ("video_temporal_neardup", "per-frame Arrow hashing (payload dropped at the hash) -> banded chunk self-join on composite (video,frame) ids -> two partial-agg alignment votes; pixels never shuffle"),
     ("exact_substr_cut", "ExactSubstr cut tail: per-doc running-max coverage window over the pinned repeat profile -> merged-interval collapse -> per-row HOF token filter (map-only reconstruction)"),
     ("url_registered_domain_idn", "punycode pandas UDF on the DISTINCT-domain relation only (never per-doc) -> label-suffix explode -> broadcast 9.5k-rule PSL join"),
+    ("decontaminate_exact_substr", "cross-set decontamination tail: vectorized searchsorted segment ids -> two segmented running-min windows -> per-doc partial agg + every-doc left join (suffix stages pinned upstream)"),
+    ("dedup_pipeline_lee2022", "NearDup anti-join feeds the ExactSubstr cut; accounting = three 1-row aggregates (stage 1 reuses the cut's n_tokens, no second tokenize)"),
 ]
 
 
