@@ -11,8 +11,8 @@ Mozilla list), normalizes its IDN U-label rules to punycode A-labels
 '*' default rule. ``PSL_SNAPSHOT`` remains as the no-snapshot fallback
 SUBSET (the canonical multi-label, wildcard and exception shapes). The
 algorithm is rule-count-independent — the broadcast dim size is the
-only thing that changes between the two (measured: bench extra
-``psl_rules_full_vs_subset``).
+only thing that changes between the two (measured: bench extras
+``psl_match_full_rules_sec`` / ``psl_match_subset_rules_sec``).
 
 Hosts with non-ASCII labels normalize through ``punycode_hosts``
 (Arrow-batched pandas UDF over the DISTINCT-domain relation — domain-

@@ -167,8 +167,16 @@ def hamming_pairs_probe_index(
         .select(
             F.least("p._id", "x._id").alias(f"{id_col}_a"),
             F.greatest("p._id", "x._id").alias(f"{id_col}_b"),
-            F.least("p._sig", "x._sig").alias("sig_a"),
-            F.greatest("p._sig", "x._sig").alias("sig_b"),
+            # sig ordering follows the ID comparison, so sig_a IS the
+            # signature of {id}_a (least/greatest of the sigs alone
+            # would decouple them — harmless for the symmetric XOR
+            # below, but a trap for any future consumer)
+            F.when(F.col("p._id") < F.col("x._id"), F.col("p._sig"))
+            .otherwise(F.col("x._sig"))
+            .alias("sig_a"),
+            F.when(F.col("p._id") < F.col("x._id"), F.col("x._sig"))
+            .otherwise(F.col("p._sig"))
+            .alias("sig_b"),
         )
         .distinct()
     )

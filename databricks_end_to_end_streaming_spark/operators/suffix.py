@@ -673,13 +673,16 @@ def cross_set_max_spans(
     above or below in suffix-array order, and equals the min of
     adjacent LCPs between them (the classic range-min property). The
     nearest-benchmark range-mins come from SEGMENTED running minima:
-    segment id = count of benchmark suffixes at-or-before this rank
-    (an exact vectorized searchsorted over the COLLECTED benchmark rank
-    list — benchmarks are small by definition, the same asymmetry the
-    shingle decontaminator's broadcast exploits), then one running-min
-    window per direction partitioned by segment. Work: the suffix
-    array's usual bounds + two window passes over n rows; nothing
-    quadratic, nothing corpus-sized collected. Caveat (documented, same
+    segment id = count of benchmark suffixes at-or-before this rank,
+    derived DISTRIBUTIVELY with the operators/ranking.py pattern
+    (range-partition by rank, one benchmark-count long per partition to
+    the driver, offsets broadcast back, in-partition running count) —
+    nothing benchmark- or corpus-proportional is ever collected or
+    closure-shipped, so the shape holds even when the "benchmark" is a
+    corpus-scale fraction (e.g. the registered query's doc_id % 97
+    slice). Then one running-min window per direction partitioned by
+    segment. Work: the suffix array's usual bounds + two window passes
+    over n rows; nothing quadratic. Caveat (documented, same
     acceptance as the per-doc coverage window): one SEGMENT sorts in
     one task — segments are benchmark-interval-sized, so a corpus whose
     benchmark suffixes are extremely sparse concentrates rows; split
@@ -720,43 +723,67 @@ def cross_set_max_spans(
         (F.col("rank") + 1).alias("rank"), F.col("lcp").alias("_lp")
     )
     lcp_next = pairs.select("rank", F.col("lcp").alias("_ln"))
+    joined = ranks.join(lcp_prev, "rank", "left").join(lcp_next, "rank", "left")
+    # Distributed searchsorted (the operators/ranking.py pattern):
+    # range-partition by rank, FREEZE the layout (repartitionByRange
+    # re-samples bounds per job — a recompute would shift rows across
+    # partitions and corrupt the offsets), collect ONE benchmark-count
+    # long per partition, broadcast cumulative offsets back. The only
+    # data leaving the cluster is O(#partitions). An earlier version
+    # collected the full benchmark rank list and shipped it in every
+    # pandas-UDF closure — corpus-proportional when the benchmark is a
+    # fixed corpus fraction, so it was replaced by this derivation.
+    n_parts = joined.sparkSession.sparkContext.defaultParallelism
     r = pin(
-        ranks.join(lcp_prev, "rank", "left").join(lcp_next, "rank", "left")
+        joined.repartitionByRange(n_parts, "rank")
+        .sortWithinPartitions("rank")
+        .withColumn("_pid", F.spark_partition_id()),
+        require_frozen=True,
+        site="suffix.cross_set_segments",
     )
-    bench_ranks = sorted(
-        row["rank"] for row in r.where("_b").select("rank").collect()
-    )
-    if not bench_ranks:
+    per_pid = {
+        row["_pid"]: row["_bc"]
+        for row in r.groupBy("_pid")
+        .agg(F.sum(F.col("_b").cast("long")).alias("_bc"))
+        .collect()
+    }
+    n_bench = sum(per_pid.values())
+    if n_bench == 0:
         # no benchmark suffixes: every cross_repeat is 0 — fall through
         # to the SAME sentinel/zero-token filtering as the normal path
         out = r.where(~F.col("_b")).select(
             "doc_id", "off", F.lit(0).cast("int").alias("cross_repeat")
         )
     else:
-        import numpy as np
-        from pyspark.sql.types import LongType
-
-        br = np.asarray(bench_ranks, dtype=np.int64)
-        # closure-shipped; benchmark-token-count-sized. Vectorized
-        # searchsorted — one binary-search batch per Arrow chunk, no
-        # per-row Python.
-        n_bench = len(bench_ranks)
-
-        @F.pandas_udf(LongType())
-        def _seg_up(rank: pd.Series) -> pd.Series:
-            return pd.Series(
-                np.searchsorted(br, rank.to_numpy(), side="right")
+        offsets, acc = {}, 0
+        for pid in sorted(per_pid):
+            offsets[pid] = acc
+            acc += per_pid[pid]
+        off_df = F.broadcast(
+            r.sparkSession.createDataFrame(
+                [(pid, off) for pid, off in offsets.items()],
+                "_pid int, _boff long",
             )
-
-        @F.pandas_udf(LongType())
-        def _seg_dn(rank: pd.Series) -> pd.Series:
-            return pd.Series(
-                n_bench
-                - np.searchsorted(br, rank.to_numpy(), side="left")
+        )
+        w_cum = (
+            Window.partitionBy("_pid")
+            .orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # inclusive running benchmark count == searchsorted semantics:
+        # _su (side=right) counts bench ranks <= rank (a bench row
+        # counts itself); _sd (n_bench - side=left) counts bench ranks
+        # >= rank (a bench row counts itself, so add its flag back).
+        cnt = F.col("_boff") + F.sum(F.col("_b").cast("long")).over(w_cum)
+        seg = (
+            r.join(off_df, "_pid")
+            .withColumn("_su", cnt)
+            .withColumn(
+                "_sd",
+                F.lit(n_bench)
+                - cnt
+                + F.when(F.col("_b"), F.lit(1)).otherwise(F.lit(0)),
             )
-
-        seg = r.withColumn("_su", _seg_up("rank")).withColumn(
-            "_sd", _seg_dn("rank")
         )
         w_up = (
             Window.partitionBy("_su")

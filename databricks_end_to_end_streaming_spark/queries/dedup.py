@@ -1135,9 +1135,11 @@ def decontaminate_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention as sa_repeated_span_stats' n_pos_rep8 — coverage mass is
     what exact_substr_removal computes when you go on to cut), and the
     contaminated flag. Scale shape: one union
-    suffix array + two segmented running-min window passes; the only
-    collected relation is the benchmark's rank list (benchmark-sized by
-    definition)."""
+    suffix array + two segmented running-min window passes; segment ids
+    are derived distributively (range-partitioned running benchmark
+    count — operators/ranking.py's pattern), so nothing benchmark- or
+    corpus-proportional is ever collected, even though this benchmark
+    is a fixed ~1% corpus fraction."""
     d = load_table(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 97 == 0)
     train = d.where(F.col("doc_id") % 97 != 0)

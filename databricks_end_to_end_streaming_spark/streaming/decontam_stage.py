@@ -14,7 +14,14 @@ rank list is recomputed per batch against the batch's suffix array
 batches; the benchmark TEXT relation is the reusable input).
 
 100 TB shape: per batch, the suffix-array bounds are batch-sized +
-benchmark-sized; the appended partial is 3 longs per doc.
+benchmark-sized; the appended partial is 3 longs per doc. Note the
+BENCHMARK-DOMINATED PER-BATCH FLOOR: the union suffix array re-ranks
+the entire benchmark text every micro-batch (ranks are union-relative,
+so they cannot carry over), so for high-frequency tiny batches the
+per-batch cost approaches O(benchmark), not O(batch). Acceptable when
+batches are comparable to or larger than the benchmark; otherwise
+coalesce upstream (a longer trigger interval / maxFilesPerTrigger) so
+the benchmark re-ranking amortizes over more new documents.
 """
 
 from __future__ import annotations
