@@ -859,17 +859,43 @@ def exact_substr_removal(
     inherits the suffix loop's duplicate-mass bounds."""
     arrays = pin(doc_token_arrays(docs, text_col))
     rep = _position_repeats(arrays, skew_threshold, timings)
+    spans = rep.where(F.col("max_repeat") >= min_len).select(
+        "doc_id",
+        "off",
+        (F.col("off") + F.col("max_repeat")).alias("span_end"),
+    )
+    return apply_cut_spans(arrays, spans)
+
+
+def apply_cut_spans(arrays: DataFrame, spans: DataFrame) -> DataFrame:
+    """Reconstruction shared by ``exact_substr_removal`` and the
+    incremental stage (streaming/exact_substr_stage.py): given the
+    pinned token-array relation and a set of cut spans
+    (doc_id, off, span_end) — [off, span_end) duplicated, at most one
+    row per (doc_id, off) — drop every covered token position and
+    rebuild (doc_id, n_tokens, n_removed, cleaned_text). Identical code
+    path for both callers is what makes the streaming twin's
+    drained == batch assertion bit-for-bit.
+
+    Scale shape (unchanged from the original inline version): coverage
+    is ONE running-max window per document (a doc's positions sort
+    within one task); covered positions collapse to MERGED intervals,
+    so the per-doc span list the reconstruction probes is #gaps-sized;
+    the token filter is a per-row higher-order function."""
+    toks_all = arrays.select(
+        "doc_id", F.expr("slice(toks, 1, size(toks) - 1)").alias("ws")
+    )
+    pos = toks_all.select(
+        "doc_id", F.posexplode("ws").alias("off", "_w")
+    ).drop("_w")
+    marked = pos.join(spans, ["doc_id", "off"], "left")
     w_run = (
         Window.partitionBy("doc_id")
         .orderBy("off")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    reach = F.max(
-        F.when(
-            F.col("max_repeat") >= min_len, F.col("off") + F.col("max_repeat")
-        )
-    ).over(w_run)
-    covered = rep.withColumn(
+    reach = F.max("span_end").over(w_run)
+    covered = marked.withColumn(
         "_covered", F.coalesce(reach > F.col("off"), F.lit(False))
     ).where("_covered")
     # covered positions are contiguous runs by construction (running
@@ -890,10 +916,7 @@ def exact_substr_removal(
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("ivls"))
     )
-    toks = arrays.select(
-        "doc_id", F.expr("slice(toks, 1, size(toks) - 1)").alias("ws")
-    )
-    out = toks.join(ivls, "doc_id", "left").select(
+    out = toks_all.join(ivls, "doc_id", "left").select(
         "doc_id",
         F.size("ws").cast("long").alias("n_tokens"),
         F.expr(
