@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.psl import psl_match_sql
+from ..sources.warc import WARCINFO_PAYLOAD
 from ..tables import load_table
 from . import query
 
@@ -718,9 +719,6 @@ def web_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (`url_blocklist_filter`, `domain_quota_cap`, `dedup_exact`),
     so the funnel IS the composition of independently-oracled parts —
     and the funnel itself is oracled end-to-end."""
-    from ..pin import pin
-    from pyspark.sql import Window
-
     d = (
         with_url(load_table(spark, sf_dir, "documents"))
         .withColumn("domain", norm_domain())
@@ -733,8 +731,19 @@ def web_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens"
             ),
         )
-        .transform(pin)
     )
+    return curation_funnel_over(d)
+
+
+def curation_funnel_over(d: DataFrame) -> DataFrame:
+    """The funnel body over ANY (doc_id, text, domain, url, n_tokens)
+    relation — shared by the registered table-synthesized query above
+    and the WARC-sourced first mile (tests/test_warc.py proves the two
+    inputs produce identical funnels)."""
+    from ..pin import pin
+    from pyspark.sql import Window
+
+    d = pin(d)
     bl = d.where(
         ~(
             F.col("domain").like("%.org")
@@ -769,3 +778,121 @@ def web_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(quota, "after_domain_quota", 2))
         .unionByName(stage(dedup, "after_exact_dedup", 3))
     )
+
+
+# ------------------------------------ WARC first mile (sources/warc.py)
+
+N_WARC_SEGMENTS = 4
+_HTTP_PREAMBLE = (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+)
+
+
+def synthesize_warc_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table as ISO 28500 WARC response segments
+    under the repo scratch tree (the testdata tree is read-only — the
+    same posture as the synthetic url/html columns, except the bytes
+    then round-trip through the REAL container format). Deterministic:
+    segment = doc_id % N_WARC_SEGMENTS, fixed dates/record-ids, gzip
+    mtime=0 — re-synthesis reproduces identical files. Block = a full
+    HTTP/1.1 response whose body is the synthetic html."""
+    import os
+
+    from ..sources.warc import write_warc_segments
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = os.path.join(
+        root, ".scratch", f"warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    rows = with_html(with_url(load_table(spark, sf_dir, "documents"))).select(
+        (F.col("doc_id") % N_WARC_SEGMENTS).cast("int").alias("seg"),
+        "doc_id",
+        F.lit("response").alias("warc_type"),
+        F.col("url").alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.concat(F.lit(_HTTP_PREAMBLE), F.col("html")).cast("binary").alias("block"),
+    )
+    write_warc_segments(rows, out)
+    return out
+
+
+def docs_from_warc_responses(recs: DataFrame) -> DataFrame:
+    """(doc_id, url, text, domain, n_tokens) from parsed WARC response
+    records — the real-first-mile twin of the synthetic relation the
+    curation funnel is registered over: url from WARC-Target-URI,
+    doc_id recovered from the URI path, text = WET-style extraction of
+    the HTTP body. Map-only; feeds ``curation_funnel_over``."""
+    from ..sources.warc import http_response_body
+
+    body = http_response_body()
+    ex = extract_text(body)
+    return (
+        recs.where(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)(\?|$)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            ex.alias("text"),
+        )
+        .withColumn("domain", norm_domain())
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.trim("text"), " +")).cast("long"),
+        )
+    )
+
+
+@query(
+    "warc_ingest_accounting",
+    oracle=f"""
+    WITH h AS ({_HTML_SQL}),
+    e AS (SELECT doc_id, html, {_EXTRACT_SQL} AS extracted FROM h)
+    SELECT 'response' AS warc_type,
+           count(*) AS n_records,
+           CAST(sum(len(html)) AS BIGINT) AS payload_chars,
+           CAST(sum(len(string_split_regex(extracted, ' +'))) AS BIGINT)
+             AS n_tokens
+    FROM e
+    UNION ALL
+    SELECT 'warcinfo' AS warc_type,
+           count(DISTINCT doc_id % {N_WARC_SEGMENTS}) AS n_records,
+           CAST(count(DISTINCT doc_id % {N_WARC_SEGMENTS})
+                * {len(WARCINFO_PAYLOAD)} AS BIGINT) AS payload_chars,
+           CAST(0 AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def warc_ingest_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC first mile, oracled: synthesize real `.warc.gz`
+    segment files from the documents table, read them back through the
+    distributed container reader (binaryFile + record splitter), and
+    account per record type — record counts, payload characters, and
+    extracted-token totals. The oracle recomputes every number from the
+    parquet table with the same string arithmetic, so a framing bug
+    anywhere in the writer OR reader (lost record, corrupted block,
+    mis-split HTTP body) is a hash mismatch, not a silent drop.
+
+    100 TB shape: the synthesis is this sandbox's stand-in for a real
+    crawl drop; the READ path is the production shape — per-segment
+    parallelism, record split executor-side, block bytes never leave
+    the executor, accounting is one partial-agg per record type."""
+    from ..sources.warc import http_response_body, read_warc_files
+
+    path = synthesize_warc_corpus(spark, sf_dir)
+    recs = read_warc_files(spark, path)
+    body = http_response_body()
+    ex = extract_text(body)
+    resp = recs.where(F.col("warc_type") == "response").agg(
+        F.lit("response").alias("warc_type"),
+        F.count("*").alias("n_records"),
+        F.sum(F.length(body)).alias("payload_chars"),
+        F.sum(F.size(F.split(ex, " +"))).cast("long").alias("n_tokens"),
+    )
+    info = recs.where(F.col("warc_type") == "warcinfo").agg(
+        F.lit("warcinfo").alias("warc_type"),
+        F.count("*").alias("n_records"),
+        F.sum(F.length(F.col("block").cast("string"))).alias("payload_chars"),
+        F.lit(0).cast("long").alias("n_tokens"),
+    )
+    return resp.unionByName(info)
