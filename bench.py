@@ -107,6 +107,7 @@ def main() -> None:
                 spark, n_events=200_000
             )["avro_demux_events_per_sec"],
             **_bench_ocf(),
+            **_bench_span_profile(spark, sf_dir),
             **_bench_new_ops(spark, sf_dir, qs),
             **_bench_kmv_persisted(spark, sf_dir),
             **_bench_psl_rules(spark, sf_dir),
@@ -349,6 +350,32 @@ def _bench_psl_rules(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_span_profile(spark, sf_dir: str) -> dict:
+    """The suffix family's SHARED span-profile build (r10): timed as its
+    own extra so the per-query numbers for sa_repeated_span_stats /
+    exact_substr_cut / decontaminate_exact_substr honestly show the
+    CONSUMER cost (group-by / window reconstruction over the pinned
+    profile) while this entry carries the one-time suffix-array build
+    they now share — the family's true combined wall is this number
+    plus those three. The cache is cleared first so the build is always
+    measured cold (and so a re-entrant bench run can't report a stale
+    hit)."""
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        _SPAN_PROFILE_CACHE,
+        shared_span_profile,
+    )
+
+    best = float("inf")
+    for _trial in range(2):  # best-of-2, same as every other number
+        _SPAN_PROFILE_CACHE.clear()
+        t0 = time.time()
+        # pin() inside is an eager localCheckpoint — the call itself
+        # materializes the profile; the count proves it and is ~free
+        shared_span_profile(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    return {"span_profile_build_sec": round(best, 3)}
+
+
 def _bench_new_ops(spark, sf_dir: str, qs) -> dict:
     out = {}
     for name in NEW_OP_QUERIES:
@@ -401,6 +428,15 @@ def _bench_sf1(spark, sf_dir: str, k: int = 10) -> dict:
         # the 10x queries get the whole heap (their absence was the OOM
         # cause observed before spark.driver.memory was raised; cheap
         # insurance either way).
+        # the unpersist below would strand the shared span profile's
+        # pinned blocks while the query-level cache still points at the
+        # DataFrame — drop the cache entry first so any later consumer
+        # rebuilds instead of reading a gone checkpoint
+        from databricks_end_to_end_streaming_spark.queries.dedup import (
+            _SPAN_PROFILE_CACHE,
+        )
+
+        _SPAN_PROFILE_CACHE.clear()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
         spark.catalog.clearCache()

@@ -651,14 +651,27 @@ def position_repeat_lengths(
 BENCH_ID_FLAG = 1 << 41
 
 
-def cross_set_max_spans(
+def union_span_profile(
     train: DataFrame,
     bench: DataFrame,
     text_col: str = "text",
     skew_threshold: int = SKEW_CLASS_THRESHOLD,
 ) -> DataFrame:
-    """(doc_id, off, cross_repeat): for every TRAIN token position, the
-    length of the longest span starting there that ALSO OCCURS in the
+    """(doc_id, is_bench, off, max_repeat, cross_repeat) for every REAL
+    token position of train ∪ benchmark, from ONE union suffix array —
+    the SHARED profile the whole suffix family consumes (r9 verdict
+    Missing #4, the PPJoin tokenize-once move): ``max_repeat`` is the
+    corpus-internal repeat length (what ``position_repeat_lengths``
+    computes — identical values, because pairwise LCPs depend only on
+    token content up to the never-matching sentinels, so the benchmark
+    id re-namespacing cannot change any adjacent-LCP maximum), and
+    ``cross_repeat`` is the longest span shared with the OTHER set
+    (train rows only; NULL on bench rows). One SA build therefore
+    serves repeat statistics, the ExactSubstr cut, AND substring
+    decontamination.
+
+    cross_repeat semantics (per TRAIN position): the length of the
+    longest span starting there that ALSO OCCURS in the
     BENCHMARK set — variable-length, substring-level decontamination
     (the ExactSubstr test-set scrub of Lee et al. 2022 §6.1: a train
     example is contaminated when it shares a >= L-token verbatim span
@@ -748,11 +761,23 @@ def cross_set_max_spans(
         .collect()
     }
     n_bench = sum(per_pid.values())
+    max_rep = (
+        F.greatest(
+            F.coalesce(F.col("_lp"), F.lit(0)),
+            F.coalesce(F.col("_ln"), F.lit(0)),
+        )
+        .cast("int")
+        .alias("max_repeat")
+    )
     if n_bench == 0:
         # no benchmark suffixes: every cross_repeat is 0 — fall through
         # to the SAME sentinel/zero-token filtering as the normal path
-        out = r.where(~F.col("_b")).select(
-            "doc_id", "off", F.lit(0).cast("int").alias("cross_repeat")
+        out = r.select(
+            "doc_id",
+            "_b",
+            "off",
+            max_rep,
+            F.when(~F.col("_b"), F.lit(0)).cast("int").alias("cross_repeat"),
         )
     else:
         offsets, acc = {}, 0
@@ -803,23 +828,54 @@ def cross_set_max_spans(
         out = (
             seg.withColumn("_mu", F.when(F.col("_su") >= 1, m_up))
             .withColumn("_md", F.when(F.col("_sd") >= 1, m_dn))
-            .where(~F.col("_b"))
             .select(
                 "doc_id",
+                "_b",
                 "off",
-                F.greatest(
-                    F.coalesce(F.col("_mu"), F.lit(0)),
-                    F.coalesce(F.col("_md"), F.lit(0)),
+                max_rep,
+                F.when(
+                    ~F.col("_b"),
+                    F.greatest(
+                        F.coalesce(F.col("_mu"), F.lit(0)),
+                        F.coalesce(F.col("_md"), F.lit(0)),
+                    ),
                 )
                 .cast("int")
                 .alias("cross_repeat"),
             )
         )
-    # sentinel positions are not real tokens
+    # sentinel positions are not real tokens; doc_len keys on the still-
+    # FLAGGED id (bench rows were re-namespaced before tokenization)
     doc_len = arrays.select("doc_id", (F.size("toks") - 1).alias("_nt"))
     return (
         out.join(doc_len, "doc_id")
         .where(F.col("off") < F.col("_nt"))
+        .select(
+            F.when(
+                F.col("_b"), F.col("doc_id") - F.lit(BENCH_ID_FLAG)
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            F.col("_b").alias("is_bench"),
+            "off",
+            "max_repeat",
+            "cross_repeat",
+        )
+    )
+
+
+def cross_set_max_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    skew_threshold: int = SKEW_CLASS_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, off, cross_repeat) for every TRAIN token position — the
+    decontamination projection of ``union_span_profile`` (see there for
+    the method and scale argument)."""
+    return (
+        union_span_profile(train, bench, text_col, skew_threshold)
+        .where(~F.col("is_bench"))
         .select("doc_id", "off", "cross_repeat")
     )
 

@@ -1061,6 +1061,38 @@ def containment_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one pinned span profile per (application, sf_dir) — the suffix
+#: family's tokenize-once move (r9 verdict Missing #4)
+_SPAN_PROFILE_CACHE: dict = {}
+
+
+def shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the union suffix-array span profile ONCE per (application,
+    sf_dir) and pin it: (doc_id, is_bench, off, max_repeat,
+    cross_repeat) over the documents table with the standing benchmark
+    split (doc_id % 97). ``sa_repeated_span_stats``,
+    ``exact_substr_cut`` and ``decontaminate_exact_substr`` all consume
+    this one relation, so a bench/driver run pays ONE suffix-array
+    build for the family instead of three (the PPJoin tokenize-once
+    lesson; dedup_pipeline_lee2022 keeps its own build because its
+    stage-2 corpus is the post-NearDup survivor set, a genuinely
+    different input). max_repeat equals position_repeat_lengths' values
+    and cross_repeat equals cross_set_max_spans' — see
+    union_span_profile's docstring for why the shared union array
+    changes neither."""
+    from ..operators.suffix import union_span_profile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPAN_PROFILE_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        prof = union_span_profile(
+            d.where(F.col("doc_id") % 97 != 0),
+            d.where(F.col("doc_id") % 97 == 0),
+        )
+        _SPAN_PROFILE_CACHE[key] = pin(prof)
+    return _SPAN_PROFILE_CACHE[key]
+
+
 # rows-only: suffix-array construction has no tractable SQL replay (the
 # quadratic oracle is O(n^2 L)); exactness is pinned in
 # tests/test_suffix.py against a sequential Python suffix array.
@@ -1074,10 +1106,9 @@ def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ExactSubstr dedup, Lee et al. 2022). O(log maxlen) join+rank
     rounds, nothing quadratic; see the operator docstring for the scale
     argument."""
-    from ..operators.suffix import position_repeat_lengths
-
-    d = load_table(spark, sf_dir, "documents")
-    rep = position_repeat_lengths(d)
+    rep = shared_span_profile(spark, sf_dir).select(
+        "doc_id", "off", "max_repeat"
+    )
     return (
         rep.groupBy("doc_id")
         .agg(
@@ -1107,10 +1138,17 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned text (scalar, hashable) rather than the full cleaned body —
     the driver compare stays cheap while still pinning the exact output
     bytes."""
-    from ..operators.suffix import exact_substr_removal
+    from ..operators.suffix import apply_cut_spans, doc_token_arrays
+    from ..pin import pin
 
     d = load_table(spark, sf_dir, "documents")
-    out = exact_substr_removal(d, min_len=8)
+    prof = shared_span_profile(spark, sf_dir)
+    spans = prof.where(F.col("max_repeat") >= 8).select(
+        "doc_id",
+        "off",
+        (F.col("off") + F.col("max_repeat")).alias("span_end"),
+    )
+    out = apply_cut_spans(pin(doc_token_arrays(d)), spans)
     return out.select(
         "doc_id",
         "n_tokens",
@@ -1141,9 +1179,12 @@ def decontaminate_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-proportional is ever collected, even though this benchmark
     is a fixed ~1% corpus fraction."""
     d = load_table(spark, sf_dir, "documents")
-    bench = d.where(F.col("doc_id") % 97 == 0)
-    train = d.where(F.col("doc_id") % 97 != 0)
-    return decontam_accounting(train, bench).orderBy("doc_id")
+    prof = shared_span_profile(spark, sf_dir)
+    cross = prof.where(~F.col("is_bench")).select(
+        "doc_id", "off", "cross_repeat"
+    )
+    train_ids = d.where(F.col("doc_id") % 97 != 0).select("doc_id")
+    return _decontam_from_cross(cross, train_ids).orderBy("doc_id")
 
 
 def decontam_accounting(
@@ -1161,6 +1202,15 @@ def decontam_accounting(
     from ..operators.suffix import cross_set_max_spans
 
     cross = cross_set_max_spans(train, bench)
+    return _decontam_from_cross(cross, train.select("doc_id"), min_len)
+
+
+def _decontam_from_cross(
+    cross: DataFrame, train_ids: DataFrame, min_len: int = 8
+) -> DataFrame:
+    """Fold a (doc_id, off, cross_repeat) relation into the per-doc
+    accounting — shared by ``decontam_accounting`` (own suffix array)
+    and the registered query (the shared ``shared_span_profile``)."""
     agg = cross.groupBy("doc_id").agg(
         F.max("cross_repeat").cast("long").alias("max_shared_span"),
         F.sum((F.col("cross_repeat") >= min_len).cast("long")).alias(
@@ -1170,7 +1220,7 @@ def decontam_accounting(
         .cast("long")
         .alias("contaminated"),
     )
-    return train.select("doc_id").join(agg, "doc_id", "left").select(
+    return train_ids.join(agg, "doc_id", "left").select(
         "doc_id",
         F.coalesce("max_shared_span", F.lit(0)).alias("max_shared_span"),
         F.coalesce("n_pos_shared8", F.lit(0)).alias("n_pos_shared8"),

@@ -429,3 +429,69 @@ def test_degenerate_corpora(spark):
     # empty corpus: no positions, no crash, no infinite doubling loop
     empty = spark.createDataFrame([], DOCS_SCHEMA)
     assert position_repeat_lengths(empty).count() == 0
+
+
+def test_union_span_profile_shared_semantics(spark):
+    """The shared profile (r10): max_repeat from the UNION suffix array
+    equals position_repeat_lengths over the plain corpus (benchmark id
+    re-namespacing cannot change any LCP), cross_repeat equals the
+    decontamination projection, and the profile-driven cut equals
+    exact_substr_removal bit-for-bit."""
+    from databricks_end_to_end_streaming_spark.operators.suffix import (
+        apply_cut_spans,
+        doc_token_arrays,
+        exact_substr_removal,
+        position_repeat_lengths,
+        union_span_profile,
+    )
+    import pyspark.sql.functions as F
+
+    span = "one two three four five six seven eight nine"
+    docs = {
+        0: f"prefix {span} suffix words here",
+        1: f"{span} repeated opener",
+        2: "clean document with no shared spans at all",
+        3: f"bench doc carrying {span} inside",
+        4: "short",
+        5: "",
+    }
+    d = _spark_docs(spark, docs)
+    train = d.where(F.col("doc_id") % 3 != 0)
+    bench = d.where(F.col("doc_id") % 3 == 0)
+    prof = union_span_profile(train, bench)
+    prof.persist()
+    try:
+        # 1. max_repeat over ALL rows == the plain-corpus repeat profile
+        got_rep = {
+            (r.doc_id, r.off): r.max_repeat for r in prof.collect()
+        }
+        want_rep = {
+            (r.doc_id, r.off): r.max_repeat
+            for r in position_repeat_lengths(d).collect()
+        }
+        assert got_rep == want_rep
+        # 2. the profile-driven cut == exact_substr_removal, all columns
+        spans = prof.where(F.col("max_repeat") >= 8).select(
+            "doc_id",
+            "off",
+            (F.col("off") + F.col("max_repeat")).alias("span_end"),
+        )
+        got_cut = sorted(
+            map(tuple, apply_cut_spans(
+                doc_token_arrays(d), spans
+            ).collect())
+        )
+        want_cut = sorted(map(tuple, exact_substr_removal(d).collect()))
+        assert got_cut == want_cut
+        # the 9-token span was actually cut from all three carriers
+        removed = {r[0]: r[2] for r in got_cut}
+        assert removed[0] == 9 and removed[1] == 9 and removed[3] == 9
+        # 3. bench rows carry NULL cross_repeat, train rows non-null
+        assert prof.where(
+            F.col("is_bench") & F.col("cross_repeat").isNotNull()
+        ).count() == 0
+        assert prof.where(
+            ~F.col("is_bench") & F.col("cross_repeat").isNull()
+        ).count() == 0
+    finally:
+        prof.unpersist()
