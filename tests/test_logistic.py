@@ -103,3 +103,8 @@ def test_heldout_logistic_not_below_centroid(spark):
     row = logistic_quality_eval(spark, SF_DIR).first()
     assert row["n_eval"] > 0
     assert row["logistic_accuracy"] >= row["centroid_accuracy"], row
+    # r10 ablation honesty: the hashed slots ALONE must beat a coin flip
+    # by a wide margin (real signal), and cannot exceed the augmented
+    # model that contains them plus the centroid margin
+    assert row["ablation_accuracy"] >= 0.75, row
+    assert row["ablation_accuracy"] <= row["logistic_accuracy"], row
