@@ -239,6 +239,8 @@ NEW_OP_QUERIES = [
     "logistic_quality_eval",
     "decontaminate_exact_substr",
     "dedup_pipeline_lee2022",
+    # round-10 additions
+    "warc_ingest_accounting",
 ]
 
 

@@ -82,7 +82,7 @@ PLAN_QUERIES = [
     ("leakage_safe_group_split", "stateless md5(source) map + 3-row aggregate; zero wide shuffles"),
     ("range_frame_trailing_stats", "true RANGE frame in microsecond int math: one user exchange + sort, two-pointer sliding frame"),
     ("gapfill_hourly_event_series", "generated calendar spine (1-row bounds -> sequence explode) LEFT-joined by the hourly rollup"),
-    ("sa_repeated_span_stats", "escalating window-sort suffix array: one range sort at W=8, then active-only re-sorts; LCP = rank self-join + deep-tail windows"),
+    ("sa_repeated_span_stats", "escalating window-sort suffix array: one range sort at W=16, then active-only re-sorts; LCP = rank self-join + deep-tail windows; r10: consumed via the shared pinned span profile"),
     ("copurchase_graph_triangles", "mutual top-K graph (degree <= K by construction) -> two equi-joins enumerate each triangle once"),
     ("rfm_customer_scores", "customer collapse in ONE partial agg; 3 range-partitioned global ranks over the aggregate only"),
     ("containment_dedup_removal", "sketch-join pairs -> strict total drop order (set size, id) -> tiny broadcast drop list onto per-source counts"),
@@ -125,7 +125,8 @@ PLAN_QUERIES = [
     ("video_temporal_neardup", "per-frame Arrow hashing (payload dropped at the hash) -> banded chunk self-join on composite (video,frame) ids -> two partial-agg alignment votes; pixels never shuffle"),
     ("exact_substr_cut", "ExactSubstr cut tail: per-doc running-max coverage window over the pinned repeat profile -> merged-interval collapse -> per-row HOF token filter (map-only reconstruction)"),
     ("url_registered_domain_idn", "punycode pandas UDF on the DISTINCT-domain relation only (never per-doc) -> label-suffix explode -> broadcast 9.5k-rule PSL join"),
-    ("decontaminate_exact_substr", "cross-set decontamination tail: vectorized searchsorted segment ids -> two segmented running-min windows -> per-doc partial agg + every-doc left join (suffix stages pinned upstream)"),
+    ("decontaminate_exact_substr", "cross-set decontamination tail: per-doc partial agg + every-doc left join over the SHARED pinned span profile (segment ids derived distributively upstream — range-partitioned running benchmark count)"),
+    ("warc_ingest_accounting", "WARC first mile: binaryFile segment scan -> mapInPandas record split -> per-type partial aggs (HTTP body split + WET extraction as map-only string work)"),
     ("dedup_pipeline_lee2022", "NearDup anti-join feeds the ExactSubstr cut; accounting = three 1-row aggregates (stage 1 reuses the cut's n_tokens, no second tokenize)"),
 ]
 
