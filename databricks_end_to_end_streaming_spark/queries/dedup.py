@@ -1139,7 +1139,6 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver compare stays cheap while still pinning the exact output
     bytes."""
     from ..operators.suffix import apply_cut_spans, doc_token_arrays
-    from ..pin import pin
 
     d = load_table(spark, sf_dir, "documents")
     prof = shared_span_profile(spark, sf_dir)

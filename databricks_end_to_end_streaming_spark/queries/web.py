@@ -804,6 +804,14 @@ def synthesize_warc_corpus(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(
         root, ".scratch", f"warc_{os.path.basename(os.path.normpath(sf_dir))}"
     )
+    # purge stale output first: re-synthesis after a corpus or
+    # segment-count change overwrites only the segments it now produces,
+    # and read_warc_files globs the whole directory — a leftover
+    # segment from an older configuration would be read back as live
+    # records and break the oracle match
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     rows = with_html(with_url(load_table(spark, sf_dir, "documents"))).select(
         (F.col("doc_id") % N_WARC_SEGMENTS).cast("int").alias("seg"),
         "doc_id",

@@ -162,7 +162,14 @@ def read_warc_files(spark, path: str) -> DataFrame:
     files_df = (
         spark.read.format("binaryFile")
         .load(path)
-        .where("path LIKE '%.warc%' OR path LIKE '%.wet%'")
+        # suffix match, not substring: '%.warc%' would also load the
+        # writer's '.tmp' staging files (defeating the atomic-rename
+        # protocol) — a truncated tmp would kill the read and a
+        # complete one would double-count its segment
+        .where(
+            "path LIKE '%.warc' OR path LIKE '%.warc.gz'"
+            " OR path LIKE '%.wet' OR path LIKE '%.wet.gz'"
+        )
         .select("path", "content")
     )
 

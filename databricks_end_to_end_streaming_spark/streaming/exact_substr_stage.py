@@ -51,8 +51,12 @@ verification). Per batch: one map pass over the batch, one broadcast-
 filtered index scan (matching-mass flows on, not the index), window
 re-slicing bounded by candidate occurrences, and dictionary-sized
 group-bys on the verified window strings. Nothing corpus-quadratic;
-nothing corpus-sized collected. Precondition: doc_id is unique across
-the stream (same contract as every other dedup stage).
+nothing corpus-sized collected. Preconditions: doc_id is unique across
+the stream (same contract as every other dedup stage), and ONE
+``min_len`` configuration per table set — the gram index is
+width-specific, so mixing widths would break candidate detection; the
+cut log stamps each row's ``min_len`` so the fold at least can never
+silently disagree with the width the batches ran at.
 """
 
 from __future__ import annotations
@@ -177,7 +181,13 @@ def exact_substr_batch(
             )
 
         cuts_table.idempotent_append(
-            covered.withColumn("_batch_id", F.lit(batch_id)),
+            # min_len rides on every cut row so the FOLD is
+            # self-describing: cleaned_from_log derives span_end from
+            # the logged width instead of trusting a second call site
+            # to repeat the stage's configuration
+            covered.withColumn("min_len", F.lit(min_len)).withColumn(
+                "_batch_id", F.lit(batch_id)
+            ),
             f"batchid={batch_id}/role=cuts",
         )
         gram_table.idempotent_append(
@@ -198,14 +208,16 @@ def cleaned_from_log(
     spark: SparkSession,
     docs_table: ParquetTable,
     cuts_table: ParquetTable,
-    min_len: int = DEFAULT_MIN_LEN,
     text_col: str = "text",
 ) -> DataFrame:
     """The folded view: (doc_id, n_tokens, n_removed, cleaned_text) for
     every ingested document, with the accumulated cut spans applied
     through the batch operator's own ``apply_cut_spans`` — bit-for-bit
     ``exact_substr_removal`` over the union corpus. Replays fold away:
-    doc rows are deduplicated by doc_id, cut rows by (doc_id, off)."""
+    doc rows are deduplicated by doc_id, cut rows by (doc_id, off).
+    The cut width comes from each logged row's ``min_len`` column (the
+    stage stamps it), so the fold cannot silently disagree with the
+    configuration the batches were driven at."""
     docs = (
         docs_table.read(spark)
         .select("doc_id", text_col)
@@ -215,9 +227,10 @@ def cleaned_from_log(
     if cuts_table.exists():
         spans = (
             cuts_table.read(spark)
-            .select("doc_id", "off")
+            .select("doc_id", "off", "min_len")
             .dropDuplicates()
-            .withColumn("span_end", F.col("off") + F.lit(min_len))
+            .withColumn("span_end", F.col("off") + F.col("min_len"))
+            .drop("min_len")
         )
     else:
         spans = spark.createDataFrame(
