@@ -841,6 +841,11 @@ def docs_from_warc_responses(recs: DataFrame) -> DataFrame:
             .cast("long")
             .alias("doc_id"),
             F.col("target_uri").alias("url"),
+            # the synthesis places lang in the URI path — recovered here
+            # so the (domain, lang) accounting stage can group on it
+            F.regexp_extract("target_uri", r"/docs/([^/]+)/", 1).alias(
+                "lang"
+            ),
             ex.alias("text"),
         )
         .withColumn("domain", norm_domain())

@@ -151,27 +151,26 @@ def parse_warc(data: bytes) -> list[dict]:
 # ------------------------------------------------------------- reader
 
 
-def read_warc_files(spark, path: str) -> DataFrame:
-    """Distributed WARC/WET directory read: whole segment files to
-    executors via ``binaryFile``, record split in Arrow-batched
-    ``mapInPandas``. One output row per record; ``block`` stays an
-    opaque binary column (the multimodal-column discipline — downstream
-    decides how to decode it)."""
-    import pandas as pd
+# suffix match, not substring: '%.warc%' would also load the writer's
+# '.tmp' staging files (defeating the atomic-rename protocol) — a
+# truncated tmp would kill the read and a complete one would
+# double-count its segment
+_SEGMENT_FILTER = (
+    "path LIKE '%.warc' OR path LIKE '%.warc.gz'"
+    " OR path LIKE '%.wet' OR path LIKE '%.wet.gz'"
+)
 
-    files_df = (
-        spark.read.format("binaryFile")
-        .load(path)
-        # suffix match, not substring: '%.warc%' would also load the
-        # writer's '.tmp' staging files (defeating the atomic-rename
-        # protocol) — a truncated tmp would kill the read and a
-        # complete one would double-count its segment
-        .where(
-            "path LIKE '%.warc' OR path LIKE '%.warc.gz'"
-            " OR path LIKE '%.wet' OR path LIKE '%.wet.gz'"
-        )
-        .select("path", "content")
-    )
+#: binaryFile's fixed schema — the STREAMING source requires it spelled
+#: out (file-stream sources don't infer)
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def _split_records(files_df: DataFrame) -> DataFrame:
+    """(path, content) -> one row per WARC record; shared by the batch
+    and streaming readers so the two can never frame differently."""
+    import pandas as pd
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -194,6 +193,63 @@ def read_warc_files(spark, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files_df.mapInPandas(mapper, schema=READ_SCHEMA)
+
+
+def read_warc_files(spark, path: str) -> DataFrame:
+    """Distributed WARC/WET directory read: whole segment files to
+    executors via ``binaryFile``, record split in Arrow-batched
+    ``mapInPandas``. One output row per record; ``block`` stays an
+    opaque binary column (the multimodal-column discipline — downstream
+    decides how to decode it)."""
+    files_df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .where(_SEGMENT_FILTER)
+        .select("path", "content")
+    )
+    return _split_records(files_df)
+
+
+def stream_warc_files(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``read_warc_files``: a ``binaryFile``
+    file-stream of segment files — the trigger unit is WHOLE segments
+    (the natural WARC granularity; crawls land segment files, not
+    records), split through the same record mapper. Feeds
+    ``streaming/warc_stage.py``'s incremental first mile."""
+    reader = spark.readStream.format("binaryFile").schema(
+        BINARY_FILE_SCHEMA
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    files_df = (
+        reader.load(path).where(_SEGMENT_FILTER).select("path", "content")
+    )
+    return _split_records(files_df)
+
+
+def wet_conversion_rows(
+    docs: DataFrame,
+    n_segments: int = 4,
+    text_col: str = "text",
+    uri_col: str = "url",
+) -> DataFrame:
+    """Writer-shaped rows for a WET EXPORT: each document becomes one
+    ``conversion`` record (Content-Type text/plain — the Common Crawl
+    WET profile) carrying its extracted text as the block. Compose with
+    ``write_warc_segments`` to round-trip a cleaned corpus back into
+    the archive format downstream tools consume."""
+    return docs.select(
+        (F.col("doc_id") % n_segments).cast("int").alias("seg"),
+        "doc_id",
+        F.lit("conversion").alias("warc_type"),
+        F.col(uri_col).alias("target_uri"),
+        F.lit("text/plain").alias("content_type"),
+        F.col(text_col).cast("binary").alias("block"),
+    )
 
 
 def http_response_body(block_col: F.Column | str = "block") -> F.Column:

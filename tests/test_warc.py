@@ -141,6 +141,7 @@ def test_funnel_from_warc_equals_in_memory_funnel(spark):
     mem_docs = mem.select(
         "doc_id",
         "url",
+        "lang",
         extract_text(F.col("html")).alias("text"),
     ).withColumn(
         "domain",
@@ -158,4 +159,80 @@ def test_funnel_from_warc_equals_in_memory_funnel(spark):
     # sanity: the WARC relation itself matches the in-memory one
     assert sorted(map(tuple, warc_docs.collect())) == sorted(
         map(tuple, mem_docs.select(*warc_docs.columns).collect())
+    )
+
+
+def test_streaming_first_mile_and_wet_export(spark, workdir):
+    """The incremental first mile: stream the synthesized segments one
+    file per trigger, and prove (a) the drained docs log equals the
+    batch-read derivation, (b) the folded (domain, lang) accounting
+    equals the batch rollup over the same docs, (c) a WET export of the
+    cleaned text round-trips bit-for-bit."""
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        domain_lang_partials,
+    )
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.streaming.warc_stage import (
+        warc_docs_from_log,
+        warc_first_mile_stage,
+        warc_ingest_batch,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.web_stage import (
+        domain_accounting_from_log,
+    )
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        domain_accounting_rollup,
+    )
+    from databricks_end_to_end_streaming_spark.sources.warc import (
+        stream_warc_files,
+        wet_conversion_rows,
+    )
+
+    path = synthesize_warc_corpus(spark, SF_DIR)
+    d_t = ParquetTable(f"{workdir}/docs")
+    p_t = ParquetTable(f"{workdir}/partials")
+    source = stream_warc_files(spark, path, max_files_per_trigger=1)
+    warc_first_mile_stage(source, d_t, p_t, f"{workdir}/ckpt")
+
+    batch_docs = docs_from_warc_responses(read_warc_files(spark, path))
+    got_docs = sorted(map(tuple, warc_docs_from_log(spark, d_t).collect()))
+    want_docs = sorted(map(tuple, batch_docs.collect()))
+    assert got_docs == want_docs and len(got_docs) == 500
+
+    got_acc = sorted(
+        map(tuple, domain_accounting_from_log(spark, p_t).collect())
+    )
+    want_acc = sorted(
+        map(
+            tuple,
+            domain_accounting_rollup(
+                domain_lang_partials(batch_docs)
+            ).collect(),
+        )
+    )
+    assert got_acc == want_acc
+    # replay a middle batch verbatim: the token'd appends must no-op
+    recs = read_warc_files(spark, path).where(
+        "segment = 'segment-00001.warc.gz'"
+    )
+    warc_ingest_batch(recs, d_t, p_t, 1)
+    assert sorted(
+        map(tuple, domain_accounting_from_log(spark, p_t).collect())
+    ) == got_acc
+
+    # WET export of the parsed text, read back through the same reader
+    wet_dir = f"{workdir}/wet"
+    write_warc_segments(wet_conversion_rows(batch_docs), wet_dir)
+    back = (
+        read_warc_files(spark, wet_dir)
+        .where("warc_type = 'conversion'")
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)(\?|$)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("block").cast("string").alias("text"),
+        )
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, batch_docs.select("doc_id", "text").collect())
     )
