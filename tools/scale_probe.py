@@ -75,6 +75,8 @@ PROBES = [
     "url_registered_domain_psl",  # re-probe under the full 9.5k-rule PSL
     "decontaminate_exact_substr",
     "dedup_pipeline_lee2022",
+    # round-10 additions
+    "warc_ingest_accounting",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
