@@ -923,6 +923,64 @@ def exact_substr_removal(
     return apply_cut_spans(arrays, spans)
 
 
+def window_expr(off: F.Column | str, w: int) -> F.Column:
+    """NUL-joined width-``w`` token window starting at 0-based ``off``
+    of the ``toks`` array — the _grams encoding (injective: _norm strips
+    NUL from real text), full width only (callers bound ``off`` so the
+    window never reaches the sentinel)."""
+    o = F.col(off) if isinstance(off, str) else off
+    return F.concat_ws(SENTINEL_PREFIX, F.slice("toks", o + 1, w))
+
+
+def gram_occurrences(arrays: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, off, gram, h): every full-width ``min_len``-token window
+    of every document. Docs shorter than ``min_len`` real tokens emit
+    nothing (the sequence() guard — ``sequence(0, -1)`` would DESCEND).
+    Map-only from the pinned array relation. Shared by the incremental
+    stage (streaming/exact_substr_stage.py) and the gram-based batch
+    cut below."""
+    offs = F.expr(
+        f"if(size(toks) - 1 >= {min_len},"
+        f" sequence(0, size(toks) - 1 - {min_len}), array())"
+    )
+    return (
+        arrays.select("doc_id", "toks", F.explode(offs).alias("off"))
+        .withColumn("gram", window_expr("off", min_len))
+        .select("doc_id", "off", "gram", F.xxhash64("gram").alias("h"))
+    )
+
+
+def exact_substr_removal_grams(
+    docs: DataFrame, text_col: str = "text", min_len: int = 8
+) -> DataFrame:
+    """The SAME cut as ``exact_substr_removal`` via the duplicated-
+    L-window factorization (equivalence proof in
+    streaming/exact_substr_stage.py's module docstring: a position is
+    inside a repeated span of length >= L iff it is covered by some
+    width-EXACTLY-L window occurring at >= 2 distinct (doc, off) sites)
+    — ONE gram-keyed aggregation + one join instead of suffix-array
+    construction. This is the right Spark plan when only the CUT at a
+    fixed threshold is needed (the Lee-2022 pipeline's stage 2); the
+    suffix array remains the tool for variable-length span PROFILING
+    (``sa_repeated_span_stats``' length statistics, the cross-set
+    decontamination lengths), which fixed-width windows cannot report.
+    Exactness is string-level (grouping on the gram itself, never the
+    hash); pytest-pinned equal to the SA path on planted and randomized
+    corpora."""
+    arrays = pin(doc_token_arrays(docs, text_col))
+    occ = gram_occurrences(arrays, min_len).drop("h")
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    spans = occ.join(dup, "gram").select(
+        "doc_id", "off", (F.col("off") + F.lit(min_len)).alias("span_end")
+    )
+    return apply_cut_spans(arrays, spans)
+
+
 def apply_cut_spans(arrays: DataFrame, spans: DataFrame) -> DataFrame:
     """Reconstruction shared by ``exact_substr_removal`` and the
     incremental stage (streaming/exact_substr_stage.py): given the

@@ -1244,8 +1244,13 @@ def dedup_pipeline_lee2022(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-stage exact accounting (stage, n_docs, n_tokens) in the
     suffix machinery's normalized token space — the shrinkage report a
     dedup run hands its operator. Scale shape: stage 1 is the banded
-    LSH chain (never O(n^2)) + an anti-join; stage 2 inherits the
-    suffix loop's duplicate-mass bounds; the accounting is three 1-row
+    LSH chain (never O(n^2)) + an anti-join; stage 2 uses the
+    duplicated-L-window factorization (``exact_substr_removal_grams``
+    — ONE gram-keyed aggregation, r10; bit-identical to the suffix-array
+    cut, pytest-pinned) because the pipeline only needs the CUT at the
+    fixed threshold, not variable-length span statistics — and because
+    its input is the post-NearDup survivor corpus, so it cannot reuse
+    the shared full-corpus span profile; the accounting is three 1-row
     aggregates.
 
     Honest corpus note: on the driver's synthetic documents ALL
@@ -1255,7 +1260,10 @@ def dedup_pipeline_lee2022(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap but are not redundant; the pytest proves stage 2 fires when
     a repeated span crosses docs that are NOT near-dups of each other
     (tests/test_suffix.py::test_lee2022_pipeline_stage_accounting)."""
-    from ..operators.suffix import doc_token_arrays, exact_substr_removal
+    from ..operators.suffix import (
+        doc_token_arrays,
+        exact_substr_removal_grams,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     sel = canonical_selection(d)
@@ -1264,7 +1272,7 @@ def dedup_pipeline_lee2022(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_anti",
     )
-    cut = exact_substr_removal(survivors, min_len=8)
+    cut = exact_substr_removal_grams(survivors, min_len=8)
 
     def stage_row(label: str, rel: DataFrame, tokens: F.Column) -> DataFrame:
         return rel.agg(

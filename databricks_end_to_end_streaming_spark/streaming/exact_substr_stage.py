@@ -65,39 +65,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.suffix import (
-    SENTINEL_PREFIX,
     apply_cut_spans,
     doc_token_arrays,
+    gram_occurrences,
+    window_expr,
 )
 from ..pin import pin
 from .sinks import ParquetTable, exclude_batch
 
 DEFAULT_MIN_LEN = 8
-
-
-def _window_expr(off: F.Column | str, w: int) -> F.Column:
-    """NUL-joined width-``w`` token window starting at 0-based ``off``
-    of the pinned ``toks`` array — the _grams encoding (injective:
-    _norm strips NUL from real text), full-width only (callers bound
-    ``off`` so the window never reaches the sentinel)."""
-    o = F.col(off) if isinstance(off, str) else off
-    return F.concat_ws(SENTINEL_PREFIX, F.slice("toks", o + 1, w))
-
-
-def gram_occurrences(arrays: DataFrame, min_len: int) -> DataFrame:
-    """(doc_id, off, gram, h): every full-width ``min_len``-token window
-    of every document. Docs shorter than ``min_len`` real tokens emit
-    nothing (the sequence() guard — ``sequence(0, -1)`` would DESCEND).
-    Map-only from the pinned array relation."""
-    offs = F.expr(
-        f"if(size(toks) - 1 >= {min_len},"
-        f" sequence(0, size(toks) - 1 - {min_len}), array())"
-    )
-    return (
-        arrays.select("doc_id", "toks", F.explode(offs).alias("off"))
-        .withColumn("gram", _window_expr("off", min_len))
-        .select("doc_id", "off", "gram", F.xxhash64("gram").alias("h"))
-    )
 
 
 def exact_substr_batch(
@@ -148,7 +124,7 @@ def exact_substr_batch(
                             "offs",
                             lambda o: F.struct(
                                 o.alias("off"),
-                                _window_expr(o, min_len).alias("gram"),
+                                window_expr(o, min_len).alias("gram"),
                             ),
                         )
                     ).alias("x"),

@@ -495,3 +495,42 @@ def test_union_span_profile_shared_semantics(spark):
         ).count() == 0
     finally:
         prof.unpersist()
+
+
+def test_gram_cut_equals_suffix_cut(spark):
+    """The r10 gram-based batch cut: exact_substr_removal_grams ==
+    exact_substr_removal on planted AND randomized corpora (the
+    duplicated-L-window factorization, all columns incl. cleaned
+    text)."""
+    import random
+
+    from databricks_end_to_end_streaming_spark.operators.suffix import (
+        exact_substr_removal,
+        exact_substr_removal_grams,
+    )
+
+    span = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    docs = {
+        0: f"x {span} y",
+        1: f"{span} z",
+        2: "nothing shared in this one at all",
+        3: f"w1 w2 w3 w4 w5 w6 w7 w8 middle w1 w2 w3 w4 w5 w6 w7 w8",
+        4: "short",
+        5: "",
+    }
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(30)]
+    base = [rng.choice(vocab) for _ in range(60)]
+    for i in range(6, 16):  # random docs sharing random slices
+        s = rng.randrange(0, 40)
+        docs[i] = " ".join(
+            base[s : s + rng.randrange(4, 20)]
+            + [rng.choice(vocab) for _ in range(rng.randrange(0, 10))]
+        )
+    d = _spark_docs(spark, docs)
+    got = sorted(map(tuple, exact_substr_removal_grams(d).collect()))
+    want = sorted(map(tuple, exact_substr_removal(d).collect()))
+    assert got == want
+    removed = {r[0]: r[2] for r in got}
+    assert removed[0] == 10 and removed[1] == 10  # cross-doc span cut
+    assert removed[3] == 16  # within-doc repeat cut (both copies)
