@@ -1227,9 +1227,83 @@ def _decontam_from_cross(
     )
 
 
-@query("dedup_pipeline_lee2022")  # rows-only: stage 2 is the suffix-array
-# cut (no tractable SQL replay); stage semantics are pytest-pinned on a
-# constructed corpus (tests/test_suffix.py::test_lee2022_pipeline*)
+@query(
+    "dedup_pipeline_lee2022",
+    # HASH-ORACLED since r10 (was rows-only): the gram-based stage 2
+    # made the whole pipeline SQL-replayable. The oracle reuses the
+    # exact reachability CTE (cluster ground truth), picks canonicals
+    # with the same total order, and replays the duplicated-8-window
+    # coverage count over survivors in the suffix-normalized token
+    # space (space-joined grams — injective over space-free non-empty
+    # tokens, hence the same equivalence classes as Spark's NUL-joined
+    # encoding). Stage semantics additionally pytest-pinned
+    # (tests/test_suffix.py::test_lee2022_pipeline*).
+    oracle=_REACH_CTE
+    + f"""
+    , rawtok AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT comp.doc_id, row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM comp JOIN rawtok USING (doc_id)
+    ), dropped AS (
+      SELECT doc_id FROM ranked WHERE rn <> 1
+    ), normtok AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), surv AS (
+      SELECT n.* FROM normtok n ANTI JOIN dropped USING (doc_id)
+    ), gstart AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+      FROM surv
+    ), grams AS (
+      SELECT doc_id, i - 1 AS off,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM gstart
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ), dup_occ AS (
+      SELECT g.doc_id, g.off FROM grams g JOIN dup USING (gram)
+    ), sweep AS (
+      -- interval-union length per doc via a sweep line: each width-8
+      -- interval contributes its part past the running max reach of
+      -- the intervals before it (clamped at 0 when contained) — no
+      -- per-position explosion, occurrence-count-bounded
+      SELECT doc_id, off,
+             max(off + 8) OVER (PARTITION BY doc_id ORDER BY off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_reach
+      FROM dup_occ
+    ), covered AS (
+      SELECT coalesce(sum(greatest(
+               off + 8 - greatest(off, coalesce(prev_reach, off)), 0)),
+             0) AS n
+      FROM sweep
+    )
+    SELECT '0_raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+    FROM normtok
+    UNION ALL
+    SELECT '1_neardup',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(len(toks)), 0) AS BIGINT)
+    FROM surv
+    UNION ALL
+    SELECT '2_exact_substr',
+           CAST((SELECT count(*) FROM surv) AS BIGINT),
+           CAST((SELECT coalesce(sum(len(toks)), 0) FROM surv)
+                - (SELECT n FROM covered) AS BIGINT)
+    """,
+)
 def dedup_pipeline_lee2022(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE Lee et al. 2022 dedup recipe, composed end-to-end —
     the two methods the paper applies in sequence, as one pipeline:

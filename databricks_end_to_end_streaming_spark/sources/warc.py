@@ -241,14 +241,21 @@ def wet_conversion_rows(
     ``conversion`` record (Content-Type text/plain — the Common Crawl
     WET profile) carrying its extracted text as the block. Compose with
     ``write_warc_segments`` to round-trip a cleaned corpus back into
-    the archive format downstream tools consume."""
+    the archive format downstream tools consume (pass
+    ``extension='.wet.gz'`` to the writer so the export carries the WET
+    name the reader's own suffix filter distinguishes). NULL text (a
+    response block with no blank line makes the extraction NULL on real
+    data) exports as an EMPTY block rather than crashing the writer
+    deep inside a Python worker; NULL uris likewise."""
     return docs.select(
         (F.col("doc_id") % n_segments).cast("int").alias("seg"),
         "doc_id",
         F.lit("conversion").alias("warc_type"),
-        F.col(uri_col).alias("target_uri"),
+        F.coalesce(F.col(uri_col), F.lit("")).alias("target_uri"),
         F.lit("text/plain").alias("content_type"),
-        F.col(text_col).cast("binary").alias("block"),
+        F.coalesce(F.col(text_col), F.lit(""))
+        .cast("binary")
+        .alias("block"),
     )
 
 
@@ -268,6 +275,7 @@ def write_warc_segments(
     path: str,
     compress: bool = True,
     date: str = "2024-01-01T00:00:00Z",
+    extension: str | None = None,
 ) -> int:
     """Executor-side segment writer: input rows
     (seg int, doc_id long, warc_type string, target_uri string,
@@ -285,7 +293,9 @@ def write_warc_segments(
     def _gz(b: bytes) -> bytes:
         return gzip.compress(b, 9, mtime=0) if compress else b
 
-    ext = ".warc.gz" if compress else ".warc"
+    # extension override: a WET export should land as .wet[.gz] so
+    # suffix-based consumers (including _SEGMENT_FILTER) classify it
+    ext = extension or (".warc.gz" if compress else ".warc")
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["seg"].iloc[0])

@@ -37,9 +37,12 @@ def warc_ingest_batch(
 ) -> None:
     """One micro-batch of parsed WARC records through the first mile.
     Callable directly so pytest can drive replays without a stream."""
-    records_df.persist()
+    # persist the DERIVED docs relation, not the raw records: both
+    # appends consume it, and the HTTP split + extraction regex chain
+    # is the expensive map work — caching upstream would run it twice
+    docs = docs_from_warc_responses(records_df)
+    docs.persist()
     try:
-        docs = docs_from_warc_responses(records_df)
         docs_table.idempotent_append(
             docs.withColumn("_batch_id", F.lit(batch_id)),
             f"batchid={batch_id}/role=warcdocs",
@@ -51,7 +54,7 @@ def warc_ingest_batch(
             f"batchid={batch_id}/role=domains",
         )
     finally:
-        records_df.unpersist()
+        docs.unpersist()
 
 
 def warc_docs_from_log(

@@ -169,6 +169,7 @@ def test_streaming_first_mile_and_wet_export(spark, workdir):
     equals the batch rollup over the same docs, (c) a WET export of the
     cleaned text round-trips bit-for-bit."""
     from databricks_end_to_end_streaming_spark.queries.web import (
+        domain_accounting_rollup,
         domain_lang_partials,
     )
     from databricks_end_to_end_streaming_spark.streaming import ParquetTable
@@ -179,9 +180,6 @@ def test_streaming_first_mile_and_wet_export(spark, workdir):
     )
     from databricks_end_to_end_streaming_spark.streaming.web_stage import (
         domain_accounting_from_log,
-    )
-    from databricks_end_to_end_streaming_spark.queries.web import (
-        domain_accounting_rollup,
     )
     from databricks_end_to_end_streaming_spark.sources.warc import (
         stream_warc_files,
@@ -211,18 +209,32 @@ def test_streaming_first_mile_and_wet_export(spark, workdir):
         )
     )
     assert got_acc == want_acc
-    # replay a middle batch verbatim: the token'd appends must no-op
+    # replay batch 1 VERBATIM — its contents come from the docs log's
+    # own _batch_id (the file stream orders segments by mtime, which is
+    # not guaranteed to follow segment numbering), so this replays
+    # exactly what batch 1 actually processed; token'd appends no-op
+    b1_ids = [
+        r["doc_id"]
+        for r in d_t.read(spark).where("_batch_id = 1").select("doc_id").collect()
+    ]
+    assert b1_ids  # four segments -> batch 1 exists and is non-empty
     recs = read_warc_files(spark, path).where(
-        "segment = 'segment-00001.warc.gz'"
+        F.regexp_extract("target_uri", r"/(\d+)(\?|$)", 1)
+        .cast("long")
+        .isin(b1_ids)
     )
     warc_ingest_batch(recs, d_t, p_t, 1)
     assert sorted(
         map(tuple, domain_accounting_from_log(spark, p_t).collect())
     ) == got_acc
 
-    # WET export of the parsed text, read back through the same reader
+    # WET export of the parsed text (as .wet.gz — the profile's own
+    # extension), read back through the same reader
     wet_dir = f"{workdir}/wet"
-    write_warc_segments(wet_conversion_rows(batch_docs), wet_dir)
+    write_warc_segments(
+        wet_conversion_rows(batch_docs), wet_dir, extension=".wet.gz"
+    )
+    assert glob.glob(f"{wet_dir}/*.wet.gz")
     back = (
         read_warc_files(spark, wet_dir)
         .where("warc_type = 'conversion'")
