@@ -1126,9 +1126,77 @@ def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("exact_substr_cut")  # rows-only: the suffix-array cut has no
-# tractable SQL replay (quadratic); exactness is pytest-pinned against a
-# sequential reference (tests/test_suffix.py::test_exact_substr_removal*)
+@query(
+    "exact_substr_cut",
+    # HASH-ORACLED since r10 (was rows-only): the duplicated-L-window
+    # factorization (streaming/exact_substr_stage.py's equivalence
+    # proof) lets DuckDB replay the cut exactly — duplicated 8-window
+    # occurrences, sweep-line island merge into intervals, NOT-EXISTS
+    # token filter, md5 of the reconstructed cleaned text. The Spark
+    # side still derives coverage from the shared suffix-array profile
+    # (maximal repeats), so the hash match re-proves the factorization
+    # on the full corpus every round on top of the sequential-reference
+    # pytest pin (tests/test_suffix.py::test_exact_substr_removal*).
+    oracle="""
+    WITH normtok AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), gstart AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+      FROM normtok
+    ), grams AS (
+      SELECT doc_id, i - 1 AS off,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM gstart
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ), dup_occ AS (
+      SELECT g.doc_id, g.off FROM grams g JOIN dup USING (gram)
+    ), sweep AS (
+      SELECT doc_id, off,
+             coalesce(max(off + 8) OVER (PARTITION BY doc_id ORDER BY off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               AS prev_reach
+      FROM dup_occ
+    ), isl AS (
+      SELECT doc_id, off,
+             sum(CASE WHEN off > prev_reach THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY off) AS island
+      FROM sweep
+    ), ivls AS (
+      SELECT doc_id, island, min(off) AS s, max(off) + 8 AS e
+      FROM isl GROUP BY doc_id, island
+    ), pos AS (
+      SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS off
+      FROM normtok
+    ), kept AS (
+      SELECT p.doc_id, p.off, p.tok
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ivls v
+        WHERE v.doc_id = p.doc_id AND p.off >= v.s AND p.off < v.e
+      )
+    ), rebuilt AS (
+      SELECT doc_id,
+             count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY off) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           CAST(len(n.toks) AS BIGINT) AS n_tokens,
+           CAST(len(n.toks) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(r.cleaned, '')) AS cleaned_md5
+    FROM normtok n LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+)
 def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr removal END-TO-END (Lee et al. 2022 — the operation
     the profile query above only measures): cut every token inside a
