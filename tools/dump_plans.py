@@ -127,7 +127,7 @@ PLAN_QUERIES = [
     ("url_registered_domain_idn", "punycode pandas UDF on the DISTINCT-domain relation only (never per-doc) -> label-suffix explode -> broadcast 9.5k-rule PSL join"),
     ("decontaminate_exact_substr", "cross-set decontamination tail: per-doc partial agg + every-doc left join over the SHARED pinned span profile (segment ids derived distributively upstream — range-partitioned running benchmark count)"),
     ("warc_ingest_accounting", "WARC first mile: binaryFile segment scan -> mapInPandas record split -> per-type partial aggs (HTTP body split + WET extraction as map-only string work)"),
-    ("dedup_pipeline_lee2022", "NearDup anti-join feeds the ExactSubstr cut; accounting = three 1-row aggregates (stage 1 reuses the cut's n_tokens, no second tokenize)"),
+    ("dedup_pipeline_lee2022", "NearDup anti-join feeds the GRAM-based ExactSubstr cut (r10: one gram-keyed agg + coverage reconstruction, no suffix array on the survivor corpus); accounting = three 1-row aggregates"),
 ]
 
 
