@@ -1224,10 +1224,151 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("decontaminate_exact_substr")  # rows-only: suffix-array machinery
-# (quadratic SQL replay); the operator is pytest-pinned against a
-# BRUTE-FORCE cross-set LCP reference, incl. randomized corpora
-# (tests/test_suffix.py::test_cross_set_*)
+@query(
+    "decontaminate_exact_substr",
+    # HASH-ORACLED since r10 (was rows-only): the variable-length max
+    # shared span IS SQL-replayable without the suffix array — any
+    # shared span of length M >= 8 is an 8-window ANCHOR match plus a
+    # token-by-token equality run (LCP from the anchor pair), and the
+    # sub-threshold maxima (the accounting reports exact lengths BELOW
+    # 8 too) come from seven fixed-width window joins. The hash match
+    # therefore re-validates the union suffix array's segmented
+    # range-min machinery against an independent method every round,
+    # on top of the brute-force cross-set pytest
+    # (tests/test_suffix.py::test_cross_set_*).
+    oracle="""
+    WITH normtok AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), train AS (
+      SELECT * FROM normtok WHERE doc_id % 97 <> 0
+    ), bench AS (
+      SELECT * FROM normtok WHERE doc_id % 97 = 0
+    ), t8 AS (
+      SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+            FROM train)
+    ), b8 AS (
+      SELECT doc_id AS bd, i - 1 AS q, array_to_string(toks[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+            FROM bench)
+    ), anchors AS (
+      SELECT t8.doc_id, t8.p, b8.bd, b8.q FROM t8 JOIN b8 USING (g)
+    ), ext AS (
+      -- LCP from each anchor pair: 8 + the run of equal tokens past
+      -- the matched window (first-mismatch position via list_position)
+      SELECT a.doc_id, a.p,
+             -- nullif: this DuckDB's list_position returns 0 (not
+             -- NULL) when no element matches — 0 means "no mismatch
+             -- in the lookahead", i.e. the run covers all of it
+             8 + coalesce(
+               nullif(list_position(
+                 list_transform(
+                   range(1, least(len(tt.toks) - (a.p + 8),
+                                  len(bt.toks) - (a.q + 8)) + 1),
+                   i -> tt.toks[a.p + 8 + i] <> bt.toks[a.q + 8 + i]),
+                 true), 0) - 1,
+               greatest(least(len(tt.toks) - (a.p + 8),
+                              len(bt.toks) - (a.q + 8)), 0)
+             ) AS l
+      FROM anchors a
+      JOIN train tt ON tt.doc_id = a.doc_id
+      JOIN bench bt ON bt.doc_id = a.bd
+    ), agg8 AS (
+      SELECT doc_id, max(l) AS m8, count(DISTINCT p) AS n8
+      FROM ext GROUP BY doc_id
+    ), tw AS (
+      SELECT doc_id, 1 AS w, array_to_string(toks[i:i+0], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 0, 0) + 1)) AS i
+            FROM train)
+      UNION ALL
+      SELECT doc_id, 2 AS w, array_to_string(toks[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+            FROM train)
+      UNION ALL
+      SELECT doc_id, 3 AS w, array_to_string(toks[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+            FROM train)
+      UNION ALL
+      SELECT doc_id, 4 AS w, array_to_string(toks[i:i+3], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
+            FROM train)
+      UNION ALL
+      SELECT doc_id, 5 AS w, array_to_string(toks[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
+            FROM train)
+      UNION ALL
+      SELECT doc_id, 6 AS w, array_to_string(toks[i:i+5], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 5, 0) + 1)) AS i
+            FROM train)
+      UNION ALL
+      SELECT doc_id, 7 AS w, array_to_string(toks[i:i+6], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 6, 0) + 1)) AS i
+            FROM train)
+    ), bw AS (
+      SELECT 1 AS w, array_to_string(toks[i:i+0], ' ') AS g
+      FROM (SELECT toks,
+              unnest(range(1, greatest(len(toks) - 0, 0) + 1)) AS i
+            FROM bench)
+      UNION ALL
+      SELECT 2 AS w, array_to_string(toks[i:i+1], ' ') AS g
+      FROM (SELECT toks,
+              unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+            FROM bench)
+      UNION ALL
+      SELECT 3 AS w, array_to_string(toks[i:i+2], ' ') AS g
+      FROM (SELECT toks,
+              unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+            FROM bench)
+      UNION ALL
+      SELECT 4 AS w, array_to_string(toks[i:i+3], ' ') AS g
+      FROM (SELECT toks,
+              unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
+            FROM bench)
+      UNION ALL
+      SELECT 5 AS w, array_to_string(toks[i:i+4], ' ') AS g
+      FROM (SELECT toks,
+              unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
+            FROM bench)
+      UNION ALL
+      SELECT 6 AS w, array_to_string(toks[i:i+5], ' ') AS g
+      FROM (SELECT toks,
+              unnest(range(1, greatest(len(toks) - 5, 0) + 1)) AS i
+            FROM bench)
+      UNION ALL
+      SELECT 7 AS w, array_to_string(toks[i:i+6], ' ') AS g
+      FROM (SELECT toks,
+              unnest(range(1, greatest(len(toks) - 6, 0) + 1)) AS i
+            FROM bench)
+    ), sub AS (
+      SELECT t.doc_id, max(t.w) AS m
+      FROM tw t JOIN (SELECT DISTINCT w, g FROM bw) b
+        ON t.w = b.w AND t.g = b.g
+      GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(coalesce(a.m8, s.m, 0) AS BIGINT) AS max_shared_span,
+           CAST(coalesce(a.n8, 0) AS BIGINT) AS n_pos_shared8,
+           CAST(CASE WHEN a.m8 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) tr
+    LEFT JOIN agg8 a USING (doc_id)
+    LEFT JOIN sub s USING (doc_id)
+    ORDER BY tr.doc_id
+    """,
+)
 def decontaminate_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length SUBSTRING-level decontamination (Lee et al. 2022
     §6.1): for every training document, the length of the longest
