@@ -46,9 +46,14 @@ nothing quadratic anywhere. All iteration states are pinned
 PageRank).
 
 Exactness is pytest-pinned against a sequential Python suffix array on
-the same tokens (tests/test_suffix.py); there is no tractable SQL
-oracle (the quadratic replay is O(n^2 L)), so the registered query is
-rows-only — the IVF/PQ/HLL discipline.
+the same tokens (tests/test_suffix.py) AND, since r10, hash-oracled:
+the registered consumers (sa_repeated_span_stats, exact_substr_cut,
+decontaminate_exact_substr, dedup_pipeline_lee2022) all carry DuckDB
+oracles built on the duplicated-L-window factorization — duplicated
+8-window anchors + token-run extensions replay every fixed-threshold
+and maximal-length output without building a suffix array, so the
+distributed construction is re-validated against an independent method
+every round.
 """
 
 from __future__ import annotations

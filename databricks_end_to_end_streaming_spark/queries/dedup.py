@@ -1093,10 +1093,107 @@ def shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SPAN_PROFILE_CACHE[key]
 
 
-# rows-only: suffix-array construction has no tractable SQL replay (the
-# quadratic oracle is O(n^2 L)); exactness is pinned in
-# tests/test_suffix.py against a sequential Python suffix array.
-@query("sa_repeated_span_stats")
+# HASH-ORACLED since r10 (was rows-only): same anchor + token-run
+# extension method as decontaminate_exact_substr's oracle, applied
+# CORPUS-INTERNALLY — a maximal repeat of length >= 8 is a duplicated
+# 8-window occurrence pair plus an equality run, and the exact sub-8
+# maxima come from seven fixed-width duplicated-window joins. The hash
+# match re-validates the distributed suffix array end-to-end every
+# round, on top of the sequential-reference pytest.
+@query(
+    "sa_repeated_span_stats",
+    oracle="""
+    WITH normtok AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), g8 AS (
+      SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+            FROM normtok)
+    ), dup8 AS (
+      SELECT g FROM g8 GROUP BY g HAVING count(*) >= 2
+    ), docc AS (
+      SELECT g8.* FROM g8 JOIN dup8 USING (g)
+    ), pairs AS (
+      SELECT a.doc_id, a.p, b.doc_id AS bd, b.p AS q
+      FROM docc a JOIN docc b USING (g)
+      WHERE NOT (a.doc_id = b.doc_id AND a.p = b.p)
+    ), ext AS (
+      SELECT pr.doc_id, pr.p,
+             8 + coalesce(
+               nullif(list_position(
+                 list_transform(
+                   range(1, least(len(ta.toks) - (pr.p + 8),
+                                  len(tb.toks) - (pr.q + 8)) + 1),
+                   i -> ta.toks[pr.p + 8 + i] <> tb.toks[pr.q + 8 + i]),
+                 true), 0) - 1,
+               greatest(least(len(ta.toks) - (pr.p + 8),
+                              len(tb.toks) - (pr.q + 8)), 0)
+             ) AS l
+      FROM pairs pr
+      JOIN normtok ta ON ta.doc_id = pr.doc_id
+      JOIN normtok tb ON tb.doc_id = pr.bd
+    ), agg8 AS (
+      SELECT doc_id, max(l) AS m8, count(DISTINCT p) AS n8
+      FROM ext GROUP BY doc_id
+    ), w17 AS (
+      SELECT doc_id, 1 AS w, array_to_string(toks[i:i+0], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 0, 0) + 1)) AS i
+            FROM normtok)
+      UNION ALL
+      SELECT doc_id, 2 AS w, array_to_string(toks[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+            FROM normtok)
+      UNION ALL
+      SELECT doc_id, 3 AS w, array_to_string(toks[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+            FROM normtok)
+      UNION ALL
+      SELECT doc_id, 4 AS w, array_to_string(toks[i:i+3], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
+            FROM normtok)
+      UNION ALL
+      SELECT doc_id, 5 AS w, array_to_string(toks[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
+            FROM normtok)
+      UNION ALL
+      SELECT doc_id, 6 AS w, array_to_string(toks[i:i+5], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 5, 0) + 1)) AS i
+            FROM normtok)
+      UNION ALL
+      SELECT doc_id, 7 AS w, array_to_string(toks[i:i+6], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - 6, 0) + 1)) AS i
+            FROM normtok)
+    ), dupw AS (
+      SELECT w, g FROM w17 GROUP BY w, g HAVING count(*) >= 2
+    ), sub AS (
+      SELECT t.doc_id, max(t.w) AS m
+      FROM w17 t JOIN dupw USING (w, g) GROUP BY t.doc_id
+    )
+    SELECT n.doc_id,
+           CAST(len(n.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.m8, s.m, 0) AS INTEGER) AS max_repeat_len,
+           CAST(coalesce(a.n8, 0) AS BIGINT) AS n_pos_rep8,
+           CAST(coalesce(a.n8, 0) AS DOUBLE) / len(n.toks)
+             AS repeat8_frac
+    FROM normtok n
+    LEFT JOIN agg8 a USING (doc_id)
+    LEFT JOIN sub s USING (doc_id)
+    WHERE len(n.toks) > 0
+    ORDER BY n.doc_id
+    """,
+)
 def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-substring profile from a DISTRIBUTED suffix
     array (operators/suffix.py, Manber-Myers prefix doubling): for each
