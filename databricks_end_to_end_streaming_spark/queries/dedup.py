@@ -1093,88 +1093,97 @@ def shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SPAN_PROFILE_CACHE[key]
 
 
-# HASH-ORACLED since r10 (was rows-only): same anchor + token-run
-# extension method as decontaminate_exact_substr's oracle, applied
-# CORPUS-INTERNALLY — a maximal repeat of length >= 8 is a duplicated
-# 8-window occurrence pair plus an equality run, and the exact sub-8
-# maxima come from seven fixed-width duplicated-window joins. The hash
-# match re-validates the distributed suffix array end-to-end every
-# round, on top of the sequential-reference pytest.
-@query(
-    "sa_repeated_span_stats",
-    oracle="""
-    WITH normtok AS (
-      SELECT doc_id,
-             list_filter(string_split(
-               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
-               t -> t <> '') AS toks
-      FROM documents
-    ), g8 AS (
-      SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS g
+
+# ---------------- shared SQL builders for the suffix-family oracles ----
+# One definition of the suffix token space and the anchor-extension
+# machinery, consumed by all four oracles below — a tokenizer or
+# extension change edits ONE place (r10 review: the seven-arm window
+# CTE and the normtok/ext CTEs were previously copy-pasted).
+
+#: the suffix machinery's normalized token space, NUL-strip included
+#: (operators/suffix.py _norm strips chr(0) BEFORE whitespace collapse
+#: so pathological tokens can't collide with sentinels — the oracle
+#: must tokenize identically or texts containing NUL would hash-diverge)
+_SUFFIX_TOKS_SQL = (
+    "list_filter(string_split(lower(regexp_replace("
+    "replace(text, chr(0), ''), '\\s+', ' ', 'g')), ' '),"
+    " t -> t <> '')"
+)
+
+
+def _wgram_arms_sql(src: str, lead: str) -> str:
+    """Seven UNION ALL arms of width-1..7 window rows over ``src``
+    (which must expose doc_id + toks). ``lead`` is the per-arm select
+    prefix with a ``{w}`` placeholder (e.g. "doc_id, {w} AS w")."""
+    return "\n      UNION ALL\n".join(
+        f"""      SELECT {lead.format(w=w)},
+             array_to_string(toks[i:i+{w - 1}], ' ') AS g
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS i
+            FROM {src})"""
+        for w in range(1, 8)
+    )
+
+
+def _g8_sql(src: str, idlead: str, poscol: str) -> str:
+    """Width-8 window occurrence rows over ``src``: one row per full
+    8-token window, 0-based start position aliased ``poscol``."""
+    return f"""      SELECT {idlead}, i - 1 AS {poscol},
+             array_to_string(toks[i:i+7], ' ') AS g
       FROM (SELECT doc_id, toks,
               unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
-            FROM normtok)
+            FROM {src})"""
+
+
+def _lcp_ext_sql(p: str, q: str, ta: str, tb: str) -> str:
+    """LCP from an 8-window anchor pair: 8 + the run of equal tokens
+    past the matched window. nullif: DuckDB's list_position returns 0
+    (not NULL) when no element matches — 0 means "no mismatch in the
+    lookahead", i.e. the run covers all of it."""
+    return f"""8 + coalesce(
+               nullif(list_position(
+                 list_transform(
+                   range(1, least(len({ta}) - ({p} + 8),
+                                  len({tb}) - ({q} + 8)) + 1),
+                   i -> {ta}[{p} + 8 + i] <> {tb}[{q} + 8 + i]),
+                 true), 0) - 1,
+               greatest(least(len({ta}) - ({p} + 8),
+                              len({tb}) - ({q} + 8)), 0)
+             )"""
+
+
+_SA_STATS_ORACLE = f"""
+    WITH normtok AS (
+      SELECT doc_id, {_SUFFIX_TOKS_SQL} AS toks FROM documents
+    ), g8 AS (
+{_g8_sql("normtok", "doc_id", "p")}
     ), dup8 AS (
       SELECT g FROM g8 GROUP BY g HAVING count(*) >= 2
     ), docc AS (
       SELECT g8.* FROM g8 JOIN dup8 USING (g)
     ), pairs AS (
-      SELECT a.doc_id, a.p, b.doc_id AS bd, b.p AS q
+      -- one orientation per unordered pair; ext emits both roles below
+      -- (the extension run is symmetric), halving the list
+      -- materialization on duplicate-heavy corpora
+      SELECT a.doc_id AS da, a.p AS pa, b.doc_id AS db, b.p AS pb
       FROM docc a JOIN docc b USING (g)
-      WHERE NOT (a.doc_id = b.doc_id AND a.p = b.p)
-    ), ext AS (
-      SELECT pr.doc_id, pr.p,
-             8 + coalesce(
-               nullif(list_position(
-                 list_transform(
-                   range(1, least(len(ta.toks) - (pr.p + 8),
-                                  len(tb.toks) - (pr.q + 8)) + 1),
-                   i -> ta.toks[pr.p + 8 + i] <> tb.toks[pr.q + 8 + i]),
-                 true), 0) - 1,
-               greatest(least(len(ta.toks) - (pr.p + 8),
-                              len(tb.toks) - (pr.q + 8)), 0)
-             ) AS l
+      WHERE (a.doc_id < b.doc_id)
+         OR (a.doc_id = b.doc_id AND a.p < b.p)
+    ), ext0 AS (
+      SELECT pr.da, pr.pa, pr.db, pr.pb,
+             {_lcp_ext_sql("pr.pa", "pr.pb", "ta.toks", "tb.toks")} AS l
       FROM pairs pr
-      JOIN normtok ta ON ta.doc_id = pr.doc_id
-      JOIN normtok tb ON tb.doc_id = pr.bd
+      JOIN normtok ta ON ta.doc_id = pr.da
+      JOIN normtok tb ON tb.doc_id = pr.db
+    ), ext AS (
+      SELECT da AS doc_id, pa AS p, l FROM ext0
+      UNION ALL
+      SELECT db, pb, l FROM ext0
     ), agg8 AS (
       SELECT doc_id, max(l) AS m8, count(DISTINCT p) AS n8
       FROM ext GROUP BY doc_id
     ), w17 AS (
-      SELECT doc_id, 1 AS w, array_to_string(toks[i:i+0], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 0, 0) + 1)) AS i
-            FROM normtok)
-      UNION ALL
-      SELECT doc_id, 2 AS w, array_to_string(toks[i:i+1], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
-            FROM normtok)
-      UNION ALL
-      SELECT doc_id, 3 AS w, array_to_string(toks[i:i+2], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
-            FROM normtok)
-      UNION ALL
-      SELECT doc_id, 4 AS w, array_to_string(toks[i:i+3], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
-            FROM normtok)
-      UNION ALL
-      SELECT doc_id, 5 AS w, array_to_string(toks[i:i+4], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
-            FROM normtok)
-      UNION ALL
-      SELECT doc_id, 6 AS w, array_to_string(toks[i:i+5], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 5, 0) + 1)) AS i
-            FROM normtok)
-      UNION ALL
-      SELECT doc_id, 7 AS w, array_to_string(toks[i:i+6], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 6, 0) + 1)) AS i
-            FROM normtok)
+{_wgram_arms_sql("normtok", "doc_id, {w} AS w")}
     ), dupw AS (
       SELECT w, g FROM w17 GROUP BY w, g HAVING count(*) >= 2
     ), sub AS (
@@ -1192,55 +1201,12 @@ def shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN sub s USING (doc_id)
     WHERE len(n.toks) > 0
     ORDER BY n.doc_id
-    """,
-)
-def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repeated-substring profile from a DISTRIBUTED suffix
-    array (operators/suffix.py, Manber-Myers prefix doubling): for each
-    document, the longest token span that also occurs elsewhere in the
-    corpus and how much of the document sits inside >=8-token repeats —
-    the variable-length generalization of the fixed-W n-gram scrub
-    (ExactSubstr dedup, Lee et al. 2022). O(log maxlen) join+rank
-    rounds, nothing quadratic; see the operator docstring for the scale
-    argument."""
-    rep = shared_span_profile(spark, sf_dir).select(
-        "doc_id", "off", "max_repeat"
-    )
-    return (
-        rep.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.max("max_repeat").alias("max_repeat_len"),
-            F.sum((F.col("max_repeat") >= 8).cast("long")).alias(
-                "n_pos_rep8"
-            ),
-            (
-                F.sum((F.col("max_repeat") >= 8).cast("long")).cast("double")
-                / F.count("*")
-            ).alias("repeat8_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    """
 
 
-@query(
-    "exact_substr_cut",
-    # HASH-ORACLED since r10 (was rows-only): the duplicated-L-window
-    # factorization (streaming/exact_substr_stage.py's equivalence
-    # proof) lets DuckDB replay the cut exactly — duplicated 8-window
-    # occurrences, sweep-line island merge into intervals, NOT-EXISTS
-    # token filter, md5 of the reconstructed cleaned text. The Spark
-    # side still derives coverage from the shared suffix-array profile
-    # (maximal repeats), so the hash match re-proves the factorization
-    # on the full corpus every round on top of the sequential-reference
-    # pytest pin (tests/test_suffix.py::test_exact_substr_removal*).
-    oracle="""
+_CUT_ORACLE = f"""
     WITH normtok AS (
-      SELECT doc_id,
-             list_filter(string_split(
-               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
-               t -> t <> '') AS toks
-      FROM documents
+      SELECT doc_id, {_SUFFIX_TOKS_SQL} AS toks FROM documents
     ), gstart AS (
       SELECT doc_id, toks,
              unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
@@ -1292,7 +1258,105 @@ def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(coalesce(r.cleaned, '')) AS cleaned_md5
     FROM normtok n LEFT JOIN rebuilt r USING (doc_id)
     ORDER BY n.doc_id
-    """,
+    """
+
+
+_DECONTAM_ORACLE = f"""
+    WITH normtok AS (
+      SELECT doc_id, {_SUFFIX_TOKS_SQL} AS toks FROM documents
+    ), train AS (
+      SELECT * FROM normtok WHERE doc_id % 97 <> 0
+    ), bench AS (
+      SELECT * FROM normtok WHERE doc_id % 97 = 0
+    ), t8 AS (
+{_g8_sql("train", "doc_id", "p")}
+    ), b8 AS (
+{_g8_sql("bench", "doc_id AS bd", "q")}
+    ), anchors AS (
+      SELECT t8.doc_id, t8.p, b8.bd, b8.q FROM t8 JOIN b8 USING (g)
+    ), ext AS (
+      SELECT a.doc_id, a.p,
+             {_lcp_ext_sql("a.p", "a.q", "tt.toks", "bt.toks")} AS l
+      FROM anchors a
+      JOIN train tt ON tt.doc_id = a.doc_id
+      JOIN bench bt ON bt.doc_id = a.bd
+    ), agg8 AS (
+      SELECT doc_id, max(l) AS m8, count(DISTINCT p) AS n8
+      FROM ext GROUP BY doc_id
+    ), tw AS (
+{_wgram_arms_sql("train", "doc_id, {w} AS w")}
+    ), bw AS (
+{_wgram_arms_sql("bench", "doc_id AS bd, {w} AS w")}
+    ), sub AS (
+      SELECT t.doc_id, max(t.w) AS m
+      FROM tw t JOIN (SELECT DISTINCT w, g FROM bw) b
+        ON t.w = b.w AND t.g = b.g
+      GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(coalesce(a.m8, s.m, 0) AS BIGINT) AS max_shared_span,
+           CAST(coalesce(a.n8, 0) AS BIGINT) AS n_pos_shared8,
+           CAST(CASE WHEN a.m8 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) tr
+    LEFT JOIN agg8 a USING (doc_id)
+    LEFT JOIN sub s USING (doc_id)
+    ORDER BY tr.doc_id
+    """
+
+
+# HASH-ORACLED since r10 (was rows-only): same anchor + token-run
+# extension method as decontaminate_exact_substr's oracle, applied
+# CORPUS-INTERNALLY — a maximal repeat of length >= 8 is a duplicated
+# 8-window occurrence pair plus an equality run, and the exact sub-8
+# maxima come from seven fixed-width duplicated-window joins. The hash
+# match re-validates the distributed suffix array end-to-end every
+# round, on top of the sequential-reference pytest.
+@query(
+    "sa_repeated_span_stats",
+    oracle=_SA_STATS_ORACLE,
+)
+def sa_repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-substring profile from a DISTRIBUTED suffix
+    array (operators/suffix.py, Manber-Myers prefix doubling): for each
+    document, the longest token span that also occurs elsewhere in the
+    corpus and how much of the document sits inside >=8-token repeats —
+    the variable-length generalization of the fixed-W n-gram scrub
+    (ExactSubstr dedup, Lee et al. 2022). O(log maxlen) join+rank
+    rounds, nothing quadratic; see the operator docstring for the scale
+    argument."""
+    rep = shared_span_profile(spark, sf_dir).select(
+        "doc_id", "off", "max_repeat"
+    )
+    return (
+        rep.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.max("max_repeat").alias("max_repeat_len"),
+            F.sum((F.col("max_repeat") >= 8).cast("long")).alias(
+                "n_pos_rep8"
+            ),
+            (
+                F.sum((F.col("max_repeat") >= 8).cast("long")).cast("double")
+                / F.count("*")
+            ).alias("repeat8_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "exact_substr_cut",
+    # HASH-ORACLED since r10 (was rows-only): the duplicated-L-window
+    # factorization (streaming/exact_substr_stage.py's equivalence
+    # proof) lets DuckDB replay the cut exactly — duplicated 8-window
+    # occurrences, sweep-line island merge into intervals, NOT-EXISTS
+    # token filter, md5 of the reconstructed cleaned text. The Spark
+    # side still derives coverage from the shared suffix-array profile
+    # (maximal repeats), so the hash match re-proves the factorization
+    # on the full corpus every round on top of the sequential-reference
+    # pytest pin (tests/test_suffix.py::test_exact_substr_removal*).
+    oracle=_CUT_ORACLE,
 )
 def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr removal END-TO-END (Lee et al. 2022 — the operation
@@ -1333,138 +1397,7 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-min machinery against an independent method every round,
     # on top of the brute-force cross-set pytest
     # (tests/test_suffix.py::test_cross_set_*).
-    oracle="""
-    WITH normtok AS (
-      SELECT doc_id,
-             list_filter(string_split(
-               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
-               t -> t <> '') AS toks
-      FROM documents
-    ), train AS (
-      SELECT * FROM normtok WHERE doc_id % 97 <> 0
-    ), bench AS (
-      SELECT * FROM normtok WHERE doc_id % 97 = 0
-    ), t8 AS (
-      SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
-            FROM train)
-    ), b8 AS (
-      SELECT doc_id AS bd, i - 1 AS q, array_to_string(toks[i:i+7], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
-            FROM bench)
-    ), anchors AS (
-      SELECT t8.doc_id, t8.p, b8.bd, b8.q FROM t8 JOIN b8 USING (g)
-    ), ext AS (
-      -- LCP from each anchor pair: 8 + the run of equal tokens past
-      -- the matched window (first-mismatch position via list_position)
-      SELECT a.doc_id, a.p,
-             -- nullif: this DuckDB's list_position returns 0 (not
-             -- NULL) when no element matches — 0 means "no mismatch
-             -- in the lookahead", i.e. the run covers all of it
-             8 + coalesce(
-               nullif(list_position(
-                 list_transform(
-                   range(1, least(len(tt.toks) - (a.p + 8),
-                                  len(bt.toks) - (a.q + 8)) + 1),
-                   i -> tt.toks[a.p + 8 + i] <> bt.toks[a.q + 8 + i]),
-                 true), 0) - 1,
-               greatest(least(len(tt.toks) - (a.p + 8),
-                              len(bt.toks) - (a.q + 8)), 0)
-             ) AS l
-      FROM anchors a
-      JOIN train tt ON tt.doc_id = a.doc_id
-      JOIN bench bt ON bt.doc_id = a.bd
-    ), agg8 AS (
-      SELECT doc_id, max(l) AS m8, count(DISTINCT p) AS n8
-      FROM ext GROUP BY doc_id
-    ), tw AS (
-      SELECT doc_id, 1 AS w, array_to_string(toks[i:i+0], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 0, 0) + 1)) AS i
-            FROM train)
-      UNION ALL
-      SELECT doc_id, 2 AS w, array_to_string(toks[i:i+1], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
-            FROM train)
-      UNION ALL
-      SELECT doc_id, 3 AS w, array_to_string(toks[i:i+2], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
-            FROM train)
-      UNION ALL
-      SELECT doc_id, 4 AS w, array_to_string(toks[i:i+3], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
-            FROM train)
-      UNION ALL
-      SELECT doc_id, 5 AS w, array_to_string(toks[i:i+4], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
-            FROM train)
-      UNION ALL
-      SELECT doc_id, 6 AS w, array_to_string(toks[i:i+5], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 5, 0) + 1)) AS i
-            FROM train)
-      UNION ALL
-      SELECT doc_id, 7 AS w, array_to_string(toks[i:i+6], ' ') AS g
-      FROM (SELECT doc_id, toks,
-              unnest(range(1, greatest(len(toks) - 6, 0) + 1)) AS i
-            FROM train)
-    ), bw AS (
-      SELECT 1 AS w, array_to_string(toks[i:i+0], ' ') AS g
-      FROM (SELECT toks,
-              unnest(range(1, greatest(len(toks) - 0, 0) + 1)) AS i
-            FROM bench)
-      UNION ALL
-      SELECT 2 AS w, array_to_string(toks[i:i+1], ' ') AS g
-      FROM (SELECT toks,
-              unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
-            FROM bench)
-      UNION ALL
-      SELECT 3 AS w, array_to_string(toks[i:i+2], ' ') AS g
-      FROM (SELECT toks,
-              unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
-            FROM bench)
-      UNION ALL
-      SELECT 4 AS w, array_to_string(toks[i:i+3], ' ') AS g
-      FROM (SELECT toks,
-              unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
-            FROM bench)
-      UNION ALL
-      SELECT 5 AS w, array_to_string(toks[i:i+4], ' ') AS g
-      FROM (SELECT toks,
-              unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i
-            FROM bench)
-      UNION ALL
-      SELECT 6 AS w, array_to_string(toks[i:i+5], ' ') AS g
-      FROM (SELECT toks,
-              unnest(range(1, greatest(len(toks) - 5, 0) + 1)) AS i
-            FROM bench)
-      UNION ALL
-      SELECT 7 AS w, array_to_string(toks[i:i+6], ' ') AS g
-      FROM (SELECT toks,
-              unnest(range(1, greatest(len(toks) - 6, 0) + 1)) AS i
-            FROM bench)
-    ), sub AS (
-      SELECT t.doc_id, max(t.w) AS m
-      FROM tw t JOIN (SELECT DISTINCT w, g FROM bw) b
-        ON t.w = b.w AND t.g = b.g
-      GROUP BY t.doc_id
-    )
-    SELECT tr.doc_id,
-           CAST(coalesce(a.m8, s.m, 0) AS BIGINT) AS max_shared_span,
-           CAST(coalesce(a.n8, 0) AS BIGINT) AS n_pos_shared8,
-           CAST(CASE WHEN a.m8 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-             AS contaminated
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) tr
-    LEFT JOIN agg8 a USING (doc_id)
-    LEFT JOIN sub s USING (doc_id)
-    ORDER BY tr.doc_id
-    """,
+    oracle=_DECONTAM_ORACLE,
 )
 def decontaminate_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length SUBSTRING-level decontamination (Lee et al. 2022
@@ -1560,8 +1493,8 @@ def _decontam_from_cross(
       SELECT doc_id FROM ranked WHERE rn <> 1
     ), normtok AS (
       SELECT doc_id,
-             list_filter(string_split(
-               lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+             list_filter(string_split(lower(regexp_replace(
+               replace(text, chr(0), ''), '\\s+', ' ', 'g')), ' '),
                t -> t <> '') AS toks
       FROM documents
     ), surv AS (
