@@ -310,9 +310,50 @@ def url_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("url_registered_domain_idn")  # rows-only: the IDNA/punycode codec
-# has no DuckDB replay; convergence of U-label and A-label spellings is
-# pytest-asserted (tests/test_web.py)
+@query(
+    "url_registered_domain_idn",
+    # HASH-ORACLED since r10 (was rows-only): the corpus domains are
+    # lowercase ASCII (UTS #46 mapping is the identity on them, which
+    # the hash match now PROVES every round instead of assuming), and
+    # the planted U-label literals' A-label forms are fixed, spec-known
+    # values (RFC 3492 punycode of exactly these three hosts — inlined
+    # as expected constants, deliberately independent of the idna
+    # library the Spark path uses, so a codec regression would surface
+    # as a mismatch). The PSL join replays through the same inline
+    # rules VALUES as the ASCII PSL oracle.
+    oracle=f"""
+    WITH u AS ({_URL_PSL_SQL}),
+    corpus AS (
+      SELECT DISTINCT {_NORM_DOMAIN_SQL} AS domain FROM u
+    ),
+    planted AS (
+      SELECT * FROM (VALUES
+        ('пример.рф'), ('xn--e1afmkfd.xn--p1ai'),
+        ('shop.公司.cn'), ('shop.xn--55qx5d.cn'),
+        ('bücher.example.co.uk'), ('xn--bcher-kva.example.co.uk')
+      ) t(domain)
+    ),
+    alld AS (
+      SELECT domain FROM corpus UNION ALL SELECT domain FROM planted
+    ),
+    norm AS (
+      SELECT CASE domain
+               WHEN 'пример.рф' THEN 'xn--e1afmkfd.xn--p1ai'
+               WHEN 'shop.公司.cn' THEN 'shop.xn--55qx5d.cn'
+               WHEN 'bücher.example.co.uk'
+                 THEN 'xn--bcher-kva.example.co.uk'
+               ELSE domain END AS domain
+      FROM alld
+    ),
+    doms AS (
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_spellings
+      FROM norm GROUP BY domain
+    ),{psl_match_sql('doms')}
+    SELECT d.domain, d.n_spellings, p.public_suffix, p.reg_domain_psl
+    FROM doms d JOIN psl p USING (domain)
+    ORDER BY d.domain
+    """,
+)
 def url_registered_domain_idn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IDN-aware registered-domain path END-TO-END (wires
     operators/psl.py::punycode_hosts into production): corpus domains
