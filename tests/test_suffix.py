@@ -534,3 +534,56 @@ def test_gram_cut_equals_suffix_cut(spark):
     removed = {r[0]: r[2] for r in got}
     assert removed[0] == 10 and removed[1] == 10  # cross-doc span cut
     assert removed[3] == 16  # within-doc repeat cut (both copies)
+
+
+def test_cut_oracle_nul_parity(spark):
+    """The r10 review's latent-parity case, exercised: a text containing
+    chr(0) must tokenize identically in the Spark suffix path and the
+    DuckDB _CUT_ORACLE (both strip NUL before whitespace collapse) — a
+    planted NUL doc shares a span with a clean doc and both engines
+    must agree on counts AND the cleaned-text md5."""
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.operators.suffix import (
+        exact_substr_removal,
+    )
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        _CUT_ORACLE,
+    )
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    texts = {
+        0: f"foo\x00bar {span} tail",  # NUL inside a token
+        1: f"{span} other words",
+        2: "foobar unique text here",  # equals doc 0's fused token
+        3: "totally clean unrelated document",
+    }
+    d = _spark_docs(spark, texts)
+    want = sorted(
+        map(
+            tuple,
+            exact_substr_removal(d)
+            .select(
+                "doc_id",
+                "n_tokens",
+                "n_removed",
+                F.md5(F.col("cleaned_text").cast("binary")).alias("m"),
+            )
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        ),
+    )
+    got = sorted(map(tuple, con.execute(_CUT_ORACLE).fetchall()))
+    assert got == want
+    # the NUL doc really went through the fused-token path: 'foo\x00bar'
+    # tokenizes as ONE token 'foobar', so doc 0 has 10 tokens, not 11
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1] == 10 and by_id[0][2] == 8
