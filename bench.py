@@ -108,6 +108,7 @@ def main() -> None:
             )["avro_demux_events_per_sec"],
             **_bench_ocf(),
             **_bench_span_profile(spark, sf_dir),
+            **_bench_logistic_train(spark, sf_dir),
             **_bench_new_ops(spark, sf_dir, qs),
             **_bench_kmv_persisted(spark, sf_dir),
             **_bench_psl_rules(spark, sf_dir),
@@ -389,6 +390,28 @@ def _bench_span_profile(spark, sf_dir: str) -> dict:
     return {"span_profile_build_sec": round(best, 3)}
 
 
+def _bench_logistic_train(spark, sf_dir: str) -> dict:
+    """The logistic pair's SHARED training cost (r10): weights + eval
+    now consume one cached model set per (application, sf_dir), so
+    their per-query numbers show serving cost while this entry carries
+    the IRLS training (margin-augmented + ablation models) they
+    share — same honesty split as span_profile_build_sec."""
+    from databricks_end_to_end_streaming_spark.queries.classifier import (
+        _LOGISTIC_CACHE,
+        _logistic_parts_cached,
+    )
+
+    best = float("inf")
+    for _trial in range(2):  # best-of-2, same as every other number
+        _LOGISTIC_CACHE.clear()
+        t0 = time.time()
+        # IRLS steps execute eagerly inside (driver solves per step) —
+        # the call itself pays the training
+        _logistic_parts_cached(spark, sf_dir)
+        best = min(best, time.time() - t0)
+    return {"logistic_train_sec": round(best, 3)}
+
+
 def _bench_new_ops(spark, sf_dir: str, qs) -> dict:
     out = {}
     for name in NEW_OP_QUERIES:
@@ -445,11 +468,15 @@ def _bench_sf1(spark, sf_dir: str, k: int = 10) -> dict:
         # pinned blocks while the query-level cache still points at the
         # DataFrame — drop the cache entry first so any later consumer
         # rebuilds instead of reading a gone checkpoint
+        from databricks_end_to_end_streaming_spark.queries.classifier import (
+            _LOGISTIC_CACHE,
+        )
         from databricks_end_to_end_streaming_spark.queries.dedup import (
             _SPAN_PROFILE_CACHE,
         )
 
         _SPAN_PROFILE_CACHE.clear()
+        _LOGISTIC_CACHE.clear()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
         spark.catalog.clearCache()

