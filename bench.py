@@ -404,6 +404,11 @@ def _bench_logistic_train(spark, sf_dir: str) -> dict:
     best = float("inf")
     for _trial in range(2):  # best-of-2, same as every other number
         _LOGISTIC_CACHE.clear()
+        if _trial:  # same lazy-checkpoint-lifetime nudge as the span
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         # IRLS steps execute eagerly inside (driver solves per step) —
         # the call itself pays the training

@@ -1104,9 +1104,14 @@ def shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (operators/suffix.py _norm strips chr(0) BEFORE whitespace collapse
 #: so pathological tokens can't collide with sentinels — the oracle
 #: must tokenize identically or texts containing NUL would hash-diverge)
+#: chr(0): _norm strips NUL before collapsing. chr(11): Java regex \s
+#: includes vertical tab but RE2's does not — converting VT to a space
+#: first gives DuckDB the Java whitespace semantics (the r10 review's
+#: second latent-parity class, confirmed empirically; pytest-pinned in
+#: tests/test_suffix.py::test_cut_oracle_nul_parity).
 _SUFFIX_TOKS_SQL = (
-    "list_filter(string_split(lower(regexp_replace("
-    "replace(text, chr(0), ''), '\\s+', ' ', 'g')), ' '),"
+    "list_filter(string_split(lower(regexp_replace(replace("
+    "replace(text, chr(0), ''), chr(11), ' '), '\\s+', ' ', 'g')), ' '),"
     " t -> t <> '')"
 )
 
@@ -1492,11 +1497,7 @@ def _decontam_from_cross(
     ), dropped AS (
       SELECT doc_id FROM ranked WHERE rn <> 1
     ), normtok AS (
-      SELECT doc_id,
-             list_filter(string_split(lower(regexp_replace(
-               replace(text, chr(0), ''), '\\s+', ' ', 'g')), ' '),
-               t -> t <> '') AS toks
-      FROM documents
+      SELECT doc_id, {_SUFFIX_TOKS_SQL} AS toks FROM documents
     ), surv AS (
       SELECT n.* FROM normtok n ANTI JOIN dropped USING (doc_id)
     ), gstart AS (

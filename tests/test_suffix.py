@@ -559,6 +559,9 @@ def test_cut_oracle_nul_parity(spark):
         1: f"{span} other words",
         2: "foobar unique text here",  # equals doc 0's fused token
         3: "totally clean unrelated document",
+        # vertical tab: Java \s includes \x0B, RE2's does not — the
+        # oracle converts VT to a space so both engines see two tokens
+        4: f"alpha\x0bbeta {span} zz",
     }
     d = _spark_docs(spark, texts)
     want = sorted(
@@ -584,6 +587,9 @@ def test_cut_oracle_nul_parity(spark):
     got = sorted(map(tuple, con.execute(_CUT_ORACLE).fetchall()))
     assert got == want
     # the NUL doc really went through the fused-token path: 'foo\x00bar'
-    # tokenizes as ONE token 'foobar', so doc 0 has 10 tokens, not 11
+    # tokenizes as ONE token 'foobar', so doc 0 has 10 tokens, not 11;
+    # the VT doc went through the split path: 'alpha\x0bbeta' is TWO
+    # tokens, so doc 4 has 11
     by_id = {r[0]: r for r in got}
     assert by_id[0][1] == 10 and by_id[0][2] == 8
+    assert by_id[4][1] == 11 and by_id[4][2] == 8
