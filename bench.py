@@ -242,6 +242,7 @@ NEW_OP_QUERIES = [
     "dedup_pipeline_lee2022",
     # round-10 additions
     "warc_ingest_accounting",
+    "lm_kneser_ney_score",
 ]
 
 

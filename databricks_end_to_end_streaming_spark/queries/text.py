@@ -1585,6 +1585,173 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lm_kneser_ney_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+      WHERE len(string_split_regex(trim(text), ' +')) >= 3
+    ), inst AS (
+      SELECT doc_id, s['pos'] AS pos,
+             s['w1'] AS w1, s['w2'] AS w2, s['w3'] AS w3 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> {'pos': i, 'w1': ws[i], 'w2': ws[i + 1],
+                            'w3': ws[i + 2]})) AS s
+        FROM toks
+      )
+    ), tri AS (
+      SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      FROM inst GROUP BY 1, 2, 3
+    ), hist AS (
+      SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
+             CAST(count(*) AS BIGINT) AS t12
+      FROM tri GROUP BY 1, 2
+    ), mid AS (
+      SELECT w2, w3, CAST(count(*) AS BIGINT) AS n23 FROM tri GROUP BY 1, 2
+    ), w2s AS (
+      SELECT w2, CAST(sum(n23) AS BIGINT) AS n2dot,
+             CAST(count(*) AS BIGINT) AS t2
+      FROM mid GROUP BY 1
+    ), uni AS (
+      SELECT w3, CAST(count(*) AS BIGINT) AS n3 FROM mid GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nall FROM mid
+    ), model AS (
+      SELECT t.w1, t.w2, t.w3,
+             (CAST(t.c3 AS DOUBLE) - 0.75) / CAST(h.c2 AS DOUBLE)
+             + ((0.75 * CAST(h.t12 AS DOUBLE)) / CAST(h.c2 AS DOUBLE))
+               * ((CAST(m.n23 AS DOUBLE) - 0.75) / CAST(s.n2dot AS DOUBLE)
+                  + ((0.75 * CAST(s.t2 AS DOUBLE)) / CAST(s.n2dot AS DOUBLE))
+                    * (CAST(u.n3 AS DOUBLE) / CAST(tot.nall AS DOUBLE)))
+               AS p
+      FROM tri t
+      JOIN hist h USING (w1, w2)
+      JOIN mid m USING (w2, w3)
+      JOIN w2s s USING (w2)
+      JOIN uni u USING (w3)
+      CROSS JOIN tot
+    ), terms AS (
+      SELECT i.doc_id, i.pos, mo.p
+      FROM inst i JOIN model mo USING (w1, w2, w3)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           list_reduce(list(p ORDER BY pos), (a, x) -> a + x)
+             / CAST(count(*) AS DOUBLE) AS mean_kn_prob
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram fluency scoring (Chen & Goodman
+    1999 — the smoothing KenLM implements, which is what CCNet's
+    perplexity filter actually runs): score every document by the mean
+    interpolated-KN trigram probability of its text under the corpus's
+    own trigram model, with absolute discount D = 0.75. The learned
+    upgrade of ``lm_fluency_score``'s Laplace bigram — KN's continuation
+    counts ("how many distinct contexts precede this word") are the
+    published fix for Laplace's over-penalty of legitimate-but-rare
+    continuations, and the trigram order catches disfluencies a bigram
+    can't.
+
+    Model (all statistics exact int64 group-bys of trigram types):
+      p_uni(w3)      = N1+(.w3) / N1+(..)
+      p_bi(w3 | w2)  = (N1+(.w2w3) - D)/N1+(.w2.)
+                       + (D * T(w2.)/N1+(.w2.)) * p_uni(w3)
+      p_tri(w3|w1w2) = (c(w1w2w3) - D)/c(w1w2)
+                       + (D * T(w1w2.)/c(w1w2)) * p_bi(w3 | w2)
+    where N1+ are distinct-context continuation counts and T(h.) the
+    distinct-continuation counts of history h, ALL derived from the
+    trigram type table (the self-consistent trained-on-trigram-types
+    convention; textbook KN reads N1+(.w3) off the raw bigram table,
+    which differs only by each doc's final bigram). Because the model is
+    trained on the corpus it scores, every scored type has count >= 1,
+    so the textbook max(c - D, 0) clamps never bind and are dropped —
+    the per-type probability is one fixed IEEE chain over exact int64
+    counts and the exactly-representable 0.75, which DuckDB replays
+    bit-for-bit; the per-doc mean is the corpus-standard sorted
+    position fold. Mean PROBABILITY stands in for perplexity for the
+    same reason as lm_fluency_score (no ln() cross-engine guarantee;
+    monotone quality signal under the same LM).
+
+    Plan at 100 TB: the trigram instance stream collapses into the type
+    table by one partial-agg'd shuffle; histories / continuation stats
+    are vocabulary-sized rollups of the TYPE table (the corpus never
+    reaches them); the per-type probability is assembled model-side so
+    the instance stream pays exactly ONE co-keyed (w1, w2, w3) join;
+    the per-doc fold is one groupBy(doc_id) shuffle. The reference (a
+    streaming ingest demo) has no LM stage — north-star extension."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("ws")
+    ).where(F.size("ws") >= 3)
+    inst = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, size(ws) - 2)").alias("w1"),
+                    F.expr("slice(ws, 2, size(ws) - 2)").alias("w2"),
+                    F.expr("slice(ws, 3, size(ws) - 2)").alias("w3"),
+                )
+            ).alias("pos", "t"),
+        )
+        .select("doc_id", "pos", "t.w1", "t.w2", "t.w3")
+    )
+    tri = inst.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    hist = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"), F.count("*").alias("t12")
+    )
+    mid = tri.groupBy("w2", "w3").agg(F.count("*").alias("n23"))
+    w2s = mid.groupBy("w2").agg(
+        F.sum("n23").alias("n2dot"), F.count("*").alias("t2")
+    )
+    uni = mid.groupBy("w3").agg(F.count("*").alias("n3"))
+    tot = mid.agg(F.count("*").alias("nall"))
+    dd = F.lit(0.75)
+    p_uni = F.col("n3").cast("double") / F.col("nall").cast("double")
+    p_bi = (F.col("n23").cast("double") - dd) / F.col("n2dot").cast(
+        "double"
+    ) + (
+        (dd * F.col("t2").cast("double")) / F.col("n2dot").cast("double")
+    ) * p_uni
+    p_tri = (F.col("c3").cast("double") - dd) / F.col("c2").cast(
+        "double"
+    ) + (
+        (dd * F.col("t12").cast("double")) / F.col("c2").cast("double")
+    ) * p_bi
+    model = (
+        tri.join(hist, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(w2s, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", p_tri.alias("p"))
+    )
+    terms = inst.join(model, ["w1", "w2", "w3"]).select(
+        "doc_id", "pos", "p"
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "p"))),
+            lambda st: st["p"],
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            (fold / F.count("*").cast("double")).alias("mean_kn_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def hashed_tf_cte(dim: int) -> str:
     """The hashed_tf_sparse oracle as a reusable CTE chain exposing
     ``feats`` (doc_id, bucket, weight) — shared with the classifier's
