@@ -1683,25 +1683,46 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches them); the per-type probability is assembled model-side so
     the instance stream pays exactly ONE co-keyed (w1, w2, w3) join;
     the per-doc fold is one groupBy(doc_id) shuffle. The reference (a
-    streaming ingest demo) has no LM stage — north-star extension."""
+    streaming ingest demo) has no LM stage — north-star extension.
+
+    The expression cores (``kn_instances`` / ``kn_scores_from``) are
+    shared with the incremental twin (streaming/kn_lm.py): trigram
+    counts are a sum monoid, so a drained count log reproduces this
+    query bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.split(F.trim("text"), " +").alias("ws")
-    ).where(F.size("ws") >= 3)
-    inst = (
-        toks.select(
-            "doc_id",
-            F.posexplode(
-                F.arrays_zip(
-                    F.expr("slice(ws, 1, size(ws) - 2)").alias("w1"),
-                    F.expr("slice(ws, 2, size(ws) - 2)").alias("w2"),
-                    F.expr("slice(ws, 3, size(ws) - 2)").alias("w3"),
-                )
-            ).alias("pos", "t"),
-        )
-        .select("doc_id", "pos", "t.w1", "t.w2", "t.w3")
-    )
+    inst = kn_instances(d)
     tri = inst.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    return kn_scores_from(inst, tri)
+
+
+def kn_instances(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, w1, w2, w3): the positioned trigram instance stream
+    of every document with >= 3 whitespace tokens — the immutable
+    per-doc facts both the batch KN query and the incremental index log
+    once per document."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(text_col), " +").alias("ws")
+    ).where(F.size("ws") >= 3)
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 2)").alias("w1"),
+                F.expr("slice(ws, 2, size(ws) - 2)").alias("w2"),
+                F.expr("slice(ws, 3, size(ws) - 2)").alias("w3"),
+            )
+        ).alias("pos", "t"),
+    ).select("doc_id", "pos", "t.w1", "t.w2", "t.w3")
+
+
+def kn_scores_from(inst: DataFrame, tri: DataFrame) -> DataFrame:
+    """Assemble the interpolated-KN model from a (w1, w2, w3, c3)
+    trigram count relation and score the instance stream against it —
+    the shared expression core. ``tri`` is the corpus trigram type
+    table: one exact-int64 count per type, whether produced by one
+    groupBy (batch) or by folding per-batch count partials by addition
+    (streaming) — identical ints make every downstream double
+    identical, so the two paths agree bit-for-bit."""
     hist = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count("*").alias("t12")
     )

@@ -77,6 +77,7 @@ PROBES = [
     "dedup_pipeline_lee2022",
     # round-10 additions
     "warc_ingest_accounting",
+    "lm_kneser_ney_score",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
