@@ -1715,14 +1715,29 @@ def kn_instances(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", "pos", "t.w1", "t.w2", "t.w3")
 
 
-def kn_scores_from(inst: DataFrame, tri: DataFrame) -> DataFrame:
+def kn_scores_from(
+    inst: DataFrame, tri: DataFrame, pin_shared: bool = True
+) -> DataFrame:
     """Assemble the interpolated-KN model from a (w1, w2, w3, c3)
     trigram count relation and score the instance stream against it —
     the shared expression core. ``tri`` is the corpus trigram type
     table: one exact-int64 count per type, whether produced by one
     groupBy (batch) or by folding per-batch count partials by addition
     (streaming) — identical ints make every downstream double
-    identical, so the two paths agree bit-for-bit."""
+    identical, so the two paths agree bit-for-bit.
+
+    ``tri`` feeds FIVE consumers (hist/mid/w2s/uni/tot + the model
+    join), and without a cut point Catalyst re-derives the corpus
+    explode + type aggregation under each one (measured: 14 parquet
+    scans in the unpinned plan). Pinning the VOCABULARY-sized type
+    table — never the corpus-sized instance stream — drops that to the
+    two corpus passes the algorithm actually needs (count + score),
+    the PPJoin tokenize-once lesson applied at the natural small cut.
+    ``pin_shared=False`` is the plan-dump view."""
+    if pin_shared:
+        from ..pin import pin
+
+        tri = pin(tri)
     hist = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count("*").alias("t12")
     )
@@ -1771,6 +1786,16 @@ def kn_scores_from(inst: DataFrame, tri: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def lm_kneser_ney_score_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpinned builder of the KN scoring plan for tools/dump_plans.py —
+    same logical plan, the shared type-table subtree visible instead of
+    a checkpoint scan."""
+    d = load_table(spark, sf_dir, "documents")
+    inst = kn_instances(d)
+    tri = inst.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    return kn_scores_from(inst, tri, pin_shared=False)
 
 
 def hashed_tf_cte(dim: int) -> str:

@@ -66,6 +66,7 @@ PLAN_QUERIES = [
     ("dsir_importance_selection", "bigram explode -> (doc,bucket) tf shuffle -> broadcast 256-row distribution + 1-row totals -> TakeOrdered top-N"),
     ("semdedup_embeddings", "Arrow-batched cluster assignment -> within-cluster self-join (n^2/k pair space) -> broadcast anti-join drop"),
     ("lm_fluency_score", "instance->model co-keyed join, vocabulary-sized window, 1-row V broadcast, per-doc sorted fold in ONE groupBy"),
+    ("lm_kneser_ney_score", "KN model from vocabulary-sized type-table rollups; instances pay ONE (w1,w2,w3) join; 1-row N1+(..) broadcast (plan via the unpinned builder — the registered form pins the type table, cutting 14 corpus scans to the 2 the algorithm needs)"),
     ("decontaminate_minhash_lsh", "corpus bands x BROADCAST benchmark bands -> pinned candidates -> semi-join-pruned exact verify"),
     ("hashed_tf_features", "vocabulary-free signed hashing: narrow map + ONE partial-agg'd (doc,bucket) shuffle"),
     ("bloom_semi_join_urgent_revenue", "bitmap build bounded by m/64 word rows -> map-only broadcast-join probe -> exact semi join on survivors"),
@@ -141,10 +142,14 @@ def _plan_builders():
     from databricks_end_to_end_streaming_spark.queries.dedup import (
         jaccard_prefix_filter_join_plan,
     )
+    from databricks_end_to_end_streaming_spark.queries.text import (
+        lm_kneser_ney_score_plan,
+    )
 
     return {
         "jaccard_prefix_filter_join": jaccard_prefix_filter_join_plan,
         "quality_classifier_scores": quality_classifier_scores_plan,
+        "lm_kneser_ney_score": lm_kneser_ney_score_plan,
     }
 
 
