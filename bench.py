@@ -243,6 +243,8 @@ NEW_OP_QUERIES = [
     # round-10 additions
     "warc_ingest_accounting",
     "lm_kneser_ney_score",
+    "hybrid_search_rrf",
+    "mojibake_repair_roundtrip",
 ]
 
 

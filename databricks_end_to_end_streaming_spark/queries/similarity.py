@@ -992,3 +992,164 @@ def jl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical BM25 + vector cosine, fused by Reciprocal
+# Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009 — "Reciprocal
+# rank fusion outperforms Condorcet and individual rank learning
+# methods"; score = sum over legs of 1 / (k + rank), k = 60).
+
+RRF_K = 60  # the paper's constant
+RRF_LEG_DEPTH = 50  # candidates kept per leg before fusion
+RRF_TOP = 20
+_RRF_QUERY_VEC_ID = 0  # stands in for the query encoder's output
+
+
+def _lazy_bm25():
+    """Import the BM25 building blocks lazily (module-load order between
+    sibling query modules stays registration-driven, not import-driven)."""
+    from .text import (
+        bm25_corpus_stats,
+        bm25_doc_features,
+        bm25_score_from,
+        bm25_scored_sql,
+    )
+
+    return bm25_corpus_stats, bm25_doc_features, bm25_score_from, bm25_scored_sql
+
+
+def _rrf_oracle() -> str:
+    from .text import bm25_scored_sql
+
+    return f"""
+    WITH {bm25_scored_sql()}, lex_top AS (
+      SELECT doc_id, round(score, 6) AS bm25
+      FROM scored
+      ORDER BY round(score, 6) DESC, doc_id
+      LIMIT {RRF_LEG_DEPTH}
+    ), lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS INTEGER) AS lex_rank
+      FROM lex_top
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}
+    ), sem_top AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 6) AS cs
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_RRF_QUERY_VEC_ID}
+      ORDER BY cs DESC, doc_id
+      LIMIT {RRF_LEG_DEPTH}
+    ), sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
+                  AS INTEGER) AS sem_rank
+      FROM sem_top
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+           COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_score DESC, COALESCE(lex.doc_id, sem.doc_id)
+    LIMIT {RRF_TOP}
+    """
+
+
+@query("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: a BM25 lexical leg and a cosine vector leg over the
+    SAME corpus (doc_id == vec_id — every document carries an embedding),
+    fused with Reciprocal Rank Fusion. The lexical leg reuses the exact
+    bm25_* expression core of ``bm25_keyword_search`` (one shared score
+    definition, Spark and SQL); the vector leg scores every embedding
+    against one fixed query vector (vec_id 0 stands in for the output of
+    a query encoder, which has no in-container model; the query vector
+    itself is excluded as a degenerate self-match).
+
+    Scale shape: each leg is a single corpus scan ending in
+    TakeOrderedAndProject at depth {RRF_LEG_DEPTH} (per-partition heaps,
+    no global sort); the only post-scan work is a full-outer join of two
+    {RRF_LEG_DEPTH}-row relations. Rank assignment windows run AFTER the
+    leg cutoff, so the unpartitioned window touches at most
+    {RRF_LEG_DEPTH} rows regardless of corpus size. At 100 TB the vector
+    leg swaps in ``ann_ivfpq_topk``'s candidate generation unchanged —
+    fusion only consumes (doc_id, rank).
+
+    Cross-engine determinism: fusion consumes integer RANKS, never raw
+    scores, so last-ulp float noise cannot leak past the leg cutoffs
+    (legs round to 6 decimals with doc_id tiebreak, the
+    ``bm25_keyword_search`` discipline); rrf_score = 1/(60+rank) sums of
+    exact integer ranks are bit-identical in both engines."""
+    bm25_corpus_stats, bm25_doc_features, bm25_score_from, _ = _lazy_bm25()
+    docs = load_table(spark, sf_dir, "documents")
+    base = bm25_doc_features(docs)
+    lex_top = bm25_score_from(
+        base, bm25_corpus_stats(base), top_k=RRF_LEG_DEPTH
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_fuse(
+        lex_ranks(lex_top), sem_ranks(sem_leg(emb, _RRF_QUERY_VEC_ID))
+    )
+
+
+def lex_ranks(lex_top: DataFrame) -> DataFrame:
+    """(doc_id, lex_rank) from a bm25_score_from top-k relation. The
+    unpartitioned window is BY DESIGN: it runs on the <= leg-depth
+    survivors of a TakeOrderedAndProject, never on the corpus."""
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        lex_top.select("doc_id", "bm25")
+        .withColumn("lex_rank", F.row_number().over(w))
+        .select("doc_id", "lex_rank")
+    )
+
+
+def sem_leg(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """(doc_id, cs) vector-leg candidates: one corpus scan against a
+    broadcast 1-row query vector, cut at RRF_LEG_DEPTH by
+    TakeOrderedAndProject."""
+    qv = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "qv"), 6).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), "doc_id")
+        .limit(RRF_LEG_DEPTH)
+    )
+
+
+def sem_ranks(sem_top: DataFrame) -> DataFrame:
+    """(doc_id, sem_rank) from a vector-leg top-k relation (same
+    bounded-window argument as ``lex_ranks``)."""
+    w = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    return (
+        sem_top.withColumn("sem_rank", F.row_number().over(w))
+        .select("doc_id", "sem_rank")
+    )
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Fuse (doc_id, lex_rank) x (doc_id, sem_rank) by Reciprocal Rank
+    Fusion — a full-outer join of two leg-depth-sized relations; the
+    serving core shared by the batch query and the incremental path
+    (drained streaming BM25 log -> ``lex_ranks`` -> here)."""
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, ["doc_id"], "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOP)
+    )

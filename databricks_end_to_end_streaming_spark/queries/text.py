@@ -2180,11 +2180,15 @@ def bm25_corpus_stats(base: DataFrame) -> DataFrame:
     )
 
 
-def bm25_score_from(base: DataFrame, stats: DataFrame) -> DataFrame:
+def bm25_score_from(
+    base: DataFrame, stats: DataFrame, top_k: int = BM25_TOP_K
+) -> DataFrame:
     """Top-k BM25 scoring of a feature relation against a 1-row stats
     relation — the shared expression core (identical operation order in
     Spark and the SQL oracle; rounded to 6 decimals before ORDER BY so
-    a last-ulp libm ln() difference cannot reorder the cutoff)."""
+    a last-ulp libm ln() difference cannot reorder the cutoff).
+    ``top_k`` widens the cut for consumers that need a deeper candidate
+    list (the hybrid-RRF lexical leg) without changing the expression."""
     joined = base.crossJoin(F.broadcast(stats))
     score = None
     for t in BM25_TERMS:
@@ -2209,15 +2213,19 @@ def bm25_score_from(base: DataFrame, stats: DataFrame) -> DataFrame:
             "doc_id", "doclen", F.round(score, 6).alias("bm25")
         )
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(BM25_TOP_K)
+        .limit(top_k)
     )
 
 
 
-@query(
-    "bm25_keyword_search",
-    oracle=f"""
-    WITH base AS (
+def bm25_scored_sql() -> str:
+    """The base/stats/scored CTE chain of the BM25 oracle — the SQL twin
+    of ``bm25_doc_features`` + ``bm25_corpus_stats`` + the score
+    expression in ``bm25_score_from``. Shared between the
+    ``bm25_keyword_search`` oracle and the hybrid-RRF oracle
+    (queries/similarity.py) so the two lexical legs can never score
+    differently."""
+    return f"""base AS (
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
                AS doclen,
@@ -2237,7 +2245,13 @@ def bm25_score_from(base: DataFrame, stats: DataFrame) -> DataFrame:
                  for t in BM25_TERMS)}
                AS score
       FROM base CROSS JOIN stats
-    )
+    )"""
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH {bm25_scored_sql()}
     SELECT doc_id, doclen, round(score, 6) AS bm25
     FROM scored
     ORDER BY round(score, 6) DESC, doc_id

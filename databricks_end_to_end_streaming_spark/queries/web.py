@@ -950,3 +950,112 @@ def warc_ingest_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_tokens"),
     )
     return resp.unionByName(info)
+
+
+# ---------------------------------------------------- encoding repair
+
+# Planted-corruption round-trip for the mojibake repair operator
+# (operators/encoding.py). The driver corpus is pure ASCII (verified:
+# zero non-ASCII docs at every SF), so a detection query over the raw
+# table would be vacuously zero; instead BOTH engines plant the same
+# UTF-8-as-cp1252 damage with plain string arithmetic — each pair below
+# is a real codec fact (the right side is exactly what the left side's
+# UTF-8 bytes decode to under cp1252) — and the hash compare then pits
+# Spark's REAL codec repair (sloppy-cp1252 → strict UTF-8, the ftfy
+# algorithm) against DuckDB's independent relational replay (the
+# reverse replaces). If the codec path repaired anything differently —
+# wrong bytes, missed marker, over-repair of a clean row — the hash
+# breaks.
+_MOJI_PAIRS = (
+    ("é", "Ã©"),
+    ("ï", "Ã¯"),
+    ("—", "â€”"),
+    ("“", "â€œ"),
+    ("…", "â€¦"),
+    ("’", "â€™"),
+)
+_MOJI_SUFFIX = " café — “naïve …’"
+_MOJI_MARKERS = tuple(bad for _, bad in _MOJI_PAIRS)
+
+
+def _nested_replace_sql(expr: str, pairs) -> str:
+    for a, b in pairs:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return expr
+
+
+def _moji_oracle() -> str:
+    from ..operators.encoding import mojibake_marker_count_sql
+
+    m_mtext = mojibake_marker_count_sql("mtext", _MOJI_MARKERS)
+    m_rtext = mojibake_marker_count_sql("rtext", _MOJI_MARKERS)
+    return f"""
+    WITH clean AS (
+      SELECT doc_id, source, text || '{_MOJI_SUFFIX}' AS ctext
+      FROM documents
+    ), cor AS (
+      SELECT doc_id, source, ctext,
+             CASE WHEN doc_id % 7 = 0
+                  THEN {_nested_replace_sql('ctext', _MOJI_PAIRS)}
+                  ELSE ctext END AS mtext
+      FROM clean
+    ), rep AS (
+      SELECT source, ctext, mtext,
+             {_nested_replace_sql('mtext', [(b, a) for a, b in _MOJI_PAIRS])}
+               AS rtext
+      FROM cor
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN {m_mtext} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum({m_mtext}) AS BIGINT) AS n_markers,
+           CAST(sum(CASE WHEN rtext = ctext THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repaired_exact,
+           CAST(sum({m_rtext}) AS BIGINT) AS residual_markers
+    FROM rep GROUP BY source
+    """
+
+
+@query("mojibake_repair_roundtrip", oracle=_moji_oracle())
+def mojibake_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (UTF-8-misdecoded-as-cp1252) detection + repair, hash-
+    verified end-to-end: plant codec-accurate damage on a deterministic
+    1-in-7 subset, repair with the REAL sloppy-cp1252 → strict-UTF-8
+    round-trip (operators/encoding.py, the public ftfy algorithm), and
+    account per source — n_flagged counts marker-bearing docs,
+    n_repaired_exact counts docs whose repaired text is byte-equal to
+    the pre-damage original (must equal n_docs: damaged rows must
+    round-trip, clean rows must pass through untouched), and
+    residual_markers must be zero. The DuckDB oracle replays the repair
+    relationally (reverse replaces), so the codec path is checked
+    against an independent implementation, not itself.
+
+    Scale shape: detection is replace-length integer arithmetic inside
+    whole-stage codegen; repair is ONE Arrow-batched pandas UDF with a
+    marker-scan fast path (clean corpora never pay the codec) — map-only
+    end to end, the only shuffle is the final source-keyed partial agg.
+    Stateless per row, so the streaming twin is the same column
+    expression inside any foreachBatch stage (no cross-batch state)."""
+    from ..operators.encoding import fix_mojibake_col, mojibake_marker_count
+
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    cor = clean
+    for good, bad in _MOJI_PAIRS:
+        cor = F.replace(cor, F.lit(good), F.lit(bad))
+    mtext = F.when(F.col("doc_id") % 7 == 0, cor).otherwise(clean)
+    base = d.select(
+        "source", clean.alias("ctext"), mtext.alias("mtext")
+    ).withColumn("rtext", fix_mojibake_col("mtext"))
+    mcount = mojibake_marker_count("mtext", _MOJI_MARKERS)
+    rcount = mojibake_marker_count("rtext", _MOJI_MARKERS)
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((mcount > 0).cast("long")).alias("n_flagged"),
+        F.sum(mcount).alias("n_markers"),
+        F.sum((F.col("rtext") == F.col("ctext")).cast("long")).alias(
+            "n_repaired_exact"
+        ),
+        F.sum(rcount).alias("residual_markers"),
+    )

@@ -55,10 +55,13 @@ def bm25_topk_from_log(
     features_table: ParquetTable,
     stats_table: ParquetTable,
     up_to_batch: int | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 results from the accumulated logs — shared scoring
     core, so drained == batch bit-for-bit. With ``up_to_batch`` only
-    batches <= that id contribute (prequential view)."""
+    batches <= that id contribute (prequential view); ``top_k`` widens
+    the cut for downstream consumers (the hybrid-RRF lexical leg served
+    from this log)."""
     feats = features_table.read(spark)
     stats_log = stats_table.read(spark)
     if up_to_batch is not None:
@@ -76,6 +79,8 @@ def bm25_topk_from_log(
     base = feats.select(
         *[c for c in feats.columns if not c.startswith("_") and c not in ("batchid", "role")]
     )
+    if top_k is not None:
+        return bm25_score_from(base, stats, top_k=top_k)
     return bm25_score_from(base, stats)
 
 

@@ -78,6 +78,8 @@ PROBES = [
     # round-10 additions
     "warc_ingest_accounting",
     "lm_kneser_ney_score",
+    "hybrid_search_rrf",
+    "mojibake_repair_roundtrip",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
