@@ -245,6 +245,10 @@ NEW_OP_QUERIES = [
     "lm_kneser_ney_score",
     "hybrid_search_rrf",
     "mojibake_repair_roundtrip",
+    "rm3_expansion_terms",
+    "rm3_expanded_search",
+    "mmr_diverse_topk",
+    "retrieval_eval_ndcg",
 ]
 
 

@@ -298,3 +298,72 @@ def semdedup(
         .distinct()
     )
     return emb.join(dropped, id_col, "left_anti")
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    rel_col: str = "cs",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select ``k`` of the candidates maximizing
+    ``lam * relevance - (1 - lam) * max_similarity_to_already_selected``
+    — the standard diversity pass over a retrieval candidate list.
+
+    CONTRACT: ``cands`` is a BOUNDED leg-depth relation (the survivors
+    of a top-N cut such as ``sem_leg``/``bm25_score_from``), never the
+    corpus — MMR is inherently sequential-greedy, so the whole set is
+    re-ranked inside ONE Arrow batch on ONE executor (coalesce(1) +
+    mapInPandas). At 100 TB the candidate generation upstream is what
+    scales; this stage is O(k * N * dim) on <= N leg-depth rows.
+
+    Determinism: relevance ties break on ascending id; similarities are
+    float64 NumPy dot products over a fixed candidate order, and the
+    greedy argmax scans ids in ascending order so equal MMR scores pick
+    the smaller id. Returns (id, mmr_rank, relevance, mmr_score)."""
+    out_schema = (
+        f"{id_col} long, mmr_rank int, relevance double, mmr_score double"
+    )
+
+    def _greedy(batches):
+        rows = pd.concat(list(batches), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        ids = rows[id_col].to_numpy()
+        rel = rows[rel_col].to_numpy(dtype=np.float64)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in rows[vec_col]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        n = len(ids)
+        selected: list[int] = []
+        max_sim = np.zeros(n, dtype=np.float64)
+        taken = np.zeros(n, dtype=bool)
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - (1.0 - lam) * max_sim
+            score[taken] = -np.inf
+            # ids are ascending, argmax returns the FIRST maximum ->
+            # deterministic smaller-id tie-break
+            i = int(np.argmax(score))
+            taken[i] = True
+            selected.append(i)
+            out.append((int(ids[i]), rank, float(rel[i]), float(score[i])))
+            sims = unit @ unit[i]
+            max_sim = np.maximum(max_sim, sims)
+            max_sim[taken] = 0.0  # never re-selected; keep scores finite
+        yield pd.DataFrame(
+            out, columns=[id_col, "mmr_rank", "relevance", "mmr_score"]
+        )
+
+    return cands.select(id_col, rel_col, vec_col).coalesce(1).mapInPandas(
+        _greedy, schema=out_schema
+    )

@@ -1019,11 +1019,13 @@ def _lazy_bm25():
     return bm25_corpus_stats, bm25_doc_features, bm25_score_from, bm25_scored_sql
 
 
-def _rrf_oracle() -> str:
-    from .text import bm25_scored_sql
-
-    return f"""
-    WITH {bm25_scored_sql()}, lex_top AS (
+def rrf_fused_sql() -> str:
+    """lex_top/lex/q/sem_top/sem/fused CTE chain — the SQL twin of the
+    two legs + ``rrf_fuse``, against the ``scored`` CTE of
+    ``bm25_scored_sql()``. Shared by the ``hybrid_search_rrf`` oracle and
+    the retrieval-eval oracle so the evaluated system IS the registered
+    one."""
+    return f"""lex_top AS (
       SELECT doc_id, round(score, 6) AS bm25
       FROM scored
       ORDER BY round(score, 6) DESC, doc_id
@@ -1049,12 +1051,23 @@ def _rrf_oracle() -> str:
              CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
                   AS INTEGER) AS sem_rank
       FROM sem_top
-    )
-    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
-           COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
-             + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0) AS rrf_score
-    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-    ORDER BY rrf_score DESC, COALESCE(lex.doc_id, sem.doc_id)
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex_rank, sem_rank,
+             COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0) AS rrf_score
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )"""
+
+
+def _rrf_oracle() -> str:
+    from .text import bm25_scored_sql
+
+    return f"""
+    WITH {bm25_scored_sql()}, {rrf_fused_sql()}
+    SELECT doc_id, lex_rank, sem_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
     LIMIT {RRF_TOP}
     """
 
@@ -1152,4 +1165,199 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
         .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(RRF_TOP)
+    )
+
+
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+
+@query("mmr_diverse_topk")  # rows-only: greedy-iterative, not SQL-replayable
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking of the vector
+    leg's top-{RRF_LEG_DEPTH} candidates (Carbonell & Goldstein 1998):
+    the retrieval-serving pass that stops near-duplicate results from
+    crowding a result page / RAG context window. Greedy selection is
+    order-dependent by definition, so there is no SQL oracle; the pytest
+    twin (tests/test_mmr.py) re-implements the greedy loop independently
+    in pure Python and asserts exact agreement, plus a planted-twin case
+    proving a near-duplicate of rank-1 is demoted in favor of a less
+    redundant candidate.
+
+    Scale shape: candidate generation (``sem_leg``) is the corpus-sized
+    work — one scan + TakeOrderedAndProject; the greedy loop runs on the
+    <= {RRF_LEG_DEPTH} survivors inside one Arrow batch (bounded by the
+    leg depth, independent of corpus size). The 50-row join fetching
+    vectors broadcasts the candidate ids into the embeddings scan."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = sem_leg(emb, _RRF_QUERY_VEC_ID)
+    with_vecs = emb.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).join(F.broadcast(cand), "doc_id")
+    return mmr_rerank(with_vecs, k=MMR_K, lam=MMR_LAMBDA)
+
+
+# ------------------------------------------------------ retrieval eval
+
+NDCG_AT = 10  # evaluation cutoff for nDCG / MRR / precision
+
+
+def _eval_contrib_sql() -> str:
+    """Graded-gain DCG contribution in exact integer nano-units —
+    identical expression order to the Spark side."""
+    return (
+        "CAST(round((power(2.0, CAST(grade AS DOUBLE)) - 1.0)"
+        " / log2(CAST(rank AS DOUBLE) + 1.0)"
+        " * 1000000000.0) AS BIGINT)"
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    from .text import BM25_TERMS, bm25_scored_sql
+
+    grade_sql = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in BM25_TERMS
+    )
+    c = _eval_contrib_sql()
+    sys_block = """
+      SELECT '{name}' AS system,
+             CAST(sum({c}) AS BIGINT) AS dcg_micro,
+             min(CASE WHEN grade >= 2 THEN rank END) AS first_rel,
+             CAST(sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_at_k
+      FROM {ranked} r JOIN grades g USING (doc_id)
+    """
+    return f"""
+    WITH {bm25_scored_sql()}, {rrf_fused_sql()},
+    grades AS (
+      SELECT doc_id, CAST({grade_sql} AS INTEGER) AS grade FROM base
+    ),
+    lex_ranked AS (
+      SELECT doc_id, lex_rank AS rank FROM lex WHERE lex_rank <= {NDCG_AT}
+    ),
+    rrf_top AS (
+      SELECT doc_id, rrf_score FROM fused
+      ORDER BY rrf_score DESC, doc_id LIMIT {NDCG_AT}
+    ),
+    rrf_ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM rrf_top
+    ),
+    ideal AS (
+      SELECT grade,
+             CAST(row_number() OVER (ORDER BY grade DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM (SELECT doc_id, grade FROM grades
+            ORDER BY grade DESC, doc_id LIMIT {NDCG_AT})
+    ),
+    idcg AS (
+      SELECT CAST(sum({c}) AS BIGINT) AS idcg_micro FROM ideal
+    ),
+    sys_union AS (
+      {sys_block.format(name="bm25", c=c, ranked="lex_ranked")}
+      UNION ALL
+      {sys_block.format(name="rrf", c=c, ranked="rrf_ranked")}
+    )
+    SELECT system,
+           CAST(round(CAST(dcg_micro AS DOUBLE)
+                      / CAST(idcg_micro AS DOUBLE)
+                      * 1000000000.0) AS BIGINT) AS ndcg_micro,
+           COALESCE(CAST(round(1000000000.0 / CAST(first_rel AS DOUBLE))
+                         AS BIGINT), 0) AS mrr_micro,
+           n_rel_at_k
+    FROM sys_union CROSS JOIN idcg
+    """
+
+
+@query("retrieval_eval_ndcg", oracle=_retrieval_eval_oracle())
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance evaluation of the two registered retrieval
+    systems (plain BM25 vs hybrid RRF) at cutoff {NDCG_AT}: nDCG
+    (Järvelin & Kekäläinen 2002, exponential gain), MRR (first doc with
+    grade >= 2) and precision-as-count (results with grade >= 1). The
+    relevance judgment is derived deterministically from the corpus
+    itself — grade = number of distinct query terms a document contains
+    (0..3) — so both engines hold the identical qrels without any
+    external file, and the oracle replays systems AND metrics end to
+    end (the ranking CTEs are the registered queries' own SQL).
+
+    Scale shape: grades are one extra map-only column on the existing
+    BM25 feature scan; each system contributes {NDCG_AT} rows to the
+    metric join (broadcast into the grade relation); the ideal ranking
+    is one TakeOrderedAndProject over grades. Cross-engine determinism:
+    DCG terms go to exact integer nano-units before summing (the
+    order-free monoid discipline); nDCG/MRR are single double divisions
+    of exact integers rounded back to micro-units."""
+    from .text import BM25_TERMS
+
+    bm25_corpus_stats, bm25_doc_features, bm25_score_from, _ = _lazy_bm25()
+    docs = load_table(spark, sf_dir, "documents")
+    base = bm25_doc_features(docs)
+    grade = None
+    for t in BM25_TERMS:
+        g = (F.col(f"tf_{t}") > 0).cast("int")
+        grade = g if grade is None else grade + g
+    grades = base.select("doc_id", grade.alias("grade"))
+
+    lex_full = lex_ranks(
+        bm25_score_from(base, bm25_corpus_stats(base), top_k=RRF_LEG_DEPTH)
+    )
+    lex_ranked = lex_full.where(F.col("lex_rank") <= NDCG_AT).select(
+        "doc_id", F.col("lex_rank").alias("rank")
+    )
+    rrf_top = hybrid_search_rrf(spark, sf_dir).limit(NDCG_AT)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    rrf_ranked = rrf_top.withColumn(
+        "rank", F.row_number().over(w)
+    ).select("doc_id", "rank")
+
+    contrib = F.round(
+        (F.pow(F.lit(2.0), F.col("grade").cast("double")) - F.lit(1.0))
+        / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+        * F.lit(1e9)
+    ).cast("long")
+
+    def metrics(ranked: DataFrame, name: str) -> DataFrame:
+        j = grades.join(F.broadcast(ranked), "doc_id")
+        return j.agg(
+            F.lit(name).alias("system"),
+            F.sum(contrib).alias("dcg_micro"),
+            F.min(F.when(F.col("grade") >= 2, F.col("rank"))).alias(
+                "first_rel"
+            ),
+            F.sum((F.col("grade") >= 1).cast("long")).alias("n_rel_at_k"),
+        )
+
+    ideal = (
+        grades.orderBy(F.desc("grade"), "doc_id")
+        .limit(NDCG_AT)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("grade"), "doc_id")),
+        )
+    )
+    idcg = ideal.agg(F.sum(contrib).alias("idcg_micro"))
+    sys_union = metrics(lex_ranked, "bm25").unionByName(
+        metrics(rrf_ranked, "rrf")
+    )
+    return sys_union.crossJoin(F.broadcast(idcg)).select(
+        "system",
+        F.round(
+            F.col("dcg_micro").cast("double")
+            / F.col("idcg_micro").cast("double")
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("ndcg_micro"),
+        F.coalesce(
+            F.round(F.lit(1e9) / F.col("first_rel").cast("double")).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("mrr_micro"),
+        "n_rel_at_k",
     )

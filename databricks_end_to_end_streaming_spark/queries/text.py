@@ -2365,35 +2365,37 @@ def bm25_param(
     )
 
 
-@query(
-    "bm25_param_topk",
-    oracle=f"""
-    WITH terms(term) AS (VALUES {', '.join(f"('{t}')" for t in BM25_TERMS)}),
-    dl AS (
+def bm25_param_scored_sql(p: str = "", terms: str = "terms") -> str:
+    """The dl/feats/corpus/dfs/scored CTE chain of the parameterized-BM25
+    oracle (integer-micro rollup) against a term relation named
+    ``terms`` — the SQL twin of ``bm25_param``. ``p`` prefixes every CTE
+    name so a composed oracle (the RM3 expansion query re-scores with a
+    DERIVED term set) can include the chain without name collisions."""
+    return f"""{p}dl AS (
       SELECT doc_id, text,
              CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
                AS doclen
       FROM documents
     ),
-    feats AS (
+    {p}feats AS (
       SELECT d.doc_id, d.doclen, t.term,
              CAST((length(concat(' ', d.text, ' '))
                    - length(replace(concat(' ', d.text, ' '),
                                     concat(' ', t.term, ' '), ' ')))
                   / (length(t.term) + 1) AS BIGINT) AS tf
-      FROM dl d CROSS JOIN terms t
+      FROM {p}dl d CROSS JOIN {terms} t
     ),
-    corpus AS (
+    {p}corpus AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(doclen) AS BIGINT) AS total_len
-      FROM dl
+      FROM {p}dl
     ),
-    dfs AS (
+    {p}dfs AS (
       SELECT term,
              CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
-      FROM feats GROUP BY term
+      FROM {p}feats GROUP BY term
     ),
-    scored AS (
+    {p}scored AS (
       SELECT f.doc_id, f.doclen,
              sum(CAST(round(
                ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(s.df AS DOUBLE)
@@ -2405,12 +2407,19 @@ def bm25_param(
                                    * CAST(c.n_docs AS DOUBLE)
                                    / CAST(c.total_len AS DOUBLE)))
                * 1000000.0) AS BIGINT)) AS ms
-      FROM feats f
-      JOIN dfs s USING (term)
-      CROSS JOIN corpus c
+      FROM {p}feats f
+      JOIN {p}dfs s USING (term)
+      CROSS JOIN {p}corpus c
       WHERE f.tf > 0
       GROUP BY f.doc_id, f.doclen
-    )
+    )"""
+
+
+@query(
+    "bm25_param_topk",
+    oracle=f"""
+    WITH terms(term) AS (VALUES {', '.join(f"('{t}')" for t in BM25_TERMS)}),
+    {bm25_param_scored_sql()}
     SELECT doc_id, doclen,
            CAST(ms AS DOUBLE) / 1000000.0 AS bm25
     FROM scored
@@ -2428,6 +2437,158 @@ def bm25_param_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
     return bm25_param(d, terms)
+
+
+# --- RM3 pseudo-relevance feedback (query expansion) ------------------
+# Lavrenko & Croft 2001 relevance models; the RM3 interpolated variant
+# per Abdul-Jaleel et al. 2004 (UMass TREC). Public-literature IR: take
+# the top feedback docs of the initial query, estimate a relevance
+# model P(w|R) ~ sum_d P(w|d) * score(d), add the heaviest terms to the
+# query, re-retrieve.
+
+RM3_FB_DOCS = 10  # pseudo-relevant feedback depth
+RM3_EXP_TERMS = 5  # expansion terms added to the query
+RM3_MIN_TERM_LEN = 3  # drop particles ("a", "of") from candidates
+
+
+def rm3_expansion_weights(docs: DataFrame) -> DataFrame:
+    """(term, weight_micro) over expansion candidates from the top
+    ``RM3_FB_DOCS`` BM25 feedback docs. weight = sum_d P(term|d) *
+    bm25(d), accumulated in exact integer NANO-units so the cross-doc
+    sum is an order-free int64 monoid (the ``bm25_param`` discipline).
+    Everything downstream of the feedback cut is bounded by
+    RM3_FB_DOCS x doclen rows — the explode never touches the corpus."""
+    base = bm25_doc_features(docs)
+    fb = bm25_score_from(base, bm25_corpus_stats(base), top_k=RM3_FB_DOCS)
+    fb_docs = docs.select("doc_id", "text").join(F.broadcast(fb), "doc_id")
+    tok = fb_docs.select(
+        "doc_id",
+        "doclen",
+        "bm25",
+        F.explode(F.split(F.trim("text"), " +")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "doclen", "bm25", "term").agg(
+        F.count("*").alias("tf")
+    )
+    cand = tf.where(
+        (F.length("term") >= RM3_MIN_TERM_LEN)
+        & (~F.col("term").isin(*BM25_TERMS))
+    )
+    micro = F.round(
+        F.col("tf").cast("double")
+        / F.col("doclen").cast("double")
+        * F.col("bm25")
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        cand.select("term", micro.alias("_m"))
+        .groupBy("term")
+        .agg(F.sum("_m").alias("weight_micro"))
+    )
+
+
+def _rm3_cand_sql() -> str:
+    """fb/tok/tf/cand CTE chain — the SQL twin of
+    ``rm3_expansion_weights`` past the (shared) scored CTE."""
+    not_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""fb AS (
+      SELECT s.doc_id, s.doclen, round(s.score, 6) AS bm25, d.text
+      FROM scored s JOIN documents d USING (doc_id)
+      ORDER BY round(s.score, 6) DESC, s.doc_id
+      LIMIT {RM3_FB_DOCS}
+    ), tok AS (
+      SELECT doc_id, doclen, bm25,
+             unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM fb
+    ), tf AS (
+      SELECT doc_id, doclen, bm25, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, doclen, bm25, term
+    ), cand AS (
+      SELECT term,
+             CAST(round(CAST(tf AS DOUBLE) / CAST(doclen AS DOUBLE)
+                        * bm25 * 1000000000.0) AS BIGINT) AS m
+      FROM tf
+      WHERE length(term) >= {RM3_MIN_TERM_LEN} AND term NOT IN ({not_in})
+    )"""
+
+
+@query(
+    "rm3_expansion_terms",
+    oracle=f"""
+    WITH {bm25_scored_sql()}, {_rm3_cand_sql()}
+    SELECT term, CAST(sum(m) AS BIGINT) AS weight_micro
+    FROM cand GROUP BY term
+    ORDER BY CAST(sum(m) AS BIGINT) DESC, term
+    LIMIT {RM3_EXP_TERMS}
+    """,
+)
+def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RM3 relevance-model term selection: heaviest
+    ``RM3_EXP_TERMS`` non-query terms of the top-``RM3_FB_DOCS``
+    feedback docs, weighted by P(term|doc) * bm25(doc).
+
+    Scale shape: the only corpus-sized work is the initial BM25 pass
+    (one scan + TakeOrderedAndProject); term extraction explodes ONLY
+    the {RM3_FB_DOCS} feedback docs, so candidate generation is
+    feedback-sized, never corpus-sized. Cross-engine determinism:
+    per-(doc, term) contributions go to exact integer nano-units before
+    the term rollup (order-free int64 monoid), the feedback cut and the
+    final cut both break ties on doc_id/term."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        rm3_expansion_weights(d)
+        .orderBy(F.desc("weight_micro"), "term")
+        .limit(RM3_EXP_TERMS)
+    )
+
+
+@query(
+    "rm3_expanded_search",
+    oracle=f"""
+    WITH {bm25_scored_sql()}, {_rm3_cand_sql()},
+    exp_terms AS (
+      SELECT term FROM (
+        SELECT term, CAST(sum(m) AS BIGINT) AS wm
+        FROM cand GROUP BY term
+        ORDER BY CAST(sum(m) AS BIGINT) DESC, term
+        LIMIT {RM3_EXP_TERMS}
+      )
+    ),
+    terms AS (
+      {' UNION ALL '.join(f"SELECT '{t}' AS term" for t in BM25_TERMS)}
+      UNION ALL SELECT term FROM exp_terms
+    ),
+    {bm25_param_scored_sql(p="x")}
+    SELECT doc_id, doclen,
+           CAST(ms AS DOUBLE) / 1000000.0 AS bm25
+    FROM xscored
+    ORDER BY CAST(ms AS DOUBLE) / 1000000.0 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RM3: initial BM25 retrieval -> relevance-model term
+    selection -> re-retrieval with the expanded term RELATION through
+    ``bm25_param`` (the query-as-data scorer). The oracle replays the
+    whole two-pass pipeline, so the composition — not just the parts —
+    is hash-checked.
+
+    Scale shape: two corpus scans total (initial retrieval,
+    re-retrieval); the expansion term set is a derived
+    {RM3_EXP_TERMS}-row relation broadcast into the second pass exactly
+    like a literal term list — nothing is collected to the driver.
+    Expansion terms are provably disjoint from the originals (the
+    candidate filter excludes them), so the UNION ALL introduces no
+    duplicate scoring rows."""
+    d = load_table(spark, sf_dir, "documents")
+    exp = (
+        rm3_expansion_weights(d)
+        .orderBy(F.desc("weight_micro"), "term")
+        .limit(RM3_EXP_TERMS)
+        .select("term")
+    )
+    orig = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    return bm25_param(d, orig.unionByName(exp))
 
 
 BOILERPLATE_PREFIX_W = 3  # leading words that define a "boilerplate" prefix

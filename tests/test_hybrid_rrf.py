@@ -114,3 +114,20 @@ def test_incremental_lexical_leg_fuses_identically(spark, workdir, fused):
     ).collect()
     want = [tuple(r) for r in fused]
     assert [tuple(r) for r in got] == want
+
+
+def test_retrieval_eval_invariants(spark):
+    from databricks_end_to_end_streaming_spark.queries.similarity import (
+        NDCG_AT,
+        retrieval_eval_ndcg,
+    )
+
+    rows = {r.system: r for r in retrieval_eval_ndcg(spark, SF_DIR).collect()}
+    assert set(rows) == {"bm25", "rrf"}
+    for r in rows.values():
+        assert 0 < r.ndcg_micro <= 1_000_000_000  # nDCG in (0, 1]
+        assert 0 <= r.mrr_micro <= 1_000_000_000
+        assert 0 <= r.n_rel_at_k <= NDCG_AT
+    # BM25 ranks by exactly the signal the qrels grade (term coverage),
+    # so it cannot trail the hybrid on this judgment
+    assert rows["bm25"].ndcg_micro >= rows["rrf"].ndcg_micro

@@ -80,6 +80,9 @@ PROBES = [
     "lm_kneser_ney_score",
     "hybrid_search_rrf",
     "mojibake_repair_roundtrip",
+    "rm3_expanded_search",
+    "mmr_diverse_topk",
+    "retrieval_eval_ndcg",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
