@@ -249,6 +249,7 @@ NEW_OP_QUERIES = [
     "rm3_expanded_search",
     "mmr_diverse_topk",
     "retrieval_eval_ndcg",
+    "ccnet_perplexity_buckets",
 ]
 
 

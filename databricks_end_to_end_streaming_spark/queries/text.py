@@ -1585,10 +1585,12 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lm_kneser_ney_score",
-    oracle="""
-    WITH toks AS (
+def kn_oracle_ctes() -> str:
+    """toks/inst/tri/.../terms CTE chain of the Kneser-Ney oracle —
+    shared between ``lm_kneser_ney_score`` and the CCNet-style
+    perplexity bucketing oracle so the two can never score
+    differently."""
+    return """toks AS (
       SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
       FROM documents
       WHERE len(string_split_regex(trim(text), ' +')) >= 3
@@ -1635,13 +1637,24 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), terms AS (
       SELECT i.doc_id, i.pos, mo.p
       FROM inst i JOIN model mo USING (w1, w2, w3)
-    )
+    )"""
+
+
+# the shared per-doc rollup of the terms CTE (sorted position fold)
+_KN_SCORES_SELECT = """
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_trigrams,
            list_reduce(list(p ORDER BY pos), (a, x) -> a + x)
              / CAST(count(*) AS DOUBLE) AS mean_kn_prob
     FROM terms
-    GROUP BY doc_id
+    GROUP BY doc_id"""
+
+
+@query(
+    "lm_kneser_ney_score",
+    oracle=f"""
+    WITH {kn_oracle_ctes()}
+    {_KN_SCORES_SELECT}
     ORDER BY doc_id
     """,
 )
@@ -2808,4 +2821,75 @@ def leakage_safe_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("split")
+    )
+
+
+# --- CCNet-style perplexity bucketing (head / middle / tail) ----------
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {kn_oracle_ctes()},
+    scores AS ({_KN_SCORES_SELECT}
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.mean_kn_prob,
+             CAST(row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY s.mean_kn_prob DESC, s.doc_id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+      FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, mean_kn_prob,
+           CASE WHEN r * 3 <= n THEN 'head'
+                WHEN r * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per
+    language, rank every document by its language-model score and cut
+    the ranking into terciles — "head" is the most fluent third the
+    paper trains on first. The LM is the registered interpolated-KN
+    trigram model (``lm_kneser_ney_score``'s exact expression core and
+    oracle CTEs — one shared definition, Spark and SQL); mean trigram
+    PROBABILITY stands in for perplexity (monotone decreasing in it),
+    so ordering by prob DESC puts lowest-perplexity docs in head.
+
+    Tercile assignment is exact integer arithmetic on the per-lang rank
+    (r*3 <= n / r*3 <= 2n), never a float percentile — so the bucket
+    column hash-matches. The rank itself orders on a double, but
+    mean_kn_prob is bit-identical across engines by construction (the
+    KN query's hash-green discipline) with a doc_id tiebreak.
+
+    Scale shape: scoring inherits the KN plan (type-table rollups, ONE
+    co-keyed instance join); bucketing adds one lang-partitioned window
+    (per-lang sort). At 100 TB CCNet itself replaces the exact sort with
+    percentile CUTOFFS estimated on a sample and a map-only threshold
+    pass — the exact window here is the correctness anchor that
+    validates that approximation."""
+    d = load_table(spark, sf_dir, "documents")
+    inst = kn_instances(d)
+    tri = inst.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    scores = kn_scores_from(inst, tri)
+    joined = scores.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_kn_prob"), F.asc("doc_id")
+    )
+    ranked = joined.select(
+        "doc_id",
+        "lang",
+        "mean_kn_prob",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("r") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "lang", "mean_kn_prob", bucket.alias("bucket")
     )

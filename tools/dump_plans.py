@@ -67,6 +67,13 @@ PLAN_QUERIES = [
     ("semdedup_embeddings", "Arrow-batched cluster assignment -> within-cluster self-join (n^2/k pair space) -> broadcast anti-join drop"),
     ("lm_fluency_score", "instance->model co-keyed join, vocabulary-sized window, 1-row V broadcast, per-doc sorted fold in ONE groupBy"),
     ("lm_kneser_ney_score", "KN model from vocabulary-sized type-table rollups; instances pay ONE (w1,w2,w3) join; 1-row N1+(..) broadcast (plan via the unpinned builder — the registered form pins the type table, cutting 14 corpus scans to the 2 the algorithm needs)"),
+    ("hybrid_search_rrf", "two TakeOrderedAndProject legs (BM25 expression scan; broadcast 1-row query vector) -> 50-row rank windows -> full-outer fusion join of two leg-depth relations"),
+    ("mojibake_repair_roundtrip", "replace-length marker detection in codegen; ONE Arrow-batched repair UDF map-side; single source-keyed partial agg"),
+    ("rm3_expansion_terms", "initial BM25 TakeOrdered -> explode ONLY the 10 feedback docs -> integer-nano term rollup -> TakeOrdered top-5"),
+    ("rm3_expanded_search", "two corpus scans total: feedback pass + re-retrieval; derived 8-row term relation broadcast into the bm25_param cross join"),
+    ("mmr_diverse_topk", "corpus-sized work is the sem_leg TakeOrdered; greedy MMR runs on <=50 survivors in ONE Arrow batch (coalesce(1) is leg-depth-bounded by contract)"),
+    ("retrieval_eval_ndcg", "grades are one extra column on the BM25 feature scan; 10-row system rankings broadcast into the grade join; ideal ranking is one TakeOrdered"),
+    ("ccnet_perplexity_buckets", "KN scoring inherits the type-table plan; bucketing adds ONE lang-partitioned window (exact-anchor form; production uses sampled cutoffs + map-only threshold)"),
     ("decontaminate_minhash_lsh", "corpus bands x BROADCAST benchmark bands -> pinned candidates -> semi-join-pruned exact verify"),
     ("hashed_tf_features", "vocabulary-free signed hashing: narrow map + ONE partial-agg'd (doc,bucket) shuffle"),
     ("bloom_semi_join_urgent_revenue", "bitmap build bounded by m/64 word rows -> map-only broadcast-join probe -> exact semi join on survivors"),

@@ -83,6 +83,7 @@ PROBES = [
     "rm3_expanded_search",
     "mmr_diverse_topk",
     "retrieval_eval_ndcg",
+    "ccnet_perplexity_buckets",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
