@@ -2873,8 +2873,17 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     inst = kn_instances(d)
     tri = inst.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
-    scores = kn_scores_from(inst, tri)
-    joined = scores.join(d.select("doc_id", "lang"), "doc_id")
+    return ccnet_buckets_from(
+        kn_scores_from(inst, tri), d.select("doc_id", "lang")
+    )
+
+
+def ccnet_buckets_from(scores: DataFrame, langs: DataFrame) -> DataFrame:
+    """Tercile bucketing of a (doc_id, mean_kn_prob, ...) score relation
+    against a (doc_id, lang) dimension — the shared expression core of
+    the registered query and the incremental view over the drained KN
+    log (streaming/kn_lm.py), so the two can never bucket differently."""
+    joined = scores.join(langs, "doc_id")
     w = Window.partitionBy("lang").orderBy(
         F.desc("mean_kn_prob"), F.asc("doc_id")
     )

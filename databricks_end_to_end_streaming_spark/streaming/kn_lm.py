@@ -94,3 +94,26 @@ def kn_lm_index_stage(
         .start()
         .awaitTermination()
     )
+
+
+def ccnet_buckets_from_log(
+    spark: SparkSession,
+    inst_table: ParquetTable,
+    counts_table: ParquetTable,
+    langs: DataFrame,
+    up_to_batch: int | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail buckets over the accumulated KN log — the
+    incremental twin of queries/text.py::ccnet_perplexity_buckets.
+    ``langs`` is the (doc_id, lang) dimension (in a live pipeline, a
+    column carried by the ingested documents). Shares both expression
+    cores (kn_scores_from + ccnet_buckets_from), so a drained log
+    buckets bit-for-bit like the batch query; ``up_to_batch`` gives the
+    prequential "buckets as of batch N" view for corpus-quality drift
+    monitoring."""
+    from ..queries.text import ccnet_buckets_from
+
+    scores = kn_scores_from_log(
+        spark, inst_table, counts_table, up_to_batch=up_to_batch
+    )
+    return ccnet_buckets_from(scores, langs)

@@ -78,3 +78,29 @@ def test_streaming_wrapper(spark, workdir):
     got = _scores(kn_scores_from_log(spark, i_t, c_t))
     want = _scores(all_queries()["lm_kneser_ney_score"](spark, SF_DIR))
     assert got == want
+
+
+def test_drained_ccnet_buckets_equal_batch(spark, workdir):
+    """Bucket view over the drained log == the registered
+    ccnet_perplexity_buckets bit-for-bit (incremental twin)."""
+    from databricks_end_to_end_streaming_spark.streaming.kn_lm import (
+        ccnet_buckets_from_log,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    i_t, c_t = _tables(workdir)
+    stage = kn_lm_stage(i_t, c_t)
+    for i in range(3):
+        stage(docs.where(F.col("doc_id") % 3 == i), i)
+    langs = docs.select("doc_id", "lang")
+    got = sorted(
+        (r.doc_id, r.lang, r.mean_kn_prob, r.bucket)
+        for r in ccnet_buckets_from_log(spark, i_t, c_t, langs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.lang, r.mean_kn_prob, r.bucket)
+        for r in all_queries()["ccnet_perplexity_buckets"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == want and len(got) > 0
