@@ -323,15 +323,27 @@ def mmr_rerank(
     Determinism: relevance ties break on ascending id; similarities are
     float64 NumPy dot products over a fixed candidate order, and the
     greedy argmax scans ids in ascending order so equal MMR scores pick
-    the smaller id. Returns (id, mmr_rank, relevance, mmr_score)."""
+    the smaller id. Returns (id, mmr_rank, relevance, mmr_score); the
+    id column must be integral (it is emitted as long — validated up
+    front so a string-keyed relation fails at plan time, not inside an
+    executor)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_field = cands.schema[id_col].dataType
+    if not isinstance(id_field, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"mmr_rerank requires an integral {id_col!r} column "
+            f"(emitted as long); got {id_field.simpleString()}"
+        )
     out_schema = (
         f"{id_col} long, mmr_rank int, relevance double, mmr_score double"
     )
 
     def _greedy(batches):
-        rows = pd.concat(list(batches), ignore_index=True)
-        if rows.empty:
+        parts = [b for b in batches if len(b)]
+        if not parts:  # empty candidate relation: empty result, no crash
             return
+        rows = pd.concat(parts, ignore_index=True)
         rows = rows.sort_values(id_col, kind="mergesort").reset_index(
             drop=True
         )

@@ -1223,7 +1223,7 @@ def _retrieval_eval_oracle() -> str:
     c = _eval_contrib_sql()
     sys_block = """
       SELECT '{name}' AS system,
-             CAST(sum({c}) AS BIGINT) AS dcg_micro,
+             CAST(sum({c}) AS BIGINT) AS dcg_nano,
              min(CASE WHEN grade >= 2 THEN rank END) AS first_rel,
              CAST(sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_rel_at_k
@@ -1255,7 +1255,7 @@ def _retrieval_eval_oracle() -> str:
             ORDER BY grade DESC, doc_id LIMIT {NDCG_AT})
     ),
     idcg AS (
-      SELECT CAST(sum({c}) AS BIGINT) AS idcg_micro FROM ideal
+      SELECT CAST(sum({c}) AS BIGINT) AS idcg_nano FROM ideal
     ),
     sys_union AS (
       {sys_block.format(name="bm25", c=c, ranked="lex_ranked")}
@@ -1263,11 +1263,11 @@ def _retrieval_eval_oracle() -> str:
       {sys_block.format(name="rrf", c=c, ranked="rrf_ranked")}
     )
     SELECT system,
-           CAST(round(CAST(dcg_micro AS DOUBLE)
-                      / CAST(idcg_micro AS DOUBLE)
-                      * 1000000000.0) AS BIGINT) AS ndcg_micro,
+           CAST(round(CAST(dcg_nano AS DOUBLE)
+                      / CAST(idcg_nano AS DOUBLE)
+                      * 1000000000.0) AS BIGINT) AS ndcg_nano,
            COALESCE(CAST(round(1000000000.0 / CAST(first_rel AS DOUBLE))
-                         AS BIGINT), 0) AS mrr_micro,
+                         AS BIGINT), 0) AS mrr_nano,
            n_rel_at_k
     FROM sys_union CROSS JOIN idcg
     """
@@ -1309,7 +1309,12 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_ranked = lex_full.where(F.col("lex_rank") <= NDCG_AT).select(
         "doc_id", F.col("lex_rank").alias("rank")
     )
-    rrf_top = hybrid_search_rrf(spark, sf_dir).limit(NDCG_AT)
+    # the fused system is hybrid_search_rrf's exact body (same expression
+    # cores), built from the lex ranking ALREADY computed above so the
+    # corpus-sized BM25 pipeline runs once, not twice
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = rrf_fuse(lex_full, sem_ranks(sem_leg(emb, _RRF_QUERY_VEC_ID)))
+    rrf_top = fused.limit(NDCG_AT)
     w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     rrf_ranked = rrf_top.withColumn(
         "rank", F.row_number().over(w)
@@ -1325,7 +1330,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = grades.join(F.broadcast(ranked), "doc_id")
         return j.agg(
             F.lit(name).alias("system"),
-            F.sum(contrib).alias("dcg_micro"),
+            F.sum(contrib).alias("dcg_nano"),
             F.min(F.when(F.col("grade") >= 2, F.col("rank"))).alias(
                 "first_rel"
             ),
@@ -1340,24 +1345,24 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("grade"), "doc_id")),
         )
     )
-    idcg = ideal.agg(F.sum(contrib).alias("idcg_micro"))
+    idcg = ideal.agg(F.sum(contrib).alias("idcg_nano"))
     sys_union = metrics(lex_ranked, "bm25").unionByName(
         metrics(rrf_ranked, "rrf")
     )
     return sys_union.crossJoin(F.broadcast(idcg)).select(
         "system",
         F.round(
-            F.col("dcg_micro").cast("double")
-            / F.col("idcg_micro").cast("double")
+            F.col("dcg_nano").cast("double")
+            / F.col("idcg_nano").cast("double")
             * F.lit(1e9)
         )
         .cast("long")
-        .alias("ndcg_micro"),
+        .alias("ndcg_nano"),
         F.coalesce(
             F.round(F.lit(1e9) / F.col("first_rel").cast("double")).cast(
                 "long"
             ),
             F.lit(0).cast("long"),
-        ).alias("mrr_micro"),
+        ).alias("mrr_nano"),
         "n_rel_at_k",
     )

@@ -1702,8 +1702,15 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with the incremental twin (streaming/kn_lm.py): trigram
     counts are a sum monoid, so a drained count log reproduces this
     query bit-for-bit."""
-    d = load_table(spark, sf_dir, "documents")
-    inst = kn_instances(d)
+    return kn_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+def kn_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, mean_kn_prob): the full KN scoring pipeline
+    over a document relation — THE shared builder consumed by
+    ``lm_kneser_ney_score`` and ``ccnet_perplexity_buckets`` (one
+    scoring definition; a change here changes both or neither)."""
+    inst = kn_instances(docs)
     tri = inst.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
     return kn_scores_from(inst, tri)
 
@@ -2465,7 +2472,7 @@ RM3_MIN_TERM_LEN = 3  # drop particles ("a", "of") from candidates
 
 
 def rm3_expansion_weights(docs: DataFrame) -> DataFrame:
-    """(term, weight_micro) over expansion candidates from the top
+    """(term, weight_nano) over expansion candidates from the top
     ``RM3_FB_DOCS`` BM25 feedback docs. weight = sum_d P(term|d) *
     bm25(d), accumulated in exact integer NANO-units so the cross-doc
     sum is an order-free int64 monoid (the ``bm25_param`` discipline).
@@ -2496,7 +2503,7 @@ def rm3_expansion_weights(docs: DataFrame) -> DataFrame:
     return (
         cand.select("term", micro.alias("_m"))
         .groupBy("term")
-        .agg(F.sum("_m").alias("weight_micro"))
+        .agg(F.sum("_m").alias("weight_nano"))
     )
 
 
@@ -2529,7 +2536,7 @@ def _rm3_cand_sql() -> str:
     "rm3_expansion_terms",
     oracle=f"""
     WITH {bm25_scored_sql()}, {_rm3_cand_sql()}
-    SELECT term, CAST(sum(m) AS BIGINT) AS weight_micro
+    SELECT term, CAST(sum(m) AS BIGINT) AS weight_nano
     FROM cand GROUP BY term
     ORDER BY CAST(sum(m) AS BIGINT) DESC, term
     LIMIT {RM3_EXP_TERMS}
@@ -2550,7 +2557,7 @@ def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         rm3_expansion_weights(d)
-        .orderBy(F.desc("weight_micro"), "term")
+        .orderBy(F.desc("weight_nano"), "term")
         .limit(RM3_EXP_TERMS)
     )
 
@@ -2596,7 +2603,7 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     exp = (
         rm3_expansion_weights(d)
-        .orderBy(F.desc("weight_micro"), "term")
+        .orderBy(F.desc("weight_nano"), "term")
         .limit(RM3_EXP_TERMS)
         .select("term")
     )
@@ -2871,11 +2878,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — the exact window here is the correctness anchor that
     validates that approximation."""
     d = load_table(spark, sf_dir, "documents")
-    inst = kn_instances(d)
-    tri = inst.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
-    return ccnet_buckets_from(
-        kn_scores_from(inst, tri), d.select("doc_id", "lang")
-    )
+    return ccnet_buckets_from(kn_doc_scores(d), d.select("doc_id", "lang"))
 
 
 def ccnet_buckets_from(scores: DataFrame, langs: DataFrame) -> DataFrame:

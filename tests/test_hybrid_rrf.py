@@ -125,9 +125,9 @@ def test_retrieval_eval_invariants(spark):
     rows = {r.system: r for r in retrieval_eval_ndcg(spark, SF_DIR).collect()}
     assert set(rows) == {"bm25", "rrf"}
     for r in rows.values():
-        assert 0 < r.ndcg_micro <= 1_000_000_000  # nDCG in (0, 1]
-        assert 0 <= r.mrr_micro <= 1_000_000_000
+        assert 0 < r.ndcg_nano <= 1_000_000_000  # nDCG in (0, 1]
+        assert 0 <= r.mrr_nano <= 1_000_000_000
         assert 0 <= r.n_rel_at_k <= NDCG_AT
     # BM25 ranks by exactly the signal the qrels grade (term coverage),
     # so it cannot trail the hybrid on this judgment
-    assert rows["bm25"].ndcg_micro >= rows["rrf"].ndcg_micro
+    assert rows["bm25"].ndcg_nano >= rows["rrf"].ndcg_nano

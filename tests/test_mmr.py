@@ -129,3 +129,18 @@ def test_registered_query_shape(spark):
     assert len({r.doc_id for r in rows}) == MMR_K
     # greedy invariant: rank-1 is the max-relevance candidate
     assert rows[0].relevance == max(r.relevance for r in rows)
+
+
+def test_empty_candidates_yield_empty_result(spark):
+    df = spark.createDataFrame(
+        [], "doc_id long, cs double, embedding array<double>"
+    )
+    assert mmr_rerank(df, k=3).collect() == []
+
+
+def test_non_integral_id_rejected_at_plan_time(spark):
+    df = spark.createDataFrame(
+        [("u1", 0.5, [1.0])], "doc_id string, cs double, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        mmr_rerank(df, k=1)

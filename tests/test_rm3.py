@@ -27,12 +27,12 @@ pytestmark = pytest.mark.skipif(
 def test_expansion_terms_valid(spark):
     rows = rm3_expansion_terms(spark, SF_DIR).collect()
     assert 0 < len(rows) <= RM3_EXP_TERMS
-    weights = [r.weight_micro for r in rows]
+    weights = [r.weight_nano for r in rows]
     assert weights == sorted(weights, reverse=True)
     for r in rows:
         assert r.term not in BM25_TERMS  # never re-adds query terms
         assert len(r.term) >= RM3_MIN_TERM_LEN
-        assert r.weight_micro > 0
+        assert r.weight_nano > 0
 
 
 def test_expanded_search_reranks(spark):
