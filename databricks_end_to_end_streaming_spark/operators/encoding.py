@@ -118,8 +118,11 @@ def sloppy_cp1252_decode(b: bytes) -> str:
 def fix_mojibake_text(s: str) -> str:
     """Repair one string: bounded fixpoint of sloppy-cp1252-encode →
     strict-UTF-8-decode, keeping a pass only when the decode succeeds.
-    Returns the input unchanged when no hint marker is present (fast
-    path) or when the round-trip fails (not mojibake)."""
+    Returns the input unchanged when no char in the misdecoded-lead
+    range U+00C2-U+00F4 is present (the fast path — free for ASCII
+    corpora; genuinely accented Latin text passes this gate and pays
+    one cp1252-encode + strict-UTF-8-decode, which then rejects it) or
+    when the round-trip fails (not mojibake)."""
     for _ in range(_MAX_PASSES):
         if not _has_mojibake_lead(s):
             return s
@@ -138,8 +141,10 @@ def fix_mojibake_text(s: str) -> str:
 
 def fix_mojibake_col(col: str | Column) -> Column:
     """Arrow-batched column repair — the only non-expression step, and
-    it is map-only (no shuffle, no state; the hint-scan fast path makes
-    clean corpora essentially free). Built lazily: ``pandas_udf``
+    it is map-only (no shuffle, no state). ASCII-clean corpora are
+    essentially free (lead-range fast path); corpora rich in genuine
+    accented text pay the per-row codec round-trip — budget the UDF
+    accordingly. Built lazily: ``pandas_udf``
     requires an active session, so the decorator cannot run at module
     import."""
 

@@ -1006,17 +1006,18 @@ RRF_TOP = 20
 _RRF_QUERY_VEC_ID = 0  # stands in for the query encoder's output
 
 
-def _lazy_bm25():
-    """Import the BM25 building blocks lazily (module-load order between
-    sibling query modules stays registration-driven, not import-driven)."""
-    from .text import (
-        bm25_corpus_stats,
-        bm25_doc_features,
-        bm25_score_from,
-        bm25_scored_sql,
-    )
-
-    return bm25_corpus_stats, bm25_doc_features, bm25_score_from, bm25_scored_sql
+# Plain sibling import: the oracle builders below need text's SQL
+# builders at decoration time anyway, and text.py is already fully
+# loaded before this module (queries/classifier.py, imported earlier by
+# the registry, imports it at top level) — so this changes no
+# registration order.
+from .text import (  # noqa: E402
+    BM25_TERMS,
+    bm25_corpus_stats,
+    bm25_doc_features,
+    bm25_score_from,
+    bm25_scored_sql,
+)
 
 
 def rrf_fused_sql() -> str:
@@ -1061,8 +1062,6 @@ def rrf_fused_sql() -> str:
 
 
 def _rrf_oracle() -> str:
-    from .text import bm25_scored_sql
-
     return f"""
     WITH {bm25_scored_sql()}, {rrf_fused_sql()}
     SELECT doc_id, lex_rank, sem_rank, rrf_score
@@ -1084,20 +1083,21 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is excluded as a degenerate self-match).
 
     Scale shape: each leg is a single corpus scan ending in
-    TakeOrderedAndProject at depth {RRF_LEG_DEPTH} (per-partition heaps,
+    TakeOrderedAndProject at depth RRF_LEG_DEPTH (50) (per-partition heaps,
     no global sort); the only post-scan work is a full-outer join of two
-    {RRF_LEG_DEPTH}-row relations. Rank assignment windows run AFTER the
+    RRF_LEG_DEPTH (50)-row relations. Rank assignment windows run AFTER the
     leg cutoff, so the unpartitioned window touches at most
-    {RRF_LEG_DEPTH} rows regardless of corpus size. At 100 TB the vector
+    RRF_LEG_DEPTH (50) rows regardless of corpus size. At 100 TB the vector
     leg swaps in ``ann_ivfpq_topk``'s candidate generation unchanged —
     fusion only consumes (doc_id, rank).
 
     Cross-engine determinism: fusion consumes integer RANKS, never raw
-    scores, so last-ulp float noise cannot leak past the leg cutoffs
-    (legs round to 6 decimals with doc_id tiebreak, the
-    ``bm25_keyword_search`` discipline); rrf_score = 1/(60+rank) sums of
-    exact integer ranks are bit-identical in both engines."""
-    bm25_corpus_stats, bm25_doc_features, bm25_score_from, _ = _lazy_bm25()
+    scores; rrf_score = 1/(60+rank) sums of exact integer ranks are
+    bit-identical in both engines. Leg membership itself orders on a
+    round-6 cosine/BM25 (doc_id tiebreak) — the same probabilistic
+    rank-stability contract as every float-ranked query in this module
+    (a true score within ~1e-16 of a 5e-7 rounding boundary could flip
+    a leg rank; the corpus-derived scores sit nowhere near one)."""
     docs = load_table(spark, sf_dir, "documents")
     base = bm25_doc_features(docs)
     lex_top = bm25_score_from(
@@ -1175,7 +1175,7 @@ MMR_LAMBDA = 0.7
 @query("mmr_diverse_topk")  # rows-only: greedy-iterative, not SQL-replayable
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversity re-ranking of the vector
-    leg's top-{RRF_LEG_DEPTH} candidates (Carbonell & Goldstein 1998):
+    leg's top-RRF_LEG_DEPTH (50) candidates (Carbonell & Goldstein 1998):
     the retrieval-serving pass that stops near-duplicate results from
     crowding a result page / RAG context window. Greedy selection is
     order-dependent by definition, so there is no SQL oracle; the pytest
@@ -1186,7 +1186,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidate generation (``sem_leg``) is the corpus-sized
     work — one scan + TakeOrderedAndProject; the greedy loop runs on the
-    <= {RRF_LEG_DEPTH} survivors inside one Arrow batch (bounded by the
+    <= RRF_LEG_DEPTH (50) survivors inside one Arrow batch (bounded by the
     leg depth, independent of corpus size). The 50-row join fetching
     vectors broadcasts the candidate ids into the embeddings scan."""
     from ..operators.similarity import mmr_rerank
@@ -1215,8 +1215,6 @@ def _eval_contrib_sql() -> str:
 
 
 def _retrieval_eval_oracle() -> str:
-    from .text import BM25_TERMS, bm25_scored_sql
-
     grade_sql = " + ".join(
         f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in BM25_TERMS
     )
@@ -1276,7 +1274,7 @@ def _retrieval_eval_oracle() -> str:
 @query("retrieval_eval_ndcg", oracle=_retrieval_eval_oracle())
 def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded-relevance evaluation of the two registered retrieval
-    systems (plain BM25 vs hybrid RRF) at cutoff {NDCG_AT}: nDCG
+    systems (plain BM25 vs hybrid RRF) at cutoff NDCG_AT (10): nDCG
     (Järvelin & Kekäläinen 2002, exponential gain), MRR (first doc with
     grade >= 2) and precision-as-count (results with grade >= 1). The
     relevance judgment is derived deterministically from the corpus
@@ -1286,15 +1284,12 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     end (the ranking CTEs are the registered queries' own SQL).
 
     Scale shape: grades are one extra map-only column on the existing
-    BM25 feature scan; each system contributes {NDCG_AT} rows to the
+    BM25 feature scan; each system contributes NDCG_AT (10) rows to the
     metric join (broadcast into the grade relation); the ideal ranking
     is one TakeOrderedAndProject over grades. Cross-engine determinism:
     DCG terms go to exact integer nano-units before summing (the
     order-free monoid discipline); nDCG/MRR are single double divisions
     of exact integers rounded back to micro-units."""
-    from .text import BM25_TERMS
-
-    bm25_corpus_stats, bm25_doc_features, bm25_score_from, _ = _lazy_bm25()
     docs = load_table(spark, sf_dir, "documents")
     base = bm25_doc_features(docs)
     grade = None

@@ -2549,7 +2549,7 @@ def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only corpus-sized work is the initial BM25 pass
     (one scan + TakeOrderedAndProject); term extraction explodes ONLY
-    the {RM3_FB_DOCS} feedback docs, so candidate generation is
+    the RM3_FB_DOCS (10) feedback docs, so candidate generation is
     feedback-sized, never corpus-sized. Cross-engine determinism:
     per-(doc, term) contributions go to exact integer nano-units before
     the term rollup (order-free int64 monoid), the feedback cut and the
@@ -2595,7 +2595,7 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two corpus scans total (initial retrieval,
     re-retrieval); the expansion term set is a derived
-    {RM3_EXP_TERMS}-row relation broadcast into the second pass exactly
+    RM3_EXP_TERMS (5)-row relation broadcast into the second pass exactly
     like a literal term list — nothing is collected to the driver.
     Expansion terms are provably disjoint from the originals (the
     candidate filter excludes them), so the UNION ALL introduces no

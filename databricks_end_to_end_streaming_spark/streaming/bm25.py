@@ -26,7 +26,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..queries.text import bm25_corpus_stats, bm25_doc_features, bm25_score_from
+from ..queries.text import (
+    BM25_TOP_K,
+    bm25_corpus_stats,
+    bm25_doc_features,
+    bm25_score_from,
+)
 from .sinks import ParquetTable
 
 
@@ -79,9 +84,9 @@ def bm25_topk_from_log(
     base = feats.select(
         *[c for c in feats.columns if not c.startswith("_") and c not in ("batchid", "role")]
     )
-    if top_k is not None:
-        return bm25_score_from(base, stats, top_k=top_k)
-    return bm25_score_from(base, stats)
+    if top_k is None:
+        top_k = BM25_TOP_K
+    return bm25_score_from(base, stats, top_k=top_k)
 
 
 def bm25_index_stage(
