@@ -1680,3 +1680,101 @@ def neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------------------- line-level dedup
+# CCNet-style first-occurrence line dedup (Wenzek et al. 2020 §3.1: the
+# pipeline's FIRST dedup pass hashes every paragraph/line and keeps only
+# its first occurrence corpus-wide, before any document-level pass).
+# The driver corpus carries no newlines, so "lines" are deterministic
+# fixed-width token segments (the text_chunking precedent) — the hash /
+# keep-first / reassemble machinery is the real thing.
+
+LINE_W = 12  # tokens per synthetic line
+
+
+def line_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, seg_idx, seg): non-overlapping LINE_W-token segments.
+
+    The heavy text column is dropped before the explode — generated rows
+    carry only the ~LINE_W-token segment string, so the exploded relation
+    is about the size of the corpus text, never a multiple of it."""
+    toks = F.split(F.trim(text_col), " +")
+    segs = F.transform(
+        F.sequence(
+            F.lit(0),
+            (F.ceil(F.size(toks) / F.lit(float(LINE_W))) - 1).cast("long"),
+        ),
+        lambda i: F.array_join(F.slice(toks, i * LINE_W + 1, LINE_W), " "),
+    )
+    return docs.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+
+
+def _first_occurrence_kept(segs: DataFrame) -> DataFrame:
+    """Adds ``kept``: true iff this row is the corpus-wide first
+    occurrence (min (doc_id, seg_idx)) of its segment hash. One shuffle
+    on md5(seg) — uniformly distributed; each window group holds only
+    the copies of one line, so no group outgrows a task at any scale."""
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    return segs.withColumn("kept", F.row_number().over(w) == 1)
+
+
+def cleaned_lines_doc(segs_kept: DataFrame) -> DataFrame:
+    """Reassemble per-doc output from flagged segments: every doc keeps
+    a row (fully-scrubbed docs surface with cleaned_text = '')."""
+    flagged = F.array_sort(F.collect_list(F.struct("seg_idx", "kept", "seg")))
+    return segs_kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(flagged, lambda x: x["kept"]), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+@query(
+    "dedup_lines_first_occurrence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+             array_to_string(t[u.i*{LINE_W}+1 : (u.i+1)*{LINE_W}], ' ') AS seg
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(t) / {LINE_W}.0) AS BIGINT))) AS u(i)
+    ), ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS cleaned_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_lines_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet stage-1 line dedup: hash every line, keep only its FIRST
+    corpus-wide occurrence (ordered by doc_id, position), reassemble
+    the surviving text per document. Complements the frequency-threshold
+    span scrub (``dedup_ngram_span_removal``, which keeps NO copy of a
+    hot gram) and whole-doc dedup: this keeps exactly one copy of every
+    line, the semantics Wenzek et al. 2020 report removing ~70% of raw
+    CommonCrawl text with.
+
+    Plan: tokenize once, explode to segment rows (text dropped first),
+    ONE hash-keyed window shuffle to rank occurrences, one groupBy
+    doc_id to reassemble. Both shuffles carry line-sized rows; 100 TB
+    cost is two exchanges of ~corpus-text volume with uniform keys —
+    no skew (a hot boilerplate line makes one large-but-single-task
+    window group; groups are line-copy-sized, not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cleaned_lines_doc(_first_occurrence_kept(line_segments(d)))

@@ -267,3 +267,33 @@ def test_neardup_safe_split_never_straddles_clusters(spark):
         .count()
     )
     assert naive_straddling > 0
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles_in_order(spark):
+    """dedup_lines_first_occurrence core: the (doc_id, seg_idx)-minimal
+    copy of every line survives, later copies vanish, and surviving
+    segments rejoin in original position order."""
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        LINE_W,
+        _first_occurrence_kept,
+        cleaned_lines_doc,
+        line_segments,
+    )
+
+    def line(tag):
+        return " ".join(f"{tag}{j}" for j in range(LINE_W))
+
+    a, b, c = line("a"), line("b"), line("c")
+    docs = spark.createDataFrame(
+        [(10, f"{a} {b}"), (20, f"{b} {c} {b}"), (30, a)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.cleaned_text)
+        for r in cleaned_lines_doc(
+            _first_occurrence_kept(line_segments(docs))
+        ).collect()
+    }
+    assert got[10] == (2, 2, f"{a} {b}")
+    assert got[20] == (3, 1, c)  # both b copies lose to doc 10's
+    assert got[30] == (1, 0, "")  # fully scrubbed doc still surfaces
