@@ -1059,3 +1059,168 @@ def mojibake_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(rcount).alias("residual_markers"),
     )
+
+
+# ------------------------------------------- URL canonicalization
+# Crawl-frontier URL canonicalization (RFC 3986 §6 normalization plus
+# the tracking-param strip every crawl pipeline applies before URL-level
+# dedup — C4 and RefinedWeb both dedupe by normalized URL before any
+# content pass). The corpus has no URL column (module docstring), so the
+# messy variants are derived deterministically: several doc_ids share a
+# target page and each carries a different mess class (host case, www.,
+# default port, fragment, tracking params, param order, trailing slash).
+
+
+def with_url_messy(d: DataFrame) -> DataFrame:
+    """Synthetic messy URL: page = doc_id % 120, so ~n/120 docs share
+    each page behind different surface forms. Mirrors _URL_MESSY_SQL
+    exactly — byte-identical output."""
+    page = (F.col("doc_id") % 120).cast("string")
+    base_host = F.concat(
+        F.lit("cdn"), (F.col("doc_id") % 120 % 3).cast("string"), F.lit(".example")
+    )
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.upper(base_host)).otherwise(base_host),
+    )
+    port = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":443"))
+        .when(F.col("doc_id") % 11 == 0, F.lit(":8443"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        page,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qs = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), page, F.lit("&z=1")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("?z=1&id="), page, F.lit("&ref=rss")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("?id="), page, F.lit("&z=1&utm_campaign=x")))
+        .otherwise(F.lit("?ref=feed"))
+    )
+    frag = F.when(F.col("doc_id") % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    return d.withColumn(
+        "url", F.concat(F.lit("https://"), host, port, path, qs, frag)
+    )
+
+
+_URL_MESSY_SQL = """
+  SELECT *, 'https://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN upper('cdn' || CAST(doc_id % 120 % 3 AS VARCHAR) || '.example')
+             ELSE 'cdn' || CAST(doc_id % 120 % 3 AS VARCHAR) || '.example' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':443'
+             WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 120 AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 120 AS VARCHAR) || '&z=1'
+             WHEN doc_id % 4 = 1
+             THEN '?z=1&id=' || CAST(doc_id % 120 AS VARCHAR) || '&ref=rss'
+             WHEN doc_id % 4 = 2
+             THEN '?id=' || CAST(doc_id % 120 AS VARCHAR) || '&z=1&utm_campaign=x'
+             ELSE '?ref=feed' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+  FROM documents
+"""
+
+
+def canonical_url_col(url_col: str = "url") -> F.Column:
+    """RFC 3986 §6 canonical form of an https URL, entirely in built-in
+    string functions (whole-stage codegen, map-only): lowercase host,
+    strip ``www.``, drop the default :443 port, strip the fragment, drop
+    tracking params (utm_*, ref), sort surviving query params, strip
+    trailing path slashes (root stays '/'). Mirrors _CANON_SQL."""
+    u = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^https://([^/:?#]+)", 1)),
+        r"^www\.", "",
+    )
+    port = F.regexp_extract(u, r"^https://[^/:?#]+:([0-9]+)", 1)
+    port = F.when((port == "") | (port == "443"), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^https://[^/?#]+(/[^?#]*)?", 1), r"/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.when(qs == "", F.array().cast("array<string>")).otherwise(
+                F.split(qs, "&")
+            ),
+            lambda x: ~(x.startswith("utm_") | x.startswith("ref=")),
+        )
+    )
+    canon_q = F.when(F.size(kept) > 0,
+                     F.concat(F.lit("?"), F.array_join(kept, "&"))
+                     ).otherwise(F.lit(""))
+    return F.concat(F.lit("https://"), host, port, path, canon_q)
+
+
+_CANON_SQL = """
+  'https://'
+  || regexp_replace(lower(regexp_extract(url, '^https://([^/:?#]+)', 1)),
+                    '^www\\.', '')
+  || (CASE WHEN regexp_extract(url, '^https://[^/:?#]+:([0-9]+)', 1)
+             IN ('', '443') THEN ''
+          ELSE ':' || regexp_extract(url, '^https://[^/:?#]+:([0-9]+)', 1) END)
+  || (CASE WHEN regexp_replace(
+             regexp_extract(url, '^https://[^/?#]+(/[^?#]*)?', 1), '/+$', '')
+             = '' THEN '/'
+          ELSE regexp_replace(
+             regexp_extract(url, '^https://[^/?#]+(/[^?#]*)?', 1), '/+$', '') END)
+  || (CASE WHEN len(list_filter(
+             CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN []
+                  ELSE string_split(regexp_extract(url, '\\?([^#]*)', 1), '&') END,
+             x -> x NOT LIKE 'utm|_%' ESCAPE '|' AND x NOT LIKE 'ref=%')) > 0
+          THEN '?' || array_to_string(list_sort(list_filter(
+             CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN []
+                  ELSE string_split(regexp_extract(url, '\\?([^#]*)', 1), '&') END,
+             x -> x NOT LIKE 'utm|_%' ESCAPE '|' AND x NOT LIKE 'ref=%')), '&')
+          ELSE '' END)
+"""
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle=f"""
+    WITH u AS ({_URL_MESSY_SQL}),
+    c AS (
+      SELECT doc_id, url, {_CANON_SQL} AS canonical_url FROM u
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           min(doc_id) AS canonical_doc_id
+    FROM c
+    GROUP BY canonical_url
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization — the crawl-frontier pass
+    that runs BEFORE any content dedup: normalize each URL to canonical
+    form and collapse duplicates, keeping min(doc_id) as canonical.
+
+    Shape: canonicalization is map-only regexp/array work inside
+    whole-stage codegen; dedup is ONE partial-agg'd shuffle on the
+    canonical-URL key (uniformly distributed — hot pages make large
+    counts, not large groups, because count/min are algebraic). At
+    100 TB this is the cheapest dedup pass in the pipeline, which is
+    exactly why production crawls run it first."""
+    d = with_url_messy(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", "url", canonical_url_col().alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )

@@ -356,3 +356,63 @@ def test_unmatched_domain_keeps_its_accounting_row(spark):
     assert got[""].n_docs == 1 and got[""].n_tokens == 3
     assert got[""].reg_domain == ""  # accounts under itself
     assert got["ok.example.com"].reg_domain == "example.com"
+
+
+def test_url_canonicalization_edge_cases(spark):
+    """canonical_url_col: RFC 3986 normalization on hand-picked forms,
+    including shapes the synthetic corpus never produces (root path,
+    no query, every-param-stripped, non-default port kept)."""
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        canonical_url_col,
+    )
+
+    cases = [
+        # (raw, canonical)
+        ("https://WWW.Site.Example:443/a/b/?utm_source=x&id=2#frag",
+         "https://site.example/a/b?id=2"),
+        ("https://site.example", "https://site.example/"),
+        ("https://site.example/?ref=feed", "https://site.example/"),
+        ("https://site.example:8443/a", "https://site.example:8443/a"),
+        ("https://site.example/a?z=1&b=2&a=3",
+         "https://site.example/a?a=3&b=2&z=1"),
+        ("https://site.example/a//?x=1#s", "https://site.example/a?x=1"),
+        ("https://www.site.example/#top", "https://site.example/"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonical_url_col().alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_canonical_dedup_collapses_variants(spark, workdir):
+    """Same page behind different mess classes collapses to one
+    canonical row whose copy count matches the planted fan-in."""
+    import pyspark.sql.functions as F
+    from databricks_end_to_end_streaming_spark.queries.web import (
+        canonical_url_col,
+        with_url_messy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(240)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = (
+        with_url_messy(docs)
+        .select("doc_id", "url", canonical_url_col().alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"), F.countDistinct("url").alias("v"))
+        .collect()
+    )
+    # 240 docs over 120 pages: every page has exactly 2 docs
+    assert sum(r.n for r in out) == 240
+    assert all(r.n >= 1 for r in out)
+    # at least one page collapses >1 distinct surface form
+    assert any(r.v > 1 and r.n == r.v for r in out)
+    # canonical forms carry no mess markers
+    for r in out:
+        c = r.c
+        assert "#" not in c and "utm_" not in c and "ref=" not in c
+        assert ":443" not in c and "www." not in c
+        assert not c.endswith("/") or c.endswith(".example/")
