@@ -58,13 +58,21 @@ def bloom_dedup_batch(
     bitmap_table: ParquetTable,
     batch_id: int,
     m_bits: int = BLOOM_M_BITS,
+    fingerprint: F.Column | None = None,
 ) -> dict:
     """One micro-batch through the Bloom-gated dedup. Returns counters
     (pytest introspection): how many rows took the cheap definitely-new
-    path vs the exact-check path."""
+    path vs the exact-check path.
+
+    ``fingerprint`` selects the dedup key (default: normalized-text
+    xxhash64). Everything downstream of the ``fp`` column is
+    key-agnostic, so the same bitmap/fp-table/replay machinery serves
+    content dedup and canonical-URL dedup (url_dedup_stage)."""
     spark = batch_df.sparkSession
+    if fingerprint is None:
+        fingerprint = _fingerprint()
     batch = (
-        batch_df.withColumn("fp", _fingerprint())
+        batch_df.withColumn("fp", fingerprint)
         # intra-batch dedup first: keep the lowest doc_id per fingerprint
         .withColumn(
             "_rn",
@@ -203,13 +211,20 @@ def bloom_dedup_stage(
     checkpoint: str,
     m_bits: int = BLOOM_M_BITS,
     query_name: str = "bloom_dedup_incremental",
+    fingerprint: F.Column | None = None,
 ) -> None:
     """Streaming wrapper: drain available batches through the Bloom-gated
     dedup (Trigger-Once semantics, SURVEY T1)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bloom_dedup_batch(
-            batch_df, out_table, fp_table, bitmap_table, batch_id, m_bits
+            batch_df,
+            out_table,
+            fp_table,
+            bitmap_table,
+            batch_id,
+            m_bits,
+            fingerprint=fingerprint,
         )
 
     (
@@ -220,4 +235,38 @@ def bloom_dedup_stage(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def url_fingerprint(url_col: str = "url") -> F.Column:
+    """Canonical-URL dedup key: xxhash64 of the RFC 3986 canonical form
+    (queries/web.py::canonical_url_col) — the incremental twin key of
+    the batch query url_canonicalize_dedup. Two surface variants of one
+    page hash identically, so the Bloom gate + exact check drop the
+    later arrival no matter which mess class it wears."""
+    from ..queries.web import canonical_url_col
+
+    return F.xxhash64(canonical_url_col(url_col))
+
+
+def url_dedup_batch(
+    batch_df: DataFrame,
+    out_table: ParquetTable,
+    fp_table: ParquetTable,
+    bitmap_table: ParquetTable,
+    batch_id: int,
+    m_bits: int = BLOOM_M_BITS,
+) -> dict:
+    """Bloom-gated incremental canonical-URL dedup: the crawl-frontier
+    "have we fetched this page" check, sharing every mechanism of the
+    content-dedup stage (bitmap state bound by m_bits regardless of
+    frontier size; replays idempotent under the same tokens)."""
+    return bloom_dedup_batch(
+        batch_df,
+        out_table,
+        fp_table,
+        bitmap_table,
+        batch_id,
+        m_bits,
+        fingerprint=url_fingerprint(),
     )

@@ -416,3 +416,40 @@ def test_url_canonical_dedup_collapses_variants(spark, workdir):
         assert "#" not in c and "utm_" not in c and "ref=" not in c
         assert ":443" not in c and "www." not in c
         assert not c.endswith("/") or c.endswith(".example/")
+
+
+def test_url_dedup_stage_drops_cross_batch_variants(spark, workdir):
+    """Incremental canonical-URL dedup: a later surface variant of an
+    already-seen page is dropped across the batch gap; a replay is
+    idempotent; genuinely new pages pass."""
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.streaming.bloom_stage import (
+        url_dedup_batch,
+    )
+
+    rows = [
+        # page /p/1: three variants across two batches
+        (0, "https://www.site.example:443/p/1?utm_source=a&id=1"),
+        (1, "https://SITE.example/p/1/?id=1"),
+        (2, "https://site.example/p/1?id=1#frag"),
+        # page /p/2: two variants inside batch 1
+        (3, "https://site.example/p/2"),
+        (4, "https://site.example/p/2/?ref=x"),
+        # page /p/3: batch-2 only (definitely new)
+        (5, "https://site.example/p/3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = ParquetTable(f"{workdir}/frontier")
+    fp = ParquetTable(f"{workdir}/fp")
+    bm = ParquetTable(f"{workdir}/bitmap")
+    c1 = url_dedup_batch(docs.where("doc_id < 2"), out, fp, bm, 0)
+    c2 = url_dedup_batch(docs.where("doc_id >= 2"), out, fp, bm, 1)
+    kept = sorted(r.doc_id for r in out.read(spark).collect())
+    # batch 0: doc 0 wins page 1 intra-batch (doc 1 dropped); batch 1:
+    # doc 2 collides with history, doc 3 wins page 2 intra-batch over
+    # doc 4, doc 5 is definitely new
+    assert kept == [0, 3, 5]
+    assert c1["emitted"] == 1 and c2["emitted"] == 2
+    # replay of batch 1 changes nothing
+    url_dedup_batch(docs.where("doc_id >= 2"), out, fp, bm, 1)
+    assert sorted(r.doc_id for r in out.read(spark).collect()) == [0, 3, 5]
