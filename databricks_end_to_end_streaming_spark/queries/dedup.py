@@ -1778,3 +1778,206 @@ def dedup_lines_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     window group; groups are line-copy-sized, not corpus-sized)."""
     d = load_table(spark, sf_dir, "documents")
     return cleaned_lines_doc(_first_occurrence_kept(line_segments(d)))
+
+
+# ------------------------------------------------------- winnowing
+# Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+# the MOSS algorithm). Key identity that keeps it in pure window
+# functions: the winnowed fingerprint SET equals the distinct per-window
+# minima of the k-gram hashes (tie/position bookkeeping only affects
+# which COPY is recorded, never the set), so selection is one windowed
+# min + distinct instead of the paper's pointer-chasing stream loop.
+# Guarantee inherited from the paper: any shared token run of length
+# >= WINNOW_W + WINNOW_K - 1 yields at least one shared fingerprint.
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 8  # windows of consecutive grams; density ~ 2/(w+1)
+WINNOW_DF_CAP = 10  # fingerprints in more docs than this are boilerplate
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): the winnowed fingerprint set per document. Text is
+    dropped before the gram explode; the window min runs per doc_id
+    (pre-partitioned by the explode's parent row, so the sort is within
+    doc-sized frames); distinct is one uniform hash-keyed shuffle."""
+    toks = F.split(F.trim(text_col), " +")
+    n_pos = F.size(toks) - (WINNOW_K - 1)
+    grams = F.when(n_pos < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, WINNOW_K), " ")),
+        )
+    )
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    n_pos_w = Window.partitionBy("doc_id")
+    return (
+        g.withColumn("m", F.min("h").over(w))
+        .withColumn("n_pos", F.max("pos").over(n_pos_w))
+        .where(F.col("pos") <= F.col("n_pos") - (WINNOW_W - 1))
+        .select("doc_id", F.col("m").alias("fp"))
+        .distinct()
+    )
+
+
+_WINNOW_FPS_SQL = f"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(t[u.i : u.i + {WINNOW_K} - 1], ' ')) AS h,
+             len(t) - {WINNOW_K} + 1 AS n_pos
+      FROM toks, unnest(range(1, greatest(len(t) - {WINNOW_K} + 2, 1))) AS u(i)
+    ), winmin AS (
+      SELECT doc_id, pos, n_pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS m
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, m AS fp
+      FROM winmin WHERE pos <= n_pos - {WINNOW_W} + 1
+    )
+"""
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_FPS_SQL},
+    counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id,
+             CAST(greatest(len(string_split_regex(trim(text), ' +'))
+                           - {WINNOW_K + WINNOW_W - 2}, 0) AS BIGINT)
+               AS n_windows
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_windows,
+           coalesce(c.n_fp, 0) AS n_fp,
+           CASE WHEN b.n_windows > 0
+                THEN CAST(coalesce(c.n_fp, 0) AS DOUBLE) / b.n_windows
+                ELSE CAST(0 AS DOUBLE) END AS density
+    FROM base b LEFT JOIN counts c USING (doc_id)
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint accounting: window count,
+    selected-fingerprint count, and density (the paper's expected
+    density is 2/(w+1) ~ {0:.3f} — pinned by pytest). Docs too short
+    for one full window legitimately carry zero fingerprints.
+
+    Plan: gram hashing is map-side expression work; the window min runs
+    inside each document's frame (no cross-doc exchange beyond the
+    doc_id repartition); distinct + count are one uniform-key
+    partial-agg'd shuffle each.""".format(2.0 / (WINNOW_W + 1))
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d)
+    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    n_windows = F.greatest(
+        F.size(F.split(F.trim("text"), " +"))
+        - (WINNOW_K + WINNOW_W - 2),
+        F.lit(0),
+    ).cast("long")
+    base = d.select("doc_id", n_windows.alias("n_windows"))
+    return base.join(counts, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_fp", F.lit(0)).alias("n_fp"),
+        F.when(
+            F.col("n_windows") > 0,
+            F.coalesce("n_fp", F.lit(0)).cast("double") / F.col("n_windows"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("density"),
+    )
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FPS_SQL},
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND {WINNOW_DF_CAP}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a
+      JOIN rare r ON a.fp = r.fp
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           CAST(s.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+             AS overlap_score
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE s.n_shared >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap detection: document pairs sharing >=
+    {0} non-boilerplate winnowing fingerprints, scored by shared count
+    over the smaller fingerprint set. The document-frequency cap
+    ([2, {1}]) plays the role of MOSS's "ignore fingerprints in too
+    many submissions" rule AND bounds the self-join: each surviving
+    fingerprint contributes at most C({1},2) pairs, so candidate
+    generation is df-cap-bound, never O(n^2) — the LSH-band discipline
+    applied to fingerprint buckets.""".format(WINNOW_MIN_SHARED, WINNOW_DF_CAP)
+    d = load_table(spark, sf_dir, "documents")
+    fps = pin(winnow_fingerprints(d), site="winnow.fps")
+    df_counts = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = df_counts.where(
+        (F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP)
+    ).select("fp")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    gated = fps.join(rare, "fp", "leftsemi")
+    a, b = gated.alias("a"), gated.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_fp", "n_fp_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_fp", "n_fp_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b")
+            ).alias("overlap_score"),
+        )
+    )

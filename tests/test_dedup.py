@@ -297,3 +297,71 @@ def test_line_dedup_keeps_first_occurrence_and_reassembles_in_order(spark):
     assert got[10] == (2, 2, f"{a} {b}")
     assert got[20] == (3, 1, c)  # both b copies lose to doc 10's
     assert got[30] == (1, 0, "")  # fully scrubbed doc still surfaces
+
+
+def test_winnowing_density_and_match_guarantee(spark):
+    """Schleimer et al. 2003 §3: (a) expected fingerprint density on
+    random text is ~2/(w+1); (b) GUARANTEE — any shared token run of
+    length >= w + k - 1 produces at least one shared fingerprint; (c)
+    the df-cap drops corpus-wide boilerplate fingerprints from pairing."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.dedup import (
+        WINNOW_DF_CAP,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(5000)]  # large vocab: no accidental grams
+
+    def rand_text(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    shared_run = rand_text(WINNOW_W + WINNOW_K - 1)  # exactly t tokens
+    rows = [(i, rand_text(200)) for i in range(40)]
+    # plant the run mid-document in docs 100 and 101
+    rows.append((100, rand_text(90) + " " + shared_run + " " + rand_text(90)))
+    rows.append((101, rand_text(50) + " " + shared_run + " " + rand_text(130)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs).persist()
+    try:
+        # (a) density over the random docs: 2/(w+1)±50% (random-text law)
+        n_fp = fps.where("doc_id < 100").count()
+        n_windows = 40 * (200 - (WINNOW_K + WINNOW_W - 2))
+        density = n_fp / n_windows
+        assert abs(density - 2 / (WINNOW_W + 1)) < 0.5 * 2 / (WINNOW_W + 1)
+        # (b) the guarantee: docs 100 and 101 share >= 1 fingerprint
+        shared = (
+            fps.where("doc_id = 100")
+            .select("fp")
+            .join(fps.where("doc_id = 101").select("fp"), "fp", "leftsemi")
+            .count()
+        )
+        assert shared >= 1
+        # random docs almost surely share nothing (5000^4 gram space)
+        cross = (
+            fps.where("doc_id = 0")
+            .select("fp")
+            .join(fps.where("doc_id = 1").select("fp"), "fp", "leftsemi")
+            .count()
+        )
+        assert cross == 0
+    finally:
+        fps.unpersist()
+
+    # (c) boilerplate cap: a run shared by MORE than WINNOW_DF_CAP docs
+    # must not generate pairs
+    boiler = rand_text(WINNOW_W + WINNOW_K - 1)
+    brows = [
+        (i, rand_text(40) + " " + boiler + " " + rand_text(40))
+        for i in range(WINNOW_DF_CAP + 2)
+    ]
+    bdocs = spark.createDataFrame(brows, "doc_id long, text string")
+    bfps = winnow_fingerprints(bdocs)
+    dfc = bfps.groupBy("fp").agg(F.count("*").alias("df"))
+    hot = dfc.where(F.col("df") > WINNOW_DF_CAP).count()
+    assert hot >= 1  # the boilerplate fingerprint really is ubiquitous

@@ -84,6 +84,8 @@ PROBES = [
     "mmr_diverse_topk",
     "retrieval_eval_ndcg",
     "ccnet_perplexity_buckets",
+    "dedup_lines_first_occurrence",
+    "url_canonicalize_dedup",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
