@@ -1939,6 +1939,14 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to fingerprint buckets.""".format(WINNOW_MIN_SHARED, WINNOW_DF_CAP)
     d = load_table(spark, sf_dir, "documents")
     fps = pin(winnow_fingerprints(d), site="winnow.fps")
+    return winnow_overlap_from_fps(fps)
+
+
+def winnow_overlap_from_fps(fps: DataFrame) -> DataFrame:
+    """Overlap pairing over a (doc_id, fp) fingerprint relation — the
+    single definition shared by the registered batch query and the
+    streaming log replay (streaming/winnow_stage.py), so drained ==
+    batch cannot fork semantics."""
     df_counts = fps.groupBy("fp").agg(F.count("*").alias("df"))
     rare = df_counts.where(
         (F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP)
@@ -1958,6 +1966,12 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+    return winnow_score_pairs(shared, sizes)
+
+
+def winnow_score_pairs(shared: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach overlap_score = n_shared / min(|A|, |B|) to a
+    (doc_a, doc_b, n_shared) pair relation."""
     return (
         shared.join(
             sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(

@@ -86,6 +86,8 @@ PROBES = [
     "ccnet_perplexity_buckets",
     "dedup_lines_first_occurrence",
     "url_canonicalize_dedup",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",
