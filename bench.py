@@ -250,6 +250,11 @@ NEW_OP_QUERIES = [
     "mmr_diverse_topk",
     "retrieval_eval_ndcg",
     "ccnet_perplexity_buckets",
+    "dedup_lines_first_occurrence",
+    "url_canonicalize_dedup",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "gopher_repetition_signals",
 ]
 
 

@@ -2905,3 +2905,191 @@ def ccnet_buckets_from(scores: DataFrame, langs: DataFrame) -> DataFrame:
     return ranked.select(
         "doc_id", "lang", "mean_kn_prob", bucket.alias("bucket")
     )
+
+
+# ------------------------------------------- repetition battery
+# The repetition section of the Gopher quality rules (Rae et al. 2021,
+# Table A1) — the signals gopher_quality_rules (word-shape section) and
+# text_repetition_score (top-bigram fraction) did not yet cover:
+# duplicate-line fraction, duplicate-line CHARACTER fraction, and the
+# top n-gram character fractions for n = 2, 3, 4. "Lines" are the
+# corpus's deterministic fixed-width token segments (LINE_W, shared with
+# dedup_lines_first_occurrence). "Top n-gram char fraction" is defined
+# as the largest count x length product over the doc's n-grams (the
+# n-gram COVERING the most characters) — a deterministic refinement of
+# the paper's "most frequent n-gram" that avoids tie ambiguity, clipped
+# at 1 (overlapping occurrences can make the count x length product
+# exceed the text length: the standard approximation of positional
+# coverage). The DuckDB oracle replays the same definition. The clip
+# never changes a pass/fail decision: all bounds are < 1, and the
+# predicates compare the UNclipped exact integers.
+
+from .dedup import LINE_W as _REP_LINE_W
+
+_REP_THRESH = (
+    # (signal, Gopher bound) as exact integer predicates
+    "10 * n_dup_lines <= 3 * n_lines",  # dup line frac  <= 0.30
+    "5 * dup_chars <= line_chars",      # dup line chars <= 0.20
+    "5 * cover2 <= total_chars",        # top 2-gram     <= 0.20
+    "50 * cover3 <= 9 * total_chars",   # top 3-gram     <= 0.18
+    "25 * cover4 <= 4 * total_chars",   # top 4-gram     <= 0.16
+)
+
+
+def _ngram_cover_sql(n: int) -> str:
+    """Per-doc max(count*len) over word n-grams, DuckDB side."""
+    return f"""
+      SELECT doc_id, CAST(max(c * l) AS BIGINT) AS cover{n} FROM (
+        SELECT doc_id, count(*) AS c, len(g) AS l FROM (
+          SELECT doc_id, array_to_string(t[u.i : u.i + {n - 1}], ' ') AS g
+          FROM toks,
+               unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS u(i)
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    """
+
+
+def _ngram_cover(docs_toks: DataFrame, n: int) -> DataFrame:
+    """Per-doc max(count*len) over word n-grams, Spark side. Gram rows
+    carry only the n-token string; count + max are algebraic, so both
+    shuffles are partial-agg'd and carry (doc, gram)-count rows."""
+    toks = F.col("t")
+    n_pos = F.size(toks) - (n - 1)
+    grams = F.when(n_pos < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return (
+        docs_toks.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("g")).alias(f"cover{n}"))
+    )
+
+
+@query(
+    "gopher_repetition_signals",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(nt, ' ') AS t,
+             CAST(len(nt) AS BIGINT) AS total_chars
+      FROM norm
+    ), lines AS (
+      SELECT doc_id, array_to_string(t[u.i*{{lw}}+1 : (u.i+1)*{{lw}}], ' ') AS seg
+      FROM toks, unnest(range(0, CAST(ceil(len(t) / {{lw}}.0) AS BIGINT))) AS u(i)
+    ), lstats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+             CAST(sum((c - 1) * l) AS BIGINT) AS dup_chars,
+             CAST(sum(c * l) AS BIGINT) AS line_chars
+      FROM (SELECT doc_id, count(*) AS c, len(seg) AS l
+            FROM lines GROUP BY doc_id, seg) g
+      GROUP BY doc_id
+    ), g2 AS ({_ngram_cover_sql(2)}), g3 AS ({_ngram_cover_sql(3)}),
+       g4 AS ({_ngram_cover_sql(4)})
+    SELECT t.doc_id, l.n_lines,
+           CAST(l.n_dup_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+           CAST(l.dup_chars AS DOUBLE) / l.line_chars AS dup_line_char_frac,
+           CAST(least(coalesce(g2.cover2, 0), t.total_chars) AS DOUBLE)
+             / t.total_chars AS top_2gram_char_frac,
+           CAST(least(coalesce(g3.cover3, 0), t.total_chars) AS DOUBLE)
+             / t.total_chars AS top_3gram_char_frac,
+           CAST(least(coalesce(g4.cover4, 0), t.total_chars) AS DOUBLE)
+             / t.total_chars AS top_4gram_char_frac,
+           CAST((10 * l.n_dup_lines <= 3 * l.n_lines)
+            AND (5 * l.dup_chars <= l.line_chars)
+            AND (5 * coalesce(g2.cover2, 0) <= t.total_chars)
+            AND (50 * coalesce(g3.cover3, 0) <= 9 * t.total_chars)
+            AND (25 * coalesce(g4.cover4, 0) <= 4 * t.total_chars)
+            AS BIGINT) AS passes_repetition
+    FROM toks t
+    JOIN lstats l USING (doc_id)
+    LEFT JOIN g2 USING (doc_id)
+    LEFT JOIN g3 USING (doc_id)
+    LEFT JOIN g4 USING (doc_id)
+    """.replace("{lw}", str(_REP_LINE_W)),
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gate (Rae et al. 2021 Table A1): duplicate-line
+    fraction (<= 0.30), duplicate-line char fraction (<= 0.20), and top
+    2/3/4-gram char fractions (<= 0.20 / 0.18 / 0.16). All predicates
+    are exact integer comparisons; the reported fractions are single
+    IEEE divisions of exact int64 sums — bit-identical in both engines.
+
+    Plan: token explode feeds per-(doc, gram) partial-agg'd counts per n
+    plus the shared line-segment group; every exchange carries gram- or
+    line-sized rows keyed by (doc, gram) — uniform, corpus-text-bound;
+    final assembly is doc_id-keyed joins."""
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_signals(d: DataFrame) -> DataFrame:
+    """The repetition battery over any (doc_id, text) relation — split
+    out so pytest can plant repetitive documents directly."""
+    from .dedup import line_segments
+
+    nt = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    toks = d.select(
+        "doc_id",
+        F.split(nt, " ").alias("t"),
+        F.length(nt).cast("long").alias("total_chars"),
+    )
+    lstats = (
+        line_segments(d)
+        .groupBy("doc_id", "seg")
+        .agg(F.count("*").alias("c"), F.length("seg").alias("l"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.col("c") - 1).alias("n_dup_lines"),
+            F.sum((F.col("c") - 1) * F.col("l")).alias("dup_chars"),
+            F.sum(F.col("c") * F.col("l")).alias("line_chars"),
+        )
+    )
+    out = (
+        toks.join(lstats, "doc_id")
+        .join(_ngram_cover(toks, 2), "doc_id", "left")
+        .join(_ngram_cover(toks, 3), "doc_id", "left")
+        .join(_ngram_cover(toks, 4), "doc_id", "left")
+    )
+    c2 = F.coalesce("cover2", F.lit(0))
+    c3 = F.coalesce("cover3", F.lit(0))
+    c4 = F.coalesce("cover4", F.lit(0))
+    r2 = F.least(c2, F.col("total_chars"))
+    r3 = F.least(c3, F.col("total_chars"))
+    r4 = F.least(c4, F.col("total_chars"))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_dup_lines").cast("double") / F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        (F.col("dup_chars").cast("double") / F.col("line_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        (r2.cast("double") / F.col("total_chars")).alias(
+            "top_2gram_char_frac"
+        ),
+        (r3.cast("double") / F.col("total_chars")).alias(
+            "top_3gram_char_frac"
+        ),
+        (r4.cast("double") / F.col("total_chars")).alias(
+            "top_4gram_char_frac"
+        ),
+        (
+            (10 * F.col("n_dup_lines") <= 3 * F.col("n_lines"))
+            & (5 * F.col("dup_chars") <= F.col("line_chars"))
+            & (5 * c2 <= F.col("total_chars"))
+            & (50 * c3 <= 9 * F.col("total_chars"))
+            & (25 * c4 <= 4 * F.col("total_chars"))
+        )
+        .cast("long")
+        .alias("passes_repetition"),
+    )

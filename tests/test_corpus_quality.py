@@ -194,3 +194,42 @@ def test_seasonal_backtest_planted_pattern(spark, tmp_path):
         assert r.mae_global > 0.0  # hours differ from the pooled mean
         assert r.forecast_cents == (10000.0 if hr == 3 else 30000.0)
         assert r.n_test == 14 and r.n_train == 14
+
+
+def test_repetition_battery_flags_planted_repeats(spark):
+    """gopher_repetition_signals: a doc repeating one of its own lines
+    fails the duplicate-line bounds; a doc dominated by one bigram fails
+    the top-2-gram bound; diverse text passes everything."""
+    import random
+
+    from databricks_end_to_end_streaming_spark.queries.dedup import LINE_W
+    from databricks_end_to_end_streaming_spark.queries.text import (
+        repetition_signals,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(2000)]
+
+    def rand(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    line = rand(LINE_W)
+    docs = spark.createDataFrame(
+        [
+            (0, rand(8 * LINE_W)),                       # clean
+            (1, " ".join([line] * 4) + " " + rand(LINE_W)),  # dup lines
+            (2, "spam ham " * 60 + rand(24)),            # one hot bigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[0].passes_repetition == 1
+    assert got[0].dup_line_frac == 0.0
+    assert got[1].passes_repetition == 0
+    assert got[1].dup_line_frac > 0.3  # 3 of 5 lines are repeats
+    assert got[1].dup_line_char_frac > 0.2
+    assert got[2].passes_repetition == 0
+    assert got[2].top_2gram_char_frac > 0.2
+    # fractions are consistent: char fraction bounded by 1, ordered n-grams
+    for r in got.values():
+        assert 0 <= r.top_4gram_char_frac <= 1

@@ -136,6 +136,12 @@ PLAN_QUERIES = [
     ("decontaminate_exact_substr", "cross-set decontamination tail: per-doc partial agg + every-doc left join over the SHARED pinned span profile (segment ids derived distributively upstream — range-partitioned running benchmark count)"),
     ("warc_ingest_accounting", "WARC first mile: binaryFile segment scan -> mapInPandas record split -> per-type partial aggs (HTTP body split + WET extraction as map-only string work)"),
     ("dedup_pipeline_lee2022", "NearDup anti-join feeds the GRAM-based ExactSubstr cut (r10: one gram-keyed agg + coverage reconstruction, no suffix array on the survivor corpus); accounting = three 1-row aggregates"),
+    # round-10 session-3 additions
+    ("dedup_lines_first_occurrence", "CCNet line dedup: text dropped before segment explode -> ONE md5-keyed window shuffle (uniform) -> doc_id regroup with in-expression reassembly"),
+    ("url_canonicalize_dedup", "RFC 3986 canonicalization entirely in whole-stage codegen (regexp/array exprs, no UDF) -> one algebraic partial-agg shuffle on the canonical key"),
+    ("winnowing_fingerprints", "k-gram hashing map-side -> per-doc window min (doc-frame sort, no cross-doc exchange) -> distinct + count partial-agg shuffles"),
+    ("winnowing_overlap_pairs", "fingerprint buckets gated by the df-cap (<=C(10,2) pairs per fp) -> bucket join -> pair count; the MOSS ignore-rule doubles as the join bound"),
+    ("gopher_repetition_signals", "repetition battery: per-(doc,gram) partial-agg counts x3 + shared line groups; exact-int threshold predicates, fractions one IEEE division each"),
 ]
 
 

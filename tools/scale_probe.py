@@ -88,6 +88,7 @@ PROBES = [
     "url_canonicalize_dedup",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "gopher_repetition_signals",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

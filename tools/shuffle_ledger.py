@@ -79,6 +79,12 @@ LEDGER_QUERIES = [
     "mmr_diverse_topk",
     "retrieval_eval_ndcg",
     "ccnet_perplexity_buckets",
+    # round-10 session-3 additions
+    "dedup_lines_first_occurrence",
+    "url_canonicalize_dedup",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "gopher_repetition_signals",
 ]
 
 
