@@ -2542,3 +2542,251 @@ def scd2_temporal_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("total_cents"),
         F.countDistinct(F.col("e.user_id")).alias("n_users"),
     )
+
+
+@query(
+    "psi_value_drift_per_type",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(floor(value / 50.0) * 50 AS BIGINT) AS bin_lo
+      FROM events
+    ), mid AS (
+      SELECT (min(us) + max(us)) // 2 AS mid FROM e
+    ), obs AS (
+      SELECT event_type, bin_lo,
+             CASE WHEN us <= mid THEN 0 ELSE 1 END AS half,
+             count(*) AS c
+      FROM e CROSS JOIN mid GROUP BY 1, 2, 3
+    ), binset AS (
+      SELECT DISTINCT event_type, bin_lo FROM obs
+    ), grid AS (
+      SELECT b.event_type, b.bin_lo,
+             coalesce(a.c, 0) + 1 AS sa,
+             coalesce(x.c, 0) + 1 AS sb
+      FROM binset b
+      LEFT JOIN obs a ON a.event_type = b.event_type
+                     AND a.bin_lo = b.bin_lo AND a.half = 0
+      LEFT JOIN obs x ON x.event_type = b.event_type
+                     AND x.bin_lo = b.bin_lo AND x.half = 1
+    ), tot AS (
+      SELECT event_type,
+             CAST(sum(sa) AS BIGINT) AS s_base,
+             CAST(sum(sb) AS BIGINT) AS s_act,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM grid GROUP BY 1
+    ), terms AS (
+      SELECT g.event_type, g.bin_lo, t.s_base, t.s_act, t.n_bins,
+             (CAST(g.sa AS DOUBLE) / t.s_base
+              - CAST(g.sb AS DOUBLE) / t.s_act)
+             * ln(CAST(g.sa * t.s_act AS DOUBLE)
+                  / CAST(g.sb * t.s_base AS DOUBLE)) AS term
+      FROM grid g JOIN tot t USING (event_type)
+    ), folded AS (
+      SELECT event_type,
+             CAST(s_base - n_bins AS BIGINT) AS n_base,
+             CAST(s_act - n_bins AS BIGINT) AS n_actual,
+             n_bins,
+             round(coalesce(list_reduce(list(term ORDER BY bin_lo),
+                                        (a, x) -> a + x),
+                            CAST(0.0 AS DOUBLE)), 9) AS psi
+      FROM terms
+      GROUP BY event_type, s_base, s_act, n_bins
+    )
+    SELECT event_type, n_base, n_actual, n_bins, psi,
+           CASE WHEN psi >= 0.25 THEN 'major'
+                WHEN psi >= 0.1 THEN 'moderate'
+                ELSE 'stable' END AS drift_class
+    FROM folded ORDER BY event_type
+    """,
+)
+def psi_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type, period over period —
+    the model-monitoring industry's standard drift score (the cousin of
+    ``chi2_value_drift_per_type``, which tests slice-vs-corpus instead
+    of now-vs-before). The corpus time range splits at its exact µs
+    midpoint (integer div, both engines); value bins are the shared
+    50-unit schema bins with +1 smoothing on the per-type bin union so
+    empty cells contribute finite mass (the standard PSI zero-cell
+    treatment).
+
+    Float discipline: each bin term is (sa/SA - sb/SB) * ln(sa*SB /
+    (sb*SA)) — products exact in int64 (< 2^53), two divisions + one ln
+    + one multiply in fixed order; ln() carries no cross-engine bit
+    guarantee (Java intrinsics vs libm, the bm25 lesson), so the folded
+    sum is rounded to 9 decimals — 7 orders above the last-ulp noise,
+    5 below any decision threshold. Thresholds (0.1 / 0.25) then
+    compare the identical rounded double.
+
+    Shape at 100 TB: ONE corpus shuffle (partial-agg'd
+    (type, bin, half) counts); everything after is arithmetic over the
+    <= types x bins contingency with broadcast totals."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.floor(F.col("value") / 50.0) * 50).cast("long").alias("bin_lo"),
+    )
+    mid = e.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    obs = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            "bin_lo",
+            F.when(F.col("us") <= F.col("mid"), 0).otherwise(1).alias("half"),
+        )
+        .groupBy("event_type", "bin_lo", "half")
+        .agg(F.count("*").alias("c"))
+        .transform(pin)
+    )
+    binset = obs.select("event_type", "bin_lo").distinct()
+    a = obs.where("half = 0").select(
+        "event_type", "bin_lo", F.col("c").alias("ca")
+    )
+    x = obs.where("half = 1").select(
+        "event_type", "bin_lo", F.col("c").alias("cx")
+    )
+    grid = (
+        binset.join(a, ["event_type", "bin_lo"], "left")
+        .join(x, ["event_type", "bin_lo"], "left")
+        .select(
+            "event_type",
+            "bin_lo",
+            (F.coalesce("ca", F.lit(0)) + 1).alias("sa"),
+            (F.coalesce("cx", F.lit(0)) + 1).alias("sb"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("sa").alias("s_base"),
+        F.sum("sb").alias("s_act"),
+        F.count("*").alias("n_bins"),
+    )
+    term = (
+        F.col("sa").cast("double") / F.col("s_base")
+        - F.col("sb").cast("double") / F.col("s_act")
+    ) * F.log(
+        (F.col("sa") * F.col("s_act")).cast("double")
+        / (F.col("sb") * F.col("s_base")).cast("double")
+    )
+    terms = grid.join(tot, "event_type").select(
+        "event_type", "bin_lo", "s_base", "s_act", "n_bins",
+        term.alias("term"),
+    )
+    folded = (
+        terms.groupBy("event_type", "s_base", "s_act", "n_bins")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("bin_lo", "term"))
+                        ),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                9,
+            ).alias("psi")
+        )
+    )
+    return folded.select(
+        "event_type",
+        (F.col("s_base") - F.col("n_bins")).cast("long").alias("n_base"),
+        (F.col("s_act") - F.col("n_bins")).cast("long").alias("n_actual"),
+        "n_bins",
+        "psi",
+        F.when(F.col("psi") >= 0.25, "major")
+        .when(F.col("psi") >= 0.1, "moderate")
+        .otherwise("stable")
+        .alias("drift_class"),
+    ).orderBy("event_type")
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), touched AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                             THEN us END IGNORE NULLS)
+               OVER w AS touch_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_us IS NOT NULL
+                 AND touch_us >= us - 604800000000
+                THEN touch_type ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS revenue
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent preceding view/click/signup by the same user within a 7-day
+    lookback, else 'direct' — the standard BI attribution query (the
+    single-relation cousin of ``asof_last_event_value``, which as-of
+    joins two relations). The touch type and timestamp come from two
+    IGNORE NULLS last_value calls over the SAME frame, so they are
+    guaranteed to describe the same touch row (they are null on exactly
+    the same rows). Revenue follows the DECIMAL(18,2) exact-sum rule.
+
+    Shape at 100 TB: ONE user-keyed exchange + sort shared by both
+    window calls, then a 4-group partial-agg'd rollup. The lookback is
+    exact µs integer arithmetic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click", "signup")
+    touched = e.select(
+        "*",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    channel = F.when(
+        F.col("touch_us").isNotNull()
+        & (F.col("touch_us") >= F.col("us") - F.lit(604_800_000_000)),
+        F.col("touch_type"),
+    ).otherwise("direct")
+    return (
+        touched.where("event_type = 'purchase'")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -3093,3 +3093,110 @@ def repetition_signals(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("passes_repetition"),
     )
+
+
+@query(
+    "zipf_fit_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, f,
+             row_number() OVER (PARTITION BY lang ORDER BY f DESC, w) AS r
+      FROM freq
+    ), pts AS (
+      SELECT lang, r,
+             ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y, f
+      FROM ranked
+    ), sums AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(f) AS BIGINT) AS total_tokens,
+             list_reduce(list(x ORDER BY r), (a, v) -> a + v) AS sx,
+             list_reduce(list(y ORDER BY r), (a, v) -> a + v) AS sy,
+             list_reduce(list(x * y ORDER BY r), (a, v) -> a + v) AS sxy,
+             list_reduce(list(x * x ORDER BY r), (a, v) -> a + v) AS sxx
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, vocab_size, total_tokens,
+           round((vocab_size * sxy - sx * sy)
+                 / (vocab_size * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (vocab_size * sxy - sx * sy)
+                       / (vocab_size * sxx - sx * sx) * sx)
+                 / vocab_size, 6) AS zipf_intercept
+    FROM sums ORDER BY lang
+    """,
+)
+def zipf_fit_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope/intercept of ln(frequency)
+    against ln(rank) over the token frequency table — the classic
+    corpus-health diagnostic (natural language sits near slope -1;
+    template/spam corpora flatten it). Ranks break frequency ties by
+    token so the regression points are deterministic.
+
+    Float discipline: the four OLS sums fold in rank order (the
+    corpus-standard sorted fold — the per-lang points are vocab-sized,
+    the lm_fluency bound); ln() carries no cross-engine bit guarantee,
+    so the fitted coefficients round to 6 decimals (the bm25 rule).
+
+    Shape at 100 TB: token explode collapses map-side into the
+    partial-agg'd (lang, token) frequency shuffle; ranking + the fold
+    run per lang over vocabulary-sized groups — corpus text never
+    reaches the window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.trim("text"), " +")).alias("w"),
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count("*").alias("f"))
+    win = Window.partitionBy("lang").orderBy(F.desc("f"), "w")
+    pts = freq.withColumn("r", F.row_number().over(win)).select(
+        "lang",
+        "r",
+        "f",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+
+    def fold(expr_name):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("r", F.col(expr_name).alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    sums = (
+        pts.withColumn("xy", F.col("x") * F.col("y"))
+        .withColumn("xx", F.col("x") * F.col("x"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum("f").alias("total_tokens"),
+            fold("x").alias("sx"),
+            fold("y").alias("sy"),
+            fold("xy").alias("sxy"),
+            fold("xx").alias("sxx"),
+        )
+    )
+    n = F.col("vocab_size")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "lang",
+        "vocab_size",
+        "total_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "zipf_intercept"
+        ),
+    ).orderBy("lang")

@@ -233,3 +233,94 @@ def test_repetition_battery_flags_planted_repeats(spark):
     # fractions are consistent: char fraction bounded by 1, ordered n-grams
     for r in got.values():
         assert 0 <= r.top_4gram_char_frac <= 1
+
+
+def test_attribution_last_touch_planted(spark, workdir):
+    """attribution_last_touch: in-window touch credits its channel, an
+    8-day-old touch and a touchless purchase fall to 'direct', and the
+    LAST touch wins over earlier ones."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 10)
+
+    def ev(eid, uid, typ, dt_h, value=10.0):
+        return (eid, t0 + timedelta(hours=dt_h), uid, typ, value)
+
+    rows = [
+        ev(1, 1, "view", 0), ev(2, 1, "purchase", 1),          # -> view
+        ev(3, 2, "click", 0), ev(4, 2, "purchase", 8 * 24),    # -> direct
+        ev(5, 3, "signup", 0), ev(6, 3, "view", 1),
+        ev(7, 3, "click", 2), ev(8, 3, "purchase", 3),         # -> click
+        ev(9, 4, "purchase", 0),                               # -> direct
+        ev(10, 5, "error", 0), ev(11, 5, "purchase", 1),       # -> direct
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{workdir}/events.parquet")
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        attribution_last_touch,
+    )
+
+    got = {
+        r.channel: (r.n_purchases, r.revenue)
+        for r in attribution_last_touch(spark, str(workdir)).collect()
+    }
+    assert got == {"view": (1, 10.0), "click": (1, 10.0), "direct": (3, 30.0)}
+
+
+def test_psi_flags_planted_period_shift(spark, workdir):
+    """psi_value_drift_per_type: a type whose value distribution jumps
+    between halves scores 'major'; a stable type scores 'stable'."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(300):
+        eid += 1  # drifting type: values move 25 -> 125 across halves
+        half = 0 if i < 150 else 1
+        rows.append(
+            (eid, t0 + timedelta(minutes=i), 1, "drifty",
+             25.0 if half == 0 else 125.0)
+        )
+        eid += 1  # stable type: same value always
+        rows.append((eid, t0 + timedelta(minutes=i), 2, "steady", 75.0))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{workdir}/events.parquet")
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        psi_value_drift_per_type,
+    )
+
+    got = {
+        r.event_type: r for r in
+        psi_value_drift_per_type(spark, str(workdir)).collect()
+    }
+    assert got["drifty"].drift_class == "major"
+    assert got["drifty"].psi > 0.25
+    assert got["steady"].drift_class == "stable"
+    assert got["steady"].psi < 0.1
+
+
+def test_zipf_fit_recovers_slope_minus_one(spark, workdir):
+    """zipf_fit_per_lang: an exactly Zipfian frequency table (f = C/r)
+    fits slope ~ -1."""
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * max(round(600 / r), 1)
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{workdir}/documents.parquet")
+    from databricks_end_to_end_streaming_spark.queries.text import (
+        zipf_fit_per_lang,
+    )
+
+    row = zipf_fit_per_lang(spark, str(workdir)).collect()[0]
+    assert row.vocab_size == 50
+    assert abs(row.zipf_slope - (-1.0)) < 0.05

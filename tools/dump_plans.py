@@ -142,6 +142,9 @@ PLAN_QUERIES = [
     ("winnowing_fingerprints", "k-gram hashing map-side -> per-doc window min (doc-frame sort, no cross-doc exchange) -> distinct + count partial-agg shuffles"),
     ("winnowing_overlap_pairs", "fingerprint buckets gated by the df-cap (<=C(10,2) pairs per fp) -> bucket join -> pair count; the MOSS ignore-rule doubles as the join bound"),
     ("gopher_repetition_signals", "repetition battery: per-(doc,gram) partial-agg counts x3 + shared line groups; exact-int threshold predicates, fractions one IEEE division each"),
+    ("psi_value_drift_per_type", "ONE (type,bin,half) partial-agg corpus shuffle; PSI terms over the tiny contingency, sorted fold, rounded (ln has no cross-engine bit guarantee)"),
+    ("attribution_last_touch", "both IGNORE-NULLS last_value calls share ONE user exchange+sort; 4-group DECIMAL rollup"),
+    ("zipf_fit_per_lang", "token explode collapsed by partial (lang,token) agg; rank window + OLS folds on vocab-sized groups only"),
 ]
 
 

@@ -89,6 +89,9 @@ PROBES = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "gopher_repetition_signals",
+    "psi_value_drift_per_type",
+    "attribution_last_touch",
+    "zipf_fit_per_lang",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

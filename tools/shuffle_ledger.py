@@ -85,6 +85,9 @@ LEDGER_QUERIES = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "gopher_repetition_signals",
+    "psi_value_drift_per_type",
+    "attribution_last_touch",
+    "zipf_fit_per_lang",
 ]
 
 
