@@ -2642,24 +2642,40 @@ def psi_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .transform(pin)
     )
-    binset = obs.select("event_type", "bin_lo").distinct()
     a = obs.where("half = 0").select(
-        "event_type", "bin_lo", F.col("c").alias("ca")
+        F.col("event_type").alias("key"), "bin_lo", F.col("c").alias("c")
     )
     x = obs.where("half = 1").select(
-        "event_type", "bin_lo", F.col("c").alias("cx")
+        F.col("event_type").alias("key"), "bin_lo", F.col("c").alias("c")
+    )
+    return psi_from_counts(a, x).withColumnRenamed(
+        "key", "event_type"
+    ).orderBy("event_type")
+
+
+def psi_from_counts(base: DataFrame, actual: DataFrame) -> DataFrame:
+    """PSI between two (key, bin_lo, c) count relations — the shared
+    exact-arithmetic core of the batch query above and the streaming
+    drift monitor's PSI finalize (streaming/drift.py::psi_drift), so
+    drained streaming == batch bit-for-bit. Returns
+    (key, n_base, n_actual, n_bins, psi, drift_class), unordered —
+    callers order."""
+    a = base.select("key", "bin_lo", F.col("c").alias("ca"))
+    x = actual.select("key", "bin_lo", F.col("c").alias("cx"))
+    binset = (
+        a.select("key", "bin_lo").union(x.select("key", "bin_lo")).distinct()
     )
     grid = (
-        binset.join(a, ["event_type", "bin_lo"], "left")
-        .join(x, ["event_type", "bin_lo"], "left")
+        binset.join(a, ["key", "bin_lo"], "left")
+        .join(x, ["key", "bin_lo"], "left")
         .select(
-            "event_type",
+            "key",
             "bin_lo",
             (F.coalesce("ca", F.lit(0)) + 1).alias("sa"),
             (F.coalesce("cx", F.lit(0)) + 1).alias("sb"),
         )
     )
-    tot = grid.groupBy("event_type").agg(
+    tot = grid.groupBy("key").agg(
         F.sum("sa").alias("s_base"),
         F.sum("sb").alias("s_act"),
         F.count("*").alias("n_bins"),
@@ -2671,12 +2687,11 @@ def psi_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sa") * F.col("s_act")).cast("double")
         / (F.col("sb") * F.col("s_base")).cast("double")
     )
-    terms = grid.join(tot, "event_type").select(
-        "event_type", "bin_lo", "s_base", "s_act", "n_bins",
-        term.alias("term"),
+    terms = grid.join(tot, "key").select(
+        "key", "bin_lo", "s_base", "s_act", "n_bins", term.alias("term")
     )
     folded = (
-        terms.groupBy("event_type", "s_base", "s_act", "n_bins")
+        terms.groupBy("key", "s_base", "s_act", "n_bins")
         .agg(
             F.round(
                 F.aggregate(
@@ -2694,7 +2709,7 @@ def psi_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded.select(
-        "event_type",
+        "key",
         (F.col("s_base") - F.col("n_bins")).cast("long").alias("n_base"),
         (F.col("s_act") - F.col("n_bins")).cast("long").alias("n_actual"),
         "n_bins",
@@ -2703,7 +2718,7 @@ def psi_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("psi") >= 0.1, "moderate")
         .otherwise("stable")
         .alias("drift_class"),
-    ).orderBy("event_type")
+    )
 
 
 @query(

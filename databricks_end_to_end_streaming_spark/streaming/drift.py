@@ -70,3 +70,36 @@ def chi2_drift(
 
     obs = summed_contingency(spark, table, up_to_batch).transform(pin)
     return chi2_over_contingency(obs).orderBy("key")
+
+
+def psi_drift(
+    spark: SparkSession,
+    table: ParquetTable,
+    reference_batch: int,
+    up_to_batch: int | None = None,
+) -> DataFrame:
+    """PSI of the post-reference window against the reference window,
+    from the SAME accumulated contingency log the chi-square monitor
+    reads: base = cells from batches <= ``reference_batch``, actual =
+    cells from later batches (<= ``up_to_batch`` if given). Scoring is
+    ``psi_from_counts``, the batch query's exact expression core, so a
+    stream drained in the batch query's period split reproduces its
+    output bit-for-bit (tests/test_drift_stream.py). The production
+    loop: freeze the reference at deployment, score each trigger's
+    as-of view, alarm on the drift_class column."""
+    from ..queries.analytics import psi_from_counts
+
+    log = table.read(spark)
+    if up_to_batch is not None:
+        log = log.where(F.col("_batch_id") <= up_to_batch)
+    base = (
+        log.where(F.col("_batch_id") <= reference_batch)
+        .groupBy("key", "bin_lo")
+        .agg(F.sum("o").alias("c"))
+    )
+    actual = (
+        log.where(F.col("_batch_id") > reference_batch)
+        .groupBy("key", "bin_lo")
+        .agg(F.sum("o").alias("c"))
+    )
+    return psi_from_counts(pin(base), pin(actual)).orderBy("key")

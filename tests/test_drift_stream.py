@@ -76,3 +76,62 @@ def test_prequential_trajectory_detects_divergence(spark, workdir):
     c0 = {r["key"]: r["chi2"] for r in chi2_drift(spark, t, up_to_batch=0).collect()}
     c1 = {r["key"]: r["chi2"] for r in chi2_drift(spark, t, up_to_batch=1).collect()}
     assert c1["drift"] > c0["drift"]
+
+
+def test_psi_drift_matches_batch_query_on_period_split(spark, workdir):
+    """psi_drift over a contingency log sliced at the batch query's
+    exact µs midpoint reproduces psi_value_drift_per_type bit-for-bit;
+    replays are idempotent; an extra batch moves the as-of view."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        psi_value_drift_per_type,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.drift import (
+        contingency_stage,
+        psi_drift,
+    )
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(
+        F.min(us).alias("a"), F.max(us).alias("b")
+    ).first()
+    mid = (lo + hi) // 2
+    binc = (F.floor(F.col("value") / 50.0) * 50).cast("long")
+    t = ParquetTable(f"{workdir}/contingency")
+    stage = contingency_stage(t, "event_type", binc)
+    stage(ev.where(us <= F.lit(mid)), 0)  # reference period
+    stage(ev.where(us > F.lit(mid)), 1)   # current period
+    got = [
+        (r.key, r.n_base, r.n_actual, r.n_bins, r.psi, r.drift_class)
+        for r in psi_drift(spark, t, reference_batch=0).collect()
+    ]
+    want = [
+        (r.event_type, r.n_base, r.n_actual, r.n_bins, r.psi, r.drift_class)
+        for r in psi_value_drift_per_type(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # replay batch 1: unchanged
+    stage(ev.where(us > F.lit(mid)), 1)
+    got2 = [
+        (r.key, r.n_base, r.n_actual, r.n_bins, r.psi, r.drift_class)
+        for r in psi_drift(spark, t, reference_batch=0).collect()
+    ]
+    assert got2 == want
+    # a third batch widens the actual window (as-of view respects it)
+    stage(ev.where(us > F.lit(mid)).limit(50), 2)
+    n_act_before = sum(r[2] for r in want)
+    n_act_after = sum(
+        r.n_actual for r in psi_drift(spark, t, reference_batch=0).collect()
+    )
+    assert n_act_after == n_act_before + 50
+    # while pinning up_to_batch reproduces the original
+    got3 = [
+        (r.key, r.n_base, r.n_actual, r.n_bins, r.psi, r.drift_class)
+        for r in psi_drift(spark, t, reference_batch=0, up_to_batch=1).collect()
+    ]
+    assert got3 == want
