@@ -2773,12 +2773,26 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
+    return attribution_rollup(attributed_purchases(e)).orderBy("channel")
+
+
+TOUCH_TYPES = ("view", "click", "signup")
+ATTRIB_LOOKBACK_US = 604_800_000_000  # 7 days
+
+
+def attributed_purchases(e: DataFrame) -> DataFrame:
+    """(event_id, user_id, us, value, channel) for every purchase row in
+    a (event_id, user_id, event_type, value, us) relation — the shared
+    expression core of the batch query above and the streaming stage
+    (streaming/attribution_stage.py), so drained == batch cannot fork.
+    Both IGNORE NULLS last_value calls share one frame, so touch_type
+    and touch_us always describe the same touch row."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    is_touch = F.col("event_type").isin("view", "click", "signup")
+    is_touch = F.col("event_type").isin(*TOUCH_TYPES)
     touched = e.select(
         "*",
         F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
@@ -2790,18 +2804,21 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     channel = F.when(
         F.col("touch_us").isNotNull()
-        & (F.col("touch_us") >= F.col("us") - F.lit(604_800_000_000)),
+        & (F.col("touch_us") >= F.col("us") - F.lit(ATTRIB_LOOKBACK_US)),
         F.col("touch_type"),
     ).otherwise("direct")
-    return (
-        touched.where("event_type = 'purchase'")
-        .groupBy(channel.alias("channel"))
-        .agg(
-            F.count("*").alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("revenue"),
-        )
-        .orderBy("channel")
+    return touched.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "us", "value", channel.alias("channel")
+    )
+
+
+def attribution_rollup(attributed: DataFrame) -> DataFrame:
+    """Channel rollup of an attributed-purchase relation (shared by the
+    batch query and the streaming log reader)."""
+    return attributed.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue"),
     )
