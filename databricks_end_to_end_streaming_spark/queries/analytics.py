@@ -2580,8 +2580,8 @@ def scd2_temporal_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.event_type, g.bin_lo, t.s_base, t.s_act, t.n_bins,
              (CAST(g.sa AS DOUBLE) / t.s_base
               - CAST(g.sb AS DOUBLE) / t.s_act)
-             * ln(CAST(g.sa * t.s_act AS DOUBLE)
-                  / CAST(g.sb * t.s_base AS DOUBLE)) AS term
+             * ln((CAST(g.sa AS DOUBLE) * t.s_act)
+                  / (CAST(g.sb AS DOUBLE) * t.s_base)) AS term
       FROM grid g JOIN tot t USING (event_type)
     ), folded AS (
       SELECT event_type,
@@ -2612,8 +2612,11 @@ def psi_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment).
 
     Float discipline: each bin term is (sa/SA - sb/SB) * ln(sa*SB /
-    (sb*SA)) — products exact in int64 (< 2^53), two divisions + one ln
-    + one multiply in fixed order; ln() carries no cross-engine bit
+    (sb*SA)) — the ratio's factors are cast to double BEFORE the
+    multiply (an int64 product would wrap past ~3e9 events of one type:
+    Spark would ln() a negative while DuckDB raises; the double products
+    round identically in both engines), two divisions + one ln + one
+    multiply in fixed order; ln() carries no cross-engine bit
     guarantee (Java intrinsics vs libm, the bm25 lesson), so the folded
     sum is rounded to 9 decimals — 7 orders above the last-ulp noise,
     5 below any decision threshold. Thresholds (0.1 / 0.25) then
@@ -2684,8 +2687,8 @@ def psi_from_counts(base: DataFrame, actual: DataFrame) -> DataFrame:
         F.col("sa").cast("double") / F.col("s_base")
         - F.col("sb").cast("double") / F.col("s_act")
     ) * F.log(
-        (F.col("sa") * F.col("s_act")).cast("double")
-        / (F.col("sb") * F.col("s_base")).cast("double")
+        (F.col("sa").cast("double") * F.col("s_act"))
+        / (F.col("sb").cast("double") * F.col("s_base"))
     )
     terms = grid.join(tot, "key").select(
         "key", "bin_lo", "s_base", "s_act", "n_bins", term.alias("term")

@@ -1873,13 +1873,14 @@ _WINNOW_FPS_SQL = f"""
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint accounting: window count,
     selected-fingerprint count, and density (the paper's expected
-    density is 2/(w+1) ~ {0:.3f} — pinned by pytest). Docs too short
-    for one full window legitimately carry zero fingerprints.
+    density is 2/(w+1) — ~0.222 at WINNOW_W = 8 — pinned by pytest).
+    Docs too short for one full window legitimately carry zero
+    fingerprints.
 
     Plan: gram hashing is map-side expression work; the window min runs
     inside each document's frame (no cross-doc exchange beyond the
     doc_id repartition); distinct + count are one uniform-key
-    partial-agg'd shuffle each.""".format(2.0 / (WINNOW_W + 1))
+    partial-agg'd shuffle each."""
     d = load_table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d)
     counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
@@ -1930,13 +1931,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style overlap detection: document pairs sharing >=
-    {0} non-boilerplate winnowing fingerprints, scored by shared count
-    over the smaller fingerprint set. The document-frequency cap
-    ([2, {1}]) plays the role of MOSS's "ignore fingerprints in too
-    many submissions" rule AND bounds the self-join: each surviving
-    fingerprint contributes at most C({1},2) pairs, so candidate
-    generation is df-cap-bound, never O(n^2) — the LSH-band discipline
-    applied to fingerprint buckets.""".format(WINNOW_MIN_SHARED, WINNOW_DF_CAP)
+    WINNOW_MIN_SHARED non-boilerplate winnowing fingerprints, scored by
+    shared count over the smaller fingerprint set. The document-
+    frequency cap ([2, WINNOW_DF_CAP]) plays the role of MOSS's "ignore
+    fingerprints in too many submissions" rule AND bounds the
+    self-join: each surviving fingerprint contributes at most
+    C(WINNOW_DF_CAP, 2) pairs, so candidate generation is df-cap-bound,
+    never O(n^2) — the LSH-band discipline applied to fingerprint
+    buckets."""
     d = load_table(spark, sf_dir, "documents")
     fps = pin(winnow_fingerprints(d), site="winnow.fps")
     return winnow_overlap_from_fps(fps)

@@ -2926,16 +2926,6 @@ def ccnet_buckets_from(scores: DataFrame, langs: DataFrame) -> DataFrame:
 
 from .dedup import LINE_W as _REP_LINE_W
 
-_REP_THRESH = (
-    # (signal, Gopher bound) as exact integer predicates
-    "10 * n_dup_lines <= 3 * n_lines",  # dup line frac  <= 0.30
-    "5 * dup_chars <= line_chars",      # dup line chars <= 0.20
-    "5 * cover2 <= total_chars",        # top 2-gram     <= 0.20
-    "50 * cover3 <= 9 * total_chars",   # top 3-gram     <= 0.18
-    "25 * cover4 <= 4 * total_chars",   # top 4-gram     <= 0.16
-)
-
-
 def _ngram_cover_sql(n: int) -> str:
     """Per-doc max(count*len) over word n-grams, DuckDB side."""
     return f"""
@@ -2981,8 +2971,8 @@ def _ngram_cover(docs_toks: DataFrame, n: int) -> DataFrame:
              CAST(len(nt) AS BIGINT) AS total_chars
       FROM norm
     ), lines AS (
-      SELECT doc_id, array_to_string(t[u.i*{{lw}}+1 : (u.i+1)*{{lw}}], ' ') AS seg
-      FROM toks, unnest(range(0, CAST(ceil(len(t) / {{lw}}.0) AS BIGINT))) AS u(i)
+      SELECT doc_id, array_to_string(t[u.i*{_REP_LINE_W}+1 : (u.i+1)*{_REP_LINE_W}], ' ') AS seg
+      FROM toks, unnest(range(0, CAST(ceil(len(t) / {_REP_LINE_W}.0) AS BIGINT))) AS u(i)
     ), lstats AS (
       SELECT doc_id,
              CAST(sum(c) AS BIGINT) AS n_lines,
@@ -3014,7 +3004,7 @@ def _ngram_cover(docs_toks: DataFrame, n: int) -> DataFrame:
     LEFT JOIN g2 USING (doc_id)
     LEFT JOIN g3 USING (doc_id)
     LEFT JOIN g4 USING (doc_id)
-    """.replace("{lw}", str(_REP_LINE_W)),
+    """,
 )
 def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition gate (Rae et al. 2021 Table A1): duplicate-line
@@ -3032,17 +3022,29 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def repetition_signals(d: DataFrame) -> DataFrame:
     """The repetition battery over any (doc_id, text) relation — split
-    out so pytest can plant repetitive documents directly."""
-    from .dedup import line_segments
-
+    out so pytest can plant repetitive documents directly. Line segments
+    derive from the SAME \\s+-normalized token stream as total_chars and
+    the n-gram covers (line_segments splits on spaces only, which would
+    fork the segmentation — and the oracle — on tab/newline-bearing
+    text)."""
     nt = F.regexp_replace(F.trim("text"), r"\s+", " ")
     toks = d.select(
         "doc_id",
         F.split(nt, " ").alias("t"),
         F.length(nt).cast("long").alias("total_chars"),
     )
+    t = F.col("t")
+    segs = F.transform(
+        F.sequence(
+            F.lit(0),
+            (F.ceil(F.size(t) / F.lit(float(_REP_LINE_W))) - 1).cast("long"),
+        ),
+        lambda i: F.array_join(
+            F.slice(t, i * _REP_LINE_W + 1, _REP_LINE_W), " "
+        ),
+    )
     lstats = (
-        line_segments(d)
+        toks.select("doc_id", F.explode(segs).alias("seg"))
         .groupBy("doc_id", "seg")
         .agg(F.count("*").alias("c"), F.length("seg").alias("l"))
         .groupBy("doc_id")

@@ -87,7 +87,7 @@ def attribution_batch(
     """One micro-batch of events through the incremental attribution.
     Callable directly so pytest can drive slicing and replays."""
     spark = batch_df.sparkSession
-    e = _event_relation(batch_df)
+    e = _event_relation(batch_df).persist()
 
     if touch_table.exists():
         state = latest_touch_state(spark, touch_table, before_batch=batch_id)
@@ -132,10 +132,13 @@ def attribution_batch(
             F.col("b.touch_event_id").alias("touch_event_id"),
         )
     )
-    touch_table.idempotent_append(
-        batch_latest.withColumn("_batch_id", F.lit(batch_id)),
-        f"batchid={batch_id}/role=touch",
-    )
+    try:
+        touch_table.idempotent_append(
+            batch_latest.withColumn("_batch_id", F.lit(batch_id)),
+            f"batchid={batch_id}/role=touch",
+        )
+    finally:
+        e.unpersist()
 
 
 def attribution_stage(out_table: ParquetTable, touch_table: ParquetTable):

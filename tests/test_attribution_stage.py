@@ -4,7 +4,7 @@ credit and lookback expiry, replay idempotence, readStream drain."""
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import datetime
 
 import pyspark.sql.functions as F
 
