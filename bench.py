@@ -258,6 +258,7 @@ NEW_OP_QUERIES = [
     "psi_value_drift_per_type",
     "attribution_last_touch",
     "zipf_fit_per_lang",
+    "classifier_auc_eval",
 ]
 
 

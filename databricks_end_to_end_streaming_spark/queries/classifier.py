@@ -510,3 +510,93 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "classifier_auc_eval",
+    oracle=f"""
+    WITH {_FEATS_CTE}, {_LAB_CTE}, {_TRAIN_CTE}, {_SCORE_CTE},
+    ranked AS (
+      SELECT score, weak_label,
+             row_number() OVER (ORDER BY score, doc_id) AS rn
+      FROM scored
+    ), tie AS (
+      SELECT score, min(rn) AS lo, max(rn) AS hi
+      FROM ranked GROUP BY score
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN r.weak_label = 1
+                           THEN t.lo + t.hi ELSE 0 END) AS BIGINT) AS r1x2,
+             CAST(sum(r.weak_label) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(r.weak_label) AS BIGINT) AS n_neg
+      FROM ranked r JOIN tie t USING (score)
+    )
+    SELECT n_pos, n_neg,
+           CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2 * n_pos * n_neg) AS auc,
+           CAST(r1x2 - n_pos * (n_pos + 1) - n_pos * n_neg AS DOUBLE)
+             / (n_pos * n_neg) AS gini
+    FROM agg
+    """,
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free evaluation of the quality classifier: AUC of the
+    centroid score against the Gopher weak label via the Mann-Whitney U
+    rank statistic (AUC = U / (n_pos * n_neg)) — the standard
+    ranking-quality companion to the accuracy/calibration queries.
+    Tied scores take their average rank, carried EXACTLY as 2*avg_rank
+    = min_rank + max_rank of the tie group (consecutive row_numbers),
+    so AUC and Gini are each ONE IEEE division of exact int64s — no
+    rounding needed, no ln.
+
+    Shape at 100 TB: scoring inherits the classifier's one vectorizer
+    shuffle; the global rank is the range-partitioned
+    ``global_row_number`` (never a 1-partition window); tie groups and
+    the U sums are two more partial-agg'd exchanges of scalar rows."""
+    d = load_table(spark, sf_dir, "documents")
+    feats, labels, stats, counts = _train_parts(d)
+    weights = centroid_weights(stats, counts)
+    bias = centroid_bias(stats, counts)
+    scored = (
+        centroid_scores(feats, weights, bias)
+        .join(labels.withColumnRenamed("lab", "weak_label"), "doc_id")
+        .select("doc_id", "score", "weak_label")
+    )
+    return mann_whitney_auc(scored)
+
+
+def mann_whitney_auc(scored: DataFrame) -> DataFrame:
+    """Exact tie-adjusted AUC/Gini of a (doc_id, score, weak_label)
+    relation — the rank-statistic core of classifier_auc_eval, split
+    out so pytest can plant hand-computable score sets (including
+    cross-class ties)."""
+    from ..operators.ranking import global_row_number
+
+    ranked = global_row_number(scored, ["score", "doc_id"], rank_col="rn")
+    tie = ranked.groupBy("score").agg(
+        F.min("rn").alias("lo"), F.max("rn").alias("hi")
+    )
+    agg = (
+        ranked.join(tie, "score")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("weak_label") == 1, F.col("lo") + F.col("hi")
+                ).otherwise(F.lit(0))
+            ).alias("r1x2"),
+            F.sum("weak_label").alias("n_pos"),
+            (F.count("*") - F.sum("weak_label")).alias("n_neg"),
+        )
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    return agg.select(
+        np_.alias("n_pos"),
+        nn.alias("n_neg"),
+        (
+            (F.col("r1x2") - np_ * (np_ + 1)).cast("double")
+            / (2 * np_ * nn)
+        ).alias("auc"),
+        (
+            (F.col("r1x2") - np_ * (np_ + 1) - np_ * nn).cast("double")
+            / (np_ * nn)
+        ).alias("gini"),
+    )

@@ -324,3 +324,31 @@ def test_zipf_fit_recovers_slope_minus_one(spark, workdir):
     row = zipf_fit_per_lang(spark, str(workdir)).collect()[0]
     assert row.vocab_size == 50
     assert abs(row.zipf_slope - (-1.0)) < 0.05
+
+
+def test_mann_whitney_auc_hand_cases(spark):
+    """classifier_auc_eval core: perfect separation -> 1.0, reversed ->
+    0.0, a cross-class score tie counts half (the average-rank rule),
+    random-ish interleave matches the hand-computed U."""
+    from databricks_end_to_end_streaming_spark.queries.classifier import (
+        mann_whitney_auc,
+    )
+
+    def auc(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double, weak_label long"
+        )
+        return mann_whitney_auc(df).collect()[0]
+
+    r = auc([(1, 0.1, 0), (2, 0.2, 0), (3, 0.3, 1), (4, 0.4, 1)])
+    assert (r.auc, r.gini) == (1.0, 1.0)
+    r = auc([(1, 0.4, 0), (2, 0.3, 0), (3, 0.2, 1), (4, 0.1, 1)])
+    assert (r.auc, r.gini) == (0.0, -1.0)
+    # tie across classes at 0.2: pos .3 beats both negs (2), pos .2
+    # beats neg .1 (1) and ties neg .2 (0.5) -> U = 3.5 of 4 -> 0.875
+    r = auc([(1, 0.1, 0), (2, 0.2, 0), (3, 0.2, 1), (4, 0.3, 1)])
+    assert r.auc == 0.875
+    # interleaved: neg .1, pos .2, neg .3, pos .4 -> U = 2 + 1 = 3 of 4
+    r = auc([(1, 0.1, 0), (2, 0.2, 1), (3, 0.3, 0), (4, 0.4, 1)])
+    assert r.auc == 0.75
+    assert r.n_pos == 2 and r.n_neg == 2

@@ -145,6 +145,7 @@ PLAN_QUERIES = [
     ("psi_value_drift_per_type", "ONE (type,bin,half) partial-agg corpus shuffle; PSI terms over the tiny contingency, sorted fold, rounded (ln has no cross-engine bit guarantee)"),
     ("attribution_last_touch", "both IGNORE-NULLS last_value calls share ONE user exchange+sort; 4-group DECIMAL rollup"),
     ("zipf_fit_per_lang", "token explode collapsed by partial (lang,token) agg; rank window + OLS folds on vocab-sized groups only"),
+    ("classifier_auc_eval", "scoring inherits the classifier vectorizer shuffle; range-partitioned global rank (no 1-partition window); U sums exact int64, AUC/Gini one division each"),
 ]
 
 

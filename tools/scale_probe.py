@@ -92,6 +92,7 @@ PROBES = [
     "psi_value_drift_per_type",
     "attribution_last_touch",
     "zipf_fit_per_lang",
+    "classifier_auc_eval",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

@@ -88,6 +88,7 @@ LEDGER_QUERIES = [
     "psi_value_drift_per_type",
     "attribution_last_touch",
     "zipf_fit_per_lang",
+    "classifier_auc_eval",
 ]
 
 
