@@ -259,6 +259,7 @@ NEW_OP_QUERIES = [
     "attribution_last_touch",
     "zipf_fit_per_lang",
     "classifier_auc_eval",
+    "margin_mining_knn",
 ]
 
 

@@ -1361,3 +1361,133 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mrr_nano"),
         "n_rel_at_k",
     )
+
+
+MARGIN_K = 4  # neighborhood size for the margin normalizer
+MARGIN_THRESHOLD = 1.05  # accept matches whose cos beats its hood by 5%
+
+
+@query(
+    "margin_mining_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+               AS score
+      FROM q JOIN embeddings e ON e.vec_id % 10 <> 0
+    ), rq AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, cand_id) AS rnk
+      FROM scored
+    ), avg_q AS (
+      SELECT query_id,
+             list_reduce(list(score ORDER BY rnk), (a, b) -> a + b)
+               / {MARGIN_K}.0 AS aq
+      FROM rq WHERE rnk <= {MARGIN_K} GROUP BY query_id
+    ), rc AS (
+      SELECT *, row_number() OVER (PARTITION BY cand_id
+                                   ORDER BY score DESC, query_id) AS rnk
+      FROM scored
+    ), avg_c AS (
+      SELECT cand_id,
+             list_reduce(list(score ORDER BY rnk), (a, b) -> a + b)
+               / {MARGIN_K}.0 AS ac
+      FROM rc WHERE rnk <= {MARGIN_K} GROUP BY cand_id
+    ), best AS (
+      SELECT query_id, cand_id, score FROM rq WHERE rnk = 1
+    )
+    SELECT b.query_id, b.cand_id AS match_id,
+           round(b.score / ((aq.aq + ac.ac) / 2.0), 6) AS margin,
+           CAST(round(b.score / ((aq.aq + ac.ac) / 2.0), 6)
+                >= {MARGIN_THRESHOLD} AS BIGINT) AS accepted
+    FROM best b
+    JOIN avg_q aq USING (query_id)
+    JOIN avg_c ac ON ac.cand_id = b.cand_id
+    ORDER BY query_id
+    """,
+)
+def margin_mining_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based neighbor mining (Artetxe & Schwenk 2019, the LASER
+    bitext-mining criterion): a query's best match is accepted only if
+    its cosine BEATS the average of both endpoints' k-NN neighborhoods
+    — the ratio margin that suppresses hubness false positives a plain
+    cosine threshold cannot (a hub is near everything, so its
+    neighborhood average is high and its margin stays ~1).
+
+    The query side is vec_id % 10 == 0 (the mine-new-batch-against-
+    corpus shape); candidates here are the exact broadcast-queries x
+    scan knn leg (the correctness baseline, as in
+    knn_bruteforce_cosine); at 100 TB the candidate generator swaps for
+    the registered IVF-PQ path and the margin arithmetic — which only
+    ever touches Q x K and candidate-side top-k rows — is unchanged.
+
+    Float discipline: cosines are the established bit-portable chain;
+    neighborhood averages fold in rank order (ties broken by id); the
+    margin is rounded to 6 decimals before emission AND before the
+    accept comparison (the bm25 rule), so a last-ulp division
+    difference cannot flip a decision."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from ..pin import pin
+
+    scored = pin(
+        emb.where(F.col("vec_id") % 10 != 0)
+        .join(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine("qv", "embedding").alias("score"),
+        ),
+        site="margin.scored",
+    )
+
+    def hood_avg(part_col: str, other_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy(
+            F.desc("score"), F.col(other_col)
+        )
+        topk = scored.withColumn("rnk", F.row_number().over(w)).where(
+            F.col("rnk") <= MARGIN_K
+        )
+        return topk.groupBy(part_col).agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("rnk", "score"))
+                        ),
+                        lambda s: s["score"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / float(MARGIN_K)
+            ).alias(out)
+        )
+
+    avg_q = hood_avg("query_id", "cand_id", "aq")
+    avg_c = hood_avg("cand_id", "query_id", "ac")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
+    best = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") == 1)
+        .select("query_id", F.col("cand_id").alias("match_id"), "score")
+    )
+    margin = F.round(
+        F.col("score") / ((F.col("aq") + F.col("ac")) / 2.0), 6
+    )
+    return (
+        best.join(avg_q, "query_id")
+        .join(avg_c.withColumnRenamed("cand_id", "match_id"), "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            margin.alias("margin"),
+            (margin >= MARGIN_THRESHOLD).cast("long").alias("accepted"),
+        )
+        .orderBy("query_id")
+    )

@@ -146,6 +146,7 @@ PLAN_QUERIES = [
     ("attribution_last_touch", "both IGNORE-NULLS last_value calls share ONE user exchange+sort; 4-group DECIMAL rollup"),
     ("zipf_fit_per_lang", "token explode collapsed by partial (lang,token) agg; rank window + OLS folds on vocab-sized groups only"),
     ("classifier_auc_eval", "scoring inherits the classifier vectorizer shuffle; range-partitioned global rank (no 1-partition window); U sums exact int64, AUC/Gini one division each"),
+    ("margin_mining_knn", "broadcast-queries x scan cosine leg (knn baseline; IVF-PQ is the registered 100 TB candidate path); margin arithmetic touches only QxK and candidate-top-k rows"),
 ]
 
 

@@ -93,6 +93,7 @@ PROBES = [
     "attribution_last_touch",
     "zipf_fit_per_lang",
     "classifier_auc_eval",
+    "margin_mining_knn",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

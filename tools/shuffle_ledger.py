@@ -89,6 +89,7 @@ LEDGER_QUERIES = [
     "attribution_last_touch",
     "zipf_fit_per_lang",
     "classifier_auc_eval",
+    "margin_mining_knn",
 ]
 
 
