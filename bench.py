@@ -260,6 +260,7 @@ NEW_OP_QUERIES = [
     "zipf_fit_per_lang",
     "classifier_auc_eval",
     "margin_mining_knn",
+    "holt_linear_backtest",
 ]
 
 

@@ -2825,3 +2825,155 @@ def attribution_rollup(attributed: DataFrame) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+
+
+@query(
+    "holt_linear_backtest",
+    # The oracle replays the fold as a RECURSIVE CTE rather than a
+    # struct-accumulator list_reduce: DuckDB 1.0.0's struct lambdas
+    # evaluate fields with inconsistent pre/post-update visibility
+    # (verified with a minimal two-field fold), while the recursive CTE
+    # is a well-defined step-by-step join — bit-identical to Spark's
+    # F.aggregate left fold.
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                  AS DOUBLE) / count(*) AS v
+      FROM events GROUP BY 1, 2
+    ), pts AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ), rec AS (
+      SELECT event_type, n, CAST(1 AS BIGINT) AS i, v AS l,
+             CAST(0 AS DOUBLE) AS b, v AS prev,
+             CAST(0 AS DOUBLE) AS sh, CAST(0 AS DOUBLE) AS sn
+      FROM pts WHERE i = 1
+      UNION ALL
+      SELECT r.event_type, r.n, r.i + 1,
+             CAST({HOLT_ALPHA} AS DOUBLE) * p.v
+               + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (r.l + r.b),
+             CAST({HOLT_BETA} AS DOUBLE)
+               * ((CAST({HOLT_ALPHA} AS DOUBLE) * p.v
+                   + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (r.l + r.b)) - r.l)
+               + CAST({1 - HOLT_BETA} AS DOUBLE) * r.b,
+             p.v,
+             r.sh + abs(p.v - (r.l + r.b)),
+             r.sn + abs(p.v - r.prev)
+      FROM rec r JOIN pts p ON p.event_type = r.event_type
+                           AND p.i = r.i + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           sh / (i - 1) AS mae_holt,
+           sn / (i - 1) AS mae_naive,
+           CAST(sh < sn AS BIGINT) AS holt_beats_naive
+    FROM rec WHERE i = n AND n > 1 ORDER BY event_type
+    """,
+)
+def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing (alpha = 0.5, beta =
+    0.3) backtested one-step-ahead against the naive last-value
+    forecast, per event type over the hourly mean-value series — the
+    double-exponential upgrade of ``ewma_event_value_per_user`` and the
+    learned counterpart of ``seasonal_naive_backtest``. Both MAEs come
+    from the SAME left fold (level/trend update + both absolute errors
+    accumulate in one accumulator struct), so the comparison is
+    internally consistent by construction.
+
+    Float discipline: hourly means are DECIMAL-exact sums with one
+    division; the fold is the corpus-standard sorted fold (ewma /
+    PageRank pattern) — the per-step chain is fixed-order IEEE add/
+    mul/abs with identical literal constants in both engines, so no
+    rounding is needed. DuckDB's list_reduce starts from the first
+    element; Spark replicates by transforming each point into a
+    pre-initialized accumulator struct and folding from an n = 0
+    sentinel that the first merge replaces.
+
+    Shape at 100 TB: ONE partial-agg'd (type, hour) shuffle collapses
+    the corpus; series length is calendar-bounded (hours in the data's
+    time range), NOT corpus-bounded, so the per-type fold state stays
+    tiny forever."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3_600_000_000.0)
+            ).cast("long").alias("hour"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    pts = F.transform(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hour", "v"))),
+            lambda s: s["v"],
+        ),
+        lambda v: F.struct(
+            v.alias("l"),
+            F.lit(0.0).alias("b"),
+            v.alias("prev"),
+            F.lit(0.0).alias("sh"),
+            F.lit(0.0).alias("sn"),
+            F.lit(1).cast("long").alias("n"),
+        ),
+    )
+    a_, b_ = float(HOLT_ALPHA), float(HOLT_BETA)
+
+    def step(a, x):
+        newl = F.lit(a_) * x["l"] + F.lit(1 - a_) * (a["l"] + a["b"])
+        return F.struct(
+            newl.alias("l"),
+            (
+                F.lit(b_)
+                * (
+                    (F.lit(a_) * x["l"] + F.lit(1 - a_) * (a["l"] + a["b"]))
+                    - a["l"]
+                )
+                + F.lit(1 - b_) * a["b"]
+            ).alias("b"),
+            x["l"].alias("prev"),
+            (a["sh"] + F.abs(x["l"] - (a["l"] + a["b"]))).alias("sh"),
+            (a["sn"] + F.abs(x["l"] - a["prev"])).alias("sn"),
+            (a["n"] + 1).alias("n"),
+        )
+
+    zero = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("prev"),
+        F.lit(0.0).alias("sh"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    st = F.aggregate(
+        pts, zero, lambda a, x: F.when(a["n"] == 0, x).otherwise(step(a, x))
+    )
+    folded = (
+        hourly.groupBy("event_type")
+        .agg(st.alias("st"), F.count("*").alias("n_hours"))
+        .where(F.col("n_hours") > 1)
+    )
+    return folded.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        (F.col("st.sh") / (F.col("st.n") - 1)).alias("mae_holt"),
+        (F.col("st.sn") / (F.col("st.n") - 1)).alias("mae_naive"),
+        (F.col("st.sh") < F.col("st.sn")).cast("long").alias(
+            "holt_beats_naive"
+        ),
+    ).orderBy("event_type")

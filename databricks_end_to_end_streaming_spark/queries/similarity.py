@@ -1372,12 +1372,13 @@ MARGIN_THRESHOLD = 1.05  # accept matches whose cos beats its hood by 5%
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 10 = 0
+      FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 500
     ), scored AS (
       SELECT q.query_id, e.vec_id AS cand_id,
              list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
                AS score
-      FROM q JOIN embeddings e ON e.vec_id % 10 <> 0
+      FROM q JOIN embeddings e
+        ON NOT (e.vec_id % 10 = 0 AND e.vec_id < 500)
     ), rq AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, cand_id) AS rnk
@@ -1417,8 +1418,10 @@ def margin_mining_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine threshold cannot (a hub is near everything, so its
     neighborhood average is high and its margin stays ~1).
 
-    The query side is vec_id % 10 == 0 (the mine-new-batch-against-
-    corpus shape); candidates here are the exact broadcast-queries x
+    The query side is a FIXED batch (vec_id % 10 == 0 below 500 — the
+    mine-new-batch-against-corpus shape, constant like the knn
+    baseline's query set, so cost scales linearly with the corpus, not
+    quadratically); candidates here are the exact broadcast-queries x
     scan knn leg (the correctness baseline, as in
     knn_bruteforce_cosine); at 100 TB the candidate generator swaps for
     the registered IVF-PQ path and the margin arithmetic — which only

@@ -352,3 +352,54 @@ def test_mann_whitney_auc_hand_cases(spark):
     r = auc([(1, 0.1, 0), (2, 0.2, 1), (3, 0.3, 0), (4, 0.4, 1)])
     assert r.auc == 0.75
     assert r.n_pos == 2 and r.n_neg == 2
+
+
+def test_holt_backtest_matches_numpy_and_beats_naive_on_trend(spark, workdir):
+    """holt_linear_backtest: exact NumPy-twin MAEs on planted hourly
+    series; on a strong linear trend Holt's one-step forecast beats the
+    naive last-value forecast."""
+    from datetime import datetime, timedelta
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        holt_linear_backtest,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    trend_vals = [10.0 + 3.0 * i for i in range(48)]  # strong trend
+    zig_vals = [50.0 if i % 2 == 0 else 10.0 for i in range(48)]
+    for i in range(48):
+        for v, typ in ((trend_vals[i], "trend"), (zig_vals[i], "zigzag")):
+            eid += 1
+            rows.append((eid, t0 + timedelta(hours=i), 1, typ, v))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{workdir}/events.parquet")
+
+    def twin(vals):
+        l, b, prev = vals[0], 0.0, vals[0]
+        sh = sn = 0.0
+        for v in vals[1:]:
+            sh += abs(v - (l + b))
+            sn += abs(v - prev)
+            nl = HOLT_ALPHA * v + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
+            l, prev = nl, v
+        return sh / (len(vals) - 1), sn / (len(vals) - 1)
+
+    got = {
+        r.event_type: r
+        for r in holt_linear_backtest(spark, str(workdir)).collect()
+    }
+    for typ, vals in (("trend", trend_vals), ("zigzag", zig_vals)):
+        sh, sn = twin(vals)
+        assert got[typ].n_hours == 48
+        assert abs(got[typ].mae_holt - sh) < 1e-12
+        assert abs(got[typ].mae_naive - sn) < 1e-12
+    # Holt tracks the trend; naive is always 3 behind
+    assert got["trend"].holt_beats_naive == 1
+    assert got["trend"].mae_holt < got["trend"].mae_naive

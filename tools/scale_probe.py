@@ -94,6 +94,7 @@ PROBES = [
     "zipf_fit_per_lang",
     "classifier_auc_eval",
     "margin_mining_knn",
+    "holt_linear_backtest",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

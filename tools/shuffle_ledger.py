@@ -90,6 +90,7 @@ LEDGER_QUERIES = [
     "zipf_fit_per_lang",
     "classifier_auc_eval",
     "margin_mining_knn",
+    "holt_linear_backtest",
 ]
 
 
