@@ -3155,6 +3155,15 @@ def zipf_fit_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim("text"), " +")).alias("w"),
     )
     freq = toks.groupBy("lang", "w").agg(F.count("*").alias("f"))
+    return zipf_fit_from_freq(freq)
+
+
+def zipf_fit_from_freq(freq: DataFrame) -> DataFrame:
+    """The OLS fit over a (lang, w, f) frequency relation — the shared
+    core of the batch query and the streaming count-log reader
+    (streaming/zipf_stage.py): token counts are a sum monoid, so the
+    folded log feeds the IDENTICAL fit and drained == batch holds
+    bit-for-bit."""
     win = Window.partitionBy("lang").orderBy(F.desc("f"), "w")
     pts = freq.withColumn("r", F.row_number().over(win)).select(
         "lang",
