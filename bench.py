@@ -261,6 +261,7 @@ NEW_OP_QUERIES = [
     "classifier_auc_eval",
     "margin_mining_knn",
     "holt_linear_backtest",
+    "token_burstiness_topk",
 ]
 
 

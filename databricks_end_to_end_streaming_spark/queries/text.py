@@ -3211,3 +3211,80 @@ def zipf_fit_from_freq(freq: DataFrame) -> DataFrame:
             "zipf_intercept"
         ),
     ).orderBy("lang")
+
+
+BURSTY_MIN_DF = 5
+BURSTY_TOP_K = 20
+
+
+@query(
+    "token_burstiness_topk",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), mom AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS ssq
+      FROM tc GROUP BY w
+    )
+    SELECT w AS token, df, total,
+           CAST(ssq AS DOUBLE) / total
+             - CAST(total AS DOUBLE) / n_docs AS fano
+    FROM mom CROSS JOIN n
+    WHERE df >= {BURSTY_MIN_DF}
+    ORDER BY fano DESC, token
+    LIMIT {BURSTY_TOP_K}
+    """,
+)
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness: the Fano factor (variance-to-mean ratio,
+    zeros included) of each token's per-document count — topical/bursty
+    tokens score > 1, Poisson-scattered ~1, evenly-spread function
+    words < 1; the standard corpus-linguistics signal for keyword
+    extraction and stopword discovery. Algebra keeps it exact: with N
+    docs, total occurrences T and per-doc sum of squares S,
+    var/mean = S/T - T/N — two IEEE divisions of exact int64s and one
+    subtraction, so the emitted doubles are bit-identical across
+    engines with no rounding. LIMIT carries a (fano, token) total
+    order. The df >= {BURSTY_MIN_DF} floor drops hapax noise.
+
+    Shape at 100 TB: token explode collapses map-side into the
+    partial-agg'd (doc, token) shuffle; per-token moments are a second
+    vocabulary-keyed partial agg; top-k is TakeOrderedAndProject —
+    corpus text crosses the wire once."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    mom = tc.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    fano = (
+        F.col("ssq").cast("double") / F.col("total")
+        - F.col("total").cast("double") / F.col("n_docs")
+    )
+    return (
+        mom.crossJoin(F.broadcast(n))
+        .where(F.col("df") >= BURSTY_MIN_DF)
+        .select(
+            F.col("w").alias("token"), "df", "total", fano.alias("fano")
+        )
+        .orderBy(F.desc("fano"), "token")
+        .limit(BURSTY_TOP_K)
+    )

@@ -403,3 +403,41 @@ def test_holt_backtest_matches_numpy_and_beats_naive_on_trend(spark, workdir):
     # Holt tracks the trend; naive is always 3 behind
     assert got["trend"].holt_beats_naive == 1
     assert got["trend"].mae_holt < got["trend"].mae_naive
+
+
+def test_burstiness_separates_topical_from_uniform(spark, workdir):
+    """token_burstiness_topk: a token concentrated in few docs scores a
+    high Fano factor; a once-per-doc token scores near zero (regular);
+    values match a NumPy twin exactly."""
+    import numpy as np
+
+    from databricks_end_to_end_streaming_spark.queries.text import (
+        token_burstiness_topk,
+    )
+
+    rows = []
+    for i in range(40):
+        words = ["filler%d_%d" % (i, j) for j in range(20)]
+        words.append("uniformtok")  # exactly once per doc
+        if i < 5:
+            words += ["burstytok"] * 30  # 150 occurrences in 5 docs
+        rows.append((i, " ".join(words), "en", "s", 1))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{workdir}/documents.parquet")
+    got = {
+        r.token: r for r in token_burstiness_topk(spark, str(workdir)).collect()
+    }
+    assert "burstytok" in got and "uniformtok" in got
+    # numpy twin (zeros included)
+    def fano(counts, n_docs=40):
+        c = np.zeros(n_docs)
+        c[: len(counts)] = counts
+        return float(np.var(c) / np.mean(c))
+
+    assert abs(got["burstytok"].fano - fano([30] * 5)) < 1e-9
+    assert abs(got["uniformtok"].fano - fano([1] * 40)) < 1e-9
+    assert got["burstytok"].fano > 20  # strongly bursty
+    assert got["uniformtok"].fano < 0.1  # regular
+    assert got["burstytok"].df == 5 and got["burstytok"].total == 150

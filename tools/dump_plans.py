@@ -148,6 +148,7 @@ PLAN_QUERIES = [
     ("classifier_auc_eval", "scoring inherits the classifier vectorizer shuffle; range-partitioned global rank (no 1-partition window); U sums exact int64, AUC/Gini one division each"),
     ("margin_mining_knn", "broadcast-queries x scan cosine leg (knn baseline; IVF-PQ is the registered 100 TB candidate path); margin arithmetic touches only QxK and candidate-top-k rows"),
     ("holt_linear_backtest", "ONE (type,hour) partial-agg shuffle; calendar-bounded per-type series folded in the JVM (ewma pattern) — state never corpus-sized"),
+    ("token_burstiness_topk", "two partial-agg'd shuffles ((doc,token) then token moments); Fano = S/T - T/N exact; TakeOrderedAndProject top-k"),
 ]
 
 

@@ -95,6 +95,7 @@ PROBES = [
     "classifier_auc_eval",
     "margin_mining_knn",
     "holt_linear_backtest",
+    "token_burstiness_topk",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

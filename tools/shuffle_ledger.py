@@ -91,6 +91,7 @@ LEDGER_QUERIES = [
     "classifier_auc_eval",
     "margin_mining_knn",
     "holt_linear_backtest",
+    "token_burstiness_topk",
 ]
 
 
