@@ -262,6 +262,7 @@ NEW_OP_QUERIES = [
     "margin_mining_knn",
     "holt_linear_backtest",
     "token_burstiness_topk",
+    "kcore_decomposition",
 ]
 
 

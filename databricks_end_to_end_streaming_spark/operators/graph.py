@@ -23,7 +23,7 @@ literature).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from ..pin import pin
 
 
@@ -203,3 +203,62 @@ def pagerank(
             .transform(pin)
         )
     return ranks
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Coreness of every node of an undirected edge list via the
+    h-index iteration (Lü, Zhou, Zhang, Stanley 2016, "The H-index of a
+    network node and its relation to degree and coreness" — public
+    literature): initialize c(v) = degree(v), then repeatedly set c(v)
+    to the h-index of its neighbors' current values (the largest h such
+    that >= h neighbors have value >= h). The sequence is monotone
+    non-increasing and converges exactly to the k-core number — the
+    iterative-peeling answer — without any sequential peel.
+
+    Scale shape per iteration: one join (neighbor values onto the
+    directed edge list) + one per-node window over degree-bounded
+    neighbor lists + one max agg; state is one long per node, lineage
+    truncated per round (the connected_components hygiene). Convergence
+    is detected with a 1-row changed-count aggregate. Returns
+    (node, degree, coreness)."""
+    und = edges.select(
+        F.col(a).alias("u"), F.col(b).alias("v")
+    ).unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+    und = pin(und, site="kcore.edges")
+    deg = und.groupBy("u").agg(F.count("*").alias("degree"))
+    cur = pin(
+        deg.select("u", F.col("degree").cast("long").alias("c")),
+        site="kcore.init",
+    )
+    for _ in range(max_iters):
+        nb = und.join(
+            cur.withColumnRenamed("u", "v").withColumnRenamed("c", "cv"),
+            "v",
+        )
+        w = Window.partitionBy("u").orderBy(F.desc("cv"), "v")
+        nxt = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(
+                F.max(F.least(F.col("rn").cast("long"), F.col("cv"))).alias(
+                    "c"
+                )
+            )
+        )
+        nxt = pin(nxt, site="kcore.iter")
+        changed = (
+            nxt.join(cur.withColumnRenamed("c", "c_old"), "u")
+            .where(F.col("c") != F.col("c_old"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return deg.join(cur, "u").select(
+        F.col("u").alias("node"), "degree", F.col("c").alias("coreness")
+    )

@@ -1675,6 +1675,50 @@ def gapfill_hourly_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 COPURCHASE_K = 10  # mutual-KNN graph degree bound
 
 
+def copurchase_mutual_knn_edges(li: DataFrame) -> DataFrame:
+    """The mutual top-K co-purchase edge list (a < b) shared by the
+    triangle/clustering query and the k-core decomposition: each part
+    keeps its K strongest partners (co-order count desc, partner id asc
+    — a total order) and an edge survives only if BOTH endpoints
+    selected each other, so degree is provably <= COPURCHASE_K at any
+    corpus size."""
+    a, b = li.alias("a"), li.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    directed = pair_counts.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "n_orders"
+    ).unionByName(
+        pair_counts.select(
+            F.col("pb").alias("src"), F.col("pa").alias("dst"), "n_orders"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_orders"), F.asc("dst"))
+    sel = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= COPURCHASE_K)
+        .select("src", "dst")
+    )
+    return (
+        sel.alias("s1")
+        .join(
+            sel.alias("s2"),
+            (F.col("s1.src") == F.col("s2.dst"))
+            & (F.col("s1.dst") == F.col("s2.src")),
+        )
+        .where(F.col("s1.src") < F.col("s1.dst"))
+        .select(F.col("s1.src").alias("a"), F.col("s1.dst").alias("b"))
+    )
+
+
 @query(
     "copurchase_graph_triangles",
     oracle=f"""
@@ -1746,43 +1790,8 @@ def copurchase_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins on the degree-bounded edge list with the a < b < c
     orientation so each triangle is produced exactly once."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("n_orders"))
-    )
-    directed = pair_counts.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), "n_orders"
-    ).unionByName(
-        pair_counts.select(
-            F.col("pb").alias("src"), F.col("pa").alias("dst"), "n_orders"
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("n_orders"), F.asc("dst"))
-    sel = (
-        directed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= COPURCHASE_K)
-        .select("src", "dst")
-    )
-    edges = (
-        sel.alias("s1")
-        .join(
-            sel.alias("s2"),
-            (F.col("s1.src") == F.col("s2.dst"))
-            & (F.col("s1.dst") == F.col("s2.src")),
-        )
-        .where(F.col("s1.src") < F.col("s1.dst"))
-        .select(F.col("s1.src").alias("a"), F.col("s1.dst").alias("b"))
-        # consumed by 2 triangle joins + the degree agg
-        .transform(pin)
-    )
+    # consumed by 2 triangle joins + the degree agg
+    edges = pin(copurchase_mutual_knn_edges(li))
     tri = (
         edges.alias("e1")
         .join(edges.alias("e2"), F.col("e2.a") == F.col("e1.b"))
@@ -2977,3 +2986,26 @@ def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "holt_beats_naive"
         ),
     ).orderBy("event_type")
+
+
+@query("kcore_decomposition")  # iterative — rows-only; exact pytest twin
+def kcore_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the mutual top-K co-purchase graph (the
+    triangle query's exact edge relation): coreness per part via the
+    h-index iteration — the standard "dense market segment" / graph
+    robustness analysis, and the third member of the graph family
+    (components, PageRank, triangles). Iterative by nature, so no SQL
+    oracle; tests/test_graph_ops.py pins the h-index result against a
+    sequential textbook-peeling twin exactly.
+
+    Scale shape: inherited mutual-KNN degree bound (<= COPURCHASE_K)
+    keeps every per-iteration window frame constant-sized; one join +
+    one window + one agg per round, 1-row convergence check; coreness
+    state is one long per node."""
+    from ..operators.graph import kcore_decomposition
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = pin(copurchase_mutual_knn_edges(li))
+    return kcore_decomposition(edges).orderBy("node")

@@ -149,6 +149,7 @@ PLAN_QUERIES = [
     ("margin_mining_knn", "broadcast-queries x scan cosine leg (knn baseline; IVF-PQ is the registered 100 TB candidate path); margin arithmetic touches only QxK and candidate-top-k rows"),
     ("holt_linear_backtest", "ONE (type,hour) partial-agg shuffle; calendar-bounded per-type series folded in the JVM (ewma pattern) — state never corpus-sized"),
     ("token_burstiness_topk", "two partial-agg'd shuffles ((doc,token) then token moments); Fano = S/T - T/N exact; TakeOrderedAndProject top-k"),
+    ("kcore_decomposition", "h-index iteration on the degree-bounded mutual-KNN graph: one join + one constant-frame window + one agg per round, 1-row convergence check"),
 ]
 
 

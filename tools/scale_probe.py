@@ -96,6 +96,7 @@ PROBES = [
     "margin_mining_knn",
     "holt_linear_backtest",
     "token_burstiness_topk",
+    "kcore_decomposition",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

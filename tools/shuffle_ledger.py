@@ -92,6 +92,7 @@ LEDGER_QUERIES = [
     "margin_mining_knn",
     "holt_linear_backtest",
     "token_burstiness_topk",
+    "kcore_decomposition",
 ]
 
 
