@@ -259,6 +259,15 @@ def kcore_decomposition(
         cur = nxt
         if changed == 0:
             break
+    else:
+        # fail loudly (the connected_components rule): returning the
+        # intermediate values would silently inflate coreness on long
+        # low-degree chains, where h-index updates propagate one hop
+        # per round
+        raise RuntimeError(
+            f"k-core h-index iteration did not converge in {max_iters} "
+            "rounds; raise max_iters"
+        )
     return deg.join(cur, "u").select(
         F.col("u").alias("node"), "degree", F.col("c").alias("coreness")
     )

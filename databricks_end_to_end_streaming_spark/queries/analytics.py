@@ -2913,10 +2913,9 @@ def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy(
             "event_type",
-            F.floor(
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                / F.lit(3_600_000_000.0)
-            ).cast("long").alias("hour"),
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("hour"),
         )
         .agg(
             (
@@ -2948,12 +2947,7 @@ def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(
             newl.alias("l"),
             (
-                F.lit(b_)
-                * (
-                    (F.lit(a_) * x["l"] + F.lit(1 - a_) * (a["l"] + a["b"]))
-                    - a["l"]
-                )
-                + F.lit(1 - b_) * a["b"]
+                F.lit(b_) * (newl - a["l"]) + F.lit(1 - b_) * a["b"]
             ).alias("b"),
             x["l"].alias("prev"),
             (a["sh"] + F.abs(x["l"] - (a["l"] + a["b"]))).alias("sh"),
@@ -2995,7 +2989,7 @@ def kcore_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     h-index iteration — the standard "dense market segment" / graph
     robustness analysis, and the third member of the graph family
     (components, PageRank, triangles). Iterative by nature, so no SQL
-    oracle; tests/test_graph_ops.py pins the h-index result against a
+    oracle; tests/test_kcore.py pins the h-index result against a
     sequential textbook-peeling twin exactly.
 
     Scale shape: inherited mutual-KNN degree bound (<= COPURCHASE_K)

@@ -1433,13 +1433,14 @@ def margin_mining_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     accept comparison (the bm25 rule), so a last-ulp division
     difference cannot flip a decision."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
     from ..pin import pin
 
+    is_q = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 500)
+    q = emb.where(is_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
     scored = pin(
-        emb.where(F.col("vec_id") % 10 != 0)
+        emb.where(~is_q)
         .join(F.broadcast(q))
         .select(
             "query_id",
