@@ -263,6 +263,7 @@ NEW_OP_QUERIES = [
     "holt_linear_backtest",
     "token_burstiness_topk",
     "kcore_decomposition",
+    "corpus_manifest",
 ]
 
 

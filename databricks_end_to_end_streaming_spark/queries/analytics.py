@@ -3003,3 +3003,73 @@ def kcore_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pin(copurchase_mutual_knn_edges(li))
     return kcore_decomposition(edges).orderBy("node")
+
+
+def _content_hash60() -> F.Column:
+    """60-bit content hash binding doc_id to its text: the first 15 hex
+    chars of md5(doc_id || ':' || text) parsed as an exact int64 — the
+    largest md5 prefix that fits a signed long without overflow. md5 is
+    the one hash both engines share bit-for-bit; DuckDB replays the hex
+    parse with a scalar list fold."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@query(
+    "corpus_manifest",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           bit_xor(list_reduce(
+             list_transform(
+               string_split_regex(
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15),
+                 ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x)) AS content_xor
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable dataset manifest, per source: the
+    lakehouse-versioning fingerprint that detects ANY row change —
+    added, dropped, edited, or re-keyed documents all flip the
+    order-insensitive bit_xor of per-row (doc_id, text) hashes (XOR is
+    a group: commutative, associative, self-inverse, no overflow — the
+    aggregate the int-sum manifest cannot safely be under ANSI
+    arithmetic). Reproducing a snapshot's manifest proves bit-level
+    dataset identity without comparing rows; see tests for the
+    change-detection matrix.
+
+    Shape at 100 TB: one map-side hash per row + ONE partial-agg'd
+    source-keyed shuffle of (source, 6 scalars) partials — manifests of
+    corpus slices merge by XOR/sum/min/max, so incremental maintenance
+    is free (the moments-log pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.bit_xor(_content_hash60()).alias("content_xor"),
+        )
+        .orderBy("source")
+    )

@@ -441,3 +441,40 @@ def test_burstiness_separates_topical_from_uniform(spark, workdir):
     assert got["burstytok"].fano > 20  # strongly bursty
     assert got["uniformtok"].fano < 0.1  # regular
     assert got["burstytok"].df == 5 and got["burstytok"].total == 150
+
+
+def test_manifest_change_detection_matrix(spark, workdir):
+    """corpus_manifest: identical data (even reordered/repartitioned)
+    reproduces the manifest; an edit, a drop, an addition, and a re-key
+    each flip content_xor."""
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        corpus_manifest,
+    )
+
+    def write(rows, name):
+        import os
+
+        d = f"{workdir}/{name}"
+        os.makedirs(d)
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).repartition(4).write.parquet(f"{d}/documents.parquet")
+        return {
+            r.source: (r.n_docs, r.total_chars, r.content_xor)
+            for r in corpus_manifest(spark, d).collect()
+        }
+
+    base = [(i, f"text {i}", "en", "s0", 7) for i in range(20)]
+    m0 = write(base, "base")
+    assert write(list(reversed(base)), "reordered") == m0  # order-free
+    edited = [r if r[0] != 7 else (7, "text 7x", "en", "s0", 8) for r in base]
+    assert write(edited, "edited")["s0"][2] != m0["s0"][2]
+    assert write(base[:-1], "dropped")["s0"] != m0["s0"]
+    assert write(base + [(99, "new", "en", "s0", 3)], "added")["s0"] != m0["s0"]
+    # re-key: swap two docs' ids, texts unchanged — XOR of (id:text)
+    # hashes must still flip
+    rekeyed = list(base)
+    rekeyed[0] = (1, "text 0", "en", "s0", 7)
+    rekeyed[1] = (0, "text 1", "en", "s0", 7)
+    assert write(rekeyed, "rekeyed")["s0"][2] != m0["s0"][2]

@@ -150,6 +150,7 @@ PLAN_QUERIES = [
     ("holt_linear_backtest", "ONE (type,hour) partial-agg shuffle; calendar-bounded per-type series folded in the JVM (ewma pattern) — state never corpus-sized"),
     ("token_burstiness_topk", "two partial-agg'd shuffles ((doc,token) then token moments); Fano = S/T - T/N exact; TakeOrderedAndProject top-k"),
     ("kcore_decomposition", "h-index iteration on the degree-bounded mutual-KNN graph: one join + one constant-frame window + one agg per round, 1-row convergence check"),
+    ("corpus_manifest", "map-side per-row hash + ONE source-keyed partial-agg shuffle of 6-scalar partials; XOR/sum/min/max all mergeable"),
 ]
 
 

@@ -97,6 +97,7 @@ PROBES = [
     "holt_linear_backtest",
     "token_burstiness_topk",
     "kcore_decomposition",
+    "corpus_manifest",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

@@ -93,6 +93,7 @@ LEDGER_QUERIES = [
     "holt_linear_backtest",
     "token_burstiness_topk",
     "kcore_decomposition",
+    "corpus_manifest",
 ]
 
 
