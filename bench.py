@@ -264,6 +264,7 @@ NEW_OP_QUERIES = [
     "token_burstiness_topk",
     "kcore_decomposition",
     "corpus_manifest",
+    "jaro_winkler_part_pairs",
 ]
 
 

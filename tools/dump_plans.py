@@ -151,6 +151,7 @@ PLAN_QUERIES = [
     ("token_burstiness_topk", "two partial-agg'd shuffles ((doc,token) then token moments); Fano = S/T - T/N exact; TakeOrderedAndProject top-k"),
     ("kcore_decomposition", "h-index iteration on the degree-bounded mutual-KNN graph: one join + one constant-frame window + one agg per round, 1-row convergence check"),
     ("corpus_manifest", "map-side per-row hash + ONE source-keyed partial-agg shuffle of 6-scalar partials; XOR/sum/min/max all mergeable"),
+    ("jaro_winkler_part_pairs", "(brand,size)-blocked self-join (block-bounded, never all-pairs); the greedy JW matcher is one F.aggregate fold per row in whole-stage codegen — no UDF"),
 ]
 
 

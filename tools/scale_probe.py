@@ -98,6 +98,7 @@ PROBES = [
     "token_burstiness_topk",
     "kcore_decomposition",
     "corpus_manifest",
+    "jaro_winkler_part_pairs",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

@@ -94,6 +94,7 @@ LEDGER_QUERIES = [
     "token_burstiness_topk",
     "kcore_decomposition",
     "corpus_manifest",
+    "jaro_winkler_part_pairs",
 ]
 
 
