@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..pin import pin
 from ..tables import load_table
 from . import query
 
@@ -283,9 +284,19 @@ def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE.
 
     Shape at 100 TB: candidates come from the blocked self-join
-    ((brand, size) keys bound block sizes), never all-pairs; the JW
-    expression is per-row map work on the joined relation."""
-    from ..operators.jaro import jaro_winkler_col
+    ((brand, size) keys bound block sizes), never all-pairs; scoring is
+    per-row interpreted-HOF work, so the pair relation is explicitly
+    repartitioned first — AQE coalesces its small byte size into ONE
+    partition and would serialize the whole scoring pass (measured:
+    20+ min single-threaded at sf0.1 before the fix, seconds after) —
+    and the char arrays are materialized as columns so fold references
+    are attribute reads, not per-reference transform() re-evaluation
+    (operators/jaro.py)."""
+    from ..operators.jaro import (
+        jw_match_state,
+        jw_score_from_state,
+        with_char_arrays,
+    )
 
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size"
@@ -302,9 +313,26 @@ def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.p_name").alias("name_a"),
         F.col("b.p_name").alias("name_b"),
     )
-    jw = jaro_winkler_col(F.col("name_a"), F.col("name_b"))
-    return (
-        cand.withColumn("jw", jw)
-        .where(F.col("jw") >= JW_THRESHOLD)
-        .orderBy("part_a", "part_b")
+    # fold once per row; the repartition AFTER the state column is the
+    # Exchange barrier that stops CollapseProject from inlining the
+    # fold into every downstream reference (operators/jaro.py), and it
+    # simultaneously defeats AQE's coalesce-to-one-partition on this
+    # small-byte / heavy-expression relation
+    staged = (
+        with_char_arrays(cand, "name_a", "name_b")
+        .withColumn("_st", jw_match_state("name_a", "name_b"))
+        .repartition(32, "part_a")
+    )
+    scored = pin(
+        staged.withColumn(
+            "jw", jw_score_from_state("_st", "name_a", "name_b")
+        ).select("part_a", "part_b", "name_a", "name_b", "jw"),
+        site="jw.scored",
+    )
+    # pin BEFORE the threshold filter: predicate pushdown would inline
+    # the entire scoring expression into the blocked-join condition
+    # (observed in the executed plan — the megabyte tree evaluated per
+    # candidate pair inside BroadcastHashJoin, single-threaded)
+    return scored.where(F.col("jw") >= JW_THRESHOLD).orderBy(
+        "part_a", "part_b"
     )

@@ -79,3 +79,17 @@ def test_jw_matches_sequential_reference_exactly(spark):
     # ...below it the shared prefix earns nothing
     assert vals[("abcdef", "axxxxx")] == ref_jaro("abcdef", "axxxxx")
     assert vals[("abcdef", "axxxxx")] <= 0.7
+
+
+def test_jw_long_strings_score_null(spark):
+    from databricks_end_to_end_streaming_spark.operators.jaro import (
+        JW_MAX_LEN,
+    )
+
+    df = spark.createDataFrame(
+        [("a" * (JW_MAX_LEN + 1), "a" * 5), ("ab", "ab")], "s string, t string"
+    )
+    got = df.select(
+        jaro_winkler_col(F.col("s"), F.col("t")).alias("jw")
+    ).collect()
+    assert got[0].jw is None and got[1].jw == 1.0
