@@ -3073,3 +3073,224 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ks_test_value_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), mid AS (
+      SELECT (min(us) + max(us)) // 2 AS mid FROM e
+    ), counts AS (
+      SELECT event_type, value,
+             CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM e CROSS JOIN mid
+      GROUP BY event_type, value
+    ), cum AS (
+      SELECT event_type,
+             CAST(sum(c1) OVER w AS BIGINT) AS f1,
+             CAST(sum(c2) OVER w AS BIGINT) AS f2,
+             CAST(sum(c1) OVER p AS BIGINT) AS n1,
+             CAST(sum(c2) OVER p AS BIGINT) AS n2
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING),
+             p AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_base,
+           CAST(max(n2) AS BIGINT) AS n_actual,
+           CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+             CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+               / (max(n1) * max(n2))
+           END AS ks_d
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event type across
+    the corpus's exact µs-midpoint period split — the third member of
+    the drift-test trio (chi2: slice-vs-corpus; PSI: smoothed binned
+    divergence; KS: the max ECDF gap, the only one sensitive to WHERE
+    the distributions diverge rather than how much mass moved).
+
+    Exactness: D = max |F1 - F2| evaluated at the distinct observed
+    values with ECDF steps carried as INTEGERS — the maximized quantity
+    is |f1*n2 - f2*n1| in int64, and the single division by n1*n2
+    happens once, after the max, so the statistic is bit-identical
+    across engines with no rounding and no float comparisons inside
+    the max.
+
+    Shape at 100 TB: one (type, value) partial-agg'd shuffle collapses
+    the corpus; the running ECDF window runs per type over the
+    collapsed distinct-value rows; the final max is a per-type
+    aggregate; a type with an empty period reports NULL (no drift is
+    measurable). int64 headroom: f*n caps at ~3e9 rows per type before
+    DECIMAL widening is needed (the PSI bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    mid = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    counts = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(
+                F.when(F.col("us") <= F.col("mid"), 1).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(F.col("us") > F.col("mid"), 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.sum("c1").over(p).alias("n1"),
+        F.sum("c2").over(p).alias("n2"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_base"),
+            F.max("n2").alias("n_actual"),
+            F.when(
+                (F.max("n1") > 0) & (F.max("n2") > 0),
+                F.max(
+                    F.abs(
+                        F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+                    )
+                ).cast("double")
+                / (F.max("n1") * F.max("n2")),
+            ).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Benford expected first-digit proportions log10(1 + 1/d), written as
+# full-precision double literals so BOTH engines parse the identical
+# constant (no runtime ln/log10 — the cross-engine bit hazard).
+_BENFORD_P = [
+    0.30102999566398120,
+    0.17609125905568124,
+    0.12493873660829993,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+]
+
+
+@query(
+    "benford_value_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM events WHERE value >= 1
+    ), obs AS (
+      SELECT event_type, digit, CAST(count(*) AS BIGINT) AS o
+      FROM d GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS n FROM obs GROUP BY 1
+    ), expected AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({i + 1}, CAST({p!r} AS DOUBLE))" for i, p in enumerate(_BENFORD_P))}
+      ) AS t(digit, p)
+    ), terms AS (
+      SELECT t.event_type, e.digit, t.n,
+             (CAST(coalesce(o.o, 0) AS DOUBLE) / t.n - e.p)
+             * (CAST(coalesce(o.o, 0) AS DOUBLE) / t.n - e.p) / e.p AS term
+      FROM tot t CROSS JOIN expected e
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = e.digit
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+           round(list_reduce(list(term ORDER BY digit), (a, x) -> a + x), 9)
+             AS benford_chi2_stat
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of event values per type — the
+    classic forensic data-quality test (fabricated or unit-mangled
+    numeric columns flout the log distribution). The chi-square-style
+    statistic sums ((o/n - p_d)^2 / p_d) over digits 1-9 against
+    expected proportions embedded as full-precision double LITERALS
+    (identical constants in both engines — no runtime log10, the ln
+    bit-portability hazard), folded in digit order (the corpus-standard
+    sorted fold) and rounded to 9 decimals: the squared-deviation chain
+    still landed one ulp apart between engines in practice, so the
+    PSI rounding rule applies.
+
+    Shape at 100 TB: digit extraction is map-side string work on the
+    integer part; one (type, digit) partial-agg'd shuffle; the 9-digit
+    grid and fold are per-type scalar arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.where(F.col("value") >= 1).select(
+        "event_type",
+        F.substring(
+            F.floor("value").cast("long").cast("string"), 1, 1
+        ).cast("long").alias("digit"),
+    )
+    obs = d.groupBy("event_type", "digit").agg(F.count("*").alias("o"))
+    tot = obs.groupBy("event_type").agg(F.sum("o").alias("n"))
+    expected = obs.sparkSession.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_P)], "digit long, p double"
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(expected))
+        .join(obs, ["event_type", "digit"], "left")
+        .select(
+            "event_type",
+            "digit",
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "p",
+        )
+    )
+    dev = F.col("o").cast("double") / F.col("n") - F.col("p")
+    terms = grid.select(
+        "event_type", "digit", "n", (dev * dev / F.col("p")).alias("term")
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_values"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("digit", "term"))
+                        ),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                9,
+            ).alias("benford_chi2_stat"),
+        )
+        .orderBy("event_type")
+    )

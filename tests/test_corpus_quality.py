@@ -478,3 +478,62 @@ def test_manifest_change_detection_matrix(spark, workdir):
     rekeyed[0] = (1, "text 0", "en", "s0", 7)
     rekeyed[1] = (0, "text 1", "en", "s0", 7)
     assert write(rekeyed, "rekeyed")["s0"][2] != m0["s0"][2]
+
+
+def test_ks_and_benford_on_planted_distributions(spark, workdir):
+    """ks_test_value_drift: a planted period shift yields the
+    hand-computable D; benford_value_audit: Benford-conforming values
+    score far below uniform-digit values."""
+    from datetime import datetime, timedelta
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        benford_value_audit,
+        ks_test_value_drift,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # KS plant: first half values ~ {10, 20}, second half ~ {20, 30}
+    for i in range(100):
+        eid += 1
+        half = 0 if i < 50 else 1
+        v = (10.0 if i % 2 == 0 else 20.0) if half == 0 else (
+            20.0 if i % 2 == 0 else 30.0
+        )
+        rows.append((eid, t0 + timedelta(minutes=i), 1, "ks", v))
+    # Benford plant: digits drawn 1-9 uniformly (anti-Benford)
+    for i in range(900):
+        eid += 1
+        rows.append(
+            (eid, t0 + timedelta(seconds=i), 2, "uniform",
+             float((i % 9 + 1) * 10 + 3))
+        )
+    # Benford plant: counts proportional to log10(1 + 1/d)
+    benford_counts = [271, 158, 112, 87, 71, 60, 52, 46, 41]
+    for d, c in enumerate(benford_counts, start=1):
+        for k in range(c):
+            eid += 1
+            rows.append(
+                (eid, t0 + timedelta(seconds=eid), 3, "benford",
+                 float(d * 100 + k % 90))
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{workdir}/events.parquet")
+
+    ks = {
+        r.event_type: r for r in ks_test_value_drift(spark, str(workdir)).collect()
+    }
+    # ECDFs: F1 = (.5 at 10, 1.0 at 20); F2 = (0 at 10, .5 at 20, 1 at 30)
+    # D = max gap = .5 (at value 10 and at 20)
+    assert ks["ks"].ks_d == 0.5
+    assert ks["ks"].n_base == 50 and ks["ks"].n_actual == 50
+
+    bf = {
+        r.event_type: r.benford_chi2_stat
+        for r in benford_value_audit(spark, str(workdir)).collect()
+    }
+    assert bf["uniform"] > 50 * bf["benford"]  # uniform digits flagged
+    assert bf["benford"] < 0.01  # proportional counts track Benford

@@ -151,7 +151,9 @@ PLAN_QUERIES = [
     ("token_burstiness_topk", "two partial-agg'd shuffles ((doc,token) then token moments); Fano = S/T - T/N exact; TakeOrderedAndProject top-k"),
     ("kcore_decomposition", "h-index iteration on the degree-bounded mutual-KNN graph: one join + one constant-frame window + one agg per round, 1-row convergence check"),
     ("corpus_manifest", "map-side per-row hash + ONE source-keyed partial-agg shuffle of 6-scalar partials; XOR/sum/min/max all mergeable"),
-    ("jaro_winkler_part_pairs", "(brand,size)-blocked self-join (block-bounded, never all-pairs); the greedy JW matcher is one F.aggregate fold per row in whole-stage codegen — no UDF"),
+    ("jaro_winkler_part_pairs", "(brand,size)-blocked self-join (block-bounded, never all-pairs); greedy JW fold materialized ONCE per row behind an Exchange barrier; threshold filter pinned out of the join condition"),
+    ("ks_test_value_drift", "ONE (type,value,half) partial-agg shuffle -> per-type running-ECDF window on collapsed distinct values; D maximized over exact int64 cross-products, single final division"),
+    ("benford_value_audit", "map-side digit extraction -> ONE (type,digit) partial-agg shuffle; 9-digit broadcast grid + sorted fold"),
 ]
 
 

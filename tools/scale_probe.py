@@ -99,6 +99,8 @@ PROBES = [
     "kcore_decomposition",
     "corpus_manifest",
     "jaro_winkler_part_pairs",
+    "ks_test_value_drift",
+    "benford_value_audit",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

@@ -95,6 +95,8 @@ LEDGER_QUERIES = [
     "kcore_decomposition",
     "corpus_manifest",
     "jaro_winkler_part_pairs",
+    "ks_test_value_drift",
+    "benford_value_audit",
 ]
 
 
