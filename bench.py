@@ -267,6 +267,7 @@ NEW_OP_QUERIES = [
     "jaro_winkler_part_pairs",
     "ks_test_value_drift",
     "benford_value_audit",
+    "spearman_trend_per_type",
 ]
 
 

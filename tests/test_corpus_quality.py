@@ -537,3 +537,49 @@ def test_ks_and_benford_on_planted_distributions(spark, workdir):
     }
     assert bf["uniform"] > 50 * bf["benford"]  # uniform digits flagged
     assert bf["benford"] < 0.01  # proportional counts track Benford
+
+
+def test_spearman_trend_recovers_planted_monotonicity(spark, workdir):
+    """spearman_trend_per_type: rho = +1 on a strictly rising series,
+    -1 on a falling one, ~0 on alternation; ties take average ranks
+    (hand-checked against scipy's definition on a small case)."""
+    from datetime import datetime, timedelta
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        spearman_trend_per_type,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(60):
+        for typ, v in (
+            ("up", float(i)),
+            ("down", float(100 - i)),
+            ("flat", 5.0 if i % 2 == 0 else 4.0),
+        ):
+            eid += 1
+            rows.append((eid, t0 + timedelta(minutes=i), 1, typ, v))
+    # tie case: values [1, 2, 2, 3] over time -> rho vs ranks
+    # x2 = [2,4,6,8]; value ranks (avg): [1, 2.5, 2.5, 4] -> y2=[2,5,5,8]
+    for i, v in enumerate([1.0, 2.0, 2.0, 3.0]):
+        eid += 1
+        rows.append((eid, t0 + timedelta(minutes=i), 2, "tied", v))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{workdir}/events.parquet")
+    got = {
+        r.event_type: r
+        for r in spearman_trend_per_type(spark, str(workdir)).collect()
+    }
+    assert got["up"].spearman_rho == 1.0
+    assert got["down"].spearman_rho == -1.0
+    assert abs(got["flat"].spearman_rho) < 0.1
+    # hand value: x2=[2,4,6,8], y2=[2,5,5,8]:
+    # n=4 sx=20 sy=20 sxy=(4+20+30+64)=118 sxx=120 syy=118
+    # rho = (472-400)/sqrt((480-400)*(472-400)) = 72/sqrt(80*72)
+    import math
+
+    want = 72 / math.sqrt(80 * 72)
+    assert abs(got["tied"].spearman_rho - want) < 1e-15

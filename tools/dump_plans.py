@@ -154,6 +154,7 @@ PLAN_QUERIES = [
     ("jaro_winkler_part_pairs", "(brand,size)-blocked self-join (block-bounded, never all-pairs); greedy JW fold materialized ONCE per row behind an Exchange barrier; threshold filter pinned out of the join condition"),
     ("ks_test_value_drift", "ONE (type,value,half) partial-agg shuffle -> per-type running-ECDF window on collapsed distinct values; D maximized over exact int64 cross-products, single final division"),
     ("benford_value_audit", "map-side digit extraction -> ONE (type,digit) partial-agg shuffle; 9-digit broadcast grid + sorted fold"),
+    ("spearman_trend_per_type", "two per-type rank windows over one exchange+sort; (type,value) tie collapse; 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
 ]
 
 

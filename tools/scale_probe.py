@@ -101,6 +101,7 @@ PROBES = [
     "jaro_winkler_part_pairs",
     "ks_test_value_drift",
     "benford_value_audit",
+    "spearman_trend_per_type",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

@@ -97,6 +97,7 @@ LEDGER_QUERIES = [
     "jaro_winkler_part_pairs",
     "ks_test_value_drift",
     "benford_value_audit",
+    "spearman_trend_per_type",
 ]
 
 
