@@ -3347,12 +3347,13 @@ def spearman_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the scale — Pearson on ranks is invariant to the common
     scaling.
 
-    Exactness: all five moment sums are exact int64 (headroom: ~40k
-    events per type before the doubled-rank fourth-moment products need
-    DECIMAL widening — document per deployment); the rho chain is fixed
-    doubles + one sqrt, which IEEE 754 requires to be correctly
-    rounded, so the emitted value is bit-identical across engines with
-    no rounding step.
+    Exactness: all five moment sums are exact int64 (sum(x2*y2) <=
+    4n^3 — headroom ~1.3e6 events per type before DECIMAL widening);
+    the rho chain is fixed doubles + one sqrt, which IEEE 754 requires
+    to be correctly rounded, so the emitted value is bit-identical
+    across engines with no rounding step (the n*sum products exceed
+    2^53 beyond ~100k rows/type and round — identically in both
+    engines, since the int64 inputs are exact).
 
     Shape at 100 TB: two per-type window ranks over one exchange +
     sort; tie groups collapse in a partial-agg'd (type, value) shuffle;
