@@ -268,6 +268,7 @@ NEW_OP_QUERIES = [
     "ks_test_value_drift",
     "benford_value_audit",
     "spearman_trend_per_type",
+    "cramers_v_type_weekday",
 ]
 
 

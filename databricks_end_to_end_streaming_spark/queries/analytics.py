@@ -3397,3 +3397,104 @@ def spearman_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type", "n", rho.alias("spearman_rho")
     ).orderBy("event_type")
+
+
+@query(
+    "cramers_v_type_weekday",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+                  AS BIGINT) AS dow
+      FROM events
+    ), obs AS (
+      SELECT event_type AS key, dow AS bin_lo, count(*) AS o
+      FROM b GROUP BY 1, 2
+    ), bt AS (
+      SELECT bin_lo, CAST(sum(o) AS BIGINT) AS bt FROM obs GROUP BY 1
+    ), tt AS (
+      SELECT key, CAST(sum(o) AS BIGINT) AS tt FROM obs GROUP BY 1
+    ), g AS (
+      SELECT CAST(sum(o) AS BIGINT) AS g FROM obs
+    ), grid AS (
+      SELECT t.key, bn.bin_lo, t.tt, bn.bt, COALESCE(o.o, 0) AS o
+      FROM tt t CROSS JOIN bt bn
+      LEFT JOIN obs o ON o.key = t.key AND o.bin_lo = bn.bin_lo
+    ), terms AS (
+      SELECT key, bin_lo,
+             num * num / CAST(bt * tt AS DOUBLE) / CAST(g AS DOUBLE) AS term
+      FROM (
+        SELECT grid.*, g.g, CAST(o * g.g - bt * tt AS DOUBLE) AS num
+        FROM grid CROSS JOIN g
+      )
+    ), perkey AS (
+      -- two-level fold mirroring the Spark side exactly: bins fold
+      -- within each key first, then the per-key sums fold by key
+      -- (IEEE addition is non-associative; a flat (key,bin) fold is a
+      -- DIFFERENT chain)
+      SELECT key, list_reduce(list(term ORDER BY bin_lo),
+                              (a, x) -> a + x) AS kchi2
+      FROM terms GROUP BY key
+    ), folded AS (
+      SELECT list_reduce(list(kchi2 ORDER BY key),
+                         (a, x) -> a + x) AS chi2,
+             (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM obs) AS r,
+             (SELECT CAST(count(DISTINCT bin_lo) AS BIGINT) FROM obs) AS c,
+             (SELECT g FROM g) AS n
+      FROM perkey
+    )
+    SELECT n, r, c, chi2,
+           sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1)))
+             AS cramers_v
+    FROM folded
+    """,
+)
+def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and weekday — the
+    normalized-chi² effect size (0 = independent, 1 = fully
+    determined), the standard categorical-association report a BI
+    layer runs over every dimension pair. Weekday derives from exact
+    integer epoch-day arithmetic ((days + 4) % 7 — 1970-01-01 was a
+    Thursday), identical in both engines.
+
+    The per-cell terms come from the SAME algebra as the shared chi²
+    core ((o*g - bt*tt)² / (bt*tt) / g = (o-e)²/e exactly), summed over
+    the WHOLE r x c table in (key, bin) sorted-fold order; V adds one
+    division and one correctly-rounded sqrt — no rounding step needed.
+
+    Shape at 100 TB: ONE (type, weekday) partial-agg'd corpus shuffle;
+    everything after is arithmetic over the <= r*c contingency."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            F.expr(
+                "(unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7"
+            ).cast("long").alias("bin_lo"),
+        )
+        .groupBy("key", "bin_lo")
+        .agg(F.count("*").alias("o"))
+        .transform(pin)
+    )
+    scored = chi2_over_contingency(obs)
+    dims = obs.agg(
+        F.countDistinct("key").alias("r"),
+        F.countDistinct("bin_lo").alias("c"),
+        F.sum("o").alias("n"),
+    )
+    folded = scored.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("key", "chi2"))),
+                lambda s: s["chi2"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("chi2")
+    )
+    out = folded.crossJoin(F.broadcast(dims))
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("n").cast("double") * F.least(F.col("r") - 1, F.col("c") - 1))
+    )
+    return out.select("n", "r", "c", "chi2", v.alias("cramers_v"))

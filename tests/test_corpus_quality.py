@@ -583,3 +583,51 @@ def test_spearman_trend_recovers_planted_monotonicity(spark, workdir):
 
     want = 72 / math.sqrt(80 * 72)
     assert abs(got["tied"].spearman_rho - want) < 1e-15
+
+
+def test_cramers_v_bounds_on_planted_tables(spark, workdir):
+    """cramers_v_type_weekday: a type fully determined by weekday
+    scores V = 1; a type independent of weekday scores ~0."""
+    from datetime import datetime, timedelta
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        cramers_v_type_weekday,
+    )
+
+    t0 = datetime(2024, 1, 1)  # a Monday
+    rows, eid = [], 0
+    # determined: each of 7 types occurs ONLY on its own weekday
+    for week in range(8):
+        for d in range(7):
+            for _ in range(5):
+                eid += 1
+                rows.append(
+                    (eid, t0 + timedelta(days=week * 7 + d), 1,
+                     f"only_dow_{d}", 1.0)
+                )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{workdir}/det/events.parquet")
+    det = cramers_v_type_weekday(spark, f"{workdir}/det").collect()[0]
+    assert det.r == 7 and det.c == 7
+    assert abs(det.cramers_v - 1.0) < 1e-12
+
+    rows2, eid = [], 0
+    # independent: both types occur equally on every weekday
+    for week in range(8):
+        for d in range(7):
+            for typ in ("a", "b"):
+                for _ in range(3):
+                    eid += 1
+                    rows2.append(
+                        (eid, t0 + timedelta(days=week * 7 + d), 1, typ, 1.0)
+                    )
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(f"{workdir}/ind/events.parquet")
+    ind = cramers_v_type_weekday(spark, f"{workdir}/ind").collect()[0]
+    assert ind.cramers_v < 1e-6

@@ -155,6 +155,7 @@ PLAN_QUERIES = [
     ("ks_test_value_drift", "ONE (type,value,half) partial-agg shuffle -> per-type running-ECDF window on collapsed distinct values; D maximized over exact int64 cross-products, single final division"),
     ("benford_value_audit", "map-side digit extraction -> ONE (type,digit) partial-agg shuffle; 9-digit broadcast grid + sorted fold"),
     ("spearman_trend_per_type", "two per-type rank windows over one exchange+sort; (type,value) tie collapse; 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
+    ("cramers_v_type_weekday", "ONE (type,weekday) partial-agg corpus shuffle -> shared chi2 core over the r x c contingency -> two-level sorted fold + sqrt"),
 ]
 
 

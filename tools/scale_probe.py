@@ -102,6 +102,7 @@ PROBES = [
     "ks_test_value_drift",
     "benford_value_audit",
     "spearman_trend_per_type",
+    "cramers_v_type_weekday",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

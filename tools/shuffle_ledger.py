@@ -98,6 +98,7 @@ LEDGER_QUERIES = [
     "ks_test_value_drift",
     "benford_value_audit",
     "spearman_trend_per_type",
+    "cramers_v_type_weekday",
 ]
 
 
