@@ -3370,7 +3370,7 @@ def spearman_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = e.select(
         "event_type",
         "value",
-        (2 * F.row_number().over(wx)).cast("long").alias("x2"),
+        (F.row_number().over(wx).cast("long") * 2).alias("x2"),
         F.row_number().over(wv).alias("vr"),
     )
     ty = rx.groupBy("event_type", "value").agg(

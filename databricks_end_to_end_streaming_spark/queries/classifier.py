@@ -531,10 +531,12 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
       FROM ranked r JOIN tie t USING (score)
     )
     SELECT n_pos, n_neg,
-           CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE)
-             / (2 * n_pos * n_neg) AS auc,
-           CAST(r1x2 - n_pos * (n_pos + 1) - n_pos * n_neg AS DOUBLE)
-             / (n_pos * n_neg) AS gini
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2 * n_pos * n_neg) END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(r1x2 - n_pos * (n_pos + 1) - n_pos * n_neg AS DOUBLE)
+               / (n_pos * n_neg) END AS gini
     FROM agg
     """,
 )
@@ -568,7 +570,10 @@ def mann_whitney_auc(scored: DataFrame) -> DataFrame:
     """Exact tie-adjusted AUC/Gini of a (doc_id, score, weak_label)
     relation — the rank-statistic core of classifier_auc_eval, split
     out so pytest can plant hand-computable score sets (including
-    cross-class ties)."""
+    cross-class ties). Single-class inputs (n_pos or n_neg = 0) yield
+    NULL auc/gini in both engines — guarded explicitly because Spark
+    and DuckDB disagree on 0/0 doubles (NULL vs NaN), the same
+    convention ks_test_value_drift uses."""
     from ..operators.ranking import global_row_number
 
     ranked = global_row_number(scored, ["score", "doc_id"], rank_col="rn")
@@ -588,15 +593,18 @@ def mann_whitney_auc(scored: DataFrame) -> DataFrame:
         )
     )
     np_, nn = F.col("n_pos"), F.col("n_neg")
+    both = (np_ > 0) & (nn > 0)
     return agg.select(
         np_.alias("n_pos"),
         nn.alias("n_neg"),
-        (
+        F.when(
+            both,
             (F.col("r1x2") - np_ * (np_ + 1)).cast("double")
-            / (2 * np_ * nn)
+            / (2 * np_ * nn),
         ).alias("auc"),
-        (
+        F.when(
+            both,
             (F.col("r1x2") - np_ * (np_ + 1) - np_ * nn).cast("double")
-            / (np_ * nn)
+            / (np_ * nn),
         ).alias("gini"),
     )

@@ -187,6 +187,37 @@ def golden_records_from(names: DataFrame, pairs: DataFrame) -> DataFrame:
 
 JW_THRESHOLD = 0.85
 
+def jw_name_candidates(names: DataFrame) -> DataFrame:
+    """Dictionary-level JW candidate pairs: token-blocked (must share a
+    whole name token) then pruned by the theorem-recall-free
+    length-ratio bound 4*min(ls,lt) >= max(ls,lt) (derivation in the
+    jaro_winkler_part_pairs docstring). Shared by the query and the
+    dictionary-scaling probe (tools/jw_dict_probe.py) so the probe
+    counts exactly the relation the query scores."""
+    tok = names.select(
+        "p_name",
+        F.explode(
+            F.filter(F.split("p_name", " +"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    ln_a, ln_b = F.length("name_a"), F.length("name_b")
+    return (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.p_name") <= F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+        # recall-free at JW >= 0.85 (bound in the docstring)
+        .where(F.least(ln_a, ln_b) * 4 >= F.greatest(ln_a, ln_b))
+    )
+
+
 _JW_PREFIX_L_SQL = """
          CASE WHEN NOT (1 <= least(ls, lt) AND substr(s,1,1) = substr(t,1,1)) THEN 0
               WHEN NOT (2 <= least(ls, lt) AND substr(s,2,1) = substr(t,2,1)) THEN 1
@@ -206,26 +237,29 @@ _JW_PREFIX_L_SQL = """
     # ~20% of random pairs (verified empirically). Struct-accumulator
     # list folds are also off-limits here (the DuckDB 1.0.0 quirk
     # documented on holt_linear_backtest), which is exactly what the
-    # recursion replaces.
+    # recursion replaces. The oracle scores EXACT ALL-PAIRS over the
+    # distinct-name dictionary (no token block, no length filter), so
+    # driver hash-equality each round also PROVES the Spark side's two
+    # candidate prunes lose nothing on this corpus — the same
+    # blocking-recall discipline as fuzzy_part_name_matches above.
     oracle=f"""
-    WITH RECURSIVE cand AS (
-      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-             a.p_name AS s, b.p_name AS t,
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name FROM part
+    ), cand AS (
+      SELECT a.p_name AS s, b.p_name AS t,
              CAST(len(a.p_name) AS INTEGER) AS ls,
              CAST(len(b.p_name) AS INTEGER) AS lt,
              greatest(CAST(greatest(len(a.p_name), len(b.p_name)) // 2 - 1
                       AS INTEGER), 0) AS w
-      FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-       AND a.p_partkey < b.p_partkey
+      FROM names a JOIN names b ON a.p_name <= b.p_name
     ), rec AS (
-      SELECT part_a, part_b, s, t, ls, lt, w, 0 AS i,
+      SELECT s, t, ls, lt, w, 0 AS i,
              list_transform(range(lt), x -> FALSE) AS mask,
              CAST([] AS INTEGER[]) AS mi,
              CAST([] AS INTEGER[]) AS mj
       FROM cand
       UNION ALL
-      SELECT part_a, part_b, s, t, ls, lt, w, i + 1,
+      SELECT s, t, ls, lt, w, i + 1,
              CASE WHEN j IS NULL THEN mask
                   ELSE list_transform(range(1, lt + 1),
                          k -> CASE WHEN k = j THEN TRUE ELSE mask[k] END) END,
@@ -241,11 +275,11 @@ _JW_PREFIX_L_SQL = """
         FROM rec r WHERE i < ls
       )
     ), fin AS (
-      SELECT part_a, part_b, s, t, ls, lt,
+      SELECT s, t, ls, lt,
              CAST(len(mi) AS INTEGER) AS m, mi, mj
       FROM rec WHERE i = ls
     ), scored AS (
-      SELECT part_a, part_b, s, t, ls, lt, m,
+      SELECT s, t, ls, lt, m,
              CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE
                CAST(len(list_filter(range(1, m + 1),
                  k -> substr(s, mi[k], 1)
@@ -253,22 +287,28 @@ _JW_PREFIX_L_SQL = """
              {_JW_PREFIX_L_SQL}
       FROM fin
     ), jarod AS (
-      SELECT part_a, part_b, s, t, m, t2, l,
+      SELECT s, t, m, t2, l,
              CASE WHEN m = 0 THEN CAST(0.0 AS DOUBLE) ELSE
                (CAST(m AS DOUBLE) / ls + CAST(m AS DOUBLE) / lt
                 + (2 * CAST(m AS DOUBLE) - t2)
                   / (2 * CAST(m AS DOUBLE))) / 3.0
              END AS jaro
       FROM scored
-    ), jwed AS (
-      SELECT part_a, part_b, s AS name_a, t AS name_b,
+    ), qual AS (
+      SELECT s AS x, t AS y,
              CASE WHEN jaro > 0.7
                   THEN jaro + CAST(l AS DOUBLE) * 0.1 * (1.0 - jaro)
                   ELSE jaro END AS jw
       FROM jarod
     )
-    SELECT part_a, part_b, name_a, name_b, jw
-    FROM jwed WHERE jw >= {JW_THRESHOLD}
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b, q.jw
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+               AND a.p_partkey < b.p_partkey
+    JOIN qual q ON q.x = least(a.p_name, b.p_name)
+               AND q.y = greatest(a.p_name, b.p_name)
+    WHERE q.jw >= {JW_THRESHOLD}
     ORDER BY part_a, part_b
     """,
 )
@@ -283,15 +323,25 @@ def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest AND replayed step-by-step by the DuckDB oracle's recursive
     CTE.
 
-    Shape at 100 TB: candidates come from the blocked self-join
-    ((brand, size) keys bound block sizes), never all-pairs; scoring is
-    per-row interpreted-HOF work, so the pair relation is explicitly
-    repartitioned first — AQE coalesces its small byte size into ONE
-    partition and would serialize the whole scoring pass (measured:
-    20+ min single-threaded at sf0.1 before the fix, seconds after) —
-    and the char arrays are materialized as columns so fold references
-    are attribute reads, not per-reference transform() re-evaluation
-    (operators/jaro.py)."""
+    Scale shape (the r11 restructure): scoring runs ONCE PER DISTINCT
+    NAME PAIR, never per part pair — the corpus collapses to its name
+    DICTIONARY first (the fuzzy_part_name_matches shape), so JW cost
+    is independent of part-row count entirely. Dictionary candidates
+    are (1) token-blocked (pairs must share a whole name token —
+    recall proven on-corpus every round by the oracle, which scores
+    exact all-pairs over the dictionary) and (2) pruned by a
+    THEOREM-recall-free length-ratio filter: with prefix bonus
+    l <= 4, jw = jaro + 0.1*l*(1-jaro) <= 0.6*jaro + 0.4, so
+    jw >= 0.85 forces jaro >= 0.75; and jaro <= (m/ls + m/lt + 1)/3
+    with m <= min(ls,lt) gives jaro <= (2 + min/max)/3, hence
+    min/max >= 3*0.75 - 2 = 1/4, i.e. 4*min(ls,lt) >= max(ls,lt) for
+    every qualifying pair. Qualifying name pairs (a broadcast-sized
+    relation) then join BACK to parts output-sensitively: each part
+    row fans out only to its qualifying partner names, then one
+    equi-join on (name, brand, size) — the quadratic (brand,size)
+    block join of rounds <=10 is gone, so candidate work grows with
+    the dictionary's block structure, not quadratically in the part
+    count (probe: tools/jw_dict_probe.py, recorded in README)."""
     from ..operators.jaro import (
         jw_match_state,
         jw_score_from_state,
@@ -301,18 +351,7 @@ def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size"
     )
-    a, b = p.alias("a"), p.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).select(
-        F.col("a.p_partkey").alias("part_a"),
-        F.col("b.p_partkey").alias("part_b"),
-        F.col("a.p_name").alias("name_a"),
-        F.col("b.p_name").alias("name_b"),
-    )
+    cand = jw_name_candidates(p.select("p_name").distinct())
     # fold once per row; the repartition AFTER the state column is the
     # Exchange barrier that stops CollapseProject from inlining the
     # fold into every downstream reference (operators/jaro.py), and it
@@ -321,18 +360,44 @@ def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (
         with_char_arrays(cand, "name_a", "name_b")
         .withColumn("_st", jw_match_state("name_a", "name_b"))
-        .repartition(32, "part_a")
+        .repartition(32, "name_a")
     )
     scored = pin(
         staged.withColumn(
             "jw", jw_score_from_state("_st", "name_a", "name_b")
-        ).select("part_a", "part_b", "name_a", "name_b", "jw"),
+        ).select("name_a", "name_b", "jw"),
         site="jw.scored",
     )
     # pin BEFORE the threshold filter: predicate pushdown would inline
     # the entire scoring expression into the blocked-join condition
     # (observed in the executed plan — the megabyte tree evaluated per
     # candidate pair inside BroadcastHashJoin, single-threaded)
-    return scored.where(F.col("jw") >= JW_THRESHOLD).orderBy(
-        "part_a", "part_b"
+    qual = scored.where(F.col("jw") >= JW_THRESHOLD)
+    # symmetric partner map (both orientations; diagonal once) so the
+    # join-back can anchor on part_a's name regardless of lexical order
+    sym = qual.select(
+        F.col("name_a").alias("nx"), F.col("name_b").alias("ny"), "jw"
+    ).unionByName(
+        qual.where(F.col("name_a") != F.col("name_b")).select(
+            F.col("name_b").alias("nx"), F.col("name_a").alias("ny"), "jw"
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(F.broadcast(sym), F.col("a.p_name") == F.col("nx"))
+        .join(
+            b,
+            (F.col("ny") == F.col("b.p_name"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "jw",
+        )
+        .orderBy("part_a", "part_b")
     )
