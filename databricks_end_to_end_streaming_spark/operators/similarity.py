@@ -379,3 +379,74 @@ def mmr_rerank(
     return cands.select(id_col, rel_col, vec_col).coalesce(1).mapInPandas(
         _greedy, schema=out_schema
     )
+
+
+def mmr_rerank_exact(
+    cands: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+) -> DataFrame:
+    """MMR re-ranking whose every greedy comparison is BIT-IDENTICAL
+    across engines, so the whole selection replays in DuckDB as k
+    unrolled argmax CTE steps (hash-green — unlike the float
+    ``mmr_rerank`` above, which stays as the general-purpose operator).
+
+    Input contract: (doc_id long, cs double, dq array<long>, nd long)
+    — ``cs`` a round-6 relevance (sem_leg) and ``dq``/``nd`` the
+    SQ8-DEQUANTIZED int64 coordinates + int64 squared norm
+    (queries/similarity.py::sq8_dqn). Pairwise similarity is then
+    sim = (dot / sqrt(nd_lo)) / sqrt(nd_hi) — an exact int64 dot cast
+    to double (|dq| <= ~2^20, dot <= 64 * 2^40 ~ 7e13 < 2^53, so the
+    cast is exact and the int64 matmul cannot wrap) followed by two
+    IEEE-correctly-rounded divisions, ALWAYS dividing by the
+    smaller-id side's sqrt first so Spark and the SQL replay round
+    identically (float division is not order-free). The greedy score
+    is (lam * cs) - (one_minus_lam * max_sim) in that exact
+    association order; ``one_minus_lam`` is an explicit literal
+    because 1.0 - 0.7 != 0.3 in float64. Ties break on ascending
+    doc_id in both engines.
+
+    Same boundedness contract as ``mmr_rerank``: candidates are a
+    leg-depth relation, re-ranked inside ONE Arrow batch."""
+    out_schema = "doc_id long, mmr_rank int, relevance double, mmr_score double"
+
+    def _greedy(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        rows = pd.concat(parts, ignore_index=True)
+        rows = rows.sort_values("doc_id", kind="mergesort").reset_index(
+            drop=True
+        )
+        ids = rows["doc_id"].to_numpy()
+        rel = rows["cs"].to_numpy(dtype=np.float64)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in rows["dq"]]
+        )
+        nd = rows["nd"].to_numpy(dtype=np.int64)
+        dots = vecs @ vecs.T  # exact int64 (bound in the docstring)
+        s = np.sqrt(nd.astype(np.float64))
+        n = len(ids)
+        idx = np.arange(n)
+        lo = np.minimum.outer(idx, idx)  # rows sorted by id: index
+        hi = np.maximum.outer(idx, idx)  # order IS id order
+        sim = (dots.astype(np.float64) / s[lo]) / s[hi]
+        taken = np.zeros(n, dtype=bool)
+        max_sim = np.zeros(n, dtype=np.float64)
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - one_minus_lam * max_sim
+            score[taken] = -np.inf
+            i = int(np.argmax(score))  # first max -> smaller id on ties
+            taken[i] = True
+            out.append((int(ids[i]), rank, float(rel[i]), float(score[i])))
+            max_sim = np.maximum(max_sim, sim[:, i])
+            max_sim[taken] = 0.0  # never re-selected; keep scores finite
+        yield pd.DataFrame(
+            out, columns=["doc_id", "mmr_rank", "relevance", "mmr_score"]
+        )
+
+    return cands.select("doc_id", "cs", "dq", "nd").coalesce(1).mapInPandas(
+        _greedy, schema=out_schema
+    )

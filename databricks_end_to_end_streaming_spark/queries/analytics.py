@@ -2982,15 +2982,87 @@ def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@query("kcore_decomposition")  # iterative — rows-only; exact pytest twin
+def _kcore_oracle(iters: int = 24) -> str:
+    """DuckDB replay of ``kcore_decomposition``: the h-index iteration
+    unrolled as chained MATERIALIZED CTEs (the PageRank r4 pattern —
+    DuckDB inlines CTEs by default and each step references its
+    predecessor, so un-hinted unrolling blows up exponentially).
+    Convergence measured on the testdata graphs: 18 / 12 / 10 rounds at
+    sf0.001 / 0.01 / 0.1; 24 steps is comfortable headroom, and the
+    ``conv`` guard ASSERTS convergence inside the SQL — if step N !=
+    step N-1 the result is zero rows, which the driver's row-count
+    compare flags loudly (mirror of the Spark operator's
+    RuntimeError). All-integer arithmetic: bit-exact by construction,
+    no float discipline needed."""
+    step = """,
+    c{k} AS MATERIALIZED (
+      SELECT u, max(least(rn, cv)) AS c FROM (
+        SELECT und.u, p.c AS cv,
+               CAST(row_number() OVER (PARTITION BY und.u
+                      ORDER BY p.c DESC, und.v) AS BIGINT) AS rn
+        FROM und JOIN c{prev} p ON und.v = p.u
+      ) GROUP BY u
+    )"""
+    steps = "".join(
+        step.format(k=k, prev=k - 1) for k in range(1, iters + 1)
+    )
+    return f"""
+    WITH pair_counts AS (
+      SELECT least(a.l_partkey, b.l_partkey) AS pa,
+             greatest(a.l_partkey, b.l_partkey) AS pb,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT pa AS src, pb AS dst, n_orders FROM pair_counts
+      UNION ALL
+      SELECT pb AS src, pa AS dst, n_orders FROM pair_counts
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (
+               PARTITION BY src ORDER BY n_orders DESC, dst ASC) AS rn
+      FROM directed
+    ), sel AS (
+      SELECT src, dst FROM ranked WHERE rn <= {COPURCHASE_K}
+    ), edges AS (
+      SELECT s1.src AS a, s1.dst AS b
+      FROM sel s1 JOIN sel s2 ON s1.src = s2.dst AND s1.dst = s2.src
+      WHERE s1.src < s1.dst
+    ), und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), deg AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY u
+    ), c0 AS MATERIALIZED (
+      SELECT u, degree AS c FROM deg
+    ){steps}, conv AS (
+      SELECT count(*) AS n_unconverged
+      FROM c{iters} a JOIN c{iters - 1} b USING (u)
+      WHERE a.c <> b.c
+    )
+    SELECT d.u AS node, d.degree, f.c AS coreness
+    FROM deg d JOIN c{iters} f USING (u)
+    WHERE (SELECT n_unconverged FROM conv) = 0
+    ORDER BY node
+    """
+
+
+@query("kcore_decomposition", oracle=_kcore_oracle())
 def kcore_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core decomposition of the mutual top-K co-purchase graph (the
     triangle query's exact edge relation): coreness per part via the
     h-index iteration — the standard "dense market segment" / graph
     robustness analysis, and the third member of the graph family
-    (components, PageRank, triangles). Iterative by nature, so no SQL
-    oracle; tests/test_kcore.py pins the h-index result against a
-    sequential textbook-peeling twin exactly.
+    (components, PageRank, triangles). Hash-oracled since r11: the
+    iteration is all-integer and converges in a measured <= 18 rounds
+    on the testdata graphs, so the oracle unrolls 24 h-index steps as
+    MATERIALIZED CTEs (the PageRank fixed-unroll pattern) and asserts
+    convergence IN the SQL (zero rows if step 24 != step 23, mirroring
+    the Spark operator's loud RuntimeError). tests/test_kcore.py
+    additionally pins the result against a sequential textbook-peeling
+    twin exactly.
 
     Scale shape: inherited mutual-KNN degree bound (<= COPURCHASE_K)
     keeps every per-iteration window frame constant-sized; one join +

@@ -445,14 +445,11 @@ _DQ_EXPR = f"""transform(sequence(0, {EMB_DIM - 1}), i ->
          * (element_at(maxs, i + 1) - element_at(mins, i + 1))) div 255)"""
 
 
-def sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, neighbor_id, rank): cosine top-{K} over SQ8-
-    dequantized vectors — the SEARCH leg shared by the production query
-    (``sq8_cosine_topk``) and the recall evaluation. int64 dot product
-    and norms from the exact dequantized coordinates; only the final
-    two sqrt-divisions are float."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dqn = (
+def sq8_dqn(emb: DataFrame) -> DataFrame:
+    """(vec_id, dq, nd): exact SQ8-dequantized int64 coordinates and
+    int64 squared norm per vector — the shared exact-arithmetic front
+    door of sq8_cosine_topk, sq8_recall_eval, and mmr_diverse_topk."""
+    return (
         sq8_coded(emb)
         .withColumn("dq", F.expr(_DQ_EXPR))
         .withColumn(
@@ -461,6 +458,16 @@ def sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "dq", "nd")
     )
+
+
+def sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, rank): cosine top-{K} over SQ8-
+    dequantized vectors — the SEARCH leg shared by the production query
+    (``sq8_cosine_topk``) and the recall evaluation. int64 dot product
+    and norms from the exact dequantized coordinates; only the final
+    two sqrt-divisions are float."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dqn = sq8_dqn(emb)
     queries = dqn.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("dq").alias("qdq"),
@@ -1170,33 +1177,125 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
 
 MMR_K = 10
 MMR_LAMBDA = 0.7
+MMR_ONE_MINUS_LAMBDA = 0.3  # explicit literal: 1.0 - 0.7 != 0.3 in float64
 
 
-@query("mmr_diverse_topk")  # rows-only: greedy-iterative, not SQL-replayable
+def _mmr_oracle(k: int = MMR_K) -> str:
+    """DuckDB replay of ``mmr_diverse_topk``: the greedy selection
+    unrolled as k (sel, st) MATERIALIZED CTE step pairs (the
+    kcore/pagerank fixed-unroll pattern). Replayability rests on every
+    compared quantity being bit-identical across engines: relevance is
+    the round-6 sem_leg cosine; pairwise similarity is an exact int64
+    dot of SQ8-dequantized coordinates followed by two correctly-
+    rounded divisions (smaller-id sqrt FIRST — mirrored in
+    operators/similarity.py::mmr_rerank_exact); the score is
+    (0.7 * cs) - (0.3 * max_sim) in that exact association order."""
+    step = """,
+    sel{r} AS MATERIALIZED (
+      SELECT doc_id, cs,
+             (CAST(0.7 AS DOUBLE) * cs)
+               - (CAST(0.3 AS DOUBLE) * max_sim) AS mmr_score
+      FROM st{prev} ORDER BY mmr_score DESC, doc_id LIMIT 1
+    ),
+    st{r} AS MATERIALIZED (
+      SELECT s.doc_id, s.cs, greatest(s.max_sim, p.sim) AS max_sim
+      FROM st{prev} s
+      JOIN sel{r} x ON s.doc_id <> x.doc_id
+      JOIN pair p ON p.ia = least(s.doc_id, x.doc_id)
+               AND p.ib = greatest(s.doc_id, x.doc_id)
+    )"""
+    steps = "".join(step.format(r=r, prev=r - 1) for r in range(1, k + 1))
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS mmr_rank, doc_id, cs, mmr_score FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH {_SQ8_CODED_SQL},
+    dq AS (
+      SELECT vec_id,
+             list_transform(range(0, {EMB_DIM}), i ->
+               mins[i + 1]
+               + (CAST(codes[i + 1] AS BIGINT)
+                  * (maxs[i + 1] - mins[i + 1])) // 255) AS dq
+      FROM coded
+    ),
+    dqn AS (
+      SELECT vec_id, dq,
+             list_reduce(list_transform(dq, x -> x * x), (a, b) -> a + b)
+               AS nd
+      FROM dq
+    ),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}
+    ),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 6) AS cs
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> {_RRF_QUERY_VEC_ID}
+      ORDER BY cs DESC, doc_id
+      LIMIT {RRF_LEG_DEPTH}
+    ),
+    cv AS MATERIALIZED (
+      SELECT c.doc_id, c.cs, d.dq, d.nd
+      FROM cand c JOIN dqn d ON d.vec_id = c.doc_id
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             ((CAST(list_reduce(
+                 list_transform(range(0, {EMB_DIM}),
+                                i -> a.dq[i + 1] * b.dq[i + 1]),
+                 (x, y) -> x + y) AS DOUBLE)
+               / sqrt(CAST(a.nd AS DOUBLE)))
+              / sqrt(CAST(b.nd AS DOUBLE))) AS sim
+      FROM cv a JOIN cv b ON a.doc_id < b.doc_id
+    ),
+    st0 AS MATERIALIZED (
+      SELECT doc_id, cs, CAST(0.0 AS DOUBLE) AS max_sim FROM cv
+    ){steps}
+    SELECT doc_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           cs AS relevance, mmr_score
+    FROM ({final})
+    ORDER BY mmr_rank
+    """
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversity re-ranking of the vector
     leg's top-RRF_LEG_DEPTH (50) candidates (Carbonell & Goldstein 1998):
     the retrieval-serving pass that stops near-duplicate results from
-    crowding a result page / RAG context window. Greedy selection is
-    order-dependent by definition, so there is no SQL oracle; the pytest
-    twin (tests/test_mmr.py) re-implements the greedy loop independently
-    in pure Python and asserts exact agreement, plus a planted-twin case
-    proving a near-duplicate of rank-1 is demoted in favor of a less
-    redundant candidate.
+    crowding a result page / RAG context window. Hash-oracled since r11
+    (VERDICT r10 task 4): the greedy runs over SQ8-DEQUANTIZED
+    candidate vectors, so every pairwise similarity is an exact int64
+    dot + two correctly-rounded divisions and every greedy comparison
+    is bit-identical across engines — the DuckDB oracle replays the
+    selection as {MMR_K} unrolled argmax CTE steps (_mmr_oracle). The
+    pure-Python pytest twin (tests/test_mmr.py) stays as the
+    independent check of the greedy itself.
 
     Scale shape: candidate generation (``sem_leg``) is the corpus-sized
     work — one scan + TakeOrderedAndProject; the greedy loop runs on the
     <= RRF_LEG_DEPTH (50) survivors inside one Arrow batch (bounded by the
     leg depth, independent of corpus size). The 50-row join fetching
-    vectors broadcasts the candidate ids into the embeddings scan."""
-    from ..operators.similarity import mmr_rerank
+    vectors broadcasts the candidate ids into the SQ8 relation (whose
+    stats pass is the same corpus-wide min/max monoid every SQ8 query
+    shares)."""
+    from ..operators.similarity import mmr_rerank_exact
 
     emb = load_table(spark, sf_dir, "embeddings")
     cand = sem_leg(emb, _RRF_QUERY_VEC_ID)
-    with_vecs = emb.select(
-        F.col("vec_id").alias("doc_id"), "embedding"
-    ).join(F.broadcast(cand), "doc_id")
-    return mmr_rerank(with_vecs, k=MMR_K, lam=MMR_LAMBDA)
+    with_vecs = sq8_dqn(emb).withColumnRenamed("vec_id", "doc_id").join(
+        F.broadcast(cand), "doc_id"
+    )
+    return mmr_rerank_exact(
+        with_vecs,
+        k=MMR_K,
+        lam=MMR_LAMBDA,
+        one_minus_lam=MMR_ONE_MINUS_LAMBDA,
+    ).orderBy("mmr_rank")
 
 
 # ------------------------------------------------------ retrieval eval

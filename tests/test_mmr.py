@@ -1,8 +1,13 @@
-"""MMR diversity re-ranking (operators/similarity.py::mmr_rerank).
+"""MMR diversity re-ranking (operators/similarity.py::mmr_rerank and
+mmr_rerank_exact).
 
-No SQL oracle (greedy-iterative), so the twin here is an INDEPENDENT
-pure-Python reimplementation of Carbonell & Goldstein's greedy loop —
-plain lists and math, no NumPy — asserted to agree exactly."""
+The twins here are INDEPENDENT pure-Python reimplementations of
+Carbonell & Goldstein's greedy loop — plain lists and math, no NumPy.
+The float operator (mmr_rerank) has no SQL oracle; the SQ8-exact
+variant (mmr_rerank_exact, the registered query's engine since r11) is
+ALSO hash-oracled by a DuckDB unrolled-CTE replay, and its twin below
+asserts bit-for-bit float equality, the property the replay relies
+on."""
 
 from __future__ import annotations
 
@@ -136,6 +141,74 @@ def test_empty_candidates_yield_empty_result(spark):
         [], "doc_id long, cs double, embedding array<double>"
     )
     assert mmr_rerank(df, k=3).collect() == []
+
+
+def mmr_exact_reference(rows, k, lam, oml):
+    """Independent greedy over (id, cs, dq, nd) with exact-int dots and
+    the canonical smaller-id-first division order — plain Python (ints
+    + floats), no NumPy."""
+    rows = sorted(rows)
+    import math
+
+    def sim(a, b):
+        # a, b are (id, cs, dq, nd) with a[0] < b[0]
+        dot = sum(x * y for x, y in zip(a[2], b[2]))
+        return (float(dot) / math.sqrt(float(a[3]))) / math.sqrt(float(b[3]))
+
+    taken, out = set(), []
+    max_sim = {r[0]: 0.0 for r in rows}
+    by_id = {r[0]: r for r in rows}
+    for rank in range(1, min(k, len(rows)) + 1):
+        best, best_score = None, -math.inf
+        for r in rows:
+            if r[0] in taken:
+                continue
+            s = lam * r[1] - oml * max_sim[r[0]]
+            if s > best_score:
+                best, best_score = r[0], s
+        taken.add(best)
+        out.append((best, rank, by_id[best][1], best_score))
+        for r in rows:
+            if r[0] not in taken:
+                lo, hi = (r, by_id[best]) if r[0] < best else (by_id[best], r)
+                max_sim[r[0]] = max(max_sim[r[0]], sim(lo, hi))
+    return out
+
+
+def test_exact_variant_agrees_bit_for_bit(spark):
+    """mmr_rerank_exact vs the independent pure-Python greedy: EXACT
+    equality (==, not approx) on every emitted float — the bit-identity
+    the DuckDB oracle replay relies on."""
+    import random
+
+    from databricks_end_to_end_streaming_spark.operators.similarity import (
+        mmr_rerank_exact,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            round(rng.uniform(0, 1), 6),
+            [rng.randrange(-(2**20), 2**20) for _ in range(16)],
+        )
+        for i in range(30)
+    ]
+    rows = [(i, cs, dq, sum(x * x for x in dq)) for i, cs, dq in rows]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cs double, dq array<long>, nd long"
+    )
+    got = sorted(
+        (
+            (r.doc_id, r.mmr_rank, r.relevance, r.mmr_score)
+            for r in mmr_rerank_exact(
+                df, k=10, lam=0.7, one_minus_lam=0.3
+            ).collect()
+        ),
+        key=lambda t: t[1],
+    )
+    want = mmr_exact_reference(rows, k=10, lam=0.7, oml=0.3)
+    assert got == want  # exact, including every float bit
 
 
 def test_non_integral_id_rejected_at_plan_time(spark):
