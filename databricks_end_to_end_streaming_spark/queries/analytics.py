@@ -3224,6 +3224,15 @@ def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c2"),
         )
     )
+    return ks_over_period_value_counts(counts)
+
+
+def ks_over_period_value_counts(counts: DataFrame) -> DataFrame:
+    """KS scoring core over a (event_type, value, c1, c2) two-period
+    value-count relation — shared by the batch query (µs-midpoint
+    split) and the streaming twin (streaming/drift.py::ks_drift, which
+    folds the SAME value-count monoid from the accumulated log split at
+    a reference batch), so drained == batch bit-for-bit."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("value")
@@ -3321,12 +3330,26 @@ def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid and fold are per-type scalar arithmetic."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.where(F.col("value") >= 1).select(
-        "event_type",
-        F.substring(
-            F.floor("value").cast("long").cast("string"), 1, 1
-        ).cast("long").alias("digit"),
+        "event_type", benford_first_digit().alias("digit")
     )
     obs = d.groupBy("event_type", "digit").agg(F.count("*").alias("o"))
+    return benford_over_digit_counts(obs)
+
+
+def benford_first_digit(value: str = "value") -> F.Column:
+    """First significant digit of the integer part — the bin expression
+    shared by the batch audit and the streaming stage (the row must
+    already satisfy ``value >= 1``)."""
+    return F.substring(
+        F.floor(value).cast("long").cast("string"), 1, 1
+    ).cast("long")
+
+
+def benford_over_digit_counts(obs: DataFrame) -> DataFrame:
+    """Benford scoring core over a (event_type, digit, o) first-digit
+    count relation — shared by the batch audit and the streaming twin
+    (streaming/stats_stage.py), which folds the same digit-count monoid
+    from its accumulated contingency log."""
     tot = obs.groupBy("event_type").agg(F.sum("o").alias("n"))
     expected = obs.sparkSession.createDataFrame(
         [(i + 1, p) for i, p in enumerate(_BENFORD_P)], "digit long, p double"
@@ -3378,7 +3401,7 @@ def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), rx AS (
       SELECT event_type, value,
              2 * row_number() OVER (PARTITION BY event_type
-                                    ORDER BY us, event_id) AS x2,
+                                    ORDER BY us, value, event_id) AS x2,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value, us, event_id) AS vr
       FROM e
@@ -3419,45 +3442,105 @@ def spearman_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the scale — Pearson on ranks is invariant to the common
     scaling.
 
-    Exactness: all five moment sums are exact int64 (sum(x2*y2) <=
-    4n^3 — headroom ~1.3e6 events per type before DECIMAL widening);
-    the rho chain is fixed doubles + one sqrt, which IEEE 754 requires
-    to be correctly rounded, so the emitted value is bit-identical
-    across engines with no rounding step (the n*sum products exceed
-    2^53 beyond ~100k rows/type and round — identically in both
-    engines, since the int64 inputs are exact).
+    The x tie-break is (us, value, event_id) — points sharing (us,
+    value) are interchangeable for every rank sum (consecutive x2s
+    within the group sum to a closed form; y2 is value-group-level),
+    which makes the (type, us, value, cnt) COUNT RELATION an exact
+    sufficient statistic: the batch query computes every rank sum in
+    closed form from that monoid (``spearman_over_uv_counts``), and
+    the streaming twin (streaming/stats_stage.py) folds the identical
+    monoid from its accumulated log — drained == batch bit-for-bit by
+    construction.
 
-    Shape at 100 TB: two per-type window ranks over one exchange +
-    sort; tie groups collapse in a partial-agg'd (type, value) shuffle;
-    the moments are one more partial agg of 6 scalars per type."""
+    Exactness: all five moment sums are exact int64 (sum(x2*y2) <=
+    4n^3, and the x2² closed form peaks at ~(4/3)n³ — headroom ~1.3e6
+    events per type before DECIMAL widening); the rho chain is fixed
+    doubles + one sqrt, which IEEE 754 requires to be correctly
+    rounded, so the emitted value is bit-identical across engines with
+    no rounding step (the n*sum products exceed 2^53 beyond ~100k
+    rows/type and round — identically in both engines, since the int64
+    inputs are exact). The oracle stays window-based (row_number ranks
+    with the same tie-break): the closed forms and the window sums are
+    the same integers, so hash-equality each round also PROVES the
+    closed-form derivation.
+
+    Shape at 100 TB: ONE (type, us, value) partial-agg'd shuffle
+    collapses the corpus; both cumulative windows then run over
+    collapsed count rows; the moments are one more partial agg of 6
+    scalars per type."""
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
+    counts = (
+        ev.select(
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .groupBy("event_type", "us", "value")
+        .agg(F.count("*").alias("m"))
+    )
+    return spearman_over_uv_counts(counts)
+
+
+# S2(t) = 1^2 + ... + t^2 = t(t+1)(2t+1) div 6 — `div` (integer
+# division; the product is always divisible by 6) keeps it exact int64
+# where float `/` would round past 2^53; headroom t <= ~1.6e6 before
+# ANSI overflow.
+_S2 = "(({t}) * (({t}) + 1) * (2 * ({t}) + 1) div 6)"
+
+
+def spearman_over_uv_counts(counts: DataFrame) -> DataFrame:
+    """Spearman scoring core over a (event_type, us, value, m) count
+    relation — the exact closed-form rank sums shared by the batch
+    query and the streaming twin. Per (us, value) group of size m with
+    P prior points (in (us, value) order): doubled time ranks are
+    2(P+1)..2(P+m), so sum(x2) = m(2P + m + 1) and sum(x2²) =
+    4(S2(P+m) − S2(P)); the tie-averaged doubled value rank of value v
+    with C_<v smaller points and m_v ties is y2 = 2·C_<=v − m_v + 1,
+    constant over the group — so every moment folds from counts
+    alone."""
+    wg = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = counts.select(
         "event_type",
         "value",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        "event_id",
+        F.col("m").cast("long").alias("m"),
+        (F.sum("m").over(wg) - F.col("m")).cast("long").alias("p"),
     )
-    wx = Window.partitionBy("event_type").orderBy("us", "event_id")
-    wv = Window.partitionBy("event_type").orderBy("value", "us", "event_id")
-    rx = e.select(
+    vc = counts.groupBy("event_type", "value").agg(
+        F.sum("m").cast("long").alias("mv")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ty = vc.select(
         "event_type",
         "value",
-        (F.row_number().over(wx).cast("long") * 2).alias("x2"),
-        F.row_number().over(wv).alias("vr"),
+        (F.sum("mv").over(wv) * 2 - F.col("mv") + 1).cast("long").alias("y2"),
     )
-    ty = rx.groupBy("event_type", "value").agg(
-        (F.min("vr") + F.max("vr")).cast("long").alias("y2")
-    )
-    pts = rx.join(ty, ["event_type", "value"]).select(
-        "event_type", "x2", "y2"
+    m, p, y2 = F.col("m"), F.col("p"), F.col("y2")
+    x2sum = (m * (2 * p + m + 1)).cast("long")
+    x2sq = F.expr(
+        f"4 * ({_S2.format(t='p + m')} - {_S2.format(t='p')})"
+    ).cast("long")
+    pts = grp.join(ty, ["event_type", "value"]).select(
+        "event_type",
+        m.alias("m"),
+        x2sum.alias("x2sum"),
+        x2sq.alias("x2sq"),
+        y2.alias("y2"),
     )
     sums = pts.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x2").alias("sx"),
-        F.sum("y2").alias("sy"),
-        F.sum(F.col("x2") * F.col("y2")).alias("sxy"),
-        F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
-        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum("m").alias("n"),
+        F.sum("x2sum").alias("sx"),
+        F.sum(F.col("m") * F.col("y2")).alias("sy"),
+        F.sum(F.col("y2") * F.col("x2sum")).alias("sxy"),
+        F.sum("x2sq").alias("sxx"),
+        F.sum(F.col("m") * F.col("y2") * F.col("y2")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
@@ -3540,14 +3623,29 @@ def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         ev.select(
             F.col("event_type").alias("key"),
-            F.expr(
-                "(unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7"
-            ).cast("long").alias("bin_lo"),
+            weekday_bin().alias("bin_lo"),
         )
         .groupBy("key", "bin_lo")
         .agg(F.count("*").alias("o"))
         .transform(pin)
     )
+    return cramers_v_over_contingency(obs)
+
+
+def weekday_bin(ts: str = "ts") -> F.Column:
+    """Exact integer epoch-day weekday ((days + 4) % 7; 1970-01-01 was
+    a Thursday) — the bin expression shared by the batch query and the
+    streaming stage."""
+    return F.expr(
+        f"(unix_micros(cast({ts} as timestamp)) div 86400000000 + 4) % 7"
+    ).cast("long")
+
+
+def cramers_v_over_contingency(obs: DataFrame) -> DataFrame:
+    """Cramér's V core over a (key, bin_lo, o) contingency relation —
+    shared by the batch query and the streaming twin
+    (streaming/stats_stage.py), which folds the same cell-count monoid
+    from its accumulated contingency log."""
     scored = chi2_over_contingency(obs)
     dims = obs.agg(
         F.countDistinct("key").alias("r"),

@@ -1,0 +1,142 @@
+"""Streaming twins of the statistics quartet (streaming/stats_stage.py):
+each drained log scores bit-for-bit identical to its registered batch
+query (the shared-core guarantee), and replays never double-add."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from databricks_end_to_end_streaming_spark.queries import all_queries
+from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+from databricks_end_to_end_streaming_spark.streaming.stats_stage import (
+    benford_audit,
+    benford_stage,
+    cramers_stage,
+    cramers_v_assoc,
+    ks_drift,
+    ks_value_stage,
+    spearman_counts_stage,
+    spearman_trend,
+)
+from databricks_end_to_end_streaming_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+
+
+def _three_slices(ev):
+    return [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+
+def test_benford_drained_equals_batch_and_replays(spark, workdir):
+    ev = _events(spark)
+    t = ParquetTable(f"{workdir}/benford")
+    stage = benford_stage(t)
+    for i, sl in enumerate(_three_slices(ev)):
+        stage(sl, i)
+    got = sorted(map(tuple, benford_audit(spark, t).collect()))
+    want = sorted(
+        map(tuple, all_queries()["benford_value_audit"](spark, SF_DIR).collect())
+    )
+    assert got == want and len(got) > 0
+    stage(_three_slices(ev)[1], 1)  # replay
+    assert sorted(map(tuple, benford_audit(spark, t).collect())) == want
+
+
+def test_cramers_drained_equals_batch_and_replays(spark, workdir):
+    ev = _events(spark)
+    t = ParquetTable(f"{workdir}/cramers")
+    stage = cramers_stage(t)
+    for i, sl in enumerate(_three_slices(ev)):
+        stage(sl, i)
+    got = [tuple(r) for r in cramers_v_assoc(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["cramers_v_type_weekday"](spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) == 1
+    stage(_three_slices(ev)[0], 0)  # replay
+    assert [tuple(r) for r in cramers_v_assoc(spark, t).collect()] == want
+
+
+def test_ks_drained_on_midpoint_split_equals_batch(spark, workdir):
+    """Slice the corpus at the batch query's exact µs midpoint into
+    reference (batch 0) and current (batch 1) — ks_drift reproduces
+    ks_test_value_drift bit-for-bit; replay is idempotent; the
+    prequential as-of view pins."""
+    ev = _events(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us).alias("a"), F.max(us).alias("b")).first()
+    mid = (lo + hi) // 2
+    t = ParquetTable(f"{workdir}/ksvalues")
+    stage = ks_value_stage(t)
+    stage(ev.where(us <= F.lit(mid)), 0)
+    stage(ev.where(us > F.lit(mid)), 1)
+    got = [tuple(r) for r in ks_drift(spark, t, reference_batch=0).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["ks_test_value_drift"](spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(ev.where(us > F.lit(mid)), 1)  # replay
+    got2 = [tuple(r) for r in ks_drift(spark, t, reference_batch=0).collect()]
+    assert got2 == want
+    # a third batch widens the current window; up_to_batch pins the view
+    stage(ev.where(us > F.lit(mid)).limit(40), 2)
+    widened = ks_drift(spark, t, reference_batch=0).collect()
+    assert sum(r.n_actual for r in widened) == sum(r[2] for r in want) + 40
+    got3 = [
+        tuple(r)
+        for r in ks_drift(spark, t, reference_batch=0, up_to_batch=1).collect()
+    ]
+    assert got3 == want
+
+
+def test_spearman_drained_equals_batch_and_replays(spark, workdir):
+    ev = _events(spark)
+    t = ParquetTable(f"{workdir}/uvcounts")
+    stage = spearman_counts_stage(t)
+    for i, sl in enumerate(_three_slices(ev)):
+        stage(sl, i)
+    got = [tuple(r) for r in spearman_trend(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["spearman_trend_per_type"](spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(_three_slices(ev)[2], 2)  # replay
+    assert [tuple(r) for r in spearman_trend(spark, t).collect()] == want
+
+
+def test_spearman_log_is_a_count_monoid_not_an_event_log(spark, workdir):
+    """Rows sharing (type, us, value) collapse to ONE logged partial
+    with m = multiplicity — the compression claim in the module
+    docstring — and the fold still scores them correctly (hand-computed
+    rank sums: the value tie caps rho below +1 on an otherwise rising
+    series)."""
+    import math
+
+    rows = [
+        ("a", 1.0, "2024-01-01T00:00:00.000001", 1),
+        ("a", 1.0, "2024-01-01T00:00:00.000001", 2),  # same (us, value)
+        ("a", 2.0, "2024-01-01T00:00:00.000002", 3),
+        ("a", 3.0, "2024-01-01T00:00:00.000003", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t = ParquetTable(f"{workdir}/uvmono")
+    spearman_counts_stage(t)(df, 0)
+    log = t.read(spark)
+    assert log.count() == 3  # 4 events -> 3 partials
+    assert log.agg(F.sum("m")).first()[0] == 4
+    out = spearman_trend(spark, t).collect()
+    assert len(out) == 1 and out[0].n == 4
+    # hand ranks: x2 = (2,4,6,8); y2 = (3,3,6,8) ->
+    # n*sxy - sx*sy = 72, n*sxx - sx^2 = 80, n*syy - sy^2 = 72
+    assert out[0].spearman_rho == 72.0 / math.sqrt(80.0 * 72.0)
