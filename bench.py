@@ -462,13 +462,20 @@ def _bench_new_ops(spark, sf_dir: str, qs) -> dict:
 
 
 # The 5 heaviest headline queries by the round-3 driver bench — the sf1
-# super-linearity canary set (VERDICT r3 item 7).
+# super-linearity canary set (VERDICT r3 item 7) — plus, since r11, the
+# expensive non-headline family (VERDICT r10 task 7): the top-wall
+# registered queries whose growth curves were previously only probed ad
+# hoc in README. Driver-recorded per round in BENCH_r{N}.json.
 SF1_QUERIES = [
     "dedup_minhash_lsh",
     "tpch_q1_pricing_summary",
     "medallion_end_to_end",
     "knn_bruteforce_cosine",
     "tpch_q3_shipping_priority",
+    "jaro_winkler_part_pairs",
+    "kcore_decomposition",
+    "winnowing_overlap_pairs",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -3288,3 +3288,63 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fano"), "token")
         .limit(BURSTY_TOP_K)
     )
+
+
+@query("unigram_lm_piece_stats")  # iterative EM + big-int Viterbi — rows-only
+def unigram_lm_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus piece statistics under a learned unigram-LM
+    (SentencePiece-style) subword tokenizer (Kudo 2018;
+    operators/unigram_lm.py) — the EM-over-a-substring-lattice half of
+    public tokenizer practice, completing the tokenization family next
+    to BPE (text_bpe_token_stats): for each learned piece, how many
+    distinct words segment through it and how many corpus tokens it
+    covers.
+
+    Deterministic by construction despite being EM: the hard-EM
+    variant's every comparison is exact integer arithmetic (big-int
+    cross-multiplied Viterbi scores, freq-weighted integer counts), so
+    the learned model and every segmentation are bit-identical across
+    partitionings — asserted against a fully sequential pure-Python
+    reimplementation in tests/test_unigram_lm.py. No SQL oracle
+    (iterative + arbitrary-precision comparisons are not
+    SQL-replayable): rows-only with the exact pytest twin, like the
+    other 14 such operators. Deviation from Kudo's full EM recorded in
+    the operator docstring: expected-count E-steps are float sums
+    whose value depends on reduction order; Viterbi-EM is the member
+    of the family that meets this corpus's exactness discipline.
+
+    Shape at 100 TB: the corpus collapses to the (word, freq)
+    vocabulary in one shuffle; seeding is one substring partial-agg +
+    two bounded collects; each EM round segments the VOCABULARY
+    (Arrow-batched Python, vocab-sized) and re-aggregates piece counts
+    in one vocab-sized shuffle with a model-sized driver collect (the
+    BPE-argmax discipline); the final stats are one more vocab-sized
+    explode + partial agg."""
+    from ..operators.unigram_lm import (
+        learn_unigram_lm,
+        tokenize_vocab,
+        word_vocab,
+    )
+    from ..pin import pin
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = pin(word_vocab(d), site="uni.vocab")
+    model = learn_unigram_lm(vocab)
+    seged = tokenize_vocab(vocab, model)
+    return (
+        seged.select(
+            "word", "freq", F.explode("pieces").alias("piece")
+        )
+        .groupBy("piece")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").alias("corpus_count"),
+        )
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "n_words",
+            "corpus_count",
+        )
+        .orderBy("piece")
+    )

@@ -1,0 +1,194 @@
+"""Unigram-LM tokenizer (operators/unigram_lm.py): the distributed
+hard-EM pipeline is asserted BIT-FOR-BIT against a fully sequential
+pure-Python reimplementation (independent code: plain dicts and loops,
+no Spark, no shared helpers), plus planted cases pinning the greedy
+behavior the exact-integer Viterbi must exhibit."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+
+from databricks_end_to_end_streaming_spark.operators.unigram_lm import (
+    learn_unigram_lm,
+    seed_pieces,
+    tokenize_vocab,
+    viterbi_segment,
+    word_vocab,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------ sequential reference
+
+
+def ref_seed(vocab, max_len, seed_size):
+    counts = Counter()
+    for w, f in vocab:
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                counts[w[i : i + l]] += f
+    multi = sorted(
+        ((p, n) for p, n in counts.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:seed_size]
+    model = dict(multi)
+    model.update({p: n for p, n in counts.items() if len(p) == 1})
+    return model
+
+
+def ref_viterbi(word, model, total):
+    n = len(word)
+    max_len = max(map(len, model))
+    best = [None] * (n + 1)
+    best[0] = (1, 0, ())
+    for j in range(1, n + 1):
+        top = None
+        for l in range(1, min(max_len, j) + 1):
+            prev = best[j - l]
+            piece = word[j - l : j]
+            if prev is None or piece not in model:
+                continue
+            cand = (prev[0] * model[piece], prev[1] + 1, prev[2] + (piece,))
+            if top is None:
+                top = cand
+                continue
+            lhs = cand[0] * total ** top[1]
+            rhs = top[0] * total ** cand[1]
+            if lhs > rhs or (
+                lhs == rhs
+                and (cand[1], cand[2]) < (top[1], top[2])
+            ):
+                top = cand
+        best[j] = top
+    return best[n][2]
+
+
+def ref_learn(vocab, max_len, seed_size, vocab_target, rounds):
+    model = ref_seed(vocab, max_len, seed_size)
+    alphabet = [p for p in model if len(p) == 1]
+    for _ in range(rounds):
+        counts = Counter()
+        total = sum(model.values())
+        for w, f in vocab:
+            for p in ref_viterbi(w, model, total):
+                counts[p] += f
+        multi = sorted(
+            ((p, n) for p, n in counts.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:vocab_target]
+        model = dict(multi)
+        for c in alphabet:
+            model[c] = max(counts.get(c, 0), 1)
+    return model
+
+
+# --------------------------------------------------------------- tests
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "a cat and a rat sat",
+    "mats and rats and cats",
+    "the matter of the scatter",
+]
+
+
+def _spark_vocab(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    return word_vocab(docs)
+
+
+def _ref_vocab():
+    c = Counter(w for t in CORPUS for w in t.split())
+    return sorted(c.items())
+
+
+def test_seed_matches_reference(spark):
+    got = seed_pieces(_spark_vocab(spark), max_piece_len=4, seed_size=20)
+    want = ref_seed(_ref_vocab(), 4, 20)
+    assert got == want
+
+
+def test_learned_model_matches_reference_exactly(spark):
+    got = learn_unigram_lm(
+        _spark_vocab(spark),
+        max_piece_len=4,
+        seed_size=20,
+        vocab_target=12,
+        em_rounds=3,
+    )
+    want = ref_learn(_ref_vocab(), 4, 20, 12, 3)
+    assert got == want
+
+
+def test_segmentations_match_reference_exactly(spark):
+    model = ref_learn(_ref_vocab(), 4, 20, 12, 3)
+    total = sum(model.values())
+    got = {
+        r["word"]: tuple(r["pieces"])
+        for r in tokenize_vocab(_spark_vocab(spark), model).collect()
+    }
+    want = {w: ref_viterbi(w, model, total) for w, _f in _ref_vocab()}
+    assert got == want
+    # every word reassembles from its pieces
+    assert all("".join(ps) == w for w, ps in got.items())
+
+
+def test_viterbi_prefers_high_count_piece():
+    # "ab" has overwhelming count: segmenting "abab" must use it twice
+    model = {"a": 5, "b": 5, "ab": 100, "ba": 1}
+    assert viterbi_segment("abab", model, sum(model.values())) == ("ab", "ab")
+
+
+def test_viterbi_tie_breaks_fewer_pieces_then_lex():
+    # exact tie: p("xy") = 4/16 vs p("x")p("y") = (8/16)(8/16) = 4/16
+    # (cross-multiplied: 4*16^2 == 8*8*16) -> fewer pieces wins
+    model = {"x": 8, "y": 8, "xy": 4}
+    assert viterbi_segment("xy", model, 16) == ("xy",)
+
+
+def test_chars_survive_pruning(spark):
+    # a word whose every char is absorbed by longer pieces elsewhere
+    # still segments (alphabet floor): "q" appears once, never seeded
+    # into any multi-char piece kept by a tiny vocab_target
+    docs = spark.createDataFrame(
+        [("the the the the q",)], "text string"
+    )
+    model = learn_unigram_lm(
+        word_vocab(docs),
+        max_piece_len=3,
+        seed_size=4,
+        vocab_target=2,
+        em_rounds=2,
+    )
+    assert "q" in model and model["q"] >= 1
+    assert viterbi_segment("q", model, sum(model.values())) == ("q",)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_registered_query_shape_and_coverage(spark):
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+
+    rows = all_queries()["unigram_lm_piece_stats"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.piece_len == len(r.piece) for r in rows)
+    assert all(r.n_words >= 1 and r.corpus_count >= r.n_words for r in rows)
+    # total piece instances cover every corpus token at least once
+    # (each word contributes >= 1 piece per occurrence)
+    from databricks_end_to_end_streaming_spark.operators.unigram_lm import (
+        word_vocab as wv,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    n_tokens = (
+        wv(load_table(spark, SF_DIR, "documents"))
+        .agg({"freq": "sum"})
+        .first()[0]
+    )
+    assert sum(r.corpus_count for r in rows) >= n_tokens
