@@ -198,6 +198,31 @@ def learn_unigram_lm(
     return model
 
 
+def piece_stats(vocab: DataFrame) -> DataFrame:
+    """(piece, piece_len, n_words, corpus_count): learn the model from
+    a (word, freq) vocabulary and emit per-piece corpus statistics —
+    the scoring core shared verbatim by the registered batch query and
+    the streaming twin (streaming/unigram_lm_stage.py), so drained ==
+    batch reduces to fold-invariance of the vocabulary monoid."""
+    model = learn_unigram_lm(vocab)
+    seged = tokenize_vocab(vocab, model)
+    return (
+        seged.select("word", "freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").alias("corpus_count"),
+        )
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "n_words",
+            "corpus_count",
+        )
+        .orderBy("piece")
+    )
+
+
 def tokenize_vocab(vocab: DataFrame, model: dict[str, int]) -> DataFrame:
     """(word, freq, pieces) best segmentations of the vocabulary under a
     learned model — the vocabulary-sized tokenization relation callers

@@ -3147,6 +3147,81 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/val/test assignment: bucket 0-89 -> train, 90-94 -> val,
+# 95-99 -> test, from an md5-derived uniform 0..99 bucket of the
+# (doc_id, text) content hash — the standard reproducible-split recipe.
+_SPLIT_TRAIN_END = 90
+_SPLIT_VAL_END = 95
+
+
+@query(
+    "corpus_hash_split_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, n_chars,
+             list_reduce(
+               list_transform(
+                 string_split_regex(
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15),
+                   ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, x) -> a * 16 + x) AS h60
+      FROM documents
+    ), b AS (
+      SELECT source, n_chars, h60, h60 % 100 AS bucket FROM h
+    ), s AS (
+      SELECT source, n_chars, h60,
+             CASE WHEN bucket < {_SPLIT_TRAIN_END} THEN 'train'
+                  WHEN bucket < {_SPLIT_VAL_END} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(h60) AS content_xor
+    FROM s GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def corpus_hash_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split assignment by CONTENT HASH —
+    the standard recipe for deterministic held-out sets over a growing
+    corpus (a document's split never depends on arrival order, shard
+    layout, or corpus size: md5(doc_id:text) mod 100 buckets, 90/5/5).
+    Emits a per-(source, split) manifest (count, chars, XOR content
+    fingerprint — the ``corpus_manifest`` group algebra) so a training
+    run can PROVE which split snapshot it consumed.
+
+    Exactness: the bucket derives from the same 60-bit md5 prefix as
+    corpus_manifest (md5 is the one hash both engines share
+    bit-for-bit; the h60 % 100 operands are nonnegative, so both
+    engines agree on the remainder); every output column is exact
+    int64 / string.
+
+    Shape at 100 TB: one map-side hash + bucket per row, ONE
+    (source, split)-keyed partial-agg'd shuffle of 5-scalar partials;
+    split manifests of corpus slices merge by sum/XOR, so the
+    incremental-maintenance story is corpus_manifest's."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("source", "n_chars", _content_hash60().alias("h60"))
+    split = (
+        F.when(F.col("h60") % 100 < _SPLIT_TRAIN_END, F.lit("train"))
+        .when(F.col("h60") % 100 < _SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        h.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.bit_xor("h60").alias("content_xor"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 @query(
     "ks_test_value_drift",
     oracle="""

@@ -3320,31 +3320,8 @@ def unigram_lm_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one vocab-sized shuffle with a model-sized driver collect (the
     BPE-argmax discipline); the final stats are one more vocab-sized
     explode + partial agg."""
-    from ..operators.unigram_lm import (
-        learn_unigram_lm,
-        tokenize_vocab,
-        word_vocab,
-    )
+    from ..operators.unigram_lm import piece_stats, word_vocab
     from ..pin import pin
 
     d = load_table(spark, sf_dir, "documents")
-    vocab = pin(word_vocab(d), site="uni.vocab")
-    model = learn_unigram_lm(vocab)
-    seged = tokenize_vocab(vocab, model)
-    return (
-        seged.select(
-            "word", "freq", F.explode("pieces").alias("piece")
-        )
-        .groupBy("piece")
-        .agg(
-            F.countDistinct("word").alias("n_words"),
-            F.sum("freq").alias("corpus_count"),
-        )
-        .select(
-            "piece",
-            F.length("piece").cast("long").alias("piece_len"),
-            "n_words",
-            "corpus_count",
-        )
-        .orderBy("piece")
-    )
+    return piece_stats(pin(word_vocab(d), site="uni.vocab"))
