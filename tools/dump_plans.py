@@ -151,11 +151,13 @@ PLAN_QUERIES = [
     ("token_burstiness_topk", "two partial-agg'd shuffles ((doc,token) then token moments); Fano = S/T - T/N exact; TakeOrderedAndProject top-k"),
     ("kcore_decomposition", "h-index iteration on the degree-bounded mutual-KNN graph: one join + one constant-frame window + one agg per round, 1-row convergence check"),
     ("corpus_manifest", "map-side per-row hash + ONE source-keyed partial-agg shuffle of 6-scalar partials; XOR/sum/min/max all mergeable"),
-    ("jaro_winkler_part_pairs", "(brand,size)-blocked self-join (block-bounded, never all-pairs); greedy JW fold materialized ONCE per row behind an Exchange barrier; threshold filter pinned out of the join condition"),
+    ("jaro_winkler_part_pairs", "dictionary-collapse (r11): token-blocked + length-ratio-filtered DISTINCT-NAME pairs score the greedy JW fold once each behind an Exchange barrier; qualifying names broadcast back into an output-sensitive (name,brand,size) equi-join — no part-level quadratic block join"),
     ("ks_test_value_drift", "ONE (type,value,half) partial-agg shuffle -> per-type running-ECDF window on collapsed distinct values; D maximized over exact int64 cross-products, single final division"),
     ("benford_value_audit", "map-side digit extraction -> ONE (type,digit) partial-agg shuffle; 9-digit broadcast grid + sorted fold"),
-    ("spearman_trend_per_type", "two per-type rank windows over one exchange+sort; (type,value) tie collapse; 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
+    ("spearman_trend_per_type", "ONE (type,us,value) partial-agg shuffle collapses the corpus (r11); closed-form rank sums over two cumulative windows on COUNT rows; 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
     ("cramers_v_type_weekday", "ONE (type,weekday) partial-agg corpus shuffle -> shared chi2 core over the r x c contingency -> two-level sorted fold + sqrt"),
+    ("corpus_hash_split_manifest", "map-side md5 bucket per row -> ONE (source,split) partial-agg shuffle of 5-scalar partials; manifests merge by sum/XOR"),
+    ("unigram_lm_piece_stats", "corpus collapses to the (word,freq) vocabulary in one shuffle; EM rounds are vocab-sized Arrow batches + one piece partial-agg each; final stats one vocab-sized explode+agg"),
 ]
 
 

@@ -99,6 +99,8 @@ LEDGER_QUERIES = [
     "benford_value_audit",
     "spearman_trend_per_type",
     "cramers_v_type_weekday",
+    "corpus_hash_split_manifest",
+    "unigram_lm_piece_stats",
 ]
 
 
