@@ -245,6 +245,98 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "classifier_kappa_eval",
+    oracle=f"""
+    WITH {_FEATS_CTE}, {_LAB_CTE}, {_TRAIN_CTE}, {_SCORE_CTE},
+    conf AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN predicted = 1 AND weak_label = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN predicted = 1 AND weak_label = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN predicted = 0 AND weak_label = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN predicted = 0 AND weak_label = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored WHERE doc_id % 2 = 1
+    )
+    SELECT n AS n_eval, tp AS n_tp, fp AS n_fp, fn AS n_fn, tn AS n_tn,
+           CASE WHEN n * n - ((tp + fp) * (tp + fn)
+                              + (fn + tn) * (fp + tn)) > 0 THEN
+             CAST(n * (tp + tn) - ((tp + fp) * (tp + fn)
+                                   + (fn + tn) * (fp + tn)) AS DOUBLE)
+               / (n * n - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+           END AS kappa
+    FROM conf
+    """,
+)
+def classifier_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the centroid classifier and the Gopher
+    weak label on the held-out half — chance-corrected agreement, the
+    standard companion to raw accuracy when the label distribution is
+    skewed (a 95%-majority-class rater scores 95% accuracy but kappa
+    ~0; public literature: Cohen 1960). Completes the classifier-eval
+    family: accuracy/confusion (quality_classifier_eval), calibration
+    deciles, AUC/Gini (classifier_auc_eval), and now agreement.
+
+    Exactness: kappa = (po - pe) / (1 - pe) cleared of fractions is
+    ONE IEEE division of exact int64s — numerator n*(tp+tn) -
+    [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)], denominator n² - [same] — so
+    the value is bit-identical across engines with no rounding
+    (products cap at n², headroom ~3e9 eval rows). Degenerate
+    single-class-both-raters inputs (pe = 1) report NULL, the
+    mann_whitney_auc guard convention.
+
+    Shape at 100 TB: inherits the classifier's one vectorizer shuffle;
+    the confusion matrix is ONE map + single 5-scalar agg."""
+    d = load_table(spark, sf_dir, "documents")
+    feats, labels, stats, counts = _train_parts(d)
+    weights = centroid_weights(stats, counts)
+    bias = centroid_bias(stats, counts)
+    scored = centroid_scores(feats, weights, bias).join(
+        labels.withColumnRenamed("lab", "weak_label"), "doc_id"
+    )
+    ev = scored.where(F.col("doc_id") % 2 == 1)
+    conf = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            ((F.col("predicted") == 1) & (F.col("weak_label") == 1)).cast(
+                "long"
+            )
+        ).alias("tp"),
+        F.sum(
+            ((F.col("predicted") == 1) & (F.col("weak_label") == 0)).cast(
+                "long"
+            )
+        ).alias("fp"),
+        F.sum(
+            ((F.col("predicted") == 0) & (F.col("weak_label") == 1)).cast(
+                "long"
+            )
+        ).alias("fn"),
+        F.sum(
+            ((F.col("predicted") == 0) & (F.col("weak_label") == 0)).cast(
+                "long"
+            )
+        ).alias("tn"),
+    )
+    n, tp, fp, fn, tn = (F.col(c) for c in ("n", "tp", "fp", "fn", "tn"))
+    pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    den = n * n - pe_num
+    kappa = F.when(
+        den > 0, (n * (tp + tn) - pe_num).cast("double") / den
+    )
+    return conf.select(
+        n.alias("n_eval"),
+        tp.alias("n_tp"),
+        fp.alias("n_fp"),
+        fn.alias("n_fn"),
+        tn.alias("n_tn"),
+        kappa.alias("kappa"),
+    )
+
+
 LOGISTIC_DIM = 128  # logistic hash buckets (the capacity knob)
 LOGISTIC_STEPS = 6  # IRLS is converged by ~5 on this teacher: held-out
 # accuracy is identical at 5/6/8 steps (measured both SFs), so take the

@@ -135,3 +135,47 @@ def test_calibration_is_monotone_at_the_extremes(spark):
     assert rows[1]["teacher_pass_rate"] >= 0.9
     assert rows[10]["teacher_pass_rate"] <= 0.1
     assert rows[1]["min_score"] > rows[10]["max_score"]
+
+
+def test_kappa_consistent_with_confusion_query(spark):
+    """classifier_kappa_eval's kappa equals the fraction-cleared Cohen
+    formula computed from quality_classifier_eval's confusion counts —
+    EXACT float equality (both are one IEEE division of the same exact
+    int64s), and the confusion counts themselves agree row-for-row."""
+    from databricks_end_to_end_streaming_spark.queries.classifier import (
+        classifier_kappa_eval,
+        quality_classifier_eval,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    conf = quality_classifier_eval(spark, sf_dir).first()
+    got = classifier_kappa_eval(spark, sf_dir).first()
+    n, tp, fp, fn, tn = (
+        conf["n_eval"],
+        conf["n_tp"],
+        conf["n_fp"],
+        conf["n_fn"],
+        conf["n_tn"],
+    )
+    assert (got["n_eval"], got["n_tp"], got["n_fp"], got["n_fn"],
+            got["n_tn"]) == (n, tp, fp, fn, tn)
+    pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    want = (n * (tp + tn) - pe_num) / (n * n - pe_num)
+    assert got["kappa"] == want
+    # chance-corrected: kappa must sit strictly below raw accuracy's
+    # optimistic view whenever the label split is skewed and agreement
+    # is imperfect
+    assert -1.0 <= got["kappa"] <= 1.0
+
+
+def test_kappa_planted_perfect_and_chance_agreement(spark):
+    """Hand-computable confusion matrices through the same arithmetic:
+    perfect agreement -> kappa 1; independence-shaped counts -> 0."""
+    # perfect: tp=3, tn=2, fp=fn=0, n=5 -> po=1, kappa=1
+    n, tp, fp, fn, tn = 5, 3, 0, 0, 2
+    pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    assert (n * (tp + tn) - pe_num) / (n * n - pe_num) == 1.0
+    # independent raters: counts = outer product (2x2 of 1,1,1,1)
+    n, tp, fp, fn, tn = 4, 1, 1, 1, 1
+    pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    assert (n * (tp + tn) - pe_num) / (n * n - pe_num) == 0.0
