@@ -157,6 +157,7 @@ PLAN_QUERIES = [
     ("spearman_trend_per_type", "ONE (type,us,value) partial-agg shuffle collapses the corpus (r11); closed-form rank sums over two cumulative windows on COUNT rows; 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
     ("cramers_v_type_weekday", "ONE (type,weekday) partial-agg corpus shuffle -> shared chi2 core over the r x c contingency -> two-level sorted fold + sqrt"),
     ("corpus_hash_split_manifest", "map-side md5 bucket per row -> ONE (source,split) partial-agg shuffle of 5-scalar partials; manifests merge by sum/XOR"),
+    ("classifier_kappa_eval", "inherits the classifier vectorizer shuffle; confusion matrix is ONE map + single 5-scalar agg; kappa = one IEEE division of exact int64s"),
     ("unigram_lm_piece_stats", "corpus collapses to the (word,freq) vocabulary in one shuffle; EM rounds are vocab-sized Arrow batches + one piece partial-agg each; final stats one vocab-sized explode+agg"),
 ]
 

@@ -103,6 +103,10 @@ PROBES = [
     "benford_value_audit",
     "spearman_trend_per_type",
     "cramers_v_type_weekday",
+    # round-11 additions
+    "corpus_hash_split_manifest",
+    "unigram_lm_piece_stats",
+    "classifier_kappa_eval",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

@@ -101,6 +101,7 @@ LEDGER_QUERIES = [
     "cramers_v_type_weekday",
     "corpus_hash_split_manifest",
     "unigram_lm_piece_stats",
+    "classifier_kappa_eval",
 ]
 
 
