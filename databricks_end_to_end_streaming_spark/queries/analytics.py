@@ -542,6 +542,154 @@ def event_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "robust_value_stats_per_type",
+    oracle="""
+    WITH vc AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, value, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM vc
+    ), med AS (
+      SELECT event_type, min(value) AS median, max(n) AS n
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    ), devc AS (
+      SELECT c.event_type, abs(c.value - m.median) AS dev,
+             CAST(sum(c.cnt) AS BIGINT) AS cnt
+      FROM cum c JOIN med m ON c.event_type = m.event_type
+      GROUP BY 1, 2
+    ), devcum AS (
+      SELECT event_type, dev, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM devc
+    ), mad AS (
+      SELECT event_type, min(dev) AS mad
+      FROM devcum WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    ), trim AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * greatest(CAST(0 AS BIGINT),
+                                 least(cum, n - n // 10)
+                                 - greatest(cum - cnt, n // 10)))
+                  AS DECIMAL(38,2)) AS tsum,
+             CAST(sum(greatest(CAST(0 AS BIGINT),
+                               least(cum, n - n // 10)
+                               - greatest(cum - cnt, n // 10)))
+                  AS BIGINT) AS tcnt
+      FROM cum GROUP BY event_type
+    )
+    SELECT m.event_type, m.n, m.median, mad.mad,
+           CAST(t.tsum AS DOUBLE) / t.tcnt AS trimmed_mean_10
+    FROM med m
+    JOIN mad ON mad.event_type = m.event_type
+    JOIN trim t ON t.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+)
+def robust_value_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value statistics — exact nearest-rank median,
+    MAD (median absolute deviation), and the 10%-trimmed mean: the
+    outlier-resistant complements of the moment family (mean/stddev
+    shift arbitrarily under one corrupt extreme; median/MAD have a 50%
+    breakdown point — the standard robust-monitoring trio).
+
+    Everything derives from the (type, value) COUNT RELATION — the KS
+    ECDF trick: median = the smallest value whose cumulative count
+    reaches ceil(n/2); MAD repeats the selection over |value - median|
+    counts (the deviation map just re-collapses the same monoid);
+    the trimmed mean keeps, per distinct value, the exact overlap of
+    its rank range (cum-cnt, cum] with the kept window (n//10,
+    n - n//10] — an integer per row — and sums value*kept as
+    DECIMAL(18,2) (event values are exact cents, so the cast is exact
+    and the sum order-insensitive), with ONE final double division.
+    Every emitted number is either a selected raw value, one abs/sub
+    of doubles, or that single division — bit-identical across engines
+    with no rounding step.
+
+    Shape at 100 TB: ONE (type, value) partial-agg'd corpus shuffle;
+    every window and selection runs over COLLAPSED distinct-value rows
+    (bounded by the value domain, not the corpus), so no per-type
+    window ever sees corpus-sized input — the trap the global-rank
+    percentile query avoids with range partitioning is avoided here by
+    collapsing first."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = ev.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        "value",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).transform(pin)
+    med = (
+        cum.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("median"), F.max("n").alias("n"))
+    )
+    devc = (
+        cum.join(med.select("event_type", "median"), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("value") - F.col("median")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wdev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    devcum = devc.select(
+        "event_type",
+        "dev",
+        F.sum("cnt").over(wdev).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    mad = (
+        devcum.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad"))
+    )
+    lo = F.expr("n div 10")
+    hi = F.col("n") - lo
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi) - F.greatest(F.col("cum") - F.col("cnt"), lo),
+    )
+    trim = cum.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * kept).alias("tsum"),
+        F.sum(kept).alias("tcnt"),
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(trim, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "median",
+            "mad",
+            (F.col("tsum").cast("double") / F.col("tcnt")).alias(
+                "trimmed_mean_10"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "rolling_7day_active_users",
     oracle="""
     WITH daily AS (

@@ -371,3 +371,56 @@ def test_gram_matrix_close_to_numpy_float_gram(spark):
         # quantization perturbs each coordinate by < 2^-20; the moment
         # of products then drifts by ~2 * 2^-20 * max|x| ~ 1.2e-6
         assert abs(r["moment"] - gram[r["i"], r["j"]]) < 5e-6, (r["i"], r["j"])
+
+
+def test_robust_value_stats_planted(spark):
+    """Hand-computable median / MAD / trimmed mean through the real
+    query machinery (a temp view standing in for the events table), on
+    odd and even counts with a planted outlier the robust trio must
+    shrug off."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        robust_value_stats_per_type,
+    )
+    from databricks_end_to_end_streaming_spark import tables
+
+    # odd: values 1..5 -> median 3, devs {2,1,0,1,2} -> MAD 1
+    # even+outlier: 1,2,3,1000 -> median 2 (rank ceil(4/2)=2),
+    #   devs {1,0,1,998} sorted {0,1,1,998} -> MAD rank2 = 1
+    #   n=4 -> lo=0, hi=4: no trim -> trimmed = mean = 251.5
+    # big: 1..20 with one 10000 swapped in for 20 -> n=20, lo=2, hi=18
+    #   -> trimmed mean of ranks 3..18 = values 3..18 -> 10.5
+    rows = (
+        [("odd", float(v), i) for i, v in enumerate([3, 1, 5, 2, 4])]
+        + [("even", float(v), 10 + i) for i, v in enumerate([1000, 2, 3, 1])]
+        + [("big", float(v), 100 + i)
+           for i, v in enumerate(list(range(1, 20)) + [10000])]
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, event_id long"
+    )
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda sp, sf, name: df
+        import databricks_end_to_end_streaming_spark.queries.analytics as A
+
+        orig_a = A.load_table
+        A.load_table = lambda sp, sf, name: df
+        try:
+            got = {
+                r["event_type"]: (
+                    r["n"], r["median"], r["mad"], r["trimmed_mean_10"]
+                )
+                for r in robust_value_stats_per_type(spark, "unused").collect()
+            }
+        finally:
+            A.load_table = orig_a
+    finally:
+        tables.load_table = orig
+    assert got["odd"] == (5, 3.0, 1.0, 3.0)
+    assert got["even"] == (4, 2.0, 1.0, 251.5)
+    n, med, mad, tm = got["big"]
+    assert (n, med) == (20, 10.0)
+    assert tm == sum(range(3, 19)) / 16  # = 10.5: outlier trimmed away
