@@ -619,6 +619,15 @@ def robust_value_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsing first."""
     ev = load_table(spark, sf_dir, "events")
     vc = ev.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    return robust_over_value_counts(vc)
+
+
+def robust_over_value_counts(vc: DataFrame) -> DataFrame:
+    """Robust-stats scoring core over a (event_type, value, cnt) count
+    relation — shared by the batch query and the streaming twin
+    (streaming/stats_stage.py::robust_stats_from_log, which folds the
+    SAME value-count log the KS monitor reads), so drained == batch
+    bit-for-bit."""
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("value")

@@ -153,6 +153,31 @@ def ks_drift(
     return ks_over_period_value_counts(counts)
 
 
+def robust_stats_from_log(
+    spark: SparkSession, table: ParquetTable, up_to_batch: int | None = None
+) -> DataFrame:
+    """Exact median / MAD / trimmed mean from the SAME value-count log
+    the KS monitor reads (``ks_value_stage``) — one log, two monitors:
+    the fold collapses to (type, value, cnt) and scores through
+    ``robust_over_value_counts``, the batch query's exact core."""
+    from ..queries.analytics import robust_over_value_counts
+
+    log = table.read(spark)
+    if up_to_batch is not None:
+        log = log.where(F.col("_batch_id") <= up_to_batch)
+    vc = (
+        log.groupBy("key", "bin_lo")
+        .agg(F.sum("o").alias("cnt"))
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("bin_lo").alias("value"),
+            "cnt",
+        )
+        .transform(pin)
+    )
+    return robust_over_value_counts(vc)
+
+
 # ----------------------------------------------------------- Spearman
 
 

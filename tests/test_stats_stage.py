@@ -97,6 +97,33 @@ def test_ks_drained_on_midpoint_split_equals_batch(spark, workdir):
     assert got3 == want
 
 
+def test_robust_stats_share_the_ks_value_log(spark, workdir):
+    """The SAME accumulated value log powers KS and the robust trio:
+    after three arbitrary slices, robust_stats_from_log reproduces the
+    registered robust query bit-for-bit."""
+    from databricks_end_to_end_streaming_spark.streaming.stats_stage import (
+        robust_stats_from_log,
+    )
+
+    ev = _events(spark)
+    t = ParquetTable(f"{workdir}/ksvalues_shared")
+    stage = ks_value_stage(t)
+    for i, sl in enumerate(_three_slices(ev)):
+        stage(sl, i)
+    got = [tuple(r) for r in robust_stats_from_log(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["robust_value_stats_per_type"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(_three_slices(ev)[2], 2)  # replay
+    assert [
+        tuple(r) for r in robust_stats_from_log(spark, t).collect()
+    ] == want
+
+
 def test_spearman_drained_equals_batch_and_replays(spark, workdir):
     ev = _events(spark)
     t = ParquetTable(f"{workdir}/uvcounts")
