@@ -3735,31 +3735,35 @@ def spearman_over_uv_counts(counts: DataFrame) -> DataFrame:
         .orderBy("us", "value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    grp = counts.select(
-        "event_type",
-        "value",
-        F.col("m").cast("long").alias("m"),
-        (F.sum("m").over(wg) - F.col("m")).cast("long").alias("p"),
-    )
-    vc = counts.groupBy("event_type", "value").agg(
-        F.sum("m").cast("long").alias("mv")
-    )
-    wv = (
+    # RANGE frames by value replace the (value-level aggregate + join
+    # back) a rank formulation would need: C_<=v is the value-peers-
+    # inclusive running count, mv the peers-only count — every window
+    # shares the per-type partitioning, so the whole core is ONE
+    # exchange + two sorts
+    wvr = (
         Window.partitionBy("event_type")
         .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ty = vc.select(
+    wvp = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    grp = counts.select(
         "event_type",
-        "value",
-        (F.sum("mv").over(wv) * 2 - F.col("mv") + 1).cast("long").alias("y2"),
+        F.col("m").cast("long").alias("m"),
+        (F.sum("m").over(wg) - F.col("m")).cast("long").alias("p"),
+        (F.sum("m").over(wvr) * 2 - F.sum("m").over(wvp) + 1)
+        .cast("long")
+        .alias("y2"),
     )
     m, p, y2 = F.col("m"), F.col("p"), F.col("y2")
     x2sum = (m * (2 * p + m + 1)).cast("long")
     x2sq = F.expr(
         f"4 * ({_S2.format(t='p + m')} - {_S2.format(t='p')})"
     ).cast("long")
-    pts = grp.join(ty, ["event_type", "value"]).select(
+    pts = grp.select(
         "event_type",
         m.alias("m"),
         x2sum.alias("x2sum"),

@@ -154,7 +154,7 @@ PLAN_QUERIES = [
     ("jaro_winkler_part_pairs", "dictionary-collapse (r11): token-blocked + length-ratio-filtered DISTINCT-NAME pairs score the greedy JW fold once each behind an Exchange barrier; qualifying names broadcast back into an output-sensitive (name,brand,size) equi-join — no part-level quadratic block join"),
     ("ks_test_value_drift", "ONE (type,value,half) partial-agg shuffle -> per-type running-ECDF window on collapsed distinct values; D maximized over exact int64 cross-products, single final division"),
     ("benford_value_audit", "map-side digit extraction -> ONE (type,digit) partial-agg shuffle; 9-digit broadcast grid + sorted fold"),
-    ("spearman_trend_per_type", "ONE (type,us,value) partial-agg shuffle collapses the corpus (r11); closed-form rank sums over two cumulative windows on COUNT rows; 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
+    ("spearman_trend_per_type", "ONE (type,us,value) partial-agg shuffle collapses the corpus (r11); closed-form rank sums via one rows-frame + two RANGE-frame windows sharing the per-type exchange (no value-level join); 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
     ("cramers_v_type_weekday", "ONE (type,weekday) partial-agg corpus shuffle -> shared chi2 core over the r x c contingency -> two-level sorted fold + sqrt"),
     ("corpus_hash_split_manifest", "map-side md5 bucket per row -> ONE (source,split) partial-agg shuffle of 5-scalar partials; manifests merge by sum/XOR"),
     ("classifier_kappa_eval", "inherits the classifier vectorizer shuffle; confusion matrix is ONE map + single 5-scalar agg; kappa = one IEEE division of exact int64s"),
