@@ -187,6 +187,17 @@ def golden_records_from(names: DataFrame, pairs: DataFrame) -> DataFrame:
 
 JW_THRESHOLD = 0.85
 
+# The candidate pre-filter in jw_name_candidates hard-codes
+# 4*min(ls,lt) >= max(ls,lt), which is recall-free iff the ratio bound
+# 3*((JW_THRESHOLD - 0.4)/0.6) - 2 implied by the threshold is >= 1/4
+# (derivation in the jaro_winkler_part_pairs docstring). Guard the
+# coupling so lowering the threshold without widening the filter fails
+# at import, not as silent recall loss.
+assert 3 * ((JW_THRESHOLD - 0.4) / 0.6) - 2 >= 0.25 - 1e-12, (
+    "JW_THRESHOLD dropped below 0.85: the 4*min >= max length filter "
+    "in jw_name_candidates is no longer recall-free — widen it"
+)
+
 def jw_name_candidates(names: DataFrame) -> DataFrame:
     """Dictionary-level JW candidate pairs: token-blocked (must share a
     whole name token) then pruned by the theorem-recall-free

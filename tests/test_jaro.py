@@ -93,3 +93,51 @@ def test_jw_long_strings_score_null(spark):
         jaro_winkler_col(F.col("s"), F.col("t")).alias("jw")
     ).collect()
     assert got[0].jw is None and got[1].jw == 1.0
+
+
+def test_length_ratio_prefilter_is_recall_free():
+    """Property check of the theorem the r11 candidate filter relies on
+    (jw >= JW_THRESHOLD => 4*min(ls,lt) >= max(ls,lt)): random word
+    pairs through the sequential reference — any qualifying pair the
+    filter would drop is a counterexample to the derivation OR a drift
+    between JW_THRESHOLD and the hard-coded bound (also guarded by the
+    import-time assert in queries/fuzzy.py)."""
+    from databricks_end_to_end_streaming_spark.queries.fuzzy import (
+        JW_THRESHOLD,
+    )
+
+    rng = random.Random(31)
+    alphabet = "abcde"
+    checked = qualified = 0
+    for _ in range(20000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        checked += 1
+        if ref_jw(s, t) >= JW_THRESHOLD:
+            qualified += 1
+            assert 4 * min(len(s), len(t)) >= max(len(s), len(t)), (s, t)
+    assert qualified > 50  # the property was actually exercised
+
+
+def test_token_block_recall_proven_by_exhaustive_scan():
+    """On the full 64-name testdata dictionary, EVERY qualifying pair
+    shares a whole token — the on-corpus recall claim the exact
+    all-pairs oracle re-proves each round, pinned here so a corpus
+    regeneration that breaks it fails fast in pytest too."""
+    import duckdb
+
+    from databricks_end_to_end_streaming_spark.queries.fuzzy import (
+        JW_THRESHOLD,
+    )
+
+    names = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT p_name FROM "
+            "read_parquet('/root/testdata/sf0.01/part.parquet')"
+        ).fetchall()
+    ]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if ref_jw(a, b) >= JW_THRESHOLD:
+                assert set(a.split()) & set(b.split()), (a, b)

@@ -167,3 +167,69 @@ def test_spearman_log_is_a_count_monoid_not_an_event_log(spark, workdir):
     # hand ranks: x2 = (2,4,6,8); y2 = (3,3,6,8) ->
     # n*sxy - sx*sy = 72, n*sxx - sx^2 = 80, n*syy - sy^2 = 72
     assert out[0].spearman_rho == 72.0 / math.sqrt(80.0 * 72.0)
+
+
+def test_spearman_closed_forms_match_rank_reference(spark):
+    """Property check of the r11 closed-form rank sums: random small
+    datasets heavy with ties (same-us groups, repeated values) through
+    spearman_over_uv_counts vs an independent O(n^2)-naive Python
+    reference that literally assigns row-number ranks with the
+    (us, value) tie-break and averages tied value ranks. Exact
+    equality on n and float equality on rho (both sides end in the
+    identical double chain over identical int64 sums)."""
+    import random
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        spearman_over_uv_counts,
+    )
+
+    def ref_rho(points):
+        # points: [(us, value)] for ONE key
+        pts = sorted(range(len(points)), key=lambda i: (points[i][0],
+                                                        points[i][1], i))
+        x2 = {}
+        for r, i in enumerate(pts, start=1):
+            x2[i] = 2 * r
+        byval = sorted(range(len(points)), key=lambda i: points[i][1])
+        vr = {i: r for r, i in enumerate(byval, start=1)}
+        y2 = {}
+        for i in range(len(points)):
+            grp = [j for j in range(len(points))
+                   if points[j][1] == points[i][1]]
+            y2[i] = min(vr[j] for j in grp) + max(vr[j] for j in grp)
+        n = len(points)
+        sx = sum(x2.values()); sy = sum(y2.values())
+        sxy = sum(x2[i] * y2[i] for i in range(n))
+        sxx = sum(v * v for v in x2.values())
+        syy = sum(v * v for v in y2.values())
+        num = n * sxy - sx * sy
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        return num / den if den else None
+
+    rng = random.Random(5)
+    rows = []
+    want = {}
+    for key in ("k1", "k2", "k3"):
+        pts = [
+            (rng.randint(0, 5), float(rng.randint(0, 4)))
+            for _ in range(rng.randint(4, 25))
+        ]
+        want[key] = (len(pts), ref_rho(pts))
+        rows += [(key, us, v) for us, v in pts]
+    counts = (
+        spark.createDataFrame(
+            rows, "event_type string, us long, value double"
+        )
+        .groupBy("event_type", "us", "value")
+        .agg(F.count("*").alias("m"))
+    )
+    got = {
+        r["event_type"]: (r["n"], r["spearman_rho"])
+        for r in spearman_over_uv_counts(counts).collect()
+    }
+    for k, (n, rho) in want.items():
+        assert got[k][0] == n
+        if rho is None:
+            assert got[k][1] is None or got[k][1] != got[k][1]
+        else:
+            assert abs(got[k][1] - rho) < 1e-12, k
