@@ -542,6 +542,151 @@ def event_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "cusum_level_shift_per_type",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                  AS BIGINT) AS hour,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), dev AS (
+      SELECT event_type, hour,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS h,
+             CAST(count(*) OVER (PARTITION BY event_type) * cents
+                  - sum(cents) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS d
+      FROM hourly
+    ), walk AS (
+      SELECT event_type, hour, h,
+             CAST(sum(d) OVER w AS BIGINT) AS p
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING)
+    ), draw AS (
+      SELECT event_type, hour, h, p,
+             p - min(p) OVER w AS up,
+             max(p) OVER w - p AS down
+      FROM walk
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type,
+           CAST(max(h) AS BIGINT) AS n_hours,
+           CAST(max(up) AS BIGINT) AS cusum_up_scaled,
+           CAST(max(down) AS BIGINT) AS cusum_down_scaled,
+           CAST(min(CASE WHEN p = mp THEN hour END) AS BIGINT)
+             AS changepoint_hour,
+           CAST(max(up) AS DOUBLE) / (max(h) * 100.0) AS cusum_up_value
+    FROM (SELECT d.*, min(p) OVER (PARTITION BY event_type) AS mp
+          FROM draw d)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def cusum_level_shift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type (Page 1954 — public
+    literature): the sequential-detection member of the drift family
+    (chi²/PSI/KS say THAT a distribution moved; Spearman says values
+    trend; CUSUM says the MEAN level shifted and WHEN). Implemented
+    over hourly value sums via the prefix-extremum identity: the
+    recurrence S_t = max(0, S_{t-1} + d_t) equals P_t - min_{k<=t} P_k
+    for the deviation random walk P, so the whole statistic is two
+    cumulative windows + one aggregate — no recursion. The reported
+    changepoint is the hour the maximum drawup completes (ties -> the
+    earliest such hour).
+
+    Exactness: events carry exact-cent values, so hourly sums are
+    int64 cents; deviations are mean-centered WITHOUT division by
+    clearing fractions (d_t = H*x_t - total — the kappa/AUC integer
+    discipline), making the walk, both extrema, and both CUSUM scores
+    exact int64 (headroom: |P| <= H^2 * max_hourly_cents ~ 4e14 at
+    testdata shape; DECIMAL-widen past ~1e6 hours). The one double is
+    the final unit conversion (scaled / (H*100)), a single identical
+    division in both engines. ``changepoint_hour`` is the hour the
+    deviation walk bottoms (earliest on ties) — for an upward mean
+    shift the walk decreases before the shift and increases after, so
+    its minimum IS the last pre-shift hour (the textbook CUSUM
+    changepoint estimate).
+
+    Shape at 100 TB: ONE (type, hour) partial-agg'd corpus shuffle
+    (hours are bounded — years * 8760 — so everything downstream is
+    calendar-sized, not corpus-sized); the windows share the per-type
+    partitioning with the final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = hourly_cents(ev)
+    return cusum_over_hourly_cents(hourly)
+
+
+def hourly_cents(ev: DataFrame) -> DataFrame:
+    """(event_type, hour, cents) exact-int hourly value sums — the sum
+    MONOID shared by the batch query and the streaming stage."""
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("hour"),
+            F.col("value")
+            .cast("decimal(18,2)")
+            .alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg((F.sum("v") * 100).cast("long").alias("cents"))
+    )
+
+
+def cusum_over_hourly_cents(hourly: DataFrame) -> DataFrame:
+    """CUSUM scoring core over a (event_type, hour, cents) relation —
+    shared by the batch query and the streaming twin
+    (streaming/stats_stage.py::cusum_from_log)."""
+    wall = Window.partitionBy("event_type")
+    dev = hourly.select(
+        "event_type",
+        "hour",
+        F.count("*").over(wall).alias("h"),
+        (
+            F.count("*").over(wall) * F.col("cents")
+            - F.sum("cents").over(wall)
+        ).alias("d"),
+    ).transform(pin)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = dev.select(
+        "event_type", "hour", "h", F.sum("d").over(wcum).alias("p")
+    )
+    draw = walk.select(
+        "event_type",
+        "hour",
+        "h",
+        "p",
+        (F.col("p") - F.min("p").over(wcum)).alias("up"),
+        (F.max("p").over(wcum) - F.col("p")).alias("down"),
+    )
+    mp = draw.withColumn("mp", F.min("p").over(wall))
+    return (
+        mp.groupBy("event_type")
+        .agg(
+            F.max("h").alias("n_hours"),
+            F.max("up").alias("cusum_up_scaled"),
+            F.max("down").alias("cusum_down_scaled"),
+            F.min(
+                F.when(F.col("p") == F.col("mp"), F.col("hour"))
+            ).alias("changepoint_hour"),
+            (
+                F.max("up").cast("double")
+                / (F.max("h") * F.lit(100.0))
+            ).alias("cusum_up_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "robust_value_stats_per_type",
     oracle="""
     WITH vc AS (

@@ -178,6 +178,43 @@ def robust_stats_from_log(
     return robust_over_value_counts(vc)
 
 
+# -------------------------------------------------------------- CUSUM
+
+
+def cusum_stage(table: ParquetTable):
+    """foreachBatch body: append this batch's (event_type, hour, cents)
+    exact-int hourly sums under the replay token — the CUSUM sum
+    monoid (queries/analytics.py::hourly_cents)."""
+    from ..queries.analytics import hourly_cents
+
+    def stage(batch_df: DataFrame, batch_id: int) -> None:
+        table.idempotent_append(
+            hourly_cents(batch_df).withColumn("_batch_id", F.lit(batch_id)),
+            f"batchid={batch_id}/role=hourlycents",
+        )
+
+    return stage
+
+
+def cusum_from_log(
+    spark: SparkSession, table: ParquetTable, up_to_batch: int | None = None
+) -> DataFrame:
+    """CUSUM level-shift scores from the accumulated hourly-cents log —
+    folds the sum monoid, then scores through the batch query's exact
+    core (drained == batch bit-for-bit)."""
+    from ..queries.analytics import cusum_over_hourly_cents
+
+    log = table.read(spark)
+    if up_to_batch is not None:
+        log = log.where(F.col("_batch_id") <= up_to_batch)
+    hourly = (
+        log.groupBy("event_type", "hour")
+        .agg(F.sum("cents").alias("cents"))
+        .transform(pin)
+    )
+    return cusum_over_hourly_cents(hourly)
+
+
 # ----------------------------------------------------------- Spearman
 
 

@@ -233,3 +233,61 @@ def test_spearman_closed_forms_match_rank_reference(spark):
             assert got[k][1] is None or got[k][1] != got[k][1]
         else:
             assert abs(got[k][1] - rho) < 1e-12, k
+
+
+def test_cusum_planted_level_shift(spark):
+    """Hand-built level shift: hours 0-9 at 1.00/hr, hours 10-19 at
+    2.00/hr — the deviation walk bottoms at hour 9 (the last pre-shift
+    hour), cusum_up_scaled = H * total drawup = 10000 cent-hours, and a
+    FLAT control series scores zero."""
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        cusum_over_hourly_cents,
+        hourly_cents,
+    )
+
+    rows = []
+    for hr in range(20):
+        v = 1.0 if hr < 10 else 2.0
+        rows.append(("shift", v, f"1970-01-01T{hr:02d}:30:00"))
+        rows.append(("flat", 1.5, f"1970-01-01T{hr:02d}:30:00"))
+    ev = spark.createDataFrame(
+        rows, "event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: (
+            r["n_hours"],
+            r["cusum_up_scaled"],
+            r["cusum_down_scaled"],
+            r["changepoint_hour"],
+        )
+        for r in cusum_over_hourly_cents(hourly_cents(ev)).collect()
+    }
+    # shift: d_t = 20*x_t - 3000 = -1000 then +1000; P walks -1000 ..
+    # -10000 (hour 9) then recovers to 0 -> max drawup 10000 (hour 19
+    # vs the hour-9 trough), max drawdown 9000 (hour-0 peak of -1000
+    # down to -10000 — the walk never rises before falling)
+    assert got["shift"] == (20, 10000, 9000, 9)
+    assert got["flat"] == (20, 0, 0, 0)
+
+
+def test_cusum_drained_equals_batch_and_replays(spark, workdir):
+    from databricks_end_to_end_streaming_spark.streaming.stats_stage import (
+        cusum_from_log,
+        cusum_stage,
+    )
+
+    ev = _events(spark).select("event_type", "value", "ts", "event_id")
+    t = ParquetTable(f"{workdir}/hourlycents")
+    stage = cusum_stage(t)
+    for i, sl in enumerate(_three_slices(ev)):
+        stage(sl, i)
+    got = [tuple(r) for r in cusum_from_log(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["cusum_level_shift_per_type"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(_three_slices(ev)[0], 0)  # replay
+    assert [tuple(r) for r in cusum_from_log(spark, t).collect()] == want

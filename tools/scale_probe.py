@@ -107,6 +107,8 @@ PROBES = [
     "corpus_hash_split_manifest",
     "unigram_lm_piece_stats",
     "classifier_kappa_eval",
+    "robust_value_stats_per_type",
+    "cusum_level_shift_per_type",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

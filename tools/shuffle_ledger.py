@@ -102,6 +102,8 @@ LEDGER_QUERIES = [
     "corpus_hash_split_manifest",
     "unigram_lm_piece_stats",
     "classifier_kappa_eval",
+    "robust_value_stats_per_type",
+    "cusum_level_shift_per_type",
 ]
 
 
