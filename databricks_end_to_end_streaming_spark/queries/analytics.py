@@ -687,6 +687,107 @@ def cusum_over_hourly_cents(hourly: DataFrame) -> DataFrame:
 
 
 @query(
+    "durbin_watson_hourly_per_type",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                  AS BIGINT) AS hour,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), dev AS (
+      SELECT event_type, hour,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS h,
+             CAST(count(*) OVER (PARTITION BY event_type) * cents
+                  - sum(cents) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS e
+      FROM hourly
+    ), lagd AS (
+      SELECT event_type, h, e,
+             lag(e) OVER (PARTITION BY event_type ORDER BY hour) AS ep
+      FROM dev
+    ), sums AS (
+      SELECT event_type, max(h) AS n_hours,
+             sum(CAST(e AS DECIMAL(38,0)) * e) AS see,
+             sum(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                      ELSE CAST(e - ep AS DECIMAL(38,0)) * (e - ep) END)
+               AS sdd
+      FROM lagd GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           CASE WHEN see > 0 THEN
+             round(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE), 9)
+           END AS dw
+    FROM sums ORDER BY event_type
+    """,
+)
+def durbin_watson_hourly_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the mean-centered hourly value series
+    per event type — the standard lag-1 autocorrelation diagnostic
+    (DW ~ 2 means no serial correlation, -> 0 strong positive, -> 4
+    strong negative): tells a monitoring stack whether the hourly
+    residuals CUSUM walks over are independent (Durbin & Watson 1950,
+    public literature). Reuses the exact-cent hourly sum monoid
+    (``hourly_cents``).
+
+    Exactness: residuals are fraction-cleared ints (e = H*x - total,
+    the CUSUM discipline; the common H scale cancels in the ratio);
+    both quadratic sums are DECIMAL(38,0) products of int64s (|e| <=
+    ~4.5e10 at testdata shape -> products ~2e21, sums ~2e24 — exact
+    with >1e13 headroom). The division is one double op, but
+    decimal38 -> double casts are conversion-rounded, so the emitted
+    ratio takes the PSI round-to-9 rule in both engines rather than
+    claiming bit-exact casts.
+
+    Shape at 100 TB: the same ONE (type, hour) shuffle as CUSUM;
+    lag + two quadratic sums are calendar-sized window/agg work."""
+    return dw_over_hourly_cents(
+        hourly_cents(load_table(spark, sf_dir, "events"))
+    )
+
+
+def dw_over_hourly_cents(hourly: DataFrame) -> DataFrame:
+    """Durbin-Watson scoring core over a (event_type, hour, cents)
+    relation — shared by the batch query and the streaming twin
+    (streaming/stats_stage.py::durbin_watson_from_log), which folds the
+    SAME hourly-cents log the CUSUM monitor reads."""
+    wall = Window.partitionBy("event_type")
+    dev = hourly.select(
+        "event_type",
+        "hour",
+        F.count("*").over(wall).alias("h"),
+        (
+            F.count("*").over(wall) * F.col("cents")
+            - F.sum("cents").over(wall)
+        ).alias("e"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("hour")
+    lagd = dev.select(
+        "event_type", "h", "e", F.lag("e").over(wlag).alias("ep")
+    )
+    d = F.col("e") - F.col("ep")
+    sums = lagd.groupBy("event_type").agg(
+        F.max("h").alias("n_hours"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e")).alias("see"),
+        F.sum(
+            F.when(F.col("ep").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise(d.cast("decimal(38,0)") * d)
+        ).alias("sdd"),
+    )
+    return sums.select(
+        "event_type",
+        "n_hours",
+        F.when(
+            F.col("see") > 0,
+            F.round(
+                F.col("sdd").cast("double") / F.col("see").cast("double"), 9
+            ),
+        ).alias("dw"),
+    ).orderBy("event_type")
+
+
+@query(
     "robust_value_stats_per_type",
     oracle="""
     WITH vc AS (

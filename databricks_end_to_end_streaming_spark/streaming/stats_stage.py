@@ -215,6 +215,25 @@ def cusum_from_log(
     return cusum_over_hourly_cents(hourly)
 
 
+def durbin_watson_from_log(
+    spark: SparkSession, table: ParquetTable, up_to_batch: int | None = None
+) -> DataFrame:
+    """Durbin-Watson lag-1 diagnostics from the SAME hourly-cents log
+    the CUSUM monitor reads (``cusum_stage``) — one log, two
+    time-series monitors (the KS/robust pairing, again)."""
+    from ..queries.analytics import dw_over_hourly_cents
+
+    log = table.read(spark)
+    if up_to_batch is not None:
+        log = log.where(F.col("_batch_id") <= up_to_batch)
+    hourly = (
+        log.groupBy("event_type", "hour")
+        .agg(F.sum("cents").alias("cents"))
+        .transform(pin)
+    )
+    return dw_over_hourly_cents(hourly)
+
+
 # ----------------------------------------------------------- Spearman
 
 

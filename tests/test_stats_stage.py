@@ -291,3 +291,48 @@ def test_cusum_drained_equals_batch_and_replays(spark, workdir):
     assert got == want and len(got) > 0
     stage(_three_slices(ev)[0], 0)  # replay
     assert [tuple(r) for r in cusum_from_log(spark, t).collect()] == want
+
+
+def test_durbin_watson_planted_and_from_log(spark, workdir):
+    """Hand-exact DW cases through the shared core: a linear trend
+    (residuals -300, 0, 300) gives dw = 1.0; an alternating series
+    (residuals ±200) gives dw = 3.0. Then the streaming finalize over
+    the CUSUM hourly-cents log reproduces the registered batch query
+    bit-for-bit on arbitrary slices."""
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        dw_over_hourly_cents,
+        hourly_cents,
+    )
+    from databricks_end_to_end_streaming_spark.streaming.stats_stage import (
+        cusum_stage,
+        durbin_watson_from_log,
+    )
+
+    rows = []
+    for hr, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append(("trend", v, f"1970-01-01T{hr:02d}:30:00"))
+    for hr, v in enumerate([1.0, 2.0, 1.0, 2.0]):
+        rows.append(("alt", v, f"1970-01-01T{hr:02d}:30:00"))
+    ev = spark.createDataFrame(
+        rows, "event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: (r["n_hours"], r["dw"])
+        for r in dw_over_hourly_cents(hourly_cents(ev)).collect()
+    }
+    assert got["trend"] == (3, 1.0)  # sdd/see = 180000/180000
+    assert got["alt"] == (4, 3.0)  # 480000/160000
+    # drained == batch over the shared log
+    evs = _events(spark).select("event_type", "value", "ts", "event_id")
+    t = ParquetTable(f"{workdir}/hourlycents_dw")
+    stage = cusum_stage(t)
+    for i, sl in enumerate(_three_slices(evs)):
+        stage(sl, i)
+    got2 = [tuple(r) for r in durbin_watson_from_log(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["durbin_watson_hourly_per_type"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got2 == want and len(got2) > 0

@@ -160,6 +160,7 @@ PLAN_QUERIES = [
     ("classifier_kappa_eval", "inherits the classifier vectorizer shuffle; confusion matrix is ONE map + single 5-scalar agg; kappa = one IEEE division of exact int64s"),
     ("robust_value_stats_per_type", "ONE (type,value) partial-agg corpus shuffle; median/MAD by ECDF selection over COLLAPSED distinct values; trimmed mean = exact rank-range overlap * DECIMAL value, one final division"),
     ("cusum_level_shift_per_type", "ONE (type,hour) partial-agg corpus shuffle; deviation walk + prefix extrema as cumulative windows sharing the per-type exchange; all int64, one unit-conversion division"),
+    ("durbin_watson_hourly_per_type", "same (type,hour) monoid as CUSUM; lag + two DECIMAL(38) quadratic sums, round-9 ratio"),
     ("unigram_lm_piece_stats", "corpus collapses to the (word,freq) vocabulary in one shuffle; EM rounds are vocab-sized Arrow batches + one piece partial-agg each; final stats one vocab-sized explode+agg"),
 ]
 

@@ -109,6 +109,7 @@ PROBES = [
     "classifier_kappa_eval",
     "robust_value_stats_per_type",
     "cusum_level_shift_per_type",
+    "durbin_watson_hourly_per_type",
     # round-3 operators (VERDICT r3 item 6): layout, one-pass DQ,
     # samplers, histogram/profile
     "zorder_events_row_preservation",

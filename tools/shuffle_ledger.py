@@ -104,6 +104,7 @@ LEDGER_QUERIES = [
     "classifier_kappa_eval",
     "robust_value_stats_per_type",
     "cusum_level_shift_per_type",
+    "durbin_watson_hourly_per_type",
 ]
 
 
