@@ -224,8 +224,9 @@ def kcore_decomposition(
     directed edge list) + one per-node window over degree-bounded
     neighbor lists + one max agg; state is one long per node, lineage
     truncated per round (the connected_components hygiene). Convergence
-    is detected with a 1-row changed-count aggregate. Returns
-    (node, degree, coreness)."""
+    is observed DURING the per-round pin materialization (Observation
+    API — one driver action per round, not a separate count job).
+    Returns (node, degree, coreness)."""
     und = edges.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
@@ -235,6 +236,8 @@ def kcore_decomposition(
         deg.select("u", F.col("degree").cast("long").alias("c")),
         site="kcore.init",
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iters):
         nb = und.join(
             cur.withColumnRenamed("u", "v").withColumnRenamed("c", "cv"),
@@ -250,14 +253,21 @@ def kcore_decomposition(
                 )
             )
         )
-        nxt = pin(nxt, site="kcore.iter")
-        changed = (
-            nxt.join(cur.withColumnRenamed("c", "c_old"), "u")
-            .where(F.col("c") != F.col("c_old"))
-            .count()
+        # fold the convergence check INTO the iteration job (r10 plan
+        # audit nice-to-have): carry c_old through the update join and
+        # observe the changed-count while pin materializes — ONE driver
+        # action per round instead of two
+        obs = Observation()
+        joined = nxt.join(
+            cur.withColumnRenamed("c", "c_old"), "u"
+        ).observe(
+            obs,
+            F.sum(
+                (F.col("c") != F.col("c_old")).cast("long")
+            ).alias("changed"),
         )
-        cur = nxt
-        if changed == 0:
+        cur = pin(joined.select("u", "c"), site="kcore.iter")
+        if obs.get["changed"] == 0:
             break
     else:
         # fail loudly (the connected_components rule): returning the
