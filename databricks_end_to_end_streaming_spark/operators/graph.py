@@ -50,6 +50,8 @@ def connected_components(
         .transform(pin)
     )
 
+    from pyspark.sql import Observation
+
     changed = -1
     for _ in range(max_iter):
         # Each node proposes its current label to every neighbor; the new
@@ -59,19 +61,30 @@ def connected_components(
         proposals = sym.join(
             labels, sym["v"] == labels["node"], "inner"
         ).select(F.col("u").alias("node"), "component")
-        new_labels = (
+        # the convergence check rides the SAME job that materializes the
+        # round (Observation over the old-label join, counted while pin
+        # runs) — one driver action per round, not a separate count (the
+        # kcore r11 pattern)
+        obs = Observation()
+        joined = (
             labels.union(proposals)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .transform(pin)
+            .join(
+                labels.select(
+                    "node", F.col("component").alias("_old")
+                ),
+                "node",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        labels = pin(joined.select("node", "component"))
+        changed = obs.get["changed"]
         if changed == 0:
             break
     if changed != 0:
