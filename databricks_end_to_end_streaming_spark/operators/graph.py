@@ -78,8 +78,13 @@ def connected_components(
             )
             .observe(
                 obs,
-                F.sum(
-                    (F.col("component") != F.col("_old")).cast("long")
+                # coalesce: sum over an EMPTY round (no edges) is NULL,
+                # which must read as converged, not as never-converging
+                F.coalesce(
+                    F.sum(
+                        (F.col("component") != F.col("_old")).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
                 ).alias("changed"),
             )
         )
@@ -275,8 +280,11 @@ def kcore_decomposition(
             cur.withColumnRenamed("c", "c_old"), "u"
         ).observe(
             obs,
-            F.sum(
-                (F.col("c") != F.col("c_old")).cast("long")
+            # coalesce: the empty-graph round observes NULL, which must
+            # read as converged (same guard as connected_components)
+            F.coalesce(
+                F.sum((F.col("c") != F.col("c_old")).cast("long")),
+                F.lit(0).cast("long"),
             ).alias("changed"),
         )
         cur = pin(joined.select("u", "c"), site="kcore.iter")
