@@ -3892,19 +3892,27 @@ def benford_over_digit_counts(obs: DataFrame) -> DataFrame:
       FROM rx r JOIN ty t ON t.event_type = r.event_type
                          AND t.value = r.value
     ), sums AS (
+      -- int128 sums (DuckDB's sum(BIGINT) is HUGEINT; the per-row
+      -- products are widened before multiply) mirror the Spark side's
+      -- DECIMAL(38,0) sums: both hold the ~4n^3 moments exactly far
+      -- past the brief's 100x scale, and both convert the exact
+      -- integer to the nearest double before the fixed rho chain.
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x2) AS BIGINT) AS sx,
-             CAST(sum(y2) AS BIGINT) AS sy,
-             CAST(sum(x2 * y2) AS BIGINT) AS sxy,
-             CAST(sum(x2 * x2) AS BIGINT) AS sxx,
-             CAST(sum(y2 * y2) AS BIGINT) AS syy
+             sum(CAST(x2 AS HUGEINT)) AS sx,
+             sum(CAST(y2 AS HUGEINT)) AS sy,
+             sum(CAST(x2 AS HUGEINT) * y2) AS sxy,
+             sum(CAST(x2 AS HUGEINT) * x2) AS sxx,
+             sum(CAST(y2 AS HUGEINT) * y2) AS syy
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              AS spearman_rho
     FROM sums ORDER BY event_type
     """,
@@ -3930,17 +3938,20 @@ def spearman_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     monoid from its accumulated log — drained == batch bit-for-bit by
     construction.
 
-    Exactness: all five moment sums are exact int64 (sum(x2*y2) <=
-    4n^3, and the x2² closed form peaks at ~(4/3)n³ — headroom ~1.3e6
-    events per type before DECIMAL widening); the rho chain is fixed
-    doubles + one sqrt, which IEEE 754 requires to be correctly
-    rounded, so the emitted value is bit-identical across engines with
-    no rounding step (the n*sum products exceed 2^53 beyond ~100k
-    rows/type and round — identically in both engines, since the int64
-    inputs are exact). The oracle stays window-based (row_number ranks
-    with the same tie-break): the closed forms and the window sums are
-    the same integers, so hash-equality each round also PROVES the
-    closed-form derivation.
+    Exactness: all five moment sums are exact DECIMAL(38,0) —
+    sum(x2*y2) <= 4n³ and the x2² closed form peaks at ~(4/3)n³, so
+    int64 would wrap silently past ~1.3e6 rows/type (BELOW the brief's
+    100× scale-up of sf0.1 events, ~2e6/type); decimal holds them to
+    ~2.9e12 rows/type, and the oracle mirrors with HUGEINT (int128)
+    sums. The rho chain is fixed doubles + one sqrt, which IEEE 754
+    requires to be correctly rounded, so the emitted value is
+    bit-identical across engines with no rounding step (each exact
+    integer sum converts to the nearest double identically in both
+    engines; past-ceiling behavior is pinned by the synthetic 2e6-row
+    probe in tests/test_stats_stage.py). The oracle stays window-based
+    (row_number ranks with the same tie-break): the closed forms and
+    the window sums are the same integers, so hash-equality each round
+    also PROVES the closed-form derivation.
 
     Shape at 100 TB: ONE (type, us, value) partial-agg'd shuffle
     collapses the corpus; both cumulative windows then run over
@@ -3959,11 +3970,16 @@ def spearman_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_over_uv_counts(counts)
 
 
-# S2(t) = 1^2 + ... + t^2 = t(t+1)(2t+1) div 6 — `div` (integer
-# division; the product is always divisible by 6) keeps it exact int64
-# where float `/` would round past 2^53; headroom t <= ~1.6e6 before
-# ANSI overflow.
-_S2 = "(({t}) * (({t}) + 1) * (2 * ({t}) + 1) div 6)"
+# S2(t) = 1^2 + ... + t^2 = t(t+1)(2t+1)/6, in DECIMAL(38,0): the
+# triple product peaks at ~2t³, which wraps int64 at t ~1.6e6 — below
+# the brief's 100× scale — while decimal carries it to t ~3.6e12. The
+# /6 is exact (the product is always divisible by 6): Spark divides
+# into DECIMAL(38,6) with a zero fraction, so the cast back to
+# DECIMAL(38,0) is lossless.
+_S2 = (
+    "CAST(CAST(({t}) AS DECIMAL(38,0)) * (({t}) + 1) * (2 * ({t}) + 1)"
+    " / 6 AS DECIMAL(38,0))"
+)
 
 
 def spearman_over_uv_counts(counts: DataFrame) -> DataFrame:
@@ -4004,11 +4020,18 @@ def spearman_over_uv_counts(counts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("y2"),
     )
+    # Every per-row product and every moment sum runs in DECIMAL(38,0)
+    # so nothing wraps below ~2.9e12 rows/type: with int64, x2sum·y2 <=
+    # 4n³ and the S2 triple product (~2n³ before /6) both wrap silently
+    # past ~1.3e6 rows/type — under the brief's 100× scale-up. m, p, y2
+    # themselves stay long (bounded by 2n, safe to n ~4.6e18).
     m, p, y2 = F.col("m"), F.col("p"), F.col("y2")
-    x2sum = (m * (2 * p + m + 1)).cast("long")
+    dec = "decimal(38,0)"
+    x2sum = (m.cast(dec) * (2 * p + m + 1)).cast(dec)
     x2sq = F.expr(
-        f"4 * ({_S2.format(t='p + m')} - {_S2.format(t='p')})"
-    ).cast("long")
+        f"CAST(4 * ({_S2.format(t='p + m')} - {_S2.format(t='p')})"
+        f" AS DECIMAL(38,0))"
+    )
     pts = grp.select(
         "event_type",
         m.alias("m"),
@@ -4019,16 +4042,21 @@ def spearman_over_uv_counts(counts: DataFrame) -> DataFrame:
     sums = pts.groupBy("event_type").agg(
         F.sum("m").alias("n"),
         F.sum("x2sum").alias("sx"),
-        F.sum(F.col("m") * F.col("y2")).alias("sy"),
-        F.sum(F.col("y2") * F.col("x2sum")).alias("sxy"),
+        F.sum((F.col("m").cast(dec) * F.col("y2")).cast(dec)).alias("sy"),
+        F.sum((F.col("y2").cast(dec) * F.col("x2sum")).cast(dec)).alias(
+            "sxy"
+        ),
         F.sum("x2sq").alias("sxx"),
-        F.sum(F.col("m") * F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum(
+            (F.col("m").cast(dec) * F.col("y2") * F.col("y2")).cast(dec)
+        ).alias("syy"),
     )
     nd = F.col("n").cast("double")
-    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (nd * F.col("sxy").cast("double") - sxd * syd) / (
         F.sqrt(
-            (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-            * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            (nd * F.col("sxx").cast("double") - sxd * sxd)
+            * (nd * F.col("syy").cast("double") - syd * syd)
         )
     )
     return sums.select(

@@ -235,6 +235,65 @@ def test_spearman_closed_forms_match_rank_reference(spark):
             assert abs(got[k][1] - rho) < 1e-12, k
 
 
+def test_spearman_past_int64_ceiling_probe(spark):
+    """The r12 scale probe: n = 2e6 rows in ONE event type — past the
+    old int64 closed form's ~1.3e6-rows/type ceiling (the brief's 100×
+    scale-up of sf0.1 events is ~2e6/type), where sxx = sum(x2²) ≈
+    (4/3)n³ ≈ 1.07e19 > 2^63 and the S2 triple product ≈ 2t³ ≈ 1.6e19
+    also exceeds int64. The DECIMAL(38,0) rank sums must carry it
+    exactly; the reference below brute-sums the literal per-rank
+    squares with arbitrary-precision Python ints (no telescoping, so
+    it is independent of the production S2 identity) and asserts the
+    probe really crosses the ceiling before comparing rho."""
+    import math
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        spearman_over_uv_counts,
+    )
+
+    K, M = 2000, 1000  # 2000 (us, value) groups x 1000 rows = 2e6 rows
+    groups = [
+        (us, float((us * 7919 + 13) % 97), M) for us in range(K)
+    ]  # non-monotone values, heavy ties (97 distinct values)
+
+    # exact-integer reference: x2 ranks 2·1..2·n in (us, value) order,
+    # summed square-by-square; y2 = min+max row_number over each value
+    # tie group in value order.
+    n = sx = sxx = sy = syy = sxy = 0
+    p = 0
+    y2_of = {}
+    cum = 0
+    for v in sorted({v for _, v, _ in groups}):
+        mv = sum(m for _, gv, m in groups if gv == v)
+        y2_of[v] = (cum + 1) + (cum + mv)  # min rank + max rank
+        cum += mv
+    for us, v, m in sorted(groups):
+        y2 = y2_of[v]
+        for j in range(p + 1, p + m + 1):
+            x2 = 2 * j
+            sx += x2
+            sxx += x2 * x2
+            sxy += x2 * y2
+        sy += m * y2
+        syy += m * y2 * y2
+        p += m
+        n += m
+    assert sxx > 2**63 - 1, "probe must cross the int64 ceiling"
+    num = n * sxy - sx * sy
+    den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    want = float(num) / den
+
+    counts = spark.createDataFrame(
+        [("hot", us, v, m) for us, v, m in groups],
+        "event_type string, us long, value double, m long",
+    )
+    row = spearman_over_uv_counts(counts).first()
+    assert row.n == n == K * M
+    assert row.spearman_rho == row.spearman_rho  # no NaN from a wrap
+    assert abs(row.spearman_rho - want) < 1e-9
+    assert -1.0 <= row.spearman_rho <= 1.0
+
+
 def test_cusum_planted_level_shift(spark):
     """Hand-built level shift: hours 0-9 at 1.00/hr, hours 10-19 at
     2.00/hr — the deviation walk bottoms at hour 9 (the last pre-shift
