@@ -1302,13 +1302,16 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d0 AS (
       SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0 FROM events
     ), moments AS (
+      -- int128 sums/products mirror the Spark side's DECIMAL(38,0):
+      -- n*sxx ~ n^2 * cents^2 wraps int64 at ~21x the sf0.1 events
+      -- volume (measured 2e16 at sf0.1), far below the 100x bar
       SELECT event_type,
              count(*) AS n,
-             CAST(sum(cents) AS BIGINT)        AS sx,
-             CAST(sum(day)  AS BIGINT)         AS sy,
-             CAST(sum(cents * cents) AS BIGINT) AS sxx,
-             CAST(sum(day * day) AS BIGINT)     AS syy,
-             CAST(sum(cents * day) AS BIGINT)   AS sxy
+             sum(CAST(cents AS HUGEINT))         AS sx,
+             sum(CAST(day AS HUGEINT))           AS sy,
+             sum(CAST(cents AS HUGEINT) * cents) AS sxx,
+             sum(CAST(day AS HUGEINT) * day)     AS syy,
+             sum(CAST(cents AS HUGEINT) * day)   AS sxy
       FROM (
         SELECT event_type,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
@@ -1345,10 +1348,12 @@ def corr_value_day_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine- and order-dependent (the reason this query doesn't use
     them; a plain F.corr is available when parity isn't needed).
 
-    Scale note: the n*sxx term bounds int64 headroom at ~2M rows per
-    group for 5-digit cents; beyond that, widen the moment casts to
-    DECIMAL(38,0) (ANSI mode fails loudly at the boundary rather than
-    wrapping)."""
+    Scale note (widened r12): the n*sxx product is ~n² * cents² — it
+    measured 2e16 at sf0.1 and wraps int64 at ~21× that volume, well
+    below the brief's 100× bar — so the quadratic moment sums and the
+    n*s products run in DECIMAL(38,0) (oracle: HUGEINT), exact to
+    ~n ~ 2e13 rows/group. The converted doubles are unchanged: each
+    exact integer converts round-to-nearest in both engines."""
     ev = load_table(spark, sf_dir, "events")
     d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -1356,17 +1361,25 @@ def corr_value_day_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.crossJoin(F.broadcast(d0)).select(
         "event_type", cents.alias("cents"), day.alias("day")
     )
+    dec = "decimal(38,0)"
     m = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("cents").alias("sx"),
-        F.sum("day").alias("sy"),
-        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
-        F.sum(F.col("day") * F.col("day")).alias("syy"),
-        F.sum(F.col("cents") * F.col("day")).alias("sxy"),
+        F.sum(F.col("cents").cast(dec)).alias("sx"),
+        F.sum(F.col("day").cast(dec)).alias("sy"),
+        F.sum((F.col("cents").cast(dec) * F.col("cents")).cast(dec)).alias(
+            "sxx"
+        ),
+        F.sum((F.col("day").cast(dec) * F.col("day")).cast(dec)).alias(
+            "syy"
+        ),
+        F.sum((F.col("cents").cast(dec) * F.col("day")).cast(dec)).alias(
+            "sxy"
+        ),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nn = F.col("n").cast(dec)
+    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dxx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dyy = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return m.select(
         "event_type",
         "n",
@@ -1589,9 +1602,11 @@ def hilbert_events_row_preservation(spark: SparkSession, sf_dir: str) -> DataFra
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
     ), m AS (
+      -- int128 moments mirror the Spark side's DECIMAL(38,0): n*sxx
+      -- and sx*sx wrap int64 at ~21x the sf0.1 events volume
       SELECT event_type, count(*) AS n,
-             CAST(sum(cents) AS BIGINT) AS sx,
-             CAST(sum(cents * cents) AS BIGINT) AS sxx
+             sum(CAST(cents AS HUGEINT)) AS sx,
+             sum(CAST(cents AS HUGEINT) * cents) AS sxx
       FROM b GROUP BY event_type
     )
     SELECT b.event_id, b.event_type, b.value,
@@ -1621,20 +1636,28 @@ def zscore_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd groupBy down to 5 rows, pass 2 joins those 5 rows
     back by broadcast, keeping scoring map-side. A window over
     partitionBy(event_type) would instead funnel the whole corpus
-    through 5 reducers (the skew worst-case). int64 headroom: n*sxx
-    caps at ~2M rows/group for 5-digit cents — widen to
-    DECIMAL(38,0) beyond that (same note as the corr query)."""
+    through 5 reducers (the skew worst-case). Moments widened r12: the
+    n*sxx and sx² products are ~n² * cents² and wrap int64 at ~21× the
+    sf0.1 events volume (below the 100× bar), so they run in
+    DECIMAL(38,0) (oracle: HUGEINT), exact to ~2e13 rows/group; the
+    per-row numerator cents*n - sx stays int64, which binds only past
+    ~1.6e14 rows/group (|cents| <= ~6e4)."""
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    dec = "decimal(38,0)"
     base = ev.select("event_id", "event_type", "value", cents.alias("cents"))
     m = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("cents").alias("sx"),
-        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("cents").cast(dec)).alias("sx"),
+        F.sum((F.col("cents").cast(dec) * F.col("cents")).cast(dec)).alias(
+            "sxx"
+        ),
     )
     # zero-variance types are excluded BEFORE the division: no outliers
     # by definition, and under ANSI mode 0/0 would throw
-    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_num = (
+        F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
     j = base.join(F.broadcast(m), "event_type").where(var_num > 0)
     num = (F.col("cents") * F.col("n") - F.col("sx")).cast("double")
     den = F.sqrt(var_num.cast("double"))
