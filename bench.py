@@ -20,6 +20,15 @@ Each query is fully materialized through the noop batch sink
 and handed to the writer, so projection-only queries can't have their
 computed columns pruned the way they would under ``df.count()`` — the
 measured time includes scan, shuffles, AND per-row expression work.
+
+Contention-proofing (r12): all timing loops interleave their trials as
+full passes over the query list (per-query min across passes taken
+minutes apart, instead of back-to-back best-of-2 that sits entirely
+inside a contention burst), the headline gets three passes, and a fixed
+CPU-bound sentinel job is timed at every headline pass boundary with its
+per-pass times recorded INSIDE the final headline JSON — so a contended
+run is diagnosable from BENCH_rN.json alone (sentinel drift > ~1.3x)
+without the post-hoc isolated re-runs rounds 5/10/11 needed.
 """
 
 from __future__ import annotations
@@ -54,6 +63,18 @@ BENCH_QUERIES = [
 ]
 
 
+def _sentinel_sec(spark) -> float:
+    """Fixed CPU-bound probe (~0.3-0.5 s on an idle local[32]): one
+    whole-stage-codegen sum over a literal range — no disk, no shuffle,
+    no data dependence — so run-to-run variation measures HOST
+    CONTENTION, not the workload. Recorded per pass in the headline
+    JSON; the contention forensics of r5/r10/r11 read this instead of
+    re-running the bench."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -72,22 +93,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warm the JVM/catalog once so q1 doesn't pay session startup.
+    # Warm the JVM/catalog once so q1 doesn't pay session startup, and
+    # the sentinel once so its pass-1 time measures contention, not its
+    # own codegen compilation (~0.6 s first-call cost observed).
     qs["tpch_q6_revenue_forecast"](spark, sf_dir).collect()
+    _sentinel_sec(spark)
 
-    # Steady-state timing: two runs per query, report the best — the
-    # first run pays one-time plan compilation + codegen (~2-4 s for the
-    # many-stage LSH pipelines), which amortizes to zero on real
-    # workloads.
+    # Contention-proof timing (r12 — the r5/r10/r11 driver numbers were
+    # each inflated by host contention and needed README forensics):
+    #  * trials are INTERLEAVED as full passes over the query list, not
+    #    back-to-back — a minutes-long contention burst lands inside one
+    #    pass and the per-query min across passes escapes it, where
+    #    back-to-back best-of-2 sat entirely inside the burst;
+    #  * three passes, so the min survives one noisy pass with margin
+    #    (pass 1 also absorbs one-time plan compilation/codegen);
+    #  * a fixed CPU-bound sentinel job runs at each pass boundary and
+    #    its per-pass times ship INSIDE the headline JSON — drift >
+    #    ~1.3x between passes is the contention signature, visible in
+    #    BENCH_rN.json itself instead of needing a post-hoc re-run.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _trial in range(2):
-            t0 = time.time()
+    sentinel: list[float] = []
+    for _pass in range(3):
+        sentinel.append(round(_sentinel_sec(spark), 3))
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    sentinel.append(round(_sentinel_sec(spark), 3))
+    timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
     # SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 skips the extras blocks — an
     # isolation mode for re-measuring the 14 headline queries without
@@ -121,6 +157,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # per-pass times of a fixed CPU-bound job (see _sentinel_sec):
+        # drift quantifies how contended the host was DURING this run,
+        # so an inflated headline is diagnosable from the artifact alone
+        "sentinel": {
+            "passes": sentinel,
+            "drift": round(max(sentinel) / max(min(sentinel), 1e-9), 2),
+        },
     }
     # Durable full record first: headline + all extras to a repo-root file
     # the judge can read even when stdout is tail-truncated.
@@ -445,19 +488,27 @@ def _bench_logistic_train(spark, sf_dir: str) -> dict:
 
 
 def _bench_new_ops(spark, sf_dir: str, qs) -> dict:
-    out = {}
-    for name in NEW_OP_QUERIES:
-        try:
-            best = float("inf")
-            for _trial in range(1 if name in SINGLE_TRIAL else 2):
-                t0 = time.time()
+    # Trials interleaved as two full passes (r12, same rationale as the
+    # headline loop): a contention burst inflates one pass, and the
+    # per-query min across passes — taken minutes apart — escapes it.
+    best: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for _pass in range(2):
+        for name in NEW_OP_QUERIES:
+            if name in failed or (_pass and name in SINGLE_TRIAL):
+                continue
+            try:
+                t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.time() - t0)
-            out[f"{name}_sec"] = round(best, 3)
-        except Exception as e:  # pragma: no cover - never break the headline
-            out[f"{name}_sec"] = f"error: {str(e)[:120]}"
+                dt = time.perf_counter() - t0
+                if name not in best or dt < best[name]:
+                    best[name] = dt
+            except Exception as e:  # pragma: no cover - never break headline
+                failed[name] = f"error: {str(e)[:120]}"
+    out: dict = {f"{n}_sec": round(t, 3) for n, t in best.items()}
+    out.update({f"{n}_sec": msg for n, msg in failed.items()})
     return out
 
 
@@ -529,15 +580,16 @@ def _bench_sf1(spark, sf_dir: str, k: int = 10) -> dict:
         replicate(spark, k, dest)
         qs = all_queries()
         timings: dict[str, float] = {}
-        for name in SF1_QUERIES:
-            best = float("inf")
-            for _trial in range(2):
-                t0 = time.time()
+        for _pass in range(2):  # interleaved passes, same as headline
+            for name in SF1_QUERIES:
+                t0 = time.perf_counter()
                 qs[name](spark, dest).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+                dt = time.perf_counter() - t0
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+        timings = {n: round(t, 3) for n, t in timings.items()}
         return {
             "sf1": {
                 "replication_of_sf0.1": k,
