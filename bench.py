@@ -312,6 +312,8 @@ NEW_OP_QUERIES = [
     "benford_value_audit",
     "spearman_trend_per_type",
     "cramers_v_type_weekday",
+    # round-12 additions
+    "unigram_frozen_viterbi_stats",
 ]
 
 

@@ -242,3 +242,99 @@ def tokenize_vocab(vocab: DataFrame, model: dict[str, int]) -> DataFrame:
     return vocab.select("word", "freq").mapInPandas(
         seg, schema="word string, freq long, pieces array<string>"
     )
+
+
+SEP = "\x01"  # joined-pieces tie-break separator: below every corpus
+# byte, so byte-wise comparison of the joined string equals tuple
+# comparison of the piece sequence (equal k => equal joined lengths,
+# so no prefix ambiguity); DuckDB compares VARCHARs byte-wise and
+# Python by code point — identical orders over UTF-8
+
+
+def viterbi_segment_ratio(
+    word: str, model: dict[str, int], total: int
+) -> tuple[str, ...]:
+    """Division-scored Viterbi twin of ``viterbi_segment`` — the
+    SQL-replayable member of the pair: the score is prod(c_i/total)
+    accumulated left-to-right in IEEE doubles (ONE division per model
+    piece, ONE multiply per DP edge), and the argmax key is
+    (-score, k, SEP-joined pieces) compared exactly — precisely the
+    chain the DuckDB oracle's recursive CTE replays, so the chosen
+    segmentation is bit-identical cross-engine (the LM-fluency
+    division-only precedent; ln() would not be bit-portable). Long
+    words can underflow the double score to 0.0 — identically in both
+    engines — after which the k/pieces tie-breaks still give a unique
+    deterministic argmax. The big-int ``viterbi_segment`` remains the
+    exact-argmax member (no rounding ever); this one exists so a
+    FROZEN model's segmentation can be hash-oracled."""
+    n = len(word)
+    max_len = max(map(len, model)) if model else 1
+    ratio = {p: c / total for p, c in model.items()}
+    # best[j]: (key, score) with key = (-score, k, joined) for word[:j]
+    best: list[tuple[tuple[float, int, str], float] | None] = [
+        None
+    ] * (n + 1)
+    best[0] = ((-1.0, 0, ""), 1.0)
+    for j in range(1, n + 1):
+        top: tuple[tuple[float, int, str], float] | None = None
+        for length in range(1, min(max_len, j) + 1):
+            prev = best[j - length]
+            piece = word[j - length : j]
+            r = ratio.get(piece)
+            if r is None or prev is None:
+                continue
+            (_, pk, pp), ps = prev
+            s = ps * r
+            joined = piece if pp == "" else pp + SEP + piece
+            key = (-s, pk + 1, joined)
+            if top is None or key < top[0]:
+                top = (key, s)
+        best[j] = top
+    if best[n] is None:
+        raise ValueError(f"word {word!r} has characters outside the model")
+    return tuple(best[n][0][2].split(SEP))
+
+
+def frozen_piece_stats(vocab: DataFrame) -> DataFrame:
+    """(piece, piece_len, n_words, corpus_count) under the FROZEN seed
+    model (EM round 0) with division-scored Viterbi — the hash-oracled
+    half of the unigram-LM family: the seed model is pure relational
+    algebra (substring counts, top-``SEED_SIZE`` multi-char + all
+    chars) and the segmentation chain is SQL-replayable (see
+    ``viterbi_segment_ratio``), so DuckDB reproduces every piece row
+    bit-for-bit where the EM-trained ``piece_stats`` cannot be
+    (arbitrary-precision argmax + iterative M-steps — the impossibility
+    note lives in SURVEY §8). Same distributed shape as piece_stats:
+    seeding is one substring partial agg + two bounded collects; the
+    segmentation is Arrow-batched Python over the VOCABULARY only."""
+    model = seed_pieces(vocab)
+    items = sorted(model.items())
+
+    def seg(batches):
+        m = dict(items)
+        total = sum(m.values())
+        for b in batches:
+            out = [
+                (w, int(f), list(viterbi_segment_ratio(w, m, total)))
+                for w, f in zip(b["word"], b["freq"])
+            ]
+            yield pd.DataFrame(out, columns=["word", "freq", "pieces"])
+
+    seged = vocab.select("word", "freq").mapInPandas(
+        seg, schema="word string, freq long, pieces array<string>"
+    )
+    return (
+        seged.select("word", "freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").alias("corpus_count"),
+        )
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "n_words",
+            "corpus_count",
+        )
+        .orderBy("piece")
+    )

@@ -3325,3 +3325,104 @@ def unigram_lm_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return piece_stats(pin(word_vocab(d), site="uni.vocab"))
+
+
+@query(
+    "unigram_frozen_viterbi_stats",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+      FROM documents
+    ), vocab AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM words WHERE word <> '' GROUP BY word
+    ), subs AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT v.freq,
+               unnest(flatten(list_transform(range(1, length(v.word) + 1),
+                 i -> list_transform(
+                        range(1, least(6, length(v.word) - i + 1) + 1),
+                        l -> v.word[i : i + l - 1])))) AS piece
+        FROM vocab v
+      ) GROUP BY piece
+    ), model AS MATERIALIZED (
+      SELECT piece, n FROM (
+        SELECT piece, n FROM subs WHERE length(piece) > 1
+        ORDER BY n DESC, piece LIMIT 256
+      )
+      UNION ALL
+      SELECT piece, n FROM subs WHERE length(piece) = 1
+    ), tot AS MATERIALIZED (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM model
+    ), dp AS (
+      -- per-word Viterbi DP: one row per (word, prefix length j),
+      -- carrying the whole best-array as a list of structs so each
+      -- recursion step can reach positions j-5..j (a recursive CTE's
+      -- working set is only the previous iteration). 'ns' is the
+      -- NEGATED double score (min(struct) = lexicographic, so the
+      -- minimal struct is max score, then fewest pieces, then the
+      -- chr(1)-joined piece string byte-wise — exactly the Python
+      -- operator's argmax key in viterbi_segment_ratio).
+      SELECT v.word, v.freq, 0 AS j,
+             [{'ns': CAST(-1.0 AS DOUBLE), 'k': 0, 'p': ''}] AS bests
+      FROM vocab v
+      UNION ALL
+      SELECT word, freq, j + 1, list_append(bests, nb) FROM (
+        SELECT d.word, d.freq, d.j,
+               any_value(d.bests) AS bests,
+               min({'ns': d.bests[d.j + 2 - l.l]['ns']
+                          * (CAST(m.n AS DOUBLE) / t.t),
+                    'k': d.bests[d.j + 2 - l.l]['k'] + 1,
+                    'p': CASE WHEN d.bests[d.j + 2 - l.l]['p'] = ''
+                              THEN m.piece
+                              ELSE d.bests[d.j + 2 - l.l]['p']
+                                   || chr(1) || m.piece END}) AS nb
+        FROM dp d
+        CROSS JOIN tot t
+        JOIN (SELECT unnest(range(1, 7)) AS l) l ON l.l <= d.j + 1
+        JOIN model m ON m.piece = d.word[d.j + 2 - l.l : d.j + 1]
+        WHERE d.j < length(d.word)
+        GROUP BY d.word, d.freq, d.j
+      )
+    ), finals AS (
+      SELECT word, freq,
+             unnest(string_split(bests[length(word) + 1]['p'], chr(1)))
+               AS piece
+      FROM dp WHERE j = length(word)
+    )
+    SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS corpus_count
+    FROM finals GROUP BY piece ORDER BY piece
+    """,
+)
+def unigram_frozen_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus piece statistics under the FROZEN unigram seed model (EM
+    round 0) with division-scored Viterbi segmentation — the
+    hash-oracled half of the unigram-LM family (r12, closing the r11
+    verdict's open question): the seed model is pure relational algebra
+    (frequency-weighted substring counts, top-256 multi-char pieces by
+    (count desc, piece asc) plus every single character), and the
+    segmentation scores prod(c_i/T) in IEEE doubles with ONE division
+    per model piece and ONE multiply per DP edge, ties broken by fewer
+    pieces then the byte-wise-smaller joined piece string — a chain the
+    DuckDB oracle replays exactly via a recursive-CTE lattice DP (the
+    LM-fluency division-only precedent; see
+    operators/unigram_lm.py::viterbi_segment_ratio). The EM-trained
+    query (``unigram_lm_piece_stats``) stays rows-only by nature — its
+    argmax needs arbitrary-precision integer comparison across
+    iterative M-steps, which SQL cannot replay (SURVEY §8) — so this
+    pair covers the family: frozen half hash-proven cross-engine,
+    trained half pytest-proven against a sequential twin.
+
+    Shape at 100 TB: identical to piece_stats — the corpus collapses
+    to the (word, freq) vocabulary in ONE shuffle, seeding is one
+    substring partial agg + two bounded collects (256 + alphabet),
+    and the segmentation is Arrow-batched Python over the VOCABULARY
+    only; the oracle's recursive DP is the sf-small replay, not the
+    production plan."""
+    from ..operators.unigram_lm import frozen_piece_stats, word_vocab
+    from ..pin import pin
+
+    d = load_table(spark, sf_dir, "documents")
+    return frozen_piece_stats(pin(word_vocab(d), site="uni.frozen.vocab"))

@@ -192,3 +192,96 @@ def test_registered_query_shape_and_coverage(spark):
         .first()[0]
     )
     assert sum(r.corpus_count for r in rows) >= n_tokens
+
+
+def _ref_frozen_stats(corpus_texts):
+    """Sequential reference of the r12 frozen-model double-Viterbi piece
+    stats (full defaults: max_piece_len=6, seed_size=256): substring
+    seed model, prod(c/T)-in-doubles Viterbi with the
+    (-score, k, joined) key, per-piece (n_words, corpus_count)."""
+    from databricks_end_to_end_streaming_spark.operators.unigram_lm import (
+        SEP,
+    )
+
+    vocab = Counter(w for t in corpus_texts for w in t.split())
+    subs = Counter()
+    for w, f in vocab.items():
+        for i in range(len(w)):
+            for ln in range(1, min(6, len(w) - i) + 1):
+                subs[w[i : i + ln]] += f
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:256]
+    model = dict(multi)
+    model.update({p: c for p, c in subs.items() if len(p) == 1})
+    total = sum(model.values())
+
+    def vit(word):
+        best = [None] * (len(word) + 1)
+        best[0] = ((-1.0, 0, ""), 1.0)
+        for j in range(1, len(word) + 1):
+            top = None
+            for ln in range(1, min(6, j) + 1):
+                p = word[j - ln : j]
+                c = model.get(p)
+                prev = best[j - ln]
+                if c is None or prev is None:
+                    continue
+                (_, pk, pp), ps = prev
+                s = ps * (c / total)
+                joined = p if pp == "" else pp + SEP + p
+                key = (-s, pk + 1, joined)
+                if top is None or key < top[0]:
+                    top = (key, s)
+            best[j] = top
+        return best[len(word)][0][2].split(SEP)
+
+    stats = {}
+    for w, f in vocab.items():
+        pieces = vit(w)
+        for p in pieces:
+            ws, cc = stats.get(p, (set(), 0))
+            ws.add(w)
+            stats[p] = (ws, cc + f)
+    return sorted(
+        (p, len(p), len(ws), cc) for p, (ws, cc) in stats.items()
+    )
+
+
+def test_frozen_viterbi_stats_match_reference_exactly(spark):
+    """The r12 hash-oracled frozen-model variant vs a fully sequential
+    reimplementation, on a corpus with a 200-char word that drives the
+    double score deep toward underflow territory and repeated-substring
+    tie bait ('abababab...') — bit-for-bit equality of every row."""
+    from databricks_end_to_end_streaming_spark.operators.unigram_lm import (
+        frozen_piece_stats,
+    )
+
+    corpus = CORPUS + [
+        "ab" * 100 + " " + "banana bandana " * 3,
+        "x" * 37 + " mississippi " + "ab" * 100,
+    ]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["piece"], r["piece_len"], r["n_words"], r["corpus_count"])
+        for r in frozen_piece_stats(word_vocab(docs))
+        .orderBy("piece")
+        .collect()
+    ]
+    assert got == _ref_frozen_stats(corpus)
+
+
+def test_viterbi_ratio_reassembles_and_tie_breaks():
+    from databricks_end_to_end_streaming_spark.operators.unigram_lm import (
+        viterbi_segment_ratio,
+    )
+
+    model = {"a": 5, "b": 5, "ab": 100, "ba": 1}
+    assert viterbi_segment_ratio("abab", model, sum(model.values())) == (
+        "ab",
+        "ab",
+    )
+    # all-equal counts: score ties at every split -> fewer pieces wins
+    model = {"a": 2, "b": 2, "ab": 2, "abab": 2}
+    assert viterbi_segment_ratio("abab", model, 8) == ("abab",)
