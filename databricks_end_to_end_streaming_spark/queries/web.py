@@ -589,20 +589,26 @@ DOMAIN_QUOTA = 8  # max docs kept per normalized domain
 @query(
     "domain_quota_cap",
     oracle=f"""
-    WITH u AS ({_URL_SQL}),
+    WITH u AS ({_URL_PSL_SQL}),
     d AS (
-      SELECT doc_id, text, {_NORM_DOMAIN_SQL} AS domain,
+      SELECT doc_id, {_NORM_DOMAIN_SQL} AS domain,
              CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
                AS n_tokens
       FROM u
     ),
+    doms AS (SELECT DISTINCT domain FROM d),{psl_match_sql('doms')},
+    dd AS (
+      SELECT d.doc_id, d.n_tokens,
+             COALESCE(p.reg_domain_psl, d.domain) AS reg_domain
+      FROM d LEFT JOIN psl p USING (domain)
+    ),
     r AS (
       SELECT *, row_number() OVER (
-        PARTITION BY domain ORDER BY n_tokens DESC, doc_id
+        PARTITION BY reg_domain ORDER BY n_tokens DESC, doc_id
       ) AS rn
-      FROM d
+      FROM dd
     )
-    SELECT domain,
+    SELECT reg_domain,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN rn <= {DOMAIN_QUOTA} THEN 1 ELSE 0 END)
              AS BIGINT) AS n_kept,
@@ -612,36 +618,59 @@ DOMAIN_QUOTA = 8  # max docs kept per normalized domain
              AS BIGINT) AS tokens_kept,
            CAST(sum(CASE WHEN rn > {DOMAIN_QUOTA} THEN n_tokens ELSE 0 END)
              AS BIGINT) AS tokens_dropped
-    FROM r GROUP BY domain
+    FROM r GROUP BY reg_domain
     """,
 )
 def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain quota capping (the C4/RefinedWeb anti-concentration
-    stage): keep at most DOMAIN_QUOTA documents per normalized domain,
-    preferring longer documents (deterministic tie-break on doc_id), and
-    account for what the cap keeps vs drops — without a quota, a handful
-    of template-heavy hosts dominate a crawl-scale corpus.
+    """Per-REGISTERED-domain quota capping (the C4/RefinedWeb
+    anti-concentration stage): keep at most DOMAIN_QUOTA documents per
+    PSL eTLD+1 (r12 — previously per normalized host, which lets one
+    registrant evade the cap by minting subdomains: blog1.spam.co.uk
+    and blog2.spam.co.uk must SHARE a quota, while the last-two-labels
+    heuristic would instead merge every .co.uk host into one bucket).
+    Longer documents win the quota (deterministic tie-break on doc_id);
+    the output accounts for what the cap keeps vs drops. Runs over the
+    PSL host mix (with_url_psl) so multi-label suffixes, the
+    *.kawasaki.jp wildcard, and the !city.kawasaki.jp exception are in
+    the hash-compared data every round. (The curation funnel's quota
+    stage stays per-host over the plain URL corpus — its stage
+    semantics are documented there.)
 
-    100 TB shape: ONE window partitioned by domain (domain-sized
-    partitions; a pathological mega-domain is an AQE skew split) feeding
-    ONE partial-agg'd rollup on the same domain key — the sort Spark
-    plants for the window is reused, so the whole stage is a single
-    exchange. Returning the per-domain accounting rather than the kept
-    rows keeps the query's output corpus-size-free; the kept-rows
-    projection is the same plan minus the rollup."""
-    d = with_url(load_table(spark, sf_dir, "documents")).select(
+    100 TB shape: the PSL match runs on the DISTINCT-domain relation
+    (domain-sized) against the broadcast rules dim; the doc-side attach
+    broadcasts the (domain, reg_domain) result — a dimension keyed by
+    distinct hosts, orders of magnitude below docs. Then ONE window
+    partitioned by reg_domain (a pathological mega-registrant is an AQE
+    skew split) feeding ONE partial-agg'd rollup on the same key — the
+    sort Spark plants for the window is reused, so the whole stage is a
+    single exchange. Returning the per-domain accounting rather than
+    the kept rows keeps the query's output corpus-size-free; the
+    kept-rows projection is the same plan minus the rollup."""
+    from ..operators.psl import psl_registered_domains, psl_rules_df
+
+    d = with_url_psl(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         norm_domain().alias("domain"),
         F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tokens"),
     )
+    psl = psl_registered_domains(
+        d.select("domain").distinct(), psl_rules_df(spark)
+    )
+    dd = d.join(
+        F.broadcast(psl.select("domain", "reg_domain_psl")), "domain", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("reg_domain_psl", "domain").alias("reg_domain"),
+    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("domain").orderBy(
+    w = Window.partitionBy("reg_domain").orderBy(
         F.col("n_tokens").desc(), "doc_id"
     )
-    r = d.withColumn("rn", F.row_number().over(w))
+    r = dd.withColumn("rn", F.row_number().over(w))
     kept = F.col("rn") <= DOMAIN_QUOTA
-    return r.groupBy("domain").agg(
+    return r.groupBy("reg_domain").agg(
         F.count("*").alias("n_docs"),
         F.sum(kept.cast("long")).alias("n_kept"),
         F.sum((~kept).cast("long")).alias("n_dropped"),

@@ -150,23 +150,40 @@ def test_html_extraction_plan_map_only(spark, workdir):
 
 
 def test_domain_quota_cap_planted(spark, workdir):
-    """One domain over quota (drops the SHORTEST docs), one under (keeps
-    all), exact token accounting on both sides of the cap."""
+    """r12 PSL semantics: the quota is per REGISTERED domain, so
+    srca.example.co.uk and srcb.example.co.uk SHARE one
+    example.co.uk bucket (the subdomain-minting evasion the per-host
+    cap allowed), while the last-two-labels heuristic would have
+    bucketed them as bare co.uk. One reg_domain over quota (drops the
+    SHORTEST docs), one under; exact token accounting; the PSL attach
+    must stay a broadcast join."""
     from databricks_end_to_end_streaming_spark.queries.web import (
         DOMAIN_QUOTA,
         domain_quota_cap,
     )
 
-    # srcA: DOMAIN_QUOTA + 3 docs, same parity so one domain; doc i has
-    # i+1 tokens -> the 3 dropped are the 3 shortest (1,2,3 tokens).
+    # ids = 11k (k=1..DOMAIN_QUOTA+3, none hitting the %17/%19 kawasaki
+    # branches) land on .example.co.uk; alternating sources give TWO
+    # distinct hosts under ONE registered domain. Doc i has i+1 tokens
+    # -> the 3 dropped are the 3 shortest (1, 2, 3 tokens).
     over = [
-        (2 * i, " ".join(["w"] * (i + 1)), "en", "srcA", 1)
+        (
+            11 * (i + 1),
+            " ".join(["w"] * (i + 1)),
+            "en",
+            "srcA" if i % 2 else "srcB",
+            1,
+        )
         for i in range(DOMAIN_QUOTA + 3)
     ]
-    under = [(101, "a b", "en", "srcB", 1), (103, "c", "en", "srcB", 1)]
+    assert all(i % 17 and i % 19 for i, *_ in over)
+    # plain-.com pair: different hosts (srcc/srcd.example.com), same
+    # registered domain example.com, under quota
+    under = [(2, "a b", "en", "srcC", 1), (4, "c", "en", "srcD", 1)]
     sf = _write_docs(spark, workdir, over + under)
-    out = {r.domain: r for r in domain_quota_cap(spark, sf).collect()}
-    a = next(v for k, v in out.items() if "srca" in k)
+    out = {r.reg_domain: r for r in domain_quota_cap(spark, sf).collect()}
+    assert "co.uk" not in out  # the heuristic's wrong bucket
+    a = out["example.co.uk"]
     assert (a.n_docs, a.n_kept, a.n_dropped) == (
         DOMAIN_QUOTA + 3,
         DOMAIN_QUOTA,
@@ -174,8 +191,17 @@ def test_domain_quota_cap_planted(spark, workdir):
     )
     assert a.tokens_dropped == 1 + 2 + 3
     assert a.tokens_kept == sum(range(4, DOMAIN_QUOTA + 4))
-    b = next(v for k, v in out.items() if "srcb" in k)
+    b = out["example.com"]
     assert (b.n_kept, b.n_dropped, b.tokens_kept) == (2, 0, 3)
+    plan = (
+        domain_quota_cap(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the PSL rules dim AND the (domain -> reg_domain) attach both
+    # broadcast — the quota must not shuffle the corpus by host
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_curation_funnel_monotone_and_consistent(spark, workdir):
