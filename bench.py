@@ -529,6 +529,16 @@ SF1_QUERIES = [
     "kcore_decomposition",
     "winnowing_overlap_pairs",
     "ccnet_perplexity_buckets",
+    # r12: the r11/r12 statistics family at 10x events (VERDICT r11
+    # task 7) — all single partial-agg/window shapes that should grow
+    # ~linearly or better; spearman/corr additionally prove the r12
+    # DECIMAL(38,0) widenings don't cost wall at scale
+    "spearman_trend_per_type",
+    "cusum_level_shift_per_type",
+    "durbin_watson_hourly_per_type",
+    "robust_value_stats_per_type",
+    "cramers_v_type_weekday",
+    "corr_value_day_per_type",
 ]
 
 

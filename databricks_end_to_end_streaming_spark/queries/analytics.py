@@ -3408,7 +3408,17 @@ def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-def _kcore_oracle(iters: int = 24) -> str:
+# ONE constant feeds BOTH the oracle's unroll depth and the Spark
+# operator's max_iters at the registered call site (r11 ADVICE): a
+# graph converging in more rounds than the unroll now raises the
+# operator's loud RuntimeError on the Spark side instead of passing
+# there while the oracle's in-SQL convergence guard yields zero rows
+# (a confusing value FAIL). Measured convergence on the testdata
+# graphs: 18 / 12 / 10 rounds at sf0.001 / 0.01 / 0.1.
+KCORE_ORACLE_ITERS = 24
+
+
+def _kcore_oracle(iters: int = KCORE_ORACLE_ITERS) -> str:
     """DuckDB replay of ``kcore_decomposition``: the h-index iteration
     unrolled as chained MATERIALIZED CTEs (the PageRank r4 pattern —
     DuckDB inlines CTEs by default and each step references its
@@ -3500,7 +3510,12 @@ def kcore_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     edges = pin(copurchase_mutual_knn_edges(li))
-    return kcore_decomposition(edges).orderBy("node")
+    # max_iters == the oracle's unroll depth, from ONE constant: past
+    # it the Spark side raises loudly rather than diverging from a
+    # zero-row oracle (r11 ADVICE)
+    return kcore_decomposition(edges, max_iters=KCORE_ORACLE_ITERS).orderBy(
+        "node"
+    )
 
 
 def _content_hash60() -> F.Column:

@@ -192,11 +192,14 @@ JW_THRESHOLD = 0.85
 # 3*((JW_THRESHOLD - 0.4)/0.6) - 2 implied by the threshold is >= 1/4
 # (derivation in the jaro_winkler_part_pairs docstring). Guard the
 # coupling so lowering the threshold without widening the filter fails
-# at import, not as silent recall loss.
-assert 3 * ((JW_THRESHOLD - 0.4) / 0.6) - 2 >= 0.25 - 1e-12, (
-    "JW_THRESHOLD dropped below 0.85: the 4*min >= max length filter "
-    "in jw_name_candidates is no longer recall-free — widen it"
-)
+# at import, not as silent recall loss. An explicit raise, not assert:
+# `python -O` compiles asserts out and the guard must survive optimized
+# runs (r11 ADVICE).
+if not 3 * ((JW_THRESHOLD - 0.4) / 0.6) - 2 >= 0.25 - 1e-12:
+    raise ValueError(
+        "JW_THRESHOLD dropped below 0.85: the 4*min >= max length filter "
+        "in jw_name_candidates is no longer recall-free — widen it"
+    )
 
 def jw_name_candidates(names: DataFrame) -> DataFrame:
     """Dictionary-level JW candidate pairs: token-blocked (must share a
@@ -204,7 +207,19 @@ def jw_name_candidates(names: DataFrame) -> DataFrame:
     length-ratio bound 4*min(ls,lt) >= max(ls,lt) (derivation in the
     jaro_winkler_part_pairs docstring). Shared by the query and the
     dictionary-scaling probe (tools/jw_dict_probe.py) so the probe
-    counts exactly the relation the query scores."""
+    counts exactly the relation the query scores.
+
+    PRODUCTION CAVEAT (r11 ADVICE): unlike the length-ratio prune,
+    whole-token blocking is only EMPIRICALLY recall-free — the
+    all-pairs oracle re-proves it per corpus each round, because this
+    corpus's near-threshold name pairs always share a whole token
+    (multi-word part names). On a dictionary of single-token names, a
+    qualifying typo pair that shares NO whole token (e.g.
+    'chocolate'/'chocolat') is silently dropped. For such corpora add
+    a secondary block — first-k-prefix (JW's prefix bonus means
+    high-scoring pairs usually share a prefix) or a character-q-gram
+    block (provably recall-free for JW >= 0.85 via the matching-window
+    bound) — as a UNION with this token block before the distinct."""
     tok = names.select(
         "p_name",
         F.explode(
