@@ -70,3 +70,18 @@ def unigram_piece_stats_from_log(
     from ..operators.unigram_lm import piece_stats
 
     return piece_stats(pin(folded_vocab(spark, table, up_to_batch)))
+
+
+def frozen_viterbi_stats_from_log(
+    spark: SparkSession, table: ParquetTable, up_to_batch: int | None = None
+) -> DataFrame:
+    """(piece, piece_len, n_words, corpus_count) under the FROZEN seed
+    model with division-scored Viterbi — the streaming twin of the
+    hash-oracled ``unigram_frozen_viterbi_stats`` (r12), sharing the
+    vocabulary log with the EM twin above: the frozen pipeline is a
+    pure function of the folded (word, freq) vocabulary too (seed model
+    -> double-Viterbi -> stats, all deterministic), so drained == batch
+    bit-for-bit by the same fold-invariance x determinism argument."""
+    from ..operators.unigram_lm import frozen_piece_stats
+
+    return frozen_piece_stats(pin(folded_vocab(spark, table, up_to_batch)))

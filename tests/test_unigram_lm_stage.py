@@ -78,3 +78,36 @@ def test_as_of_view_pins_a_smaller_tokenizer(spark, workdir):
     assert got0 == want0
     full = unigram_piece_stats_from_log(spark, t).collect()
     assert len(full) > len(got0)  # the wider corpus grew the inventory
+
+
+def test_frozen_viterbi_drained_equals_batch_query_and_replays(
+    spark, workdir
+):
+    """The r12 frozen-model twin shares the same vocabulary log: the
+    drained log scored through frozen_piece_stats equals the registered
+    hash-oracled batch query bit-for-bit, and a replayed batch never
+    double-adds."""
+    from databricks_end_to_end_streaming_spark.streaming.unigram_lm_stage import (  # noqa: E501
+        frozen_viterbi_stats_from_log,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    t = ParquetTable(f"{workdir}/unigram_vocab_frozen")
+    stage = vocab_stage(t)
+    slices = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, sl in enumerate(slices):
+        stage(sl, i)
+    got = [
+        tuple(r) for r in frozen_viterbi_stats_from_log(spark, t).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in all_queries()["unigram_frozen_viterbi_stats"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(slices[2], 2)  # replay
+    assert [
+        tuple(r) for r in frozen_viterbi_stats_from_log(spark, t).collect()
+    ] == want
