@@ -314,6 +314,7 @@ NEW_OP_QUERIES = [
     "cramers_v_type_weekday",
     # round-12 additions
     "unigram_frozen_viterbi_stats",
+    "tokenizer_fertility_per_lang",
 ]
 
 

@@ -338,3 +338,30 @@ def frozen_piece_stats(vocab: DataFrame) -> DataFrame:
         )
         .orderBy("piece")
     )
+
+
+def frozen_word_piece_counts(vocab: DataFrame) -> DataFrame:
+    """(word, k): piece count of each distinct word's division-scored
+    Viterbi segmentation under the FROZEN seed model — the word-dim
+    relation fertility metrics join back to per-language frequencies
+    (tokenizer_fertility_per_lang). Same bounded shape as
+    frozen_piece_stats: model collects once (256 + alphabet rows), the
+    segmentation is Arrow-batched Python over the vocabulary only."""
+    model = seed_pieces(vocab)
+    items = sorted(model.items())
+
+    def seg(batches):
+        m = dict(items)
+        total = sum(m.values())
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "word": b["word"],
+                    "k": [
+                        len(viterbi_segment_ratio(w, m, total))
+                        for w in b["word"]
+                    ],
+                }
+            )
+
+    return vocab.select("word").mapInPandas(seg, schema="word string, k long")

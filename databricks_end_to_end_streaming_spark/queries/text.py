@@ -3426,3 +3426,128 @@ def unigram_frozen_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return frozen_piece_stats(pin(word_vocab(d), site="uni.frozen.vocab"))
+
+
+@query(
+    "tokenizer_fertility_per_lang",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+      FROM documents
+    ), vocab AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM words WHERE word <> '' GROUP BY word
+    ), subs AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT v.freq,
+               unnest(flatten(list_transform(range(1, length(v.word) + 1),
+                 i -> list_transform(
+                        range(1, least(6, length(v.word) - i + 1) + 1),
+                        l -> v.word[i : i + l - 1])))) AS piece
+        FROM vocab v
+      ) GROUP BY piece
+    ), model AS MATERIALIZED (
+      SELECT piece, n FROM (
+        SELECT piece, n FROM subs WHERE length(piece) > 1
+        ORDER BY n DESC, piece LIMIT 256
+      )
+      UNION ALL
+      SELECT piece, n FROM subs WHERE length(piece) = 1
+    ), tot AS MATERIALIZED (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM model
+    ), dp AS (
+      -- identical Viterbi lattice DP to unigram_frozen_viterbi_stats
+      -- (see that oracle's comment); only the finalize differs: the
+      -- piece COUNT k per word, not the pieces themselves
+      SELECT v.word, 0 AS j,
+             [{'ns': CAST(-1.0 AS DOUBLE), 'k': 0, 'p': ''}] AS bests
+      FROM vocab v
+      UNION ALL
+      SELECT word, j + 1, list_append(bests, nb) FROM (
+        SELECT d.word, d.j,
+               any_value(d.bests) AS bests,
+               min({'ns': d.bests[d.j + 2 - l.l]['ns']
+                          * (CAST(m.n AS DOUBLE) / t.t),
+                    'k': d.bests[d.j + 2 - l.l]['k'] + 1,
+                    'p': CASE WHEN d.bests[d.j + 2 - l.l]['p'] = ''
+                              THEN m.piece
+                              ELSE d.bests[d.j + 2 - l.l]['p']
+                                   || chr(1) || m.piece END}) AS nb
+        FROM dp d
+        CROSS JOIN tot t
+        JOIN (SELECT unnest(range(1, 7)) AS l) l ON l.l <= d.j + 1
+        JOIN model m ON m.piece = d.word[d.j + 2 - l.l : d.j + 1]
+        WHERE d.j < length(d.word)
+        GROUP BY d.word, d.j
+      )
+    ), wk AS (
+      SELECT word, CAST(bests[length(word) + 1]['k'] AS BIGINT) AS k
+      FROM dp WHERE j = length(word)
+    ), lw AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(freq * k) AS BIGINT) AS n_pieces,
+           CAST(sum(freq * length(word)) AS DOUBLE)
+             / CAST(sum(freq * k) AS DOUBLE) AS chars_per_piece,
+           CAST(sum(freq * k) AS DOUBLE)
+             / CAST(sum(freq) AS DOUBLE) AS pieces_per_word
+    FROM lw JOIN wk USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language under the frozen unigram seed
+    model: chars-per-piece and pieces-per-word — THE standard
+    multilingual-tokenizer-bias diagnostic (a language whose fertility
+    is much worse than the corpus majority pays more sequence length
+    per character, i.e., gets fewer effective context tokens; public
+    practice audits this before committing a vocabulary). Each metric
+    is ONE IEEE division of exact int64 sums, so DuckDB lands on
+    identical bits; the per-word piece count k comes from the same
+    division-scored Viterbi chain as ``unigram_frozen_viterbi_stats``
+    (one recursive-CTE lattice DP in the oracle).
+
+    Shape at 100 TB: the corpus collapses to the (lang, word, freq)
+    relation in ONE shuffle; the distinct-word dim segments once
+    (Arrow-batched, vocab-sized) and joins back word-to-word
+    (vocab-sized x vocab-sized, never corpus-sized); the finalize is a
+    lang-sized partial agg. int64 headroom: n_chars <= corpus bytes —
+    exact past 9e18 bytes (~9 exabytes)."""
+    from ..operators.unigram_lm import frozen_word_piece_counts, word_vocab
+    from ..pin import pin
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = pin(word_vocab(d), site="uni.fert.vocab")
+    wk = frozen_word_piece_counts(vocab)
+    lw = (
+        d.select(
+            "lang", F.explode(F.split(F.trim("text"), " +")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    j = lw.join(wk, "word")
+    agg = j.groupBy("lang").agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.length("word")).alias("n_chars"),
+        F.sum(F.col("freq") * F.col("k")).alias("n_pieces"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_pieces",
+        (
+            F.col("n_chars").cast("double") / F.col("n_pieces").cast("double")
+        ).alias("chars_per_piece"),
+        (
+            F.col("n_pieces").cast("double") / F.col("n_words").cast("double")
+        ).alias("pieces_per_word"),
+    ).orderBy("lang")

@@ -285,3 +285,84 @@ def test_viterbi_ratio_reassembles_and_tie_breaks():
     # all-equal counts: score ties at every split -> fewer pieces wins
     model = {"a": 2, "b": 2, "ab": 2, "abab": 2}
     assert viterbi_segment_ratio("abab", model, 8) == ("abab",)
+
+
+def test_tokenizer_fertility_matches_sequential_reference(spark, workdir):
+    """tokenizer_fertility_per_lang vs a sequential recomputation from
+    the frozen-stats reference's Viterbi: exact int64 sums and the two
+    single-division doubles, per language."""
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+
+    rows = [
+        (1, "banana bandana banana", "aa", "src", 1),
+        (2, "mississippi is big", "aa", "src", 1),
+        (3, "banana is " + "ab" * 40, "bb", "src", 1),
+        (4, "qx vz qx", "bb", "src", 1),
+    ]
+    import os
+
+    sf = os.path.join(str(workdir), "fert_sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, v long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    corpus = [t for _, t, *_ in rows]
+    # frozen model + double-Viterbi k per word, via the same sequential
+    # machinery the stats test uses
+    stats_by_piece = _ref_frozen_stats(corpus)  # builds model identically
+    from databricks_end_to_end_streaming_spark.operators.unigram_lm import (
+        SEP,
+    )
+
+    vocab = Counter(w for t in corpus for w in t.split())
+    subs = Counter()
+    for w, f in vocab.items():
+        for i in range(len(w)):
+            for ln in range(1, min(6, len(w) - i) + 1):
+                subs[w[i : i + ln]] += f
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:256]
+    model = dict(multi)
+    model.update({p: c for p, c in subs.items() if len(p) == 1})
+    total = sum(model.values())
+
+    def k_of(word):
+        best = [None] * (len(word) + 1)
+        best[0] = ((-1.0, 0, ""), 1.0)
+        for j in range(1, len(word) + 1):
+            top = None
+            for ln in range(1, min(6, j) + 1):
+                p = word[j - ln : j]
+                c = model.get(p)
+                prev = best[j - ln]
+                if c is None or prev is None:
+                    continue
+                (_, pk, pp), ps = prev
+                s = ps * (c / total)
+                joined = p if pp == "" else pp + SEP + p
+                key = (-s, pk + 1, joined)
+                if top is None or key < top[0]:
+                    top = (key, s)
+            best[j] = top
+        return best[len(word)][0][1]
+
+    want = {}
+    for _, text, lang, *_ in rows:
+        for w in text.split():
+            nw, nc, np_ = want.get(lang, (0, 0, 0))
+            want[lang] = (nw + 1, nc + len(w), np_ + k_of(w))
+    got = {
+        r.lang: r
+        for r in all_queries()["tokenizer_fertility_per_lang"](
+            spark, sf
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for lang, (nw, nc, np_) in want.items():
+        r = got[lang]
+        assert (r.n_words, r.n_chars, r.n_pieces) == (nw, nc, np_)
+        assert r.chars_per_piece == float(nc) / float(np_)
+        assert r.pieces_per_word == float(np_) / float(nw)
+    assert len(stats_by_piece) > 0  # reference machinery sanity
