@@ -91,3 +91,17 @@ def test_r7_empty_returns_not_raises(spark, empty_dir_r7, name):
         }
     else:
         assert rows == []
+
+
+R12_QUERIES = [
+    "unigram_frozen_viterbi_stats",
+    "tokenizer_fertility_per_lang",
+]
+
+
+@pytest.mark.parametrize("name", R12_QUERIES)
+def test_r12_empty_corpus_returns_not_raises(spark, empty_dir, name):
+    """Empty vocabulary -> empty seed model -> zero segmented rows; the
+    frozen Viterbi path must degrade to an empty result, not raise in
+    seed collection or the mapInPandas closure."""
+    assert all_queries()[name](spark, empty_dir).collect() == []
