@@ -105,7 +105,7 @@ PLAN_QUERIES = [
     ("kmv_distinct_users_per_type", "distinct partial-agg then salted two-level bottom-k: WindowGroupLimit partials BEFORE each exchange, k rows/group out"),
     ("kmv_source_token_overlap", "corpus touched once (explode+distinct+bottom-k); all pair algebra on k-per-source sketch rows, tiny broadcast joins"),
     ("er_golden_records", "corpus collapses to the name dictionary; blocked pairs -> O(diameter) CC rounds; survivorship window partitions by cluster only"),
-    ("domain_quota_cap", "ONE domain exchange: quota window and rollup share the same key+sort; output corpus-size-free accounting"),
+    ("domain_quota_cap", "PSL match on the DISTINCT-domain dim (broadcast rules), reg_domain attach broadcast back (r12); then ONE reg_domain exchange: quota window and rollup share the same key+sort; output corpus-size-free accounting"),
     ("packing_next_fit_stats", "sequential fold as JVM aggregate() HOF over per-shard arrays: ONE partial-agg shuffle, no window, no Python"),
     ("kmv_weekly_users_rollup", "raw scan feeds ONE distinct partial-agg; daily bottom-k bounds state k/day; weekly merge runs on days-x-k sketch rows"),
     ("deterministic_corpus_shuffle", "seeded md5 permutation; range-partitioned global rank (uniform hash keys -> balanced ranges), NO 1-partition window"),
@@ -154,7 +154,7 @@ PLAN_QUERIES = [
     ("jaro_winkler_part_pairs", "dictionary-collapse (r11): token-blocked + length-ratio-filtered DISTINCT-NAME pairs score the greedy JW fold once each behind an Exchange barrier; qualifying names broadcast back into an output-sensitive (name,brand,size) equi-join — no part-level quadratic block join"),
     ("ks_test_value_drift", "ONE (type,value,half) partial-agg shuffle -> per-type running-ECDF window on collapsed distinct values; D maximized over exact int64 cross-products, single final division"),
     ("benford_value_audit", "map-side digit extraction -> ONE (type,digit) partial-agg shuffle; 9-digit broadcast grid + sorted fold"),
-    ("spearman_trend_per_type", "ONE (type,us,value) partial-agg shuffle collapses the corpus (r11); closed-form rank sums via one rows-frame + two RANGE-frame windows sharing the per-type exchange (no value-level join); 6-scalar moment partial agg; rho = fixed doubles + correctly-rounded sqrt"),
+    ("spearman_trend_per_type", "ONE (type,us,value) partial-agg shuffle collapses the corpus (r11); closed-form rank sums via one rows-frame + two RANGE-frame windows sharing the per-type exchange (no value-level join); 6-scalar DECIMAL(38,0) moment partial agg (r12 — int64 wrapped at ~1.3e6 rows/type); rho = fixed doubles + correctly-rounded sqrt"),
     ("cramers_v_type_weekday", "ONE (type,weekday) partial-agg corpus shuffle -> shared chi2 core over the r x c contingency -> two-level sorted fold + sqrt"),
     ("corpus_hash_split_manifest", "map-side md5 bucket per row -> ONE (source,split) partial-agg shuffle of 5-scalar partials; manifests merge by sum/XOR"),
     ("classifier_kappa_eval", "inherits the classifier vectorizer shuffle; confusion matrix is ONE map + single 5-scalar agg; kappa = one IEEE division of exact int64s"),
@@ -162,6 +162,8 @@ PLAN_QUERIES = [
     ("cusum_level_shift_per_type", "ONE (type,hour) partial-agg corpus shuffle; deviation walk + prefix extrema as cumulative windows sharing the per-type exchange; all int64, one unit-conversion division"),
     ("durbin_watson_hourly_per_type", "same (type,hour) monoid as CUSUM; lag + two DECIMAL(38) quadratic sums, round-9 ratio"),
     ("unigram_lm_piece_stats", "corpus collapses to the (word,freq) vocabulary in one shuffle; EM rounds are vocab-sized Arrow batches + one piece partial-agg each; final stats one vocab-sized explode+agg"),
+    ("unigram_frozen_viterbi_stats", "same (word,freq) vocabulary collapse; frozen seed model = one substring partial-agg + two bounded collects; ONE vocab-sized Arrow segmentation pass + explode/agg (r12)"),
+    ("tokenizer_fertility_per_lang", "corpus collapses to (lang,word,freq) in ONE shuffle; distinct-word dim segments once (Arrow, vocab-sized) and joins back vocab-to-vocab; lang-sized finalize of exact int64 sums (r12)"),
 ]
 
 

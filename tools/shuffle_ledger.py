@@ -101,6 +101,11 @@ LEDGER_QUERIES = [
     "cramers_v_type_weekday",
     "corpus_hash_split_manifest",
     "unigram_lm_piece_stats",
+    # r12: the widened-moment pair + the frozen-Viterbi family
+    "corr_value_day_per_type",
+    "zscore_event_anomalies",
+    "unigram_frozen_viterbi_stats",
+    "tokenizer_fertility_per_lang",
     "classifier_kappa_eval",
     "robust_value_stats_per_type",
     "cusum_level_shift_per_type",
