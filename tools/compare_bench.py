@@ -40,6 +40,17 @@ def main() -> int:
         f"total: {old.get('value')} -> {new.get('value')} "
         f"({new.get('value', 0) / max(old.get('value', 1), 1e-9):.2f}x)"
     )
+    # r12: surface each run's co-measured contention sentinel so a
+    # "regression" whose sentinel also drifted reads as host noise, not
+    # code — the diagnosis the r5/r10/r11 READMEs had to reconstruct.
+    for label, rec in (("old", old), ("new", new)):
+        s = rec.get("sentinel")
+        if s:
+            print(
+                f"sentinel[{label}]: passes={s.get('passes')} "
+                f"drift={s.get('drift')}"
+                + (" <-- CONTENDED RUN" if s.get("drift", 1) > 1.3 else "")
+            )
     if bad:
         print(f"{len(bad)} regression(s): {bad}")
         return 1
