@@ -64,14 +64,18 @@ BENCH_QUERIES = [
 
 
 def _sentinel_sec(spark) -> float:
-    """Fixed CPU-bound probe (~0.3-0.5 s on an idle local[32]): one
-    whole-stage-codegen sum over a literal range — no disk, no shuffle,
-    no data dependence — so run-to-run variation measures HOST
-    CONTENTION, not the workload. Recorded per pass in the headline
-    JSON; the contention forensics of r5/r10/r11 read this instead of
-    re-running the bench."""
+    """Fixed CPU-bound probe (~0.6 s on an idle local[32]; calibrated
+    drift 1.06 across 5 idle trials): one whole-stage-codegen sum over
+    a literal range — no disk, no shuffle, no data dependence — so
+    run-to-run variation measures HOST CONTENTION, not the workload.
+    The modulo keeps the sum far inside int64 under ANSI (sum(id*2+1)
+    overflows past n ~3e9), and the 5e9-row size keeps per-task
+    scheduler noise under ~10% (a 0.2-0.3 s probe read up to 2.4x
+    self-drift from task-dispatch jitter alone). Recorded per pass in
+    the headline JSON; the contention forensics of r5/r10/r11 read
+    this instead of re-running the bench."""
     t0 = time.perf_counter()
-    spark.range(200_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+    spark.range(5_000_000_000).selectExpr("sum(id % 1001) AS s").collect()
     return time.perf_counter() - t0
 
 
