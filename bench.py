@@ -548,7 +548,7 @@ SF1_QUERIES = [
 
 
 def _bench_sf1(spark, sf_dir: str, k: int = 10) -> dict:
-    """sf1 canary: the 5 heaviest headline queries at 10× the bench data
+    """sf1 canary: the heaviest queries + the statistics family at 10× the bench data
     (~6M lineitem rows — no sf1 testdata ships, so sf0.1 is replicated
     with shifted keys exactly like tools/scale_probe.py, which makes
     join/group cardinalities scale too, not just row counts). Catches
