@@ -319,6 +319,7 @@ NEW_OP_QUERIES = [
     # round-12 additions
     "unigram_frozen_viterbi_stats",
     "tokenizer_fertility_per_lang",
+    "dictionary_term_scan",
 ]
 
 

@@ -3551,3 +3551,51 @@ def tokenizer_fertility_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pieces").cast("double") / F.col("n_words").cast("double")
         ).alias("pieces_per_word"),
     ).orderBy("lang")
+
+
+from ..operators.dictscan import DICT_TERMS as _DICT_TERMS  # noqa: E402
+
+_DICT_VALUES = ", ".join(f"('{t}')" for t in _DICT_TERMS)
+
+
+@query(
+    "dictionary_term_scan",
+    oracle=f"""
+    WITH terms(term) AS (VALUES {_DICT_VALUES}),
+    hits AS (
+      -- non-overlapping left-to-right occurrence count: DuckDB's
+      -- replace() removes exactly the occurrences Python str.count and
+      -- the Aho-Corasick greedy filter count, so the semantics match
+      -- bit-for-bit; // keeps the division exact integer
+      SELECT t.term,
+             CAST((length(d.text) - length(replace(d.text, t.term, '')))
+                  // length(t.term) AS BIGINT) AS hits
+      FROM documents d CROSS JOIN terms t
+    )
+    SELECT term,
+           CAST(count(CASE WHEN hits > 0 THEN 1 END) AS BIGINT) AS n_docs,
+           CAST(sum(hits) AS BIGINT) AS n_hits
+    FROM hits GROUP BY term ORDER BY term
+    """,
+)
+def dictionary_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagged-term dictionary audit via Aho-Corasick (r12): per
+    dictionary term, the documents containing it and the total
+    non-overlapping occurrences — the blocklist/PII-dictionary stage of
+    a crawl pipeline, where production dictionaries run 10k+ terms and
+    the naive shape (one contains()/LIKE per term) multiplies the
+    corpus scan by the dictionary size. The automaton pass is ONE
+    corpus scan regardless of |dictionary| (operators/dictscan.py,
+    Arrow-batched mapInPandas; the dictionary ships in the closure like
+    any broadcast dim), emitting output-sized (doc, term, hits) rows;
+    then one term-sized partial agg + a broadcast join against the term
+    dim so zero-hit terms REPORT as 0. The oracle replays the scan
+    relationally (docs x terms replace-count — the sf-small shape this
+    operator exists to avoid at 100 TB); counts are exact int64, no
+    floats anywhere. The vendored dictionary includes absent terms
+    (zero rows must appear) and self-overlapping shapes
+    ('table table') that pin the non-overlapping semantics in every
+    round's hash compare."""
+    from ..operators.dictscan import dictionary_term_report
+
+    return dictionary_term_report(load_table(spark, sf_dir, "documents"))

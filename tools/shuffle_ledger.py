@@ -106,6 +106,7 @@ LEDGER_QUERIES = [
     "zscore_event_anomalies",
     "unigram_frozen_viterbi_stats",
     "tokenizer_fertility_per_lang",
+    "dictionary_term_scan",
     "classifier_kappa_eval",
     "robust_value_stats_per_type",
     "cusum_level_shift_per_type",
