@@ -63,3 +63,35 @@ def test_report_plan_broadcasts_term_dim(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_streaming_twin_drained_equals_batch_and_replays(spark, workdir):
+    """3-way corpus slices through the dictscan stage fold to the
+    registered batch query bit-for-bit; a replayed batch never
+    double-counts."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries import all_queries
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.streaming.dictscan_stage import (
+        dictscan_report_from_log,
+        dictscan_stage,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    t = ParquetTable(f"{workdir}/dictscan_log")
+    stage = dictscan_stage(t)
+    for i in range(3):
+        stage(d.where(F.col("doc_id") % 3 == i), i)
+    got = [tuple(r) for r in dictscan_report_from_log(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["dictionary_term_scan"](spark, sf).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(d.where(F.col("doc_id") % 3 == 1), 1)  # replay
+    assert [
+        tuple(r) for r in dictscan_report_from_log(spark, t).collect()
+    ] == want
