@@ -370,18 +370,27 @@ def suffix_rank_tables(
         w *= 4
         wins = _windows_for(active.select("doc_id", "off"), arrays, w)
         joined = active.join(wins, ["doc_id", "off"])
+        obs = None
         if max_class > skew_threshold:
             # pin: the joined relation feeds both the distinct-window
             # aggregate and the final rank join-back; its size is
             # duplicate-mass x w, the same bound the window path pays
             upd = pin(_reranked_skew(pin(joined), n_parts))
         else:
+            from pyspark.sql import Observation
+
             wcl = Window.partitionBy("rank").orderBy("win")
             neighbor_tie = F.coalesce(
                 F.col("win") == F.lag("win").over(wcl), F.lit(False)
             ) | F.coalesce(
                 F.col("win") == F.lead("win").over(wcl), F.lit(False)
             )
+            # the surviving-tie count rides the SAME job that
+            # materializes the round's pin (the kcore r11 Observation
+            # pattern, r12 here) — no separate count action over the
+            # checkpointed blocks; coalesce because an empty round
+            # observes NULL, which must read as converged
+            obs = Observation()
             upd = pin(
                 joined.select(
                     "doc_id",
@@ -391,7 +400,14 @@ def suffix_rank_tables(
                     ),
                     neighbor_tie.alias("tied"),
                     "gram",
-                ).withColumnRenamed("new_rank", "rank")
+                )
+                .withColumnRenamed("new_rank", "rank")
+                .observe(
+                    obs,
+                    F.coalesce(
+                        F.sum(F.col("tied").cast("long")), F.lit(0)
+                    ).alias("n_active"),
+                )
             )
         settled_pieces.append(upd.where(~F.col("tied")).select(*cols))
         active = upd.where("tied").select(*cols)
@@ -400,10 +416,10 @@ def suffix_rank_tables(
             n_active, max_class = _active_stats(upd)
         else:
             # class sizes only shrink round-over-round, so once below
-            # the threshold the skew gate can never re-trigger — the
-            # cheaper count() suffices and max_class stays a valid
-            # (stale) upper bound
-            n_active = upd.where("tied").count()
+            # the threshold the skew gate can never re-trigger —
+            # max_class stays a valid (stale) upper bound and the tied
+            # count was already observed during the pin job
+            n_active = int(obs.get["n_active"])
         if timings is not None:
             timings.append(
                 (
