@@ -164,6 +164,7 @@ PLAN_QUERIES = [
     ("unigram_lm_piece_stats", "corpus collapses to the (word,freq) vocabulary in one shuffle; EM rounds are vocab-sized Arrow batches + one piece partial-agg each; final stats one vocab-sized explode+agg"),
     ("unigram_frozen_viterbi_stats", "same (word,freq) vocabulary collapse; frozen seed model = one substring partial-agg + two bounded collects; ONE vocab-sized Arrow segmentation pass + explode/agg (r12)"),
     ("tokenizer_fertility_per_lang", "corpus collapses to (lang,word,freq) in ONE shuffle; distinct-word dim segments once (Arrow, vocab-sized) and joins back vocab-to-vocab; lang-sized finalize of exact int64 sums (r12)"),
+    ("dictionary_term_scan", "ONE Aho-Corasick corpus pass (Arrow mapInPandas, dictionary-size-independent); term-sized partial agg broadcast back onto the term dim so zero-hit terms report (r12)"),
 ]
 
 
