@@ -320,6 +320,7 @@ NEW_OP_QUERIES = [
     "unigram_frozen_viterbi_stats",
     "tokenizer_fertility_per_lang",
     "dictionary_term_scan",
+    "robust_zscore_event_anomalies",
 ]
 
 

@@ -1671,6 +1671,148 @@ def zscore_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "robust_zscore_event_anomalies",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), vc AS (
+      SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, cents, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM vc
+    ), med AS (
+      SELECT event_type, min(cents) AS med
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    ), devc AS (
+      SELECT c.event_type, abs(c.cents - m.med) AS dev,
+             CAST(sum(c.cnt) AS BIGINT) AS cnt
+      FROM cum c JOIN med m ON c.event_type = m.event_type
+      GROUP BY 1, 2
+    ), devcum AS (
+      SELECT event_type, dev, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM devc
+    ), mad AS (
+      SELECT event_type, min(dev) AS mad
+      FROM devcum WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.value,
+           CAST(6745 * (b.cents - m.med) AS DOUBLE)
+             / CAST(10000 * d.mad AS DOUBLE) AS modified_z
+    FROM b
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE d.mad > 0
+      AND 6745 * abs(b.cents - m.med) >= 35000 * d.mad
+    ORDER BY event_id
+    """,
+)
+def robust_zscore_event_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAD-based modified-z outlier detection per event type
+    (|0.6745(x - median)/MAD| >= 3.5, Iglewicz & Hoaglin 1993 — public
+    literature): the outlier-RESISTANT row-level gate next to
+    ``zscore_event_anomalies`` — population mean/stddev are corrupted
+    by the very outliers a z-gate hunts (one corrupt extreme shifts
+    them arbitrarily), while median/MAD have a 50% breakdown point, so
+    this is the gate robust-monitoring practice actually deploys.
+
+    Exactness: values go through the corpus-standard DECIMAL(18,2)
+    cents cast, median and MAD are nearest-rank SELECTIONS over the
+    collapsed (type, cents) count relation (the robust_value_stats
+    ECDF machinery, re-keyed to integer cents), so the threshold
+    compare is PURE INT64 — 6745*|cents - med| >= 35000*mad clears the
+    0.6745/3.5 constants of fractions entirely (headroom: |dev| <=
+    ~1.2e7 cents before the 6745 product nears int64 — five orders
+    above the value domain), and both engines cut the identical row
+    set with zero float boundary risk. The reported modified_z is ONE
+    IEEE division of exact int64 products. Types with MAD = 0 (a
+    majority-constant value) are excluded before the division — same
+    convention as the zscore query's zero-variance guard.
+
+    Shape at 100 TB: ONE (type, cents) partial-agg'd corpus shuffle
+    collapses events; selections run over distinct-cents rows; the
+    5-row (type, med, mad) relation broadcasts back onto a second
+    map-side scan — the zscore two-pass shape, never a corpus-sized
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    b = ev.select(
+        "event_id", "event_type", "value", cents.alias("cents")
+    )
+    vc = b.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = (
+        cum.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("med"))
+    )
+    devc = (
+        cum.join(med, "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wdev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    devcum = devc.select(
+        "event_type",
+        "dev",
+        F.sum("cnt").over(wdev).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    mad = (
+        devcum.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad"))
+    )
+    dims = med.join(mad, "event_type").where(F.col("mad") > 0)
+    j = b.join(F.broadcast(dims), "event_type")
+    dev = F.col("cents") - F.col("med")
+    return (
+        j.where(F.abs(dev) * 6745 >= F.col("mad") * 35000)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (dev * 6745).cast("double")
+                / (F.col("mad") * 10000).cast("double")
+            ).alias("modified_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "ewma_event_value_per_user",
     oracle="""
     WITH seq AS (

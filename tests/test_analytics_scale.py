@@ -104,3 +104,59 @@ def test_zscore_past_int64_ceiling(spark, big_events_dir):
     }
     assert set(want) >= OUTLIERS  # the planted spikes must surface
     assert got == want
+
+
+def test_robust_zscore_planted_outliers_and_zero_mad(spark, tmp_path):
+    """The r12 MAD gate: planted spikes surface with exact modified-z,
+    inliers stay out, a majority-constant (MAD = 0) type is excluded
+    entirely, and — the reason the robust gate exists — the spike
+    magnitudes do NOT drag the center the way they drag mean/stddev."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        robust_zscore_event_anomalies,
+    )
+
+    rows = []
+    # type "spread": values 10.00..10.99 cycling -> median 1050 cents,
+    # MAD ~ 25 cents; two huge planted spikes
+    for i in range(200):
+        rows.append((i, "2025-01-01 00:00:00", i % 7, "spread",
+                     10.00 + (i % 100) / 100.0, "{}"))
+    rows.append((900, "2025-01-01 00:00:00", 1, "spread", 500.00, "{}"))
+    rows.append((901, "2025-01-01 00:00:00", 2, "spread", -500.00, "{}"))
+    # type "flat": constant value -> MAD 0 -> excluded even though one
+    # row differs wildly (population z WOULD have flagged inliers here)
+    for i in range(50):
+        rows.append((1000 + i, "2025-01-01 00:00:00", 3, "flat", 5.00, "{}"))
+    rows.append((1099, "2025-01-01 00:00:00", 4, "flat", 9999.00, "{}"))
+
+    sf = os.path.join(str(tmp_path), "madsf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+
+    got = {r.event_id: r for r in
+           robust_zscore_event_anomalies(spark, sf).collect()}
+    assert all(r.event_type == "spread" for r in got.values())
+    assert 900 in got and 901 in got
+
+    # exact reference: median/MAD by nearest-rank over cents
+    cents = sorted(round((10.00 + (i % 100) / 100.0) * 100)
+                   for i in range(200)) + [50000, -50000]
+    cents.sort()
+    n = len(cents)
+    med = cents[(n + 1) // 2 - 1]
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[(n + 1) // 2 - 1]
+    assert got[900].modified_z == (6745 * (50000 - med)) / (10000 * mad)
+    assert got[901].modified_z == (6745 * (-50000 - med)) / (10000 * mad)
+    # every reported row clears the exact integer threshold
+    for r in got.values():
+        assert abs(r.modified_z) >= 3.5 - 1e-12

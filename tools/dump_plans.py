@@ -165,6 +165,7 @@ PLAN_QUERIES = [
     ("unigram_frozen_viterbi_stats", "same (word,freq) vocabulary collapse; frozen seed model = one substring partial-agg + two bounded collects; ONE vocab-sized Arrow segmentation pass + explode/agg (r12)"),
     ("tokenizer_fertility_per_lang", "corpus collapses to (lang,word,freq) in ONE shuffle; distinct-word dim segments once (Arrow, vocab-sized) and joins back vocab-to-vocab; lang-sized finalize of exact int64 sums (r12)"),
     ("dictionary_term_scan", "ONE Aho-Corasick corpus pass (Arrow mapInPandas, dictionary-size-independent); term-sized partial agg broadcast back onto the term dim so zero-hit terms report (r12)"),
+    ("robust_zscore_event_anomalies", "median/MAD by ECDF selection over the collapsed (type,cents) relation; 5-row dims broadcast back onto a map-side scan; the 3.5-sigma cut is pure int64 (6745*|dev| >= 35000*mad) — no float boundary (r12)"),
 ]
 
 

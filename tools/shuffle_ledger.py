@@ -107,6 +107,7 @@ LEDGER_QUERIES = [
     "unigram_frozen_viterbi_stats",
     "tokenizer_fertility_per_lang",
     "dictionary_term_scan",
+    "robust_zscore_event_anomalies",
     "classifier_kappa_eval",
     "robust_value_stats_per_type",
     "cusum_level_shift_per_type",
