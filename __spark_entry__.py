@@ -28,16 +28,30 @@ from databricks_end_to_end_streaming_spark.queries import (  # noqa: E402
 )
 
 
-def _evidence_rounds() -> tuple[dict[str, int], dict[str, int]]:
+def _evidence_rounds(
+    include_local: bool = False,
+) -> tuple[dict[str, int], dict[str, int]]:
     """Per query, the latest round with (a) a green ``hash_match`` row and
     (b) the driver's weaker rows-only record (``err == 'no_oracle'``),
     from the CORRECTNESS_r{N}.json files on disk. Rounds with a real
     error or a mismatch count as neither, so such a query re-enters the
-    window until it goes green again."""
+    window until it goes green again.
+
+    With ``include_local=True``, CORRECTNESS_LOCAL_r{N}.json artifacts
+    (the checked-in full-registry runs of ``tools/oracle_check.py
+    --json``) fold in as secondary evidence — use that view for
+    freshness reporting. The coverage rotation deliberately stays on
+    driver evidence only, so the driver's 50-query window keeps
+    re-confirming the least-recently DRIVER-verified queries instead of
+    trusting the repo's own local runs."""
     green: dict[str, int] = {}
     rows_only: dict[str, int] = {}
-    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+    patterns = ["CORRECTNESS_r*.json"]
+    if include_local:
+        patterns.append("CORRECTNESS_LOCAL_r*.json")
+    paths = [p for pat in patterns for p in glob.glob(os.path.join(_HERE, pat))]
+    for path in paths:
+        m = re.search(r"CORRECTNESS(?:_LOCAL)?_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
@@ -64,6 +78,18 @@ def _last_checked_round() -> dict[str, int]:
     return merged
 
 
+# Queries whose Spark implementation or DuckDB oracle changed in the
+# previous round AFTER their latest driver hash-green row: they jump to
+# the absolute front of the driver window so the changed semantics get
+# driver-recorded cross-engine evidence, not just the local full-gate
+# artifact. Clear an entry once the driver round lands green
+# (tests/test_entry_rotation.py checks each name is registered+oracled).
+_REVERIFY_FIRST: tuple[str, ...] = (
+    "domain_quota_cap",  # r12: per-host -> PSL eTLD+1, both sides rewritten
+    "spearman_trend_per_type",  # r12: int64 -> DECIMAL(38,0) moment chain
+)
+
+
 def _rotated(names: list[str], oracled: frozenset[str]) -> list[str]:
     """Deterministic coverage rotation for the driver's first-50 correctness
     window: oracled queries that never earned a green HASH row come first
@@ -77,13 +103,14 @@ def _rotated(names: list[str], oracled: frozenset[str]) -> list[str]:
     green, rows_only = _evidence_rounds()
     index = {n: i for i, n in enumerate(names)}
 
-    def key(n: str) -> tuple[int, int, int]:
+    def key(n: str) -> tuple[int, int, int, int]:
         if n in oracled:
             evidence = green.get(n)
         else:
             evidence = rows_only.get(n)
         never = 0 if evidence is None else 1
-        return (never, evidence if evidence is not None else -1, index[n])
+        pinned = 0 if n in _REVERIFY_FIRST else 1
+        return (pinned, never, evidence if evidence is not None else -1, index[n])
 
     return sorted(names, key=key)
 

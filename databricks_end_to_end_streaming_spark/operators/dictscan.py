@@ -55,6 +55,17 @@ DICT_TERMS = (
     "value part",
 )
 
+# The oracle SQL splices these terms into a VALUES list by f-string;
+# a quote would break the SQL, an empty term divides by zero in the
+# replace()-count, and duplicates would double dim rows on the Spark
+# right-join but collapse in DuckDB's GROUP BY. Guard at import so a
+# future edit fails loudly (``raise``, not ``assert`` — survives -O).
+for _t in DICT_TERMS:
+    if not _t or "'" in _t:
+        raise ValueError(f"DICT_TERMS entry must be non-empty and quote-free: {_t!r}")
+if len(set(DICT_TERMS)) != len(DICT_TERMS):
+    raise ValueError("DICT_TERMS must be unique")
+
 
 def build_aho(terms: tuple[str, ...]) -> tuple[list[dict], list[int], list[list[int]]]:
     """(goto, fail, out): goto[s] maps char -> state, fail[s] the

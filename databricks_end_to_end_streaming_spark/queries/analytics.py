@@ -4152,10 +4152,11 @@ def spearman_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # S2(t) = 1^2 + ... + t^2 = t(t+1)(2t+1)/6, in DECIMAL(38,0): the
 # triple product peaks at ~2t³, which wraps int64 at t ~1.6e6 — below
-# the brief's 100× scale — while decimal carries it to t ~3.6e12. The
-# /6 is exact (the product is always divisible by 6): Spark divides
-# into DECIMAL(38,6) with a zero fraction, so the cast back to
-# DECIMAL(38,0) is lossless.
+# the brief's 100× scale. The /6 is exact (the product is always
+# divisible by 6), but Spark's decimal division lands in DECIMAL(38,6),
+# whose 32 integer digits cap the quotient at ~1e32 — i.e. the decimal
+# chain is exact to t ~3.7e10 (≈2e4× the sf0.1 per-type group size),
+# and past that ANSI mode raises loudly rather than wrapping.
 _S2 = (
     "CAST(CAST(({t}) AS DECIMAL(38,0)) * (({t}) + 1) * (2 * ({t}) + 1)"
     " / 6 AS DECIMAL(38,0))"

@@ -81,10 +81,41 @@ def test_rows_only_queries_rotate_on_no_oracle_records(evidence_dir):
     assert order == ["r1q", "r2q"]  # oldest rows-only evidence first
 
 
+def test_reverify_pin_sorts_absolutely_first(evidence_dir, monkeypatch):
+    """A pinned query (impl/oracle changed since its last driver green)
+    precedes even never-checked queries — the driver window must record
+    the changed semantics this round."""
+    evidence_dir(5, {"pinme": _green(), "old": _green()})
+    monkeypatch.setattr(entry, "_REVERIFY_FIRST", ("pinme",))
+    order = entry._rotated(["old", "pinme", "brandnew"],
+                           oracled=frozenset(["old", "pinme", "brandnew"]))
+    assert order == ["pinme", "brandnew", "old"]
+
+
+def test_reverify_names_are_registered_and_oracled():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    for n in entry._REVERIFY_FIRST:
+        assert n in qs, n
+        assert n in oracles, n  # the pin exists to refresh HASH evidence
+
+
+def test_local_evidence_folds_in_only_when_asked(evidence_dir, tmp_path):
+    evidence_dir(1, {"a": _green()})
+    (tmp_path / "CORRECTNESS_LOCAL_r02.json").write_text(
+        json.dumps({"a": _green(), "b": _green()})
+    )
+    driver_green, _ = entry._evidence_rounds()
+    assert driver_green == {"a": 1}  # rotation view: driver files only
+    all_green, _ = entry._evidence_rounds(include_local=True)
+    assert all_green == {"a": 2, "b": 2}
+
+
 def test_live_registry_orders_unchecked_queries_first():
     """Against the REAL repo evidence files: every registered query with
     no recorded evidence (new this round) must sort into the window
-    head, and the full ordering covers exactly the registry."""
+    head — behind only the explicit re-verify pins — and the ordering
+    covers exactly the registry."""
     qs = entry.queries()
     names = list(qs)
     green, rows_only = entry._evidence_rounds()
@@ -98,12 +129,13 @@ def test_live_registry_orders_unchecked_queries_first():
         for n in names
         if ((n in green) if n in oracled else (n in rows_only))
     }
-    head_unseen = [n for n in names[:10] if n not in seen]
-    tail_unseen = [n for n in names[10:] if n not in seen]
-    # all unseen queries (if any) must be at the head, never after
-    # evidenced ones
-    if tail_unseen:
-        first_seen_idx = min(names.index(n) for n in names if n in seen)
-        assert all(names.index(n) < first_seen_idx for n in tail_unseen)
+    pinned = set(entry._REVERIFY_FIRST)
+    unseen = [n for n in names if n not in seen and n not in pinned]
+    # all unseen queries (if any) sort before every seen, unpinned one
+    if unseen:
+        first_seen_idx = min(
+            names.index(n) for n in names if n in seen and n not in pinned
+        )
+        assert all(names.index(n) < first_seen_idx for n in unseen)
     assert len(names) == len(set(names))
     assert set(entry.oracle_sql()) <= set(names)

@@ -5,11 +5,22 @@ scale factor, compares row count, column names/dtypes, and
 order-insensitive values, and prints one line per query. Use this before
 every commit — if it's green here, CORRECTNESS_r{N} should be green.
 
-Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query_name ...]
+
+With ``--json`` the run also writes a CORRECTNESS_r{N}-shaped artifact
+(one row per query: rows_match/schema_match/hash_match/spark_rows/
+oracle_rows/err) plus a ``fingerprint`` per row — sha256 of the query's
+implementation source and oracle SQL — so later rounds can tell whether
+a green row still describes the shipped code. Check the artifact in as
+``CORRECTNESS_LOCAL_r{N}.json``; ``__spark_entry__._evidence_rounds``
+folds those files in as secondary evidence.
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
+import json
 import os
 import sys
 import time
@@ -84,9 +95,30 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def fingerprint(fn, oracle: str | None) -> str:
+    """sha256 over the implementation source + oracle SQL: a green row
+    whose fingerprint still matches the shipped code proves the exact
+    code pair was cross-engine verified, not an ancestor of it."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
@@ -100,6 +132,20 @@ def main() -> int:
         )
 
     failed = []
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match, schema_match, hash_match, spark_rows,
+               oracle_rows, err):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+            "fingerprint": fingerprint(qs[name], oracles.get(name)),
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -110,10 +156,16 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
             failed.append(name)
+            record(name, rows_match=False, schema_match=False,
+                   hash_match=False, spark_rows=None, oracle_rows=None,
+                   err="spark: " + traceback.format_exc(limit=1).strip())
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            record(name, rows_match=None, schema_match=None, hash_match=None,
+                   spark_rows=len(spark_pdf), oracle_rows=None,
+                   err="no_oracle")
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
@@ -121,14 +173,28 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb raised")
             traceback.print_exc()
             failed.append(name)
+            record(name, rows_match=False, schema_match=False,
+                   hash_match=False, spark_rows=len(spark_pdf),
+                   oracle_rows=None,
+                   err="duckdb: " + traceback.format_exc(limit=1).strip())
             continue
         problems = compare(spark_pdf, duck_pdf)
+        rows_ok = len(spark_pdf) == len(duck_pdf)
+        schema_ok = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+        record(name, rows_match=rows_ok, schema_match=schema_ok,
+               hash_match=not problems, spark_rows=len(spark_pdf),
+               oracle_rows=len(duck_pdf),
+               err="; ".join(problems) if problems else None)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failed.append(name)
         else:
             print(f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} rows)")
     if failed:
         print(f"\n{len(failed)} FAILED: {failed}")
         return 1
