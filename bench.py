@@ -28,7 +28,11 @@ inside a contention burst), the headline gets three passes, and a fixed
 CPU-bound sentinel job is timed at every headline pass boundary with its
 per-pass times recorded INSIDE the final headline JSON — so a contended
 run is diagnosable from BENCH_rN.json alone (sentinel drift > ~1.3x)
-without the post-hoc isolated re-runs rounds 5/10/11 needed.
+without the post-hoc isolated re-runs rounds 5/10/11 needed. Since r13
+the bench also ACTS on its sentinel: drift > 1.15 over the headline
+block triggers one automatic re-run of the block, folding per-query
+minima (contention only inflates, so min over more passes is strictly
+cleaner) and marking the artifact ``retried: true``.
 """
 
 from __future__ import annotations
@@ -115,18 +119,41 @@ def main() -> None:
     #    its per-pass times ship INSIDE the headline JSON — drift >
     #    ~1.3x between passes is the contention signature, visible in
     #    BENCH_rN.json itself instead of needing a post-hoc re-run.
-    timings: dict[str, float] = {}
-    sentinel: list[float] = []
-    for _pass in range(3):
+    def headline_block(n_passes: int, timings: dict[str, float]) -> list[float]:
+        """Run ``n_passes`` interleaved passes over BENCH_QUERIES, folding
+        per-query minima into ``timings``; returns the block's sentinel
+        times (one before each pass + one after the block)."""
+        sentinel: list[float] = []
+        for _pass in range(n_passes):
+            sentinel.append(round(_sentinel_sec(spark), 3))
+            for name in BENCH_QUERIES:
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
         sentinel.append(round(_sentinel_sec(spark), 3))
-        for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
-    sentinel.append(round(_sentinel_sec(spark), 3))
+        return sentinel
+
+    def drift_of(sentinel: list[float]) -> float:
+        return round(max(sentinel) / max(min(sentinel), 1e-9), 2)
+
+    timings: dict[str, float] = {}
+    sentinel = headline_block(3, timings)
+    # Sentinel-gated retry (r13, VERDICT r12 task 3): if the block ran
+    # under measured contention (drift > 1.15 vs the 1.02-1.06 idle
+    # calibration), re-run the headline block once a few minutes later
+    # and fold its minima in — contention only ever INFLATES times, so
+    # the merged per-query min is strictly closer to the uncontended
+    # number. Both blocks' sentinel times ship in the artifact; the
+    # reported drift is the cleaner block's (the conditions under which
+    # the kept minima were achievable), with retried=true making the
+    # r12-style "official number above same-day isolated run" case
+    # self-correcting instead of a README footnote.
+    retry_sentinel: list[float] | None = None
+    if drift_of(sentinel) > 1.15:
+        retry_sentinel = headline_block(2, timings)
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
     # SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 skips the extras blocks — an
@@ -163,10 +190,23 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # per-pass times of a fixed CPU-bound job (see _sentinel_sec):
         # drift quantifies how contended the host was DURING this run,
-        # so an inflated headline is diagnosable from the artifact alone
+        # so an inflated headline is diagnosable from the artifact alone.
+        # retried=true means the first block exceeded the 1.15 gate and a
+        # second block's minima were folded in; drift reports the cleaner
+        # block, both blocks' raw times stay visible.
         "sentinel": {
             "passes": sentinel,
-            "drift": round(max(sentinel) / max(min(sentinel), 1e-9), 2),
+            "drift": (
+                min(drift_of(sentinel), drift_of(retry_sentinel))
+                if retry_sentinel
+                else drift_of(sentinel)
+            ),
+            "retried": bool(retry_sentinel),
+            **(
+                {"retry_passes": retry_sentinel}
+                if retry_sentinel
+                else {}
+            ),
         },
     }
     # Durable full record first: headline + all extras to a repo-root file

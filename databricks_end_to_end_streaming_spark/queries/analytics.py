@@ -699,9 +699,10 @@ def cusum_over_hourly_cents(hourly: DataFrame) -> DataFrame:
     ), dev AS (
       SELECT event_type, hour,
              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS h,
-             CAST(count(*) OVER (PARTITION BY event_type) * cents
-                  - sum(cents) OVER (PARTITION BY event_type)
-                  AS BIGINT) AS e
+             CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
+               * cents
+               - sum(CAST(cents AS HUGEINT))
+                   OVER (PARTITION BY event_type) AS e
       FROM hourly
     ), lagd AS (
       SELECT event_type, h, e,
@@ -709,9 +710,9 @@ def cusum_over_hourly_cents(hourly: DataFrame) -> DataFrame:
       FROM dev
     ), sums AS (
       SELECT event_type, max(h) AS n_hours,
-             sum(CAST(e AS DECIMAL(38,0)) * e) AS see,
-             sum(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0))
-                      ELSE CAST(e - ep AS DECIMAL(38,0)) * (e - ep) END)
+             sum(e * e) AS see,
+             sum(CASE WHEN ep IS NULL THEN CAST(0 AS HUGEINT)
+                      ELSE (e - ep) * (e - ep) END)
                AS sdd
       FROM lagd GROUP BY event_type
     )
@@ -731,11 +732,13 @@ def durbin_watson_hourly_per_type(spark: SparkSession, sf_dir: str) -> DataFrame
     public literature). Reuses the exact-cent hourly sum monoid
     (``hourly_cents``).
 
-    Exactness: residuals are fraction-cleared ints (e = H*x - total,
-    the CUSUM discipline; the common H scale cancels in the ratio);
-    both quadratic sums are DECIMAL(38,0) products of int64s (|e| <=
-    ~4.5e10 at testdata shape -> products ~2e21, sums ~2e24 — exact
-    with >1e13 headroom). The division is one double op, but
+    Exactness: residuals are fraction-cleared (e = H*x - total, the
+    CUSUM discipline; the common H scale cancels in the ratio), carried
+    in DECIMAL(38,0) since r13 — the int64 form's H*cents product bound
+    at ~2.3e4x sf0.1; decimal carries e to ~1e38 and e is internal only,
+    so the widening is free (oracle mirrors with HUGEINT). Both
+    quadratic sums stay DECIMAL(38,0) (|e| <= ~4.5e10 at testdata shape
+    -> products ~2e21, sums ~2e24). The division is one double op, but
     decimal38 -> double casts are conversion-rounded, so the emitted
     ratio takes the PSI round-to-9 rule in both engines rather than
     claiming bit-exact casts.
@@ -753,13 +756,17 @@ def dw_over_hourly_cents(hourly: DataFrame) -> DataFrame:
     (streaming/stats_stage.py::durbin_watson_from_log), which folds the
     SAME hourly-cents log the CUSUM monitor reads."""
     wall = Window.partitionBy("event_type")
+    # e = H*x - total in DECIMAL(38,0) (r13 ceiling-band widening): the
+    # int64 form bound at ~2.3e4x sf0.1 via the H*cents product; e is
+    # internal only (the emitted dw is a rounded double), so the decimal
+    # carry is free and the oracle mirrors with HUGEINT.
     dev = hourly.select(
         "event_type",
         "hour",
         F.count("*").over(wall).alias("h"),
         (
-            F.count("*").over(wall) * F.col("cents")
-            - F.sum("cents").over(wall)
+            F.count("*").over(wall).cast("decimal(38,0)") * F.col("cents")
+            - F.sum(F.col("cents").cast("decimal(38,0)")).over(wall)
         ).alias("e"),
     )
     wlag = Window.partitionBy("event_type").orderBy("hour")
@@ -769,10 +776,10 @@ def dw_over_hourly_cents(hourly: DataFrame) -> DataFrame:
     d = F.col("e") - F.col("ep")
     sums = lagd.groupBy("event_type").agg(
         F.max("h").alias("n_hours"),
-        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e")).alias("see"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
         F.sum(
             F.when(F.col("ep").isNull(), F.lit(0).cast("decimal(38,0)"))
-            .otherwise(d.cast("decimal(38,0)") * d)
+            .otherwise(d * d)
         ).alias("sdd"),
     )
     return sums.select(
@@ -2014,10 +2021,12 @@ def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN obs o ON o.event_type = t.event_type AND o.bin_lo = bn.bin_lo
     ), terms AS (
       SELECT event_type, bin_lo, tt,
-             num * num / CAST(bt * tt AS DOUBLE) / CAST(g AS DOUBLE) AS term
+             num * num / CAST(CAST(bt AS HUGEINT) * tt AS DOUBLE)
+                       / CAST(g AS DOUBLE) AS term
       FROM (
         SELECT grid.*, g.g,
-               CAST(o * g.g - bt * tt AS DOUBLE) AS num
+               CAST(CAST(o AS HUGEINT) * g.g
+                    - CAST(bt AS HUGEINT) * tt AS DOUBLE) AS num
         FROM grid CROSS JOIN g
       )
     )
@@ -2051,9 +2060,10 @@ def chi2_value_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), then three IEEE ops in fixed order; the per-type sum of
     terms is non-associative, so it runs as the corpus-standard sorted
     fold (sort_array + F.aggregate from +0.0) that DuckDB replays via
-    list ORDER BY + list_reduce — bit-identical. int64 headroom: o*g
-    caps at ~3e9 rows corpus-wide before the difference needs
-    DECIMAL(38,0) widening.
+    list ORDER BY + list_reduce — bit-identical. The o*g / bt*tt
+    products are DECIMAL(38,0) since r13 (they bound int64 at ~3e9
+    corpus rows ~ 3e4x sf0.1): exact to g ~ 1e19, far past any
+    conceivable row count, with the oracle mirroring in HUGEINT.
 
     The scoring core lives in ``chi2_over_contingency`` so the
     streaming drift monitor (streaming/drift.py) finalizes its
@@ -2089,10 +2099,19 @@ def chi2_over_contingency(obs: DataFrame) -> DataFrame:
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
         .crossJoin(F.broadcast(g))
     )
-    num = (F.col("o") * F.col("g") - F.col("bt") * F.col("tt")).cast("double")
+    # o*g and bt*tt are <= g² (g = corpus rows): the int64 products bound
+    # at ~3e4x sf0.1 (g ~ 3e9). r13 ceiling-band widening computes both
+    # in DECIMAL(38,0) — internal only (term is double), so the decimal
+    # carry is free; consumer oracles mirror with HUGEINT. The
+    # decimal->double conversion rounds to the same double as the old
+    # int64->double for every value both forms can represent.
+    num = (
+        F.col("o").cast("decimal(38,0)") * F.col("g")
+        - F.col("bt").cast("decimal(38,0)") * F.col("tt")
+    ).cast("double")
     term = (
         num * num
-        / (F.col("bt") * F.col("tt")).cast("double")
+        / (F.col("bt").cast("decimal(38,0)") * F.col("tt")).cast("double")
         / F.col("g").cast("double")
     )
     terms = grid.select("key", "bin_lo", "tt", term.alias("term"))
@@ -4268,9 +4287,12 @@ def spearman_over_uv_counts(counts: DataFrame) -> DataFrame:
       LEFT JOIN obs o ON o.key = t.key AND o.bin_lo = bn.bin_lo
     ), terms AS (
       SELECT key, bin_lo,
-             num * num / CAST(bt * tt AS DOUBLE) / CAST(g AS DOUBLE) AS term
+             num * num / CAST(CAST(bt AS HUGEINT) * tt AS DOUBLE)
+                       / CAST(g AS DOUBLE) AS term
       FROM (
-        SELECT grid.*, g.g, CAST(o * g.g - bt * tt AS DOUBLE) AS num
+        SELECT grid.*, g.g,
+               CAST(CAST(o AS HUGEINT) * g.g
+                    - CAST(bt AS HUGEINT) * tt AS DOUBLE) AS num
         FROM grid CROSS JOIN g
       )
     ), perkey AS (

@@ -106,6 +106,73 @@ def test_zscore_past_int64_ceiling(spark, big_events_dir):
     assert got == want
 
 
+def test_durbin_watson_past_int64_ceiling(spark):
+    """r13 ceiling-band widening: e = H*x - total in DECIMAL(38,0). The
+    probe feeds the shared scoring core a synthetic hourly-cents relation
+    whose H*cents product crosses 2^63 (the old int64 form would raise
+    under ANSI) and checks the emitted dw against exact Python integers
+    + the same round-to-9 rule."""
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        dw_over_hourly_cents,
+    )
+
+    cents = [10**18 + i * 7919 * 10**11 for i in range(12)]
+    h = len(cents)
+    assert h * max(cents) > 2**63 - 1, "probe must cross the int64 ceiling"
+    hourly = spark.createDataFrame(
+        [("hot", i, c) for i, c in enumerate(cents)],
+        "event_type string, hour long, cents long",
+    )
+    total = sum(cents)
+    e = [h * c - total for c in cents]
+    see = sum(x * x for x in e)
+    sdd = sum((e[i] - e[i - 1]) ** 2 for i in range(1, h))
+    want = round(float(sdd) / float(see), 9)
+    row = dw_over_hourly_cents(hourly).first()
+    assert row.n_hours == h
+    assert row.dw == want
+
+
+def test_chi2_contingency_past_int64_ceiling(spark):
+    """r13 ceiling-band widening: o*g and bt*tt in DECIMAL(38,0). The
+    core takes the contingency relation directly, so the probe crosses
+    2^63 (o*g ~ 1.5e20) with six rows instead of 3e9 events; terms are
+    checked against exact Python integer numerators run through the
+    identical IEEE fold order."""
+    from databricks_end_to_end_streaming_spark.queries.analytics import (
+        chi2_over_contingency,
+    )
+
+    obs_rows = [
+        ("a", 0, 4_000_000_000),
+        ("a", 50, 6_000_000_007),
+        ("b", 0, 5_500_000_001),
+        ("b", 50, 4_499_999_998),
+        ("c", 0, 9_999_999_999),
+        ("c", 50, 1),
+    ]
+    g = sum(o for _, _, o in obs_rows)
+    assert max(o for _, _, o in obs_rows) * g > 2**63 - 1
+    obs = spark.createDataFrame(obs_rows, "key string, bin_lo long, o long")
+    bt = {}
+    tt = {}
+    for k, b, o in obs_rows:
+        bt[b] = bt.get(b, 0) + o
+        tt[k] = tt.get(k, 0) + o
+    want = {}
+    for k in sorted(tt):
+        chi2 = 0.0
+        for b in sorted(bt):
+            o = dict(((kk, bb), oo) for kk, bb, oo in obs_rows).get((k, b), 0)
+            num = float(o * g - bt[b] * tt[k])  # exact int -> nearest double
+            chi2 += num * num / float(bt[b] * tt[k]) / float(g)
+        want[k] = chi2
+    got = {r.key: r for r in chi2_over_contingency(obs).collect()}
+    for k, r in got.items():
+        assert r.n_events == tt[k]
+        assert r.chi2 == want[k], k
+
+
 def test_robust_zscore_planted_outliers_and_zero_mad(spark, tmp_path):
     """The r12 MAD gate: planted spikes surface with exact modified-z,
     inliers stay out, a majority-constant (MAD = 0) type is excluded
