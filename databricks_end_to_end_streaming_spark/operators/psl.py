@@ -132,13 +132,13 @@ def puny_host(host: str) -> str:
     return ".".join(_punycode_label(l) for l in h.split("."))
 
 
-def load_psl_rules(path: str | None = None) -> list[str]:
-    """The rules list: a ``public_suffix_list.dat`` snapshot parsed from
-    ``path``, else ``SPARK_GRAFT_PSL_PATH``, else the OS-packaged copy
-    (PSL_SYSTEM_PATHS), else the vendored ``PSL_SNAPSHOT`` subset.
-    Comment/blank lines drop, U-label rules normalize to punycode, the
-    implicit '*' default rule is prepended, duplicates (a U-label rule
-    whose A-label twin is also listed) collapse. Cached per path."""
+def resolve_psl_path(path: str | None = None) -> str | None:
+    """THE source-of-truth resolution, used by every PSL entry point
+    (load_psl_rules, psl_snapshot_provenance, tools/psl_check.py) so no
+    two callers can disagree about which rule set is in effect:
+    explicit ``path`` arg > ``SPARK_GRAFT_PSL_PATH`` > the OS-packaged
+    Mozilla list (PSL_SYSTEM_PATHS) > ``None`` (vendored
+    ``PSL_SNAPSHOT`` subset)."""
     import os
 
     if path is not None:
@@ -146,12 +146,55 @@ def load_psl_rules(path: str | None = None) -> list[str]:
         # rule set than the caller pinned would silently change results
         if not os.path.isfile(path):
             raise FileNotFoundError(f"PSL snapshot not found: {path}")
-        cand = [path]
-    else:
-        cand = [os.environ.get("SPARK_GRAFT_PSL_PATH")] + list(
-            PSL_SYSTEM_PATHS
-        )
-    chosen = next((p for p in cand if p and os.path.isfile(p)), None)
+        return path
+    cand = [os.environ.get("SPARK_GRAFT_PSL_PATH")] + list(PSL_SYSTEM_PATHS)
+    return next((p for p in cand if p and os.path.isfile(p)), None)
+
+
+def psl_snapshot_provenance(path: str | None = None) -> dict:
+    """Provenance of the rule set in effect: source kind + path,
+    sha256/size/mtime for file sources, and parsed rule-class counts
+    (wildcard / exception / IDN-normalized / total) — the record a
+    derived-corpus artifact cites so "which PSL" is never ambiguous.
+    The upstream list carries no version header; the hash IS the
+    version."""
+    import datetime
+    import hashlib
+    import os
+
+    chosen = resolve_psl_path(path)
+    rules = load_psl_rules(path)
+    classes = {
+        "rules_total": len(rules),
+        "wildcard": sum(1 for r in rules if "*" in r and r != "*"),
+        "exception": sum(1 for r in rules if r.startswith("!")),
+        "idn_punycoded": sum(1 for r in rules if "xn--" in r),
+    }
+    if chosen is None:
+        return {"source": "vendored-subset", "path": None, **classes}
+    with open(chosen, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    st = os.stat(chosen)
+    return {
+        "source": "file",
+        "path": chosen,
+        "sha256": digest,
+        "bytes": st.st_size,
+        "mtime_utc": datetime.datetime.fromtimestamp(
+            st.st_mtime, tz=datetime.timezone.utc
+        ).isoformat(timespec="seconds"),
+        **classes,
+    }
+
+
+def load_psl_rules(path: str | None = None) -> list[str]:
+    """The rules list: a ``public_suffix_list.dat`` snapshot parsed from
+    the ``resolve_psl_path`` source of truth, else the vendored
+    ``PSL_SNAPSHOT`` subset. Comment/blank lines drop, U-label rules
+    normalize to punycode, the implicit '*' default rule is prepended,
+    duplicates (a U-label rule whose A-label twin is also listed)
+    collapse. Cached per path."""
+    chosen = resolve_psl_path(path)
     if chosen is None:
         return list(PSL_SNAPSHOT)
     if chosen in _rules_cache:

@@ -479,3 +479,37 @@ def test_url_dedup_stage_drops_cross_batch_variants(spark, workdir):
     # replay of batch 1 changes nothing
     url_dedup_batch(docs.where("doc_id >= 2"), out, fp, bm, 1)
     assert sorted(r.doc_id for r in out.read(spark).collect()) == [0, 3, 5]
+
+
+def test_psl_provenance_names_one_source_of_truth(spark):
+    """r13 (verdict ask #6): psl_snapshot_provenance records which rule
+    set is in effect — path + sha256 + rule-class counts for file
+    sources — and agrees with resolve_psl_path and load_psl_rules, so
+    "which PSL" is never ambiguous across entry points. Class counts
+    must show the parse covered wildcard/exception (and IDN for the
+    full list), the tools/psl_check.py contract."""
+    from databricks_end_to_end_streaming_spark.operators.psl import (
+        load_psl_rules,
+        psl_snapshot_provenance,
+        resolve_psl_path,
+    )
+
+    prov = psl_snapshot_provenance()
+    rules = load_psl_rules()
+    assert prov["rules_total"] == len(rules)
+    assert prov["wildcard"] == sum(1 for r in rules if "*" in r and r != "*")
+    assert prov["exception"] == sum(1 for r in rules if r.startswith("!"))
+    assert prov["wildcard"] > 0 and prov["exception"] > 0
+    path = resolve_psl_path()
+    if path is None:
+        assert prov["source"] == "vendored-subset" and prov["path"] is None
+    else:
+        assert prov["source"] == "file" and prov["path"] == path
+        assert len(prov["sha256"]) == 64 and prov["bytes"] > 0
+        assert prov["idn_punycoded"] > 0  # full list: IDN rules parsed
+        # the hash IS the version: a re-vendored snapshot must change it
+        import hashlib
+
+        assert prov["sha256"] == hashlib.sha256(
+            open(path, "rb").read()
+        ).hexdigest()
