@@ -134,6 +134,33 @@ def run_continuous(
     )
 
 
+def run_continuous_foreach(
+    source: DataFrame,
+    stage,
+    checkpoint: str,
+    query_name: str,
+    processing_time: str = "500 milliseconds",
+):
+    """Always-on counterpart of the availableNow foreachBatch drains:
+    start ``stage`` (a foreachBatch body following the replay-token
+    protocol — dictscan_stage, vocab_stage, bloom/ppjoin/... all
+    qualify) under a processing-time trigger and return the live
+    ``StreamingQuery`` handle (caller stops it). The replay-token
+    protocol is trigger-agnostic by design: a timed trigger that
+    re-runs after a crash replays the same batch id, and the stage's
+    idempotent_append overwrites its own token — soaked end-to-end in
+    tests/test_soak_timed_stages.py by deleting the newest checkpoint
+    commit marker and restarting."""
+    return (
+        source.writeStream.foreachBatch(stage)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
 def await_batches(
     query,
     min_batches: int,
