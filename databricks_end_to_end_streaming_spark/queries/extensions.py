@@ -1,7 +1,11 @@
 """Driver-registered queries for the operators/ package (SimHash, ANN,
-multimodal). These are genuinely non-SQL-expressible (pandas UDFs /
-probabilistic structures), so they register rows-only; exactness is
-covered in tests/test_operators.py against NumPy/pure-Python references.
+multimodal). Several began rows-only ("pandas UDFs aren't
+SQL-expressible") and were later proven otherwise on the synthetic
+corpora — SimHash's bit voting (r6), the video temporal-alignment
+pipeline (r13) — and now carry full DuckDB replay oracles; the ones
+that remain rows-only (LSH-recall evals, k-means-seeded ANN) are so for
+documented algorithmic reasons, with exactness covered in
+tests/test_operators.py against NumPy/pure-Python references.
 """
 
 from __future__ import annotations
@@ -441,10 +445,115 @@ def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_neardup_pairs(media).orderBy("media_a", "media_b")
 
 
-@query("video_temporal_neardup")  # rows-only: per-frame perceptual hash +
-# temporal alignment vote is pytest-twinned (tests/test_videohash.py:
-# truncated/re-encoded clip caught at the right offset, title-card
-# splice rejected), not SQL-replayed
+def _vid_block_bounds(n_in: int, n_out: int) -> list[tuple[int, int, int]]:
+    """(index, lo, hi) block boundaries of operators/phash._grid_means
+    for a fixed input extent — the EXACT same floor/upsample formula
+    (y0 = i*n_in//n_out; y1 = max(y0+1, next)), in pure Python so the
+    oracle below inlines the geometry as VALUES rows and a drifted
+    formula shows up as a hash mismatch, not a silent re-derivation."""
+    lo = [i * n_in // n_out for i in range(n_out)]
+    nxt = lo[1:] + [n_in]
+    return [(i, a, max(a + 1, b)) for i, (a, b) in enumerate(zip(lo, nxt))]
+
+
+_VID_ROWS8 = ", ".join(f"({i},{a},{b})" for i, a, b in _vid_block_bounds(6, 8))
+_VID_COLS9 = ", ".join(
+    f"({j},{a},{b})" for j, a, b in _vid_block_bounds(16, 9)
+)
+# bit k of the signed-int64 signature: two's-complement weight (bit 63
+# carries -2^63), so summing weights reproduces _signed64 exactly
+_VID_BITW = (
+    "(CASE WHEN {k} = 63 THEN -9223372036854775808"
+    " ELSE (CAST(1 AS BIGINT) << CAST({k} AS INTEGER)) END)"
+)
+
+
+@query(
+    "video_temporal_neardup",
+    # HASH-ORACLED since r13 (was rows-only): on the fake/raw clip
+    # corpus every stage is exact integer arithmetic — frame slicing is
+    # byte addressing (the corpus is ASCII, filtered explicitly, so
+    # DuckDB's per-character ord() IS the byte), the dHash is
+    # block-mean sums compared by cross-multiplication over the FIXED
+    # 6x16 geometry (inlined VALUES from the same boundary formula),
+    # signatures assemble as two's-complement bit-weight sums, and the
+    # alignment vote is count-distinct + argmax algebra. The oracle
+    # pairs frames by EXACT all-pairs Hamming (bit_count(xor) <= 3), so
+    # a green hash additionally re-proves the Spark side's 4-chunk
+    # banding recall (pigeonhole-complete at <= 3 bits) every round —
+    # the dedup_simhash / minhash pattern. Real-codec corpora (mp4 via
+    # pyav) would be rows-only; this synthetic byte-buffer corpus is
+    # the SQL-replayable case.
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id, text,
+             least(CAST(strlen(text) // 96 AS BIGINT), 12) AS nf
+      FROM documents
+      WHERE strlen(text) >= 288 AND length(text) = strlen(text)
+    ), clips AS (
+      SELECT doc_id AS media_id, text AS payload, nf FROM eligible
+      UNION ALL
+      SELECT doc_id + {REINGEST_ID_FLAG}, substr(text, 97, 1056), nf - 1
+      FROM eligible WHERE doc_id % 5 = 0
+    ), frames AS (
+      SELECT media_id, payload, CAST(f.f AS BIGINT) AS frame_idx
+      FROM clips, unnest(range(0, nf)) AS f(f)
+    ), px AS (
+      SELECT media_id, frame_idx, y.y AS y, x.x AS x,
+             ord(substr(payload,
+                        CAST(frame_idx*96 + y.y*16 + x.x + 1 AS INTEGER),
+                        1)) AS v
+      FROM frames, unnest(range(0, 6)) AS y(y), unnest(range(0, 16)) AS x(x)
+    ), rows8(i, y0, y1) AS (VALUES {_VID_ROWS8}),
+    cols9(j, x0, x1) AS (VALUES {_VID_COLS9}),
+    s9 AS (
+      SELECT media_id, frame_idx, r.i AS i, c.j AS j,
+             CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS a
+      FROM px
+      JOIN rows8 r ON px.y >= r.y0 AND px.y < r.y1
+      JOIN cols9 c ON px.x >= c.x0 AND px.x < c.x1
+      GROUP BY 1, 2, 3, 4
+    ), dh AS (
+      SELECT l.media_id, l.frame_idx,
+             CAST(sum(CASE WHEN l.s * r.a > r.s * l.a
+                      THEN {_VID_BITW.format(k='l.i*8 + l.j')}
+                      ELSE 0 END) AS BIGINT) AS dhash
+      FROM s9 l
+      JOIN s9 r ON r.media_id = l.media_id AND r.frame_idx = l.frame_idx
+               AND r.i = l.i AND r.j = l.j + 1
+      WHERE l.j < 8
+      GROUP BY 1, 2
+    ), nfm AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS nf
+      FROM dh GROUP BY 1
+    ), votes AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             b.frame_idx - a.frame_idx AS "offset",
+             CAST(count(DISTINCT a.frame_idx) AS BIGINT) AS aligned_frames
+      FROM dh a JOIN dh b
+        ON a.media_id < b.media_id
+       AND bit_count(xor(a.dhash, b.dhash)) <= 3
+      GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY media_a, media_b
+                                ORDER BY aligned_frames DESC, "offset" ASC)
+               AS rn
+      FROM votes
+    )
+    SELECT b.media_a, b.media_b, b."offset", b.aligned_frames,
+           least(na.nf, nb.nf) AS min_frames,
+           CAST(b.aligned_frames AS DOUBLE)
+             / CAST(least(na.nf, nb.nf) AS DOUBLE) AS aligned_frac
+    FROM best b
+    JOIN nfm na ON na.media_id = b.media_a
+    JOIN nfm nb ON nb.media_id = b.media_b
+    WHERE b.rn = 1
+      AND CAST(b.aligned_frames AS DOUBLE)
+            / CAST(least(na.nf, nb.nf) AS DOUBLE) >= 0.6
+    ORDER BY media_a, media_b
+    """,
+)
 def video_temporal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs (operators/phash.py video_neardup_pairs):
     documents >= 288 bytes become deterministic fake/raw clips (each
@@ -453,12 +562,20 @@ def video_temporal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes after — under the reserved re-ingestion namespace: the trimmed
     re-upload case. The planted twins must pair at offset -1 with full
     alignment; coincidental single-frame matches fail the >= 60% vote.
-    Payload drops at the per-frame hash: 2 longs per frame downstream."""
+    Payload drops at the per-frame hash: 2 longs per frame downstream.
+
+    Clip corpus is scoped to ASCII documents (chars == bytes, explicit
+    filter — a no-op on the synthetic corpus) so the DuckDB oracle's
+    per-character ord() addresses the same bytes the binary cast
+    yields; see the oracle comment for why that makes the whole
+    pipeline hash-verifiable here."""
     from ..operators.phash import video_neardup_pairs
 
     FRAME_BYTES = 96  # 6 rows x 16 cols x 1 channel
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("bin")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") == F.octet_length("text"))
+        .select("doc_id", F.col("text").cast("binary").alias("bin"))
     )
     d = d.where(F.length("bin") >= 3 * FRAME_BYTES).withColumn(
         "nf",
