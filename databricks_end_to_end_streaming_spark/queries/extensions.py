@@ -24,6 +24,30 @@ from . import query
 REINGEST_ID_FLAG = 1 << 40
 
 
+def _vid_block_bounds(n_in: int, n_out: int) -> list[tuple[int, int, int]]:
+    """(index, lo, hi) block boundaries of operators/phash._grid_means
+    for a fixed input extent — the EXACT same floor/upsample formula
+    (y0 = i*n_in//n_out; y1 = max(y0+1, next)), in pure Python so the
+    oracle below inlines the geometry as VALUES rows and a drifted
+    formula shows up as a hash mismatch, not a silent re-derivation."""
+    lo = [i * n_in // n_out for i in range(n_out)]
+    nxt = lo[1:] + [n_in]
+    return [(i, a, max(a + 1, b)) for i, (a, b) in enumerate(zip(lo, nxt))]
+
+
+_VID_ROWS8 = ", ".join(f"({i},{a},{b})" for i, a, b in _vid_block_bounds(6, 8))
+_VID_COLS9 = ", ".join(
+    f"({j},{a},{b})" for j, a, b in _vid_block_bounds(16, 9)
+)
+# bit k of the signed-int64 signature: two's-complement weight (bit 63
+# carries -2^63), so summing weights reproduces _signed64 exactly
+_VID_BITW = (
+    "(CASE WHEN {k} = 63 THEN -9223372036854775808"
+    " ELSE (CAST(1 AS BIGINT) << CAST({k} AS INTEGER)) END)"
+)
+
+
+
 @query(
     "dedup_simhash",
     # Replay oracle: the md5-prefix token hash, bit voting, signature
@@ -246,8 +270,56 @@ def _docs_as_media(d: DataFrame) -> DataFrame:
     )
 
 
-@query("image_phash_neardup")  # rows-only: bit-63 hash + banding join is
-# faithfully pytest-twinned (tests/test_phash.py), not SQL-replayed
+@query(
+    "image_phash_neardup",
+    # HASH-ORACLED since r13 (was rows-only), same argument as
+    # video_temporal_neardup: on the ASCII fake/raw raster corpus the
+    # dHash is exact integer block-mean arithmetic. Height is FIXED at
+    # 16 (row blocks are exactly [2i, 2i+2)); width varies per document,
+    # so the 9-column boundaries are computed in-SQL from the same
+    # floor/upsample formula ((j*w)//9; hi = max(lo+1, next)) instead of
+    # inlined VALUES. Exact all-pairs bit_count(xor) <= 3 re-proves the
+    # 4-chunk banding recall every round.
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id AS media_id, text,
+             CAST(strlen(text) // 16 AS BIGINT) AS w
+      FROM documents
+      WHERE strlen(text) >= 256 AND length(text) = strlen(text)
+    ), cols9 AS (
+      SELECT media_id, CAST(j.j AS BIGINT) AS j,
+             (j.j * w) // 9 AS x0,
+             greatest((j.j * w) // 9 + 1,
+                      CASE WHEN j.j = 8 THEN w
+                           ELSE ((j.j + 1) * w) // 9 END) AS x1
+      FROM eligible, unnest(range(0, 9)) AS j(j)
+    ), px AS (
+      SELECT media_id, (y.y // 2) AS i, x.x AS x,
+             ord(substr(text, CAST(y.y * w + x.x + 1 AS INTEGER), 1)) AS v
+      FROM eligible, unnest(range(0, 16)) AS y(y), unnest(range(0, w)) AS x(x)
+    ), s9 AS (
+      SELECT px.media_id, px.i, c.j,
+             CAST(sum(px.v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS a
+      FROM px JOIN cols9 c ON c.media_id = px.media_id
+                          AND px.x >= c.x0 AND px.x < c.x1
+      GROUP BY 1, 2, 3
+    ), dh AS (
+      SELECT l.media_id,
+             CAST(sum(CASE WHEN l.s * r.a > r.s * l.a
+                      THEN {_VID_BITW.format(k='l.i*8 + l.j')}
+                      ELSE 0 END) AS BIGINT) AS dhash
+      FROM s9 l
+      JOIN s9 r ON r.media_id = l.media_id AND r.i = l.i AND r.j = l.j + 1
+      WHERE l.j < 8
+      GROUP BY 1
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM dh a JOIN dh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ORDER BY media_a, media_b
+    """,
+)
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs (operators/phash.py): dHash over
     16-row document rasters, banded Hamming pairing <= 3 bits. Each
@@ -262,7 +334,10 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.phash import phash_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= 256
+        (F.length("text") >= 256)
+        # ASCII scope (chars == bytes), same rationale as the video/audio
+        # oracles; a no-op on the synthetic corpus
+        & (F.length("text") == F.octet_length("text"))
     )
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -399,8 +474,61 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("audio_energy_neardup")  # rows-only: bit-63 hash + banding join is
-# faithfully pytest-twinned (tests/test_audiohash.py), not SQL-replayed
+@query(
+    "audio_energy_neardup",
+    # HASH-ORACLED since r13 (was rows-only), same argument as the
+    # video/image pipelines: on the ASCII byte-PCM corpus the
+    # energy-delta hash is exact integer arithmetic — per-clip 65
+    # floor-boundary frame ranges computed in-SQL from the operator's
+    # formula (lo = i*n//65; hi = max(lo+1, next)), exact int64 frame
+    # energies (sum of squared byte samples), each bit a
+    # cross-multiplied rational comparison (e[i+1]*c[i] > e[i]*c[i+1]),
+    # signatures as two's-complement bit-weight sums. Exact all-pairs
+    # bit_count(xor) <= 3 re-proves the 4-chunk banding recall.
+    oracle=f"""
+    WITH eligible AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+      FROM documents
+      WHERE strlen(text) >= 130 AND length(text) = strlen(text)
+    ), clips AS (
+      SELECT doc_id AS media_id, text, n FROM eligible
+      UNION ALL
+      SELECT doc_id + {REINGEST_ID_FLAG}, text, n
+      FROM eligible WHERE doc_id % 7 = 0
+    ), fr AS (
+      SELECT media_id, text, CAST(i.i AS BIGINT) AS i,
+             (i.i * n) // 65 AS lo,
+             greatest((i.i * n) // 65 + 1,
+                      CASE WHEN i.i = 64 THEN n
+                           ELSE ((i.i + 1) * n) // 65 END) AS hi
+      FROM clips, unnest(range(0, 65)) AS i(i)
+    ), samp AS (
+      SELECT media_id, i,
+             ord(substr(text, CAST(p.p + 1 AS INTEGER), 1)) AS v
+      FROM fr, unnest(range(lo, hi)) AS p(p)
+    ), en AS (
+      SELECT media_id, i,
+             CAST(sum(v * v) AS BIGINT) AS e,
+             CAST(count(*) AS BIGINT) AS c
+      FROM samp GROUP BY 1, 2
+    ), ah AS (
+      SELECT l.media_id,
+             CAST(sum(CASE WHEN r.e * l.c > l.e * r.c
+                      THEN {_VID_BITW.format(k='l.i')}
+                      ELSE 0 END) AS BIGINT) AS audiohash
+      FROM en l
+      JOIN en r ON r.media_id = l.media_id AND r.i = l.i + 1
+      WHERE l.i < 64
+      GROUP BY 1
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.audiohash, b.audiohash)) AS INTEGER)
+             AS hamming
+    FROM ah a JOIN ah b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.audiohash, b.audiohash)) <= 3
+    ORDER BY media_a, media_b
+    """,
+)
 def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs (operators/audiohash.py): gain-invariant
     energy-delta fingerprints over the document-byte PCM corpus
@@ -414,7 +542,10 @@ def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.audiohash import audio_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= 130
+        (F.length("text") >= 130)
+        # ASCII scope (chars == bytes): makes the DuckDB oracle's ord()
+        # address the same bytes the binary cast yields; no-op corpus-wise
+        & (F.length("text") == F.octet_length("text"))
     )
 
     def clips(docs: DataFrame, ids: F.Column) -> DataFrame:
@@ -443,29 +574,6 @@ def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return audio_neardup_pairs(media).orderBy("media_a", "media_b")
-
-
-def _vid_block_bounds(n_in: int, n_out: int) -> list[tuple[int, int, int]]:
-    """(index, lo, hi) block boundaries of operators/phash._grid_means
-    for a fixed input extent — the EXACT same floor/upsample formula
-    (y0 = i*n_in//n_out; y1 = max(y0+1, next)), in pure Python so the
-    oracle below inlines the geometry as VALUES rows and a drifted
-    formula shows up as a hash mismatch, not a silent re-derivation."""
-    lo = [i * n_in // n_out for i in range(n_out)]
-    nxt = lo[1:] + [n_in]
-    return [(i, a, max(a + 1, b)) for i, (a, b) in enumerate(zip(lo, nxt))]
-
-
-_VID_ROWS8 = ", ".join(f"({i},{a},{b})" for i, a, b in _vid_block_bounds(6, 8))
-_VID_COLS9 = ", ".join(
-    f"({j},{a},{b})" for j, a, b in _vid_block_bounds(16, 9)
-)
-# bit k of the signed-int64 signature: two's-complement weight (bit 63
-# carries -2^63), so summing weights reproduces _signed64 exactly
-_VID_BITW = (
-    "(CASE WHEN {k} = 63 THEN -9223372036854775808"
-    " ELSE (CAST(1 AS BIGINT) << CAST({k} AS INTEGER)) END)"
-)
 
 
 @query(
