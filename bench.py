@@ -361,6 +361,8 @@ NEW_OP_QUERIES = [
     "tokenizer_fertility_per_lang",
     "dictionary_term_scan",
     "robust_zscore_event_anomalies",
+    # round-13 additions
+    "cdc_chunk_dedup",
 ]
 
 

@@ -1997,3 +1997,105 @@ def winnow_score_pairs(shared: DataFrame, sizes: DataFrame) -> DataFrame:
             ).alias("overlap_score"),
         )
     )
+
+
+# ------------------------------------------- content-defined chunking
+
+from ..operators.cdc import CDC_POW as _CDC_POW  # noqa: E402
+
+# weights as BIGINT literals: ord() is INT32 and 255 * 257^j overflows
+# 32-bit multiplication otherwise
+_CDC_PW_VALUES = ", ".join(
+    f"({j}, CAST({w} AS BIGINT))" for j, w in enumerate(_CDC_POW)
+)
+
+
+@query(
+    "cdc_chunk_dedup",
+    # Full DuckDB replay of the CDC construction (operators/cdc.py): the
+    # polynomial rolling hash is exact int64 arithmetic over bytes (the
+    # corpus is ASCII, explicitly scoped, so per-character ord() IS the
+    # byte), power weights are inlined on both engines, cut selection is
+    # a modulus test, and chunking/fingerprinting is substring + md5 —
+    # a green hash verifies boundaries, chunk bytes, and the dedup
+    # accounting, not just row counts.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+      FROM documents
+      WHERE length(text) = strlen(text) AND strlen(text) > 0
+    ), pw(j, w) AS (VALUES {_CDC_PW_VALUES}),
+    pos AS (
+      SELECT doc_id, p.p AS pos FROM d, unnest(range(15, n)) AS p(p)
+    ), hh AS (
+      SELECT pos.doc_id, pos.pos,
+             sum(ord(substr(d.text, CAST(pos.pos - pw.j + 1 AS INTEGER), 1))
+                 * pw.w) % 1000000007 AS h
+      FROM pos JOIN d USING (doc_id) CROSS JOIN pw
+      GROUP BY 1, 2
+    ), cuts AS (
+      SELECT doc_id, pos FROM hh WHERE h % 256 = 255
+    ), maxcut AS (
+      SELECT doc_id, max(pos) AS mx FROM cuts GROUP BY 1
+    ), bounds AS (
+      SELECT doc_id,
+             COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1)
+               + 1 AS s,
+             pos AS e
+      FROM cuts
+      UNION ALL
+      SELECT d.doc_id, COALESCE(m.mx, -1) + 1, d.n - 1
+      FROM d LEFT JOIN maxcut m USING (doc_id)
+      WHERE COALESCE(m.mx, -1) <> d.n - 1
+    ), ch AS (
+      SELECT b.doc_id,
+             md5(substr(d.text, CAST(b.s + 1 AS INTEGER),
+                        CAST(b.e - b.s + 1 AS INTEGER))) AS fp,
+             b.e - b.s + 1 AS len
+      FROM bounds b JOIN d USING (doc_id)
+    ), grp AS (
+      SELECT fp, max(len) AS len, CAST(count(*) AS BIGINT) AS occ
+      FROM ch GROUP BY fp
+    )
+    SELECT occ AS occurrences,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(len) AS BIGINT) AS distinct_bytes,
+           CAST(sum(len * occ) AS BIGINT) AS total_bytes
+    FROM grp GROUP BY occ ORDER BY occurrences
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document storage-dedup accounting via content-defined
+    chunking (operators/cdc.py — LBFS/rsync rolling-hash cut points):
+    per chunk-occurrence level, how many distinct ~256-byte
+    content-defined chunks exist and what they cost stored once
+    (distinct_bytes) vs as-ingested (total_bytes). occurrences > 1 rows
+    are the byte-identical sub-document content (mirrors, boilerplate
+    frames, quoted replies) that document-level exact dedup cannot see
+    when ANY byte elsewhere in the document differs.
+
+    Shape at 100 TB: cut detection + fingerprinting are map-only nested
+    JVM HOFs (no UDF; text drops at the md5); the one corpus shuffle is
+    the chunk-fingerprint groupBy carrying (fp, len) rows; the
+    occurrence rollup is histogram-sized. ASCII scope (chars == bytes)
+    makes DuckDB's character addressing replay byte addressing."""
+    from ..operators.cdc import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.octet_length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    grp = (
+        cdc_chunks(d)
+        .groupBy("fp")
+        .agg(F.max("chunk_len").alias("len"), F.count("*").alias("occ"))
+    )
+    return (
+        grp.groupBy(F.col("occ").alias("occurrences"))
+        .agg(
+            F.count("*").alias("n_distinct_chunks"),
+            F.sum("len").cast("long").alias("distinct_bytes"),
+            F.sum(F.col("len") * F.col("occ")).cast("long").alias("total_bytes"),
+        )
+        .orderBy("occurrences")
+    )
