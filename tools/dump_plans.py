@@ -166,6 +166,7 @@ PLAN_QUERIES = [
     ("tokenizer_fertility_per_lang", "corpus collapses to (lang,word,freq) in ONE shuffle; distinct-word dim segments once (Arrow, vocab-sized) and joins back vocab-to-vocab; lang-sized finalize of exact int64 sums (r12)"),
     ("dictionary_term_scan", "ONE Aho-Corasick corpus pass (Arrow mapInPandas, dictionary-size-independent); term-sized partial agg broadcast back onto the term dim so zero-hit terms report (r12)"),
     ("robust_zscore_event_anomalies", "median/MAD by ECDF selection over the collapsed (type,cents) relation; 5-row dims broadcast back onto a map-side scan; the 3.5-sigma cut is pure int64 (6745*|dev| >= 35000*mad) — no float boundary (r12)"),
+    ("cdc_chunk_dedup", "content-defined chunking: rolling hash + cut detection + md5 fingerprints all map-only codegen HOFs (byte array bound once per row — no quadratic substring walk, no UDF); ONE corpus shuffle on (fp,len); histogram-sized rollup (r13)"),
 ]
 
 

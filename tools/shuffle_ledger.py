@@ -112,6 +112,7 @@ LEDGER_QUERIES = [
     "robust_value_stats_per_type",
     "cusum_level_shift_per_type",
     "durbin_watson_hourly_per_type",
+    "cdc_chunk_dedup",
 ]
 
 
