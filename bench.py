@@ -588,6 +588,9 @@ SF1_QUERIES = [
     "robust_value_stats_per_type",
     "cramers_v_type_weekday",
     "corr_value_day_per_type",
+    # r13: CDC is linear-in-bytes by construction (map-only rolling
+    # hash + one (fp,len) shuffle); the canary proves the growth curve
+    "cdc_chunk_dedup",
 ]
 
 

@@ -59,7 +59,15 @@ def cdc_cut_positions() -> F.Column:
     plain projected bytes column doesn't fix it because Catalyst's
     project-collapse would inline the split per position (the
     queries/dedup.py minhash lesson)."""
-    pw = ", ".join(f"{w}L" for w in CDC_POW)
+    # The 16-term polynomial is UNROLLED as one flat sum per position
+    # (max sum ~4.1e12 — fits int64; one mod at the end is the same
+    # residue the per-step-mod fold and the oracle's sum-then-mod
+    # compute): an inner aggregate() HOF costs 16 interpreted lambda
+    # invocations per position and measured ~2x slower than this form.
+    terms = " + ".join(
+        f"element_at(bs, CAST(pos - {j} + 1 AS INT)) * {w}L"
+        for j, w in enumerate(CDC_POW)
+    )
     return F.expr(
         f"""
         CASE WHEN octet_length(text) > {CDC_WINDOW - 1} THEN
@@ -70,14 +78,8 @@ def cdc_cut_positions() -> F.Column:
                 transform(
                   sequence({CDC_WINDOW - 1}L, octet_length(text) - 1L),
                   pos -> IF(
-                    aggregate(
-                      sequence(0, {CDC_WINDOW - 1}),
-                      0L,
-                      (acc, j) -> (acc
-                                   + element_at(bs, CAST(pos - j + 1 AS INT))
-                                   * element_at(array({pw}), j + 1))
-                                  % {CDC_MOD}L
-                    ) % {1 << CDC_MASK_BITS} = {CDC_MASK},
+                    ({terms}) % {CDC_MOD}L
+                      % {1 << CDC_MASK_BITS} = {CDC_MASK},
                     pos, -1L)),
                 x -> x >= 0)),
             1)
