@@ -363,6 +363,8 @@ NEW_OP_QUERIES = [
     "robust_zscore_event_anomalies",
     # round-13 additions
     "cdc_chunk_dedup",
+    "reshard_movement_rendezvous",
+    "apportion_budget_largest_remainder",
 ]
 
 

@@ -493,3 +493,111 @@ def dsir_scores(docs: DataFrame, target: Column) -> DataFrame:
         ),
     )
     return dsir_score_from(tf3.drop("is_target"), buckets)
+
+
+# ------------------------------- largest-remainder budget apportionment
+
+APPORTION_BUDGET = 100_000  # documents to sample across languages
+
+
+@query(
+    "apportion_budget_largest_remainder",
+    # Exact integer replay: quotas compare as B*n_i div/mod N (never a
+    # float share), the leftover-seat ranking orders by integer
+    # remainder desc then lang asc, and the seat count R is itself
+    # derived in-SQL — both engines walk the identical Hamilton-method
+    # arithmetic, so the hash verifies the apportionment, not a rounded
+    # approximation of it.
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ), t AS (
+      SELECT g.*, (SELECT sum(n_docs) FROM g) AS total FROM g
+    ), q AS (
+      SELECT lang, n_docs,
+             CAST(({APPORTION_BUDGET} * n_docs) // total AS BIGINT)
+               AS base_alloc,
+             CAST(({APPORTION_BUDGET} * n_docs) % total AS BIGINT)
+               AS remainder
+      FROM t
+    ), r AS (
+      SELECT q.*,
+             row_number() OVER (ORDER BY remainder DESC, lang ASC) AS rk,
+             {APPORTION_BUDGET} - sum(base_alloc) OVER () AS leftover
+      FROM q
+    )
+    SELECT lang, n_docs, base_alloc, remainder,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra_seat,
+           CAST(base_alloc
+                + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r ORDER BY lang
+    """,
+)
+def apportion_budget_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact largest-remainder (Hamilton-method) apportionment of a
+    sampling budget across languages — the integer sibling of the
+    temperature/water-filling mixers: when a training-mix plan says
+    "sample exactly B documents proportionally", float shares drift
+    (sum of rounded quotas misses B); Hamilton gives base_i =
+    floor(B*n_i/N) plus one extra seat to the B - sum(base) largest
+    remainders, so the allocations sum to B EXACTLY, deterministically
+    (remainder ties break by lang — the published method's convention
+    choice, pinned by the oracle).
+
+    Exactness: every quantity is int64 (B*n_i binds at n ~ 9.2e13 docs
+    for B = 1e5 — ~2e10x sf0.1; DECIMAL-widen past that); there is no
+    float anywhere, so cross-engine equality is arithmetic identity.
+
+    Shape at 100 TB: ONE lang-keyed partial-agg corpus shuffle;
+    everything after is window arithmetic over the lang-sized relation
+    (the 1-partition window over <= dozens of rows is deliberate)."""
+    from pyspark.sql import Window
+
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .transform(pin)
+    )
+    t = g.crossJoin(
+        F.broadcast(g.agg(F.sum("n_docs").alias("total")))
+    )
+    q = t.select(
+        "lang",
+        "n_docs",
+        F.expr(f"({APPORTION_BUDGET}L * n_docs) div total").alias(
+            "base_alloc"
+        ),
+        (F.lit(APPORTION_BUDGET).cast("long") * F.col("n_docs") % F.col("total")).alias(
+            "remainder"
+        ),
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("lang"))
+    wall = Window.partitionBy()
+    r = q.select(
+        "lang",
+        "n_docs",
+        "base_alloc",
+        "remainder",
+        F.row_number().over(w).alias("rk"),
+        (
+            F.lit(APPORTION_BUDGET).cast("long")
+            - F.sum("base_alloc").over(wall)
+        ).alias("leftover"),
+    )
+    return r.select(
+        "lang",
+        "n_docs",
+        "base_alloc",
+        "remainder",
+        (F.col("rk") <= F.col("leftover")).cast("long").alias("extra_seat"),
+        (
+            F.col("base_alloc")
+            + (F.col("rk") <= F.col("leftover")).cast("long")
+        ).alias("alloc"),
+    ).orderBy("lang")

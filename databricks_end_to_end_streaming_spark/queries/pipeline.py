@@ -401,3 +401,106 @@ def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "file_id"
         ),
     )
+
+
+# ------------------------------------------ rendezvous resharding
+
+RDV_OLD_SHARDS = 12
+RDV_NEW_SHARDS = 15  # 3 shards added: expected movement = 3/15 of docs
+
+_RDV_W = (
+    "CAST(conv(substring(md5(concat('rdv|', CAST(doc_id AS STRING), '|',"
+    " CAST({s} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
+def _rdv_argmax(n_shards: int) -> F.Column:
+    """Highest-random-weight (rendezvous) shard for each doc over
+    shards 0..n_shards-1: strict > keeps the FIRST maximum, so ties
+    (cryptographically negligible at 60 bits, but defined) break to the
+    smaller shard id — mirrored by the oracle's ORDER BY w DESC, s ASC."""
+    w = _RDV_W.format(s="s")
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0L, {n_shards - 1}L),
+          named_struct('w', -1L, 's', -1L),
+          (acc, s) -> IF({w} > acc.w, named_struct('w', {w}, 's', s), acc)
+        ).s
+        """
+    )
+
+
+@query(
+    "reshard_movement_rendezvous",
+    # Full replay: both engines weight (doc, shard) with the identical
+    # md5-prefix integer (the simhash token-hash idiom) and take the
+    # highest-random-weight shard, so the green hash verifies the HRW
+    # assignment itself AND its minimal-movement property — the oracle's
+    # n_incoming is 0 for every surviving shard by construction, which a
+    # mod-N rehash (moves ~(1 - 1/gcd) of everything, scattering into
+    # old shards too) could never hash-match.
+    oracle=f"""
+    WITH w AS (
+      SELECT d.doc_id, s.s,
+             ('0x' || substr(md5('rdv|' || CAST(d.doc_id AS VARCHAR) || '|'
+                                 || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT
+               AS w
+      FROM documents d, (SELECT unnest(range(0, {RDV_NEW_SHARDS})) AS s) s
+    ), rank_new AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, s ASC) AS rn
+      FROM w
+    ), new_assign AS (
+      SELECT doc_id, s AS new_s FROM rank_new WHERE rn = 1
+    ), rank_old AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, s ASC) AS rn
+      FROM w WHERE s < {RDV_OLD_SHARDS}
+    ), old_assign AS (
+      SELECT doc_id, s AS old_s FROM rank_old WHERE rn = 1
+    )
+    SELECT n.new_s AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n.new_s <> o.old_s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_incoming
+    FROM new_assign n JOIN old_assign o USING (doc_id)
+    GROUP BY 1 ORDER BY shard
+    """,
+)
+def reshard_movement_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard-movement plan under rendezvous (highest-random-weight)
+    hashing — Thaler & Ravishankar 1996, the consistent-placement
+    scheme behind cache/storage rings: growing 12 -> 15
+    shards moves ONLY the documents whose argmax lands on a NEW shard
+    (expected 3/15 here), because removing no shard can change which of
+    the surviving shards holds the max weight. A mod-N rehash would
+    move ~everything and scatter it everywhere; this query is the
+    accounting a 100 TB store runs BEFORE a topology change to size the
+    copy job. Per new-shard row: how many docs land there and how many
+    of those must move (n_incoming = n_docs on added shards, 0 on
+    surviving shards — the minimal-movement invariant, hash-verified
+    every round).
+
+    Shape at 100 TB: the double argmax is map-only JVM HOF work (one
+    md5 per (doc, shard) candidate — the inherent O(shards) HRW cost
+    per key; big rings amortize via skeleton trees, documented not
+    built); the ONE shuffle is the shard-count-sized groupBy."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assign = d.select(
+        "doc_id",
+        _rdv_argmax(RDV_NEW_SHARDS).alias("new_s"),
+        _rdv_argmax(RDV_OLD_SHARDS).alias("old_s"),
+    )
+    return (
+        assign.groupBy(F.col("new_s").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("new_s") != F.col("old_s")).cast("long")
+            ).alias("n_incoming"),
+        )
+        .orderBy("shard")
+    )

@@ -143,3 +143,23 @@ def test_unigram_vocab_stage_soaks_and_replays_under_timed_triggers(
         ).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_cdc_stage_soaks_and_replays_under_timed_triggers(spark, workdir):
+    """The r13 CDC stage under the same always-on protocol: two waves,
+    mid-run pickup, checkpoint-surgery replay, report == batch query."""
+    from databricks_end_to_end_streaming_spark.streaming.cdc_stage import (
+        cdc_report_from_log,
+        cdc_stage,
+    )
+
+    log = ParquetTable(f"{workdir}/cdc_log")
+    _soak_stage_through_timed_triggers(
+        spark, workdir, cdc_stage(log), "cdc"
+    )
+    got = [tuple(r) for r in cdc_report_from_log(spark, log).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["cdc_chunk_dedup"](spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) > 0

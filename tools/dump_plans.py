@@ -167,6 +167,8 @@ PLAN_QUERIES = [
     ("dictionary_term_scan", "ONE Aho-Corasick corpus pass (Arrow mapInPandas, dictionary-size-independent); term-sized partial agg broadcast back onto the term dim so zero-hit terms report (r12)"),
     ("robust_zscore_event_anomalies", "median/MAD by ECDF selection over the collapsed (type,cents) relation; 5-row dims broadcast back onto a map-side scan; the 3.5-sigma cut is pure int64 (6745*|dev| >= 35000*mad) — no float boundary (r12)"),
     ("cdc_chunk_dedup", "content-defined chunking: rolling hash + cut detection + md5 fingerprints all map-only codegen HOFs (byte array bound once per row — no quadratic substring walk, no UDF); ONE corpus shuffle on (fp,len); histogram-sized rollup (r13)"),
+    ("reshard_movement_rendezvous", "double HRW argmax = map-only HOF md5 work per doc; ONE shard-count-sized groupBy shuffle (r13)"),
+    ("apportion_budget_largest_remainder", "ONE lang-keyed partial-agg corpus shuffle; Hamilton arithmetic as windows over the lang-sized relation, all int64 (r13)"),
 ]
 
 

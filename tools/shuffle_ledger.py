@@ -113,6 +113,8 @@ LEDGER_QUERIES = [
     "cusum_level_shift_per_type",
     "durbin_watson_hourly_per_type",
     "cdc_chunk_dedup",
+    "reshard_movement_rendezvous",
+    "apportion_budget_largest_remainder",
 ]
 
 
