@@ -556,14 +556,22 @@ def apportion_budget_largest_remainder(
     Shape at 100 TB: ONE lang-keyed partial-agg corpus shuffle;
     everything after is window arithmetic over the lang-sized relation
     (the 1-partition window over <= dozens of rows is deliberate)."""
-    from pyspark.sql import Window
-
     g = (
         load_table(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
         .transform(pin)
     )
+    return apportion_over_counts(g)
+
+
+def apportion_over_counts(g: DataFrame) -> DataFrame:
+    """Hamilton scoring core over a (lang, n_docs) count relation —
+    shared by the batch query and the streaming twin
+    (streaming/apportion_stage.py), whose folded lang-count log is the
+    same count monoid."""
+    from pyspark.sql import Window
+
     t = g.crossJoin(
         F.broadcast(g.agg(F.sum("n_docs").alias("total")))
     )

@@ -489,18 +489,23 @@ def reshard_movement_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key; big rings amortize via skeleton trees, documented not
     built); the ONE shuffle is the shard-count-sized groupBy."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return reshard_partials(d).orderBy("shard")
+
+
+def reshard_partials(d: DataFrame) -> DataFrame:
+    """(shard, n_docs, n_incoming) over a doc_id relation — the
+    per-shard movement partial shared by the batch query and the
+    streaming twin (streaming/reshard_stage.py): each doc is assigned
+    independently, so per-batch partials fold to the corpus answer by
+    addition."""
     assign = d.select(
         "doc_id",
         _rdv_argmax(RDV_NEW_SHARDS).alias("new_s"),
         _rdv_argmax(RDV_OLD_SHARDS).alias("old_s"),
     )
-    return (
-        assign.groupBy(F.col("new_s").alias("shard"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(
-                (F.col("new_s") != F.col("old_s")).cast("long")
-            ).alias("n_incoming"),
-        )
-        .orderBy("shard")
+    return assign.groupBy(F.col("new_s").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("new_s") != F.col("old_s")).cast("long")
+        ).alias("n_incoming"),
     )

@@ -84,8 +84,8 @@ def test_apportionment_sums_exactly_and_is_near_quota(spark):
 
 
 def test_apportionment_known_vector(spark):
-    """Classic Hamilton example: B=10 over counts (6,3,1) with a forced
-    remainder tie broken by the documented lang-asc convention."""
+    """Hand-checked Hamilton vector: B=7 over counts (5,3,2), driving
+    the production code via the call-time module constant."""
     from databricks_end_to_end_streaming_spark.queries.dq import (
         apportion_budget_largest_remainder,
     )
@@ -125,3 +125,75 @@ def test_apportionment_known_vector(spark):
         0,
     )
     assert sum(r.alloc for r in got.values()) == 7
+
+
+def test_reshard_stage_drained_equals_batch_and_replays(spark, workdir):
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.streaming.reshard_stage import (
+        reshard_report_from_log,
+        reshard_stage,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    t = ParquetTable(f"{workdir}/reshard_log")
+    stage = reshard_stage(t)
+    for i in range(3):
+        stage(d.where(F.col("doc_id") % 3 == i), i)
+    got = [tuple(r) for r in reshard_report_from_log(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["reshard_movement_rendezvous"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(d.where(F.col("doc_id") % 3 == 1), 1)  # replay
+    assert [
+        tuple(r) for r in reshard_report_from_log(spark, t).collect()
+    ] == want
+
+
+def test_apportion_stage_drained_equals_batch_and_as_of_view(spark, workdir):
+    from databricks_end_to_end_streaming_spark.streaming import ParquetTable
+    from databricks_end_to_end_streaming_spark.streaming.apportion_stage import (
+        apportionment_from_log,
+        lang_count_stage,
+    )
+    from databricks_end_to_end_streaming_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    t = ParquetTable(f"{workdir}/lang_log")
+    stage = lang_count_stage(t)
+    for i in range(3):
+        stage(d.where(F.col("doc_id") % 3 == i), i)
+    got = [tuple(r) for r in apportionment_from_log(spark, t).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["apportion_budget_largest_remainder"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    stage(d.where(F.col("doc_id") % 3 == 2), 2)  # replay
+    assert [
+        tuple(r) for r in apportionment_from_log(spark, t).collect()
+    ] == want
+    # as-of batch 0: the plan as it stood = a from-scratch apportionment
+    # of batch 0's corpus alone (and it still sums to B exactly)
+    from databricks_end_to_end_streaming_spark.queries.dq import (
+        APPORTION_BUDGET,
+        apportion_over_counts,
+    )
+    from databricks_end_to_end_streaming_spark.pin import pin
+
+    asof = apportionment_from_log(spark, t, up_to_batch=0).collect()
+    scratch = apportion_over_counts(
+        pin(
+            d.where(F.col("doc_id") % 3 == 0)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"))
+        )
+    ).collect()
+    assert sorted(map(tuple, asof)) == sorted(map(tuple, scratch))
+    assert sum(r.alloc for r in asof) == APPORTION_BUDGET
