@@ -450,3 +450,128 @@ def mmr_rerank_exact(
     return cands.select("doc_id", "cs", "dq", "nd").coalesce(1).mapInPandas(
         _greedy, schema=out_schema
     )
+
+
+# ------------------------------------------------- multiprobe LSH
+
+MP_SCALE = 1 << 20  # fixed-point margin quantization (the sq8 discipline)
+
+
+def quantized_planes(
+    dim: int, n_bits: int, n_tables: int, seed: int = 42
+) -> np.ndarray:
+    """The seeded hyperplanes floor-quantized to int64 at 2^20: margins
+    against floor-quantized vectors become EXACT integers, so bucket
+    signs AND the probe order (ascending |margin|) are deterministic
+    and cross-engine replayable — float margins would make the probe
+    ORDER a 1-ulp coin flip between NumPy's blocked matmul and a SQL
+    engine's sequential dot."""
+    return np.floor(_planes(dim, n_bits, n_tables, seed) * MP_SCALE).astype(
+        np.int64
+    )
+
+
+def multiprobe_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    n_probes: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Append ``probes`` array<struct<table_id,bucket>>: per table, the
+    sign-pattern home bucket plus the ``n_probes - 1`` single-bit flips
+    with the smallest exact |margin| (Lv et al. 2007 multi-probe LSH —
+    the perturbations most likely to hold a near neighbor), ties by bit
+    index. With n_probes=1 this is plain bucketing on the quantized
+    margins (the corpus side). Exactness: vector and planes both
+    floor-quantize at 2^20, so each margin is an exact int64 (|sum| <=
+    64 * 5 * 2^40 ~ 2^49) and the probe sequence is deterministic."""
+    qp = quantized_planes(dim, n_bits, n_tables, seed)
+
+    @pandas_udf("array<struct<table_id:int,bucket:bigint>>")
+    def probeize(vecs: pd.Series) -> pd.Series:
+        mat = np.floor(
+            np.asarray(vecs.tolist(), dtype=np.float64) * MP_SCALE
+        ).astype(np.int64)
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        rows = []
+        for i in range(mat.shape[0]):
+            out = []
+            for t in range(n_tables):
+                m = qp[t] @ mat[i]  # (n_bits,) exact int64
+                bucket = int(((m > 0) * weights).sum())
+                out.append({"table_id": t, "bucket": bucket})
+                if n_probes > 1:
+                    order = sorted(
+                        range(n_bits), key=lambda b: (abs(int(m[b])), b)
+                    )
+                    for b in order[: n_probes - 1]:
+                        out.append(
+                            {"table_id": t, "bucket": bucket ^ (1 << b)}
+                        )
+            rows.append(out)
+        return pd.Series(rows)
+
+    return df.withColumn("probes", probeize(F.col(vec_col)))
+
+
+def ann_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Multi-probe approximate top-k: the corpus hashes ONCE per table
+    (home bucket only); each query probes its home bucket plus the
+    lowest-|margin| single-bit flips, recovering the recall extra
+    tables would buy WITHOUT replicating the corpus index — the
+    standard memory/recall trade (probing is query-side-only work).
+    Exact cosine re-rank on the candidate union, window top-k."""
+    corpus = multiprobe_buckets(
+        emb, vec_col, dim, n_bits, n_tables, 1
+    ).select(
+        id_col,
+        vec_col,
+        F.explode("probes").alias("p"),
+    ).select(id_col, vec_col, "p.table_id", "p.bucket")
+    probes = multiprobe_buckets(
+        queries.withColumnRenamed(query_vec_col, "_qv"),
+        "_qv",
+        dim,
+        n_bits,
+        n_tables,
+        n_probes,
+    ).select(
+        query_id_col,
+        F.col("_qv").alias(query_vec_col),
+        F.explode("probes").alias("p"),
+    ).select(query_id_col, query_vec_col, "p.table_id", "p.bucket")
+    pairs = (
+        F.broadcast(probes)
+        .join(corpus, ["table_id", "bucket"])
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, query_vec_col, id_col, vec_col)
+        .distinct()
+    )
+    scored = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(query_vec_col, vec_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "score")
+    )

@@ -717,3 +717,115 @@ def video_temporal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_neardup_pairs(base.unionByName(twins)).orderBy(
         "media_a", "media_b"
     )
+
+
+def _mp_planes_values_sql(
+    dim: int = 64, n_bits: int = 8, n_tables: int = 4
+) -> str:
+    """The QUANTIZED hyperplanes as (table_id, bit, h BIGINT[]) VALUES —
+    exact integers, so the oracle's margins (and hence bucket signs and
+    probe order) are arithmetic identities with the Spark side, not
+    1-ulp float races."""
+    from ..operators.similarity import quantized_planes
+
+    qp = quantized_planes(dim, n_bits, n_tables, seed=42)
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            arr = ", ".join(str(int(x)) for x in qp[t, b])
+            rows.append(f"({t}, {b}, CAST([{arr}] AS BIGINT[]))")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "ann_multiprobe_lsh_topk",
+    # Full replay of multi-probe LSH (Lv et al. 2007): both engines
+    # floor-quantize vectors at 2^20 against the inlined quantized
+    # planes, so every margin is the same exact int64 — bucket signs
+    # AND the ascending-|margin| probe order are arithmetic identities.
+    # The corpus indexes home buckets only; queries probe home + the 2
+    # lowest-margin single-bit flips per table; exact cosine re-rank on
+    # the candidate union. A green hash verifies the probe sequence
+    # itself, which float margins could never guarantee cross-engine.
+    oracle=f"""
+    WITH planes(table_id, bit, h) AS (
+      VALUES {_mp_planes_values_sql()}
+    ),
+    corpus AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1048576) AS BIGINT)) AS q,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    margins AS (
+      SELECT c.vec_id, p.table_id, p.bit,
+             CAST(sum(c.q[d.d + 1] * p.h[d.d + 1]) AS BIGINT) AS m
+      FROM corpus c CROSS JOIN planes p, unnest(range(0, 64)) AS d(d)
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, table_id,
+             CAST(sum(CASE WHEN m > 0 THEN 1::BIGINT << bit
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM margins GROUP BY 1, 2
+    ),
+    flips AS (
+      SELECT vec_id, table_id, bit,
+             row_number() OVER (PARTITION BY vec_id, table_id
+                                ORDER BY abs(m) ASC, bit ASC) AS rn
+      FROM margins WHERE vec_id < 8
+    ),
+    qprobes AS (
+      SELECT vec_id AS query_id, table_id, bucket
+      FROM buckets WHERE vec_id < 8
+      UNION ALL
+      SELECT f.vec_id, f.table_id,
+             CAST(xor(b.bucket, 1::BIGINT << f.bit) AS BIGINT)
+      FROM flips f
+      JOIN buckets b ON b.vec_id = f.vec_id AND b.table_id = f.table_id
+      WHERE f.rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, bn.vec_id AS neighbor_id
+      FROM qprobes q
+      JOIN buckets bn ON bn.table_id = q.table_id
+                     AND bn.bucket = q.bucket
+      WHERE bn.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(qq.v, co.v) AS score
+      FROM cand c
+      JOIN corpus qq ON qq.vec_id = c.query_id
+      JOIN corpus co ON co.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH approximate cosine top-5 for the standard query
+    set: the corpus hashes to HOME buckets only (4 tables x 8 bits)
+    while each query additionally probes the 2 lowest-|margin|
+    single-bit flips per table — buying back the recall extra tables
+    would cost in CORPUS index replication with query-side-only work
+    (at 100 TB the index is the expensive side; probes are 12 tiny
+    bucket keys per query). Margins are exact fixed-point int64 (both
+    engines floor-quantize at 2^20 against the same inlined integer
+    planes), so the probe sequence is hash-verified, not approximately
+    replayed; recall vs brute force is pytest-checked beside the
+    single-probe variant."""
+    from ..operators.similarity import ann_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_multiprobe_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )

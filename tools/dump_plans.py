@@ -169,6 +169,7 @@ PLAN_QUERIES = [
     ("cdc_chunk_dedup", "content-defined chunking: rolling hash + cut detection + md5 fingerprints all map-only codegen HOFs (byte array bound once per row — no quadratic substring walk, no UDF); ONE corpus shuffle on (fp,len); histogram-sized rollup (r13)"),
     ("reshard_movement_rendezvous", "double HRW argmax = map-only HOF md5 work per doc; ONE shard-count-sized groupBy shuffle (r13)"),
     ("apportion_budget_largest_remainder", "ONE lang-keyed partial-agg corpus shuffle; Hamilton arithmetic as windows over the lang-sized relation, all int64 (r13)"),
+    ("ann_multiprobe_lsh_topk", "corpus hashes home buckets once (Arrow batch at the declared UDF site); query side probes home + 2 low-margin flips broadcast into the bucket join; exact cosine re-rank on candidates (r13)"),
 ]
 
 

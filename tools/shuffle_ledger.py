@@ -115,6 +115,7 @@ LEDGER_QUERIES = [
     "cdc_chunk_dedup",
     "reshard_movement_rendezvous",
     "apportion_budget_largest_remainder",
+    "ann_multiprobe_lsh_topk",
 ]
 
 
