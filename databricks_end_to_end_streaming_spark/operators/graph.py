@@ -39,9 +39,24 @@ def connected_components(
     ``edges`` is undirected input: each (src, dst) row is symmetrized
     internally, so callers pass each pair once in either orientation.
     """
+    from pyspark import StorageLevel
+
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().transform(pin)
+    # r13 (guide §2.4, remove shuffles outright): partition the (big)
+    # symmetrized edge relation by the per-round join key ONCE and
+    # persist it — unlike a localCheckpoint (whose LogicalRDD loses the
+    # partitioning under AQE and re-exchanged sym EVERY round), the
+    # cached InMemoryRelation keeps hashpartitioning(v) visible to the
+    # planner, so each round's proposals join moves only the (smaller)
+    # label relation. Unpersisted after the loop: all consumers have
+    # executed by then, and dropping it keeps repeated evaluations from
+    # ever touching a prior run's cache entry.
+    sym = (
+        sym.distinct()
+        .repartition("v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     labels = (
         sym.select("u")
@@ -58,23 +73,30 @@ def connected_components(
         # label is the min over (own label, neighbor proposals). min() is
         # algebraic, so Spark plants a map-side partial aggregate and the
         # shuffle carries one candidate per (node, partition).
+        # r13: the node's OWN label row is tagged in the union, so the
+        # same aggregate that computes the new label also recovers the
+        # old one (every node has exactly ONE own row) — the changed
+        # count no longer needs the old join-back-to-previous-labels,
+        # removing one whole shuffle join per round while staying exact
+        # for any node-id type (numeric or string).
         proposals = sym.join(
             labels, sym["v"] == labels["node"], "inner"
-        ).select(F.col("u").alias("node"), "component")
+        ).select(
+            F.col("u").alias("node"), "component", F.lit(False).alias("_own")
+        )
         # the convergence check rides the SAME job that materializes the
-        # round (Observation over the old-label join, counted while pin
-        # runs) — one driver action per round, not a separate count (the
-        # kcore r11 pattern)
+        # round (Observation counted while pin runs) — one driver action
+        # per round, not a separate count (the kcore r11 pattern)
         obs = Observation()
-        joined = (
-            labels.union(proposals)
+        folded = (
+            labels.select("node", "component", F.lit(True).alias("_own"))
+            .union(proposals)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .join(
-                labels.select(
-                    "node", F.col("component").alias("_old")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_own"), F.col("component"))).alias(
+                    "_old"
                 ),
-                "node",
             )
             .observe(
                 obs,
@@ -88,10 +110,13 @@ def connected_components(
                 ).alias("changed"),
             )
         )
-        labels = pin(joined.select("node", "component"))
+        labels = pin(folded.select("node", "component"))
         changed = obs.get["changed"]
         if changed == 0:
             break
+    # every consumer of the cached edge relation has executed (labels is
+    # checkpointed); drop the cache so nothing leaks across evaluations
+    sym.unpersist(blocking=False)
     if changed != 0:
         # Returning intermediate labels would silently split components
         # (two "canonical" docs in one duplicate cluster) — fail loudly.
@@ -245,52 +270,79 @@ def kcore_decomposition(
     is observed DURING the per-round pin materialization (Observation
     API — one driver action per round, not a separate count job).
     Returns (node, degree, coreness)."""
+    from pyspark import StorageLevel
+
     und = edges.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
-    und = pin(und, site="kcore.edges")
+    # r13 (guide §2.4, remove shuffles outright): partition the edge
+    # relation by the per-round join key ONCE and persist it — the
+    # cached InMemoryRelation keeps hashpartitioning(v) visible to the
+    # planner (a localCheckpoint's LogicalRDD does not under AQE), so
+    # each round's neighbor join moves only the one-row-per-node
+    # coreness state, never the edges. Unpersisted after the loop.
+    und = und.repartition("v").persist(StorageLevel.MEMORY_AND_DISK)
     deg = und.groupBy("u").agg(F.count("*").alias("degree"))
-    cur = pin(
-        deg.select("u", F.col("degree").cast("long").alias("c")),
-        site="kcore.init",
-    )
     from pyspark.sql import Observation
 
+    # Convergence by total coreness mass (r13): the h-index sequence
+    # from degree init is component-wise monotone non-increasing (Lü et
+    # al. 2016 — c1 = H(neighbor degrees) <= degree since H is bounded
+    # by list length, and H is monotone in its inputs, so induction
+    # carries it forward), hence sum(c) strictly decreases unless NO
+    # node changed. Observing the sum on the new state replaces the old
+    # join-back-to-previous-state changed-count — one whole shuffle
+    # join per round removed, same round count, same fixpoint.
+    # DECIMAL(38,0): the sum cannot wrap at any n x max-degree.
+    tot_c = F.coalesce(
+        F.sum(F.col("c").cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+    ).alias("tot")
+    obs0 = Observation()
+    # degree rides the pinned init state so the final (node, degree,
+    # coreness) join reads this checkpoint, not the by-then-unpersisted
+    # edge cache
+    init = pin(
+        deg.select(
+            "u", "degree", F.col("degree").cast("long").alias("c")
+        ).observe(obs0, tot_c),
+        site="kcore.init",
+    )
+    cur = init.select("u", "c")
+    prev_tot = obs0.get["tot"]
+    # h-index of the neighbor-value list as ONE aggregate expression
+    # (r13): sort desc, count positions where value > index — the set
+    # is a prefix (values non-increasing, index increasing), so the
+    # count IS max{h : v_h >= h}. Replaces the per-round window
+    # (row_number over a sort) + groupBy with a single partial-agg
+    # groupBy: one less sort per round, and collect_list is bounded by
+    # the degree cap the callers guarantee (mutual-KNN edges).
+    h_index = F.expr(
+        "size(filter(sort_array(vs, false), (x, i) -> x > i))"
+    ).cast("long")
+    converged = False
     for _ in range(max_iters):
         nb = und.join(
             cur.withColumnRenamed("u", "v").withColumnRenamed("c", "cv"),
             "v",
         )
-        w = Window.partitionBy("u").orderBy(F.desc("cv"), "v")
         nxt = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .groupBy("u")
-            .agg(
-                F.max(F.least(F.col("rn").cast("long"), F.col("cv"))).alias(
-                    "c"
-                )
-            )
+            nb.groupBy("u")
+            .agg(F.collect_list("cv").alias("vs"))
+            .select("u", h_index.alias("c"))
         )
-        # fold the convergence check INTO the iteration job (r10 plan
-        # audit nice-to-have): carry c_old through the update join and
-        # observe the changed-count while pin materializes — ONE driver
-        # action per round instead of two
         obs = Observation()
-        joined = nxt.join(
-            cur.withColumnRenamed("c", "c_old"), "u"
-        ).observe(
-            obs,
-            # coalesce: the empty-graph round observes NULL, which must
-            # read as converged (same guard as connected_components)
-            F.coalesce(
-                F.sum((F.col("c") != F.col("c_old")).cast("long")),
-                F.lit(0).cast("long"),
-            ).alias("changed"),
-        )
-        cur = pin(joined.select("u", "c"), site="kcore.iter")
-        if obs.get["changed"] == 0:
+        cur = pin(nxt.observe(obs, tot_c), site="kcore.iter")
+        tot = obs.get["tot"]
+        if tot == prev_tot:
+            converged = True
             break
-    else:
+        prev_tot = tot
+    # every consumer of the cached edge relation has executed (init and
+    # all round states are checkpointed); drop the cache so nothing
+    # leaks across evaluations
+    und.unpersist(blocking=False)
+    if not converged:
         # fail loudly (the connected_components rule): returning the
         # intermediate values would silently inflate coreness on long
         # low-degree chains, where h-index updates propagate one hop
@@ -299,6 +351,6 @@ def kcore_decomposition(
             f"k-core h-index iteration did not converge in {max_iters} "
             "rounds; raise max_iters"
         )
-    return deg.join(cur, "u").select(
+    return init.select("u", "degree").join(cur, "u").select(
         F.col("u").alias("node"), "degree", F.col("c").alias("coreness")
     )

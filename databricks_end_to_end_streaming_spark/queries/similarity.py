@@ -416,16 +416,24 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the error fold <= ~2e9 — no overflow at any corpus size (the
     stats are per-dim extremes, not sums)."""
     coded = sq8_coded(load_table(spark, sf_dir, "embeddings"))
+    # r13: the error fold references the dequantized value via the FUSED
+    # q/mins/maxs formula (_DQ_FUSED rationale) instead of element_at on
+    # the computed ``codes`` array — CollapseProject inlined the whole
+    # 64-element codes transform at each of the 2x64 accesses here
+    # (O(d^2) interpreted re-evaluation per row). Same integer ops,
+    # same order, bit-identical err_q.
+    dq_i = """(CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)
+           THEN element_at(mins, i + 1)
+           ELSE element_at(mins, i + 1)
+                + ((((element_at(q, i + 1) - element_at(mins, i + 1)) * 255)
+                    div (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+                   * (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+                  div 255
+      END)"""
     err = F.expr(
         f"""aggregate(sequence(0, {EMB_DIM - 1}), 0L, (acc, i) -> acc
-             + (element_at(q, i + 1) - (element_at(mins, i + 1)
-                  + (CAST(element_at(codes, i + 1) AS BIGINT)
-                     * (element_at(maxs, i + 1) - element_at(mins, i + 1)))
-                    div 255))
-             * (element_at(q, i + 1) - (element_at(mins, i + 1)
-                  + (CAST(element_at(codes, i + 1) AS BIGINT)
-                     * (element_at(maxs, i + 1) - element_at(mins, i + 1)))
-                    div 255)))"""
+             + (element_at(q, i + 1) - {dq_i})
+             * (element_at(q, i + 1) - {dq_i}))"""
     )
     return coded.select(
         "vec_id",
@@ -439,10 +447,26 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DQ_EXPR = f"""transform(sequence(0, {EMB_DIM - 1}), i ->
-      element_at(mins, i + 1)
-      + (CAST(element_at(codes, i + 1) AS BIGINT)
-         * (element_at(maxs, i + 1) - element_at(mins, i + 1))) div 255)"""
+# Dequantization with the codes formula FUSED per element (r13, guide
+# §4.4's duplicated-evaluation trap in HOF form): the earlier spelling
+# referenced the COMPUTED ``codes`` array inside this lambda, and
+# CollapseProject inlines the whole 64-element codes transform at every
+# element access — O(d^2) interpreted re-evaluation per row (measured:
+# sq8_dqn 5.66 s -> 0.69 s at sf0.1 after fusing; results bit-identical,
+# same integer ops in the same order). The lambda below touches only
+# real attribute columns (q, mins, maxs), which inlining cannot expand.
+# Equivalence: codes_i = 0 when maxs_i == mins_i (dq_i = mins_i), else
+# codes_i = ((q_i - mins_i) * 255) div (maxs_i - mins_i) substituted
+# into dq_i = mins_i + (codes_i * (maxs_i - mins_i)) div 255.
+_DQ_FUSED = f"""transform(sequence(0, {EMB_DIM - 1}), i ->
+      CASE WHEN element_at(maxs, i + 1) = element_at(mins, i + 1)
+           THEN element_at(mins, i + 1)
+           ELSE element_at(mins, i + 1)
+                + ((((element_at(q, i + 1) - element_at(mins, i + 1)) * 255)
+                    div (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+                   * (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+                  div 255
+      END)"""
 
 
 def sq8_dqn(emb: DataFrame) -> DataFrame:
@@ -451,7 +475,7 @@ def sq8_dqn(emb: DataFrame) -> DataFrame:
     door of sq8_cosine_topk, sq8_recall_eval, and mmr_diverse_topk."""
     return (
         sq8_coded(emb)
-        .withColumn("dq", F.expr(_DQ_EXPR))
+        .withColumn("dq", F.expr(_DQ_FUSED))
         .withColumn(
             "nd",
             F.expr("aggregate(transform(dq, x -> x * x), 0L, (a, b) -> a + b)"),
