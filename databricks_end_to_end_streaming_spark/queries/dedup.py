@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..tables import load_table
+from ..tables import load_table, spread_small_scan
 from ..pin import pin
 from . import query
 
@@ -89,12 +89,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     # Small-file inputs arrive as 1-2 partitions; the shingle explosion
     # and 32 hash evaluations are the heavy part, so spread the docs
-    # across the cluster first (at 100 TB the scan is already parallel
-    # and AQE coalesces the extra exchange away).
-    spark = docs.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_parts:
-        docs = docs.repartition(n_parts, "doc_id")
+    # across the cluster first (no-op at scale; r13 unified on the
+    # shared spread_small_scan guard).
+    docs = spread_small_scan(docs, "doc_id")
     toks = docs.select("doc_id", F.split(_norm(text_col), " ").alias("toks"))
     exploded = toks.select(
         "doc_id", F.explode(_word_shingles("toks")).alias("sh")
@@ -448,7 +445,7 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline would do instead of re-tokenizing 3x; measured 7.4 s ->
     2.5 s warm at sf0.1) and released in ``finally`` after the few-row
     scored output is pinned (SURVEY T8 hygiene)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     sh_arr = doc_shingle_arrays(d).persist()
     try:
         return ppjoin_scored_pairs(sh_arr).transform(pin)
@@ -1084,7 +1081,9 @@ def shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SPAN_PROFILE_CACHE:
-        d = load_table(spark, sf_dir, "documents")
+        d = spread_small_scan(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
         prof = union_span_profile(
             d.where(F.col("doc_id") % 97 != 0),
             d.where(F.col("doc_id") % 97 == 0),
@@ -1881,7 +1880,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each document's frame (no cross-doc exchange beyond the
     doc_id repartition); distinct + count are one uniform-key
     partial-agg'd shuffle each."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     fps = winnow_fingerprints(d)
     counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     n_windows = F.greatest(
@@ -1939,7 +1938,7 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(WINNOW_DF_CAP, 2) pairs, so candidate generation is df-cap-bound,
     never O(n^2) — the LSH-band discipline applied to fingerprint
     buckets."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     fps = pin(winnow_fingerprints(d), site="winnow.fps")
     return winnow_overlap_from_fps(fps)
 
@@ -2081,7 +2080,9 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes DuckDB's character addressing replay byte addressing."""
     from ..operators.cdc import cdc_chunks
 
-    d = load_table(spark, sf_dir, "documents").where(
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).where(
         (F.octet_length("text") > 0)
         & (F.length("text") == F.octet_length("text"))
     )

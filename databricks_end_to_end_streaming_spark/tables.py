@@ -67,6 +67,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a small-file scan across the cluster before heavy map-side
+    expression work (r13, guide §2.5 input skew / §1.2 step 1): the
+    driver's single-row-group parquet files arrive as 1-3 scan splits of
+    which only ONE carries rows, so every pre-exchange stage (per-byte
+    HOFs, shingle md5s, decimal partial aggregation) runs on one core.
+    Hash-repartitions on ``keys`` (deterministic — a keyless round-robin
+    pays sort-before-repartition) ONLY when the scan's partition count
+    is below defaultParallelism; at 100 TB the scan is already parallel
+    and this is a no-op with no added exchange. Results are unaffected:
+    callers use it under order-insensitive aggregation/explode chains
+    (the minhash_signatures precedent, accepted since r4)."""
+    if df.isStreaming:  # micro-batches are already task-sized
+        return df
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        return df.repartition(n_parts, *keys)
+    return df
+
+
 def load_events_since(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame:
     """events with ``ts >= cutoff`` where the predicate is applied to the
     STORED epoch-nanos long, so it reaches the parquet scan as a pushed
