@@ -902,7 +902,11 @@ def _containment_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     verify_jaccard). The md5 hash (not xxhash64) is deliberate: DuckDB
     replays it, so the driver hash-match verifies the containment
     arithmetic itself."""
-    toks = docs.select("doc_id", F.split(_norm(), " ").alias("toks"))
+    # r13: spread the single-row-group scan before the shingle md5
+    # explode (no-op at scale; see spread_small_scan)
+    toks = spread_small_scan(docs, "doc_id").select(
+        "doc_id", F.split(_norm(), " ").alias("toks")
+    )
     hashed = toks.select(
         "doc_id", F.explode(_word_shingles("toks")).alias("sh")
     ).select(
