@@ -2462,10 +2462,14 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries.
 
     Scale shape: orders collapse to one row per customer in ONE
-    partial-agg'd shuffle; the reference date is a 1-row broadcast; the
-    three global ranks use the range-partitioned global_row_number
-    operator (TeraSort shape — NO single-partition window), each over
-    the customer-sized aggregate, never over orders."""
+    partial-agg'd shuffle; the reference date is a 1-row broadcast; all
+    THREE global ranks ride ONE range-partitioned global_row_number
+    pass (TeraSort shape — NO single-partition window) over a
+    metric-tagged union of the customer-sized aggregate: with the
+    metric id as the leading sort key, each metric's block is
+    contiguous in the global order, so its per-metric rank is exactly
+    ``global_rank - metric_id * n`` (r13, guide §2.1: one sampled
+    range exchange + one offsets round instead of three)."""
     from ..operators.ranking import global_row_number
 
     o = load_table(spark, sf_dir, "orders")
@@ -2491,41 +2495,50 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = base.count()
 
-    def score(df, order_cols, rank_name):
-        ranked = global_row_number(df, order_cols, rank_name)
-        return ranked.select(
+    # one tagged union, one global rank: descending metrics rank via
+    # negated columns (global_row_number sorts ascending); custkey
+    # breaks every tie. Each metric's rows are contiguous in the
+    # (_m, _k, o_custkey) total order, so the per-metric rank is the
+    # global rank minus the block offset _m * n — EXACT int arithmetic,
+    # identical ranks (hence scores) to three separate passes.
+    tagged = (
+        base.select(
             "o_custkey",
-            F.expr(f"5 - (5 * ({rank_name} - 1)) div {n}").alias(
-                rank_name.replace("rank", "score")
-            ),
+            F.lit(0).alias("_m"),
+            F.col("recency_days").alias("_k"),
         )
-
-    # descending metrics rank via negated columns (global_row_number
-    # sorts ascending); custkey breaks every tie
-    r = score(
-        base.select("o_custkey", "recency_days"),
-        ["recency_days", "o_custkey"],
-        "r_rank",
+        .unionByName(
+            base.select(
+                "o_custkey",
+                F.lit(1).alias("_m"),
+                (-F.col("n_orders")).alias("_k"),
+            )
+        )
+        .unionByName(
+            base.select(
+                "o_custkey",
+                F.lit(2).alias("_m"),
+                (-F.col("monetary_cents")).alias("_k"),
+            )
+        )
     )
-    f_ = score(
-        base.select(
-            "o_custkey", (-F.col("n_orders")).alias("neg_f")
-        ),
-        ["neg_f", "o_custkey"],
-        "f_rank",
-    )
-    m = score(
-        base.select(
-            "o_custkey", (-F.col("monetary_cents")).alias("neg_m")
-        ),
-        ["neg_m", "o_custkey"],
-        "m_rank",
+    ranked = global_row_number(tagged, ["_m", "_k", "o_custkey"], "_grk")
+    scores = (
+        ranked.select(
+            "o_custkey",
+            "_m",
+            F.expr(f"5 - (5 * ((_grk - _m * {n}) - 1)) div {n}").alias("_s"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("_m") == 0, F.col("_s"))).alias("r_score"),
+            F.max(F.when(F.col("_m") == 1, F.col("_s"))).alias("f_score"),
+            F.max(F.when(F.col("_m") == 2, F.col("_s"))).alias("m_score"),
+        )
     )
     return (
         base.select("o_custkey", "recency_days", "n_orders", "monetary_cents")
-        .join(r.select("o_custkey", "r_score"), "o_custkey")
-        .join(f_.select("o_custkey", "f_score"), "o_custkey")
-        .join(m.select("o_custkey", "m_score"), "o_custkey")
+        .join(scores, "o_custkey")
         .select(
             "o_custkey",
             "recency_days",
