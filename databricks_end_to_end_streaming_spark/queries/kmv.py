@@ -384,12 +384,12 @@ def kmv_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return _join_profile(
-        orders, "o_custkey", customer, "c_custkey", "orders_x_customer"
-    ).unionByName(
-        _join_profile(
-            lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders"
-        )
+    return _grouped_join_profiles(
+        [
+            (orders, "o_custkey", customer, "c_custkey", "orders_x_customer"),
+            (lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders"),
+        ],
+        include_actual=True,
     )
 
 
@@ -473,6 +473,114 @@ def _join_profile(fact, fact_key, dim, dim_key, name, include_actual=True):
     return join_size_predict(rows_per, sk, name, actual)
 
 
+def _grouped_join_profiles(specs, include_actual):
+    """ALL requested join profiles in ONE grouped plan (r13, guide §2.1):
+    the per-join chains were independent subplans union'd at the end —
+    two sketch pins, two bottom-k window chains, two merge windows, two
+    actual-cardinality legs. Keying every relation by ``join_name``
+    instead runs ONE distinct + bottom-k + merge + (optional) actual
+    chain whose per-group results are exactly the per-join ones (every
+    aggregate/window partitions by join_name), halving the exchange
+    count and leaving a single pinned sketch relation. Arithmetic is
+    the same expression tree per group, so the output doubles are
+    bit-identical to the per-join build (tests pin the persisted-path
+    equality).
+
+    ``specs``: [(fact, fact_key, dim, dim_key, name), ...].
+    """
+    k = K_JOIN
+    legs = []
+    for fact, fk, dim, dk, name in specs:
+        legs.append(
+            fact.select(
+                F.lit(name).alias("jn"),
+                F.lit("a").alias("side"),
+                F.col(fk).alias("jk"),
+            )
+        )
+        legs.append(
+            dim.select(
+                F.lit(name).alias("jn"),
+                F.lit("b").alias("side"),
+                F.col(dk).alias("jk"),
+            )
+        )
+    keys = legs[0]
+    for leg in legs[1:]:
+        keys = keys.unionByName(leg)
+    rows_per = keys.groupBy("jn", "side").agg(F.count("*").alias("n_rows"))
+    sk = pin(kmv_sketch(keys, "jk", ["jn", "side"], k))
+    side_stats = sk.groupBy("jn", "side").agg(
+        F.count("*").alias("n_sk"), F.max("h").alias("kth")
+    )
+    est = kmv_estimate(side_stats, k, n_col="n_sk").join(
+        rows_per, ["jn", "side"]
+    )
+    ab = est.groupBy("jn").agg(
+        F.max(F.when(F.col("side") == "a", F.col("n_rows"))).alias("rows_a"),
+        F.max(F.when(F.col("side") == "b", F.col("n_rows"))).alias("rows_b"),
+        F.max(
+            F.when(F.col("side") == "a", F.col("est_distinct"))
+        ).alias("est_distinct_a"),
+        F.max(
+            F.when(F.col("side") == "b", F.col("est_distinct"))
+        ).alias("est_distinct_b"),
+    )
+    tag = sk.groupBy("jn", "h").agg(
+        F.max((F.col("side") == "a").cast("int")).alias("in_a"),
+        F.max((F.col("side") == "b").cast("int")).alias("in_b"),
+    )
+    mw = Window.partitionBy("jn").orderBy("h")
+    m = (
+        tag.withColumn("rn", F.row_number().over(mw))
+        .where(F.col("rn") <= k)
+        .groupBy("jn")
+        .agg(
+            F.count("*").alias("n_merged"),
+            F.max("h").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+        )
+    )
+    flat = ab.join(m, "jn")
+    if include_actual:
+        fa_legs = [
+            fact.select(
+                F.lit(name).alias("jn"), F.col(fk).alias("jk")
+            )
+            for fact, fk, _dim, _dk, name in specs
+        ]
+        di_legs = [
+            dim.select(F.lit(name).alias("jn"), F.col(dk).alias("jk"))
+            for _fact, _fk, dim, dk, name in specs
+        ]
+        fa = fa_legs[0]
+        for leg in fa_legs[1:]:
+            fa = fa.unionByName(leg)
+        di = di_legs[0]
+        for leg in di_legs[1:]:
+            di = di.unionByName(leg)
+        fa = fa.groupBy("jn", "jk").agg(F.count("*").alias("ca"))
+        di = di.groupBy("jn", "jk").agg(F.count("*").alias("cb"))
+        actual = (
+            fa.join(di, ["jn", "jk"])
+            .groupBy("jn")
+            .agg(
+                F.sum(F.col("ca") * F.col("cb")).alias("actual_join_rows")
+            )
+        )
+        # left join: a join with zero common keys keeps its profile row
+        # with a NULL actual, matching the per-join global aggregate's
+        # empty-sum semantics
+        flat = flat.join(actual, "jn", "left")
+    scored = _score_profile(
+        flat.withColumnRenamed("jn", "_jn"),
+        None,
+        k,
+        include_actual=include_actual,
+    )
+    return scored
+
+
 def _score_profile(flat, name, k, include_actual=False):
     e = flat.withColumn(
         "est_jaccard",
@@ -491,7 +599,10 @@ def _score_profile(flat, name, k, include_actual=False):
         "est_common_keys", F.col("est_jaccard") * F.col("est_union")
     )
     cols = [
-        F.lit(name).alias("join_name"),
+        # name=None: grouped build — the join name is the _jn column
+        (F.lit(name) if name is not None else F.col("_jn")).alias(
+            "join_name"
+        ),
         F.col("rows_a"),
         F.col("rows_b"),
         F.col("est_distinct_a"),
@@ -534,14 +645,12 @@ def kmv_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return _join_profile(
-        orders, "o_custkey", customer, "c_custkey", "orders_x_customer",
+    return _grouped_join_profiles(
+        [
+            (orders, "o_custkey", customer, "c_custkey", "orders_x_customer"),
+            (lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_x_orders"),
+        ],
         include_actual=False,
-    ).unionByName(
-        _join_profile(
-            lineitem, "l_orderkey", orders, "o_orderkey",
-            "lineitem_x_orders", include_actual=False,
-        )
     )
 
 
