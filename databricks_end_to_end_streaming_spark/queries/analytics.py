@@ -2281,28 +2281,42 @@ def copurchase_mutual_knn_edges(li: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("n_orders"))
     )
+    # r13 (guide §2.1, evaluate once): both orientations via ONE
+    # map-side explode of the aggregated pair relation — the previous
+    # self-union evaluated the lineitem self-join + pair aggregate
+    # subplan twice
     directed = pair_counts.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), "n_orders"
-    ).unionByName(
-        pair_counts.select(
-            F.col("pb").alias("src"), F.col("pa").alias("dst"), "n_orders"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("src"), F.col("pb").alias("dst")
+                ),
+                F.struct(
+                    F.col("pb").alias("src"), F.col("pa").alias("dst")
+                ),
+            )
+        ).alias("e"),
+        "n_orders",
+    ).select("e.src", "e.dst", "n_orders")
     w = Window.partitionBy("src").orderBy(F.desc("n_orders"), F.asc("dst"))
     sel = (
         directed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= COPURCHASE_K)
         .select("src", "dst")
     )
+    # r13: mutuality as a partial-agg'd count over the UNORDERED pair —
+    # (src, dst) is unique in sel (one rank row per direction), so a
+    # pair appears exactly twice iff BOTH endpoints selected each
+    # other. Replaces the sel-with-itself shuffle join (which also
+    # evaluated the window chain twice) with one exchange.
     return (
-        sel.alias("s1")
-        .join(
-            sel.alias("s2"),
-            (F.col("s1.src") == F.col("s2.dst"))
-            & (F.col("s1.dst") == F.col("s2.src")),
+        sel.groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
         )
-        .where(F.col("s1.src") < F.col("s1.dst"))
-        .select(F.col("s1.src").alias("a"), F.col("s1.dst").alias("b"))
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") == 2)
+        .select("a", "b")
     )
 
 
@@ -2392,14 +2406,15 @@ def copurchase_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b").alias("c"),
         )
     )
-    tri_nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    # r13 (guide §2.1, evaluate once): corner explode instead of the
+    # three-leg self-union — the union evaluated the whole two-join
+    # triangle enumeration subplan three times (the pinned edge scan is
+    # cheap; the wedge joins are not). Same multiset of corner rows.
+    tri_nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionByName(edges.select(F.col("b").alias("node")))
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
