@@ -41,8 +41,22 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # r13 (guide §2.1, evaluate once): symmetrize via ONE map-side
+    # explode — the previous self-union evaluated the caller's edge
+    # subplan twice (for CC consumers that is the whole unpinned
+    # LSH-candidate verify chain)
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("u"), F.col(dst).alias("v")
+                ),
+                F.struct(
+                    F.col(dst).alias("u"), F.col(src).alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     # r13 (guide §2.4, remove shuffles outright): partition the (big)
     # symmetrized edge relation by the per-round join key ONCE and
     # persist it — unlike a localCheckpoint (whose LogicalRDD loses the
@@ -272,9 +286,17 @@ def kcore_decomposition(
     Returns (node, degree, coreness)."""
     from pyspark import StorageLevel
 
+    # r13: symmetrize via one explode (the connected_components move) —
+    # edges is pinned at the call sites, so this mainly spares a second
+    # scan + keeps one subplan
     und = edges.select(
-        F.col(a).alias("u"), F.col(b).alias("v")
-    ).unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                F.struct(F.col(b).alias("u"), F.col(a).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     # r13 (guide §2.4, remove shuffles outright): partition the edge
     # relation by the per-round join key ONCE and persist it — the
     # cached InMemoryRelation keeps hashpartitioning(v) visible to the
