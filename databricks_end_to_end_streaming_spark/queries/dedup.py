@@ -1603,21 +1603,34 @@ def dedup_pipeline_lee2022(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_toks = doc_token_arrays(d).select(
         (F.size("toks") - 1).alias("nt")
     )
-    return (
-        stage_row("0_raw", raw_toks, F.col("nt"))
-        .unionByName(
-            # cut already carries each survivor's n_tokens in the same
-            # normalized space — no second tokenize pass (r9 review)
-            stage_row("1_neardup", cut, F.col("n_tokens"))
-        )
-        .unionByName(
-            stage_row(
-                "2_exact_substr",
-                cut,
-                F.col("n_tokens") - F.col("n_removed"),
+    # r13 (guide §2.1, evaluate once): stages 1 and 2 aggregate the SAME
+    # unpinned cut relation — one fused aggregate + a 2-row explode
+    # replaces two evaluations of the whole gram-cut chain. cut already
+    # carries each survivor's n_tokens in the same normalized space —
+    # no second tokenize pass (r9 review).
+    s12 = cut.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t1"),
+        F.coalesce(
+            F.sum(F.col("n_tokens") - F.col("n_removed")), F.lit(0)
+        ).cast("long").alias("t2"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_neardup").alias("stage"),
+                    F.col("nd").alias("n_docs"),
+                    F.col("t1").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit("2_exact_substr").alias("stage"),
+                    F.col("nd").alias("n_docs"),
+                    F.col("t2").alias("n_tokens"),
+                ),
             )
-        )
-    )
+        ).alias("s")
+    ).select("s.stage", "s.n_docs", "s.n_tokens")
+    return stage_row("0_raw", raw_toks, F.col("nt")).unionByName(s12)
 
 
 @query(
