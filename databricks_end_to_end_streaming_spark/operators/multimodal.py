@@ -23,6 +23,7 @@ sampling) explodes row counts.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -64,6 +65,8 @@ def spread_for_python(df: DataFrame, key: str = "media_id") -> DataFrame:
     the scan's partition count is below defaultParallelism, so at scale
     — where the scan is already parallel — this is a no-op and adds no
     exchange."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
+        return df  # measurement escape hatch (see tables.spread_small_scan)
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n_parts:
         return df.repartition(n_parts, key)

@@ -33,11 +33,25 @@ def test_q6_shuffles_one_partial_row_per_partition(spark):
     assert t["shuffle_records"] <= 8
 
 
-def test_q1_shuffles_group_partials_only(spark):
+def test_q1_shuffles_group_partials_only(spark, monkeypatch):
+    # The r13 spread_small_scan front door deliberately repartitions the
+    # one-row-group toy-SF scan (a no-op at real scale, where the scan is
+    # already parallel) — disable it so this asserts the AGGREGATION's
+    # own at-scale shuffle shape: group partials only.
+    monkeypatch.setenv("SPARK_GRAFT_NO_SPREAD", "1")
     t = _measure(spark, "tpch_q1_pricing_summary")
     # 6 groups x <= 4 partitions of partials
     assert t["scan_rows"] >= 1000
     assert t["shuffle_records"] <= 6 * 4
+
+
+def test_q1_spread_moves_corpus_at_most_once(spark):
+    # With the spread active (tiny-SF single-split scan), the only
+    # corpus-sized exchange is the ONE deliberate repartition: total
+    # shuffle records stay bounded by one pass over the scan plus the
+    # group partials.
+    t = _measure(spark, "tpch_q1_pricing_summary")
+    assert t["shuffle_records"] <= t["scan_rows"] + 6 * 4
 
 
 def test_gold_agg_shuffles_type_partials_only(spark):
