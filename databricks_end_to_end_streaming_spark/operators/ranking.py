@@ -20,7 +20,7 @@ public literature).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from ..pin import pin
 
 
@@ -47,18 +47,38 @@ def global_row_number_counted(
     use it as a free convergence check: total == max rank for a dense
     1-based ranking.
     """
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    parted = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
-    # Pin the partitioning before branching: repartitionByRange SAMPLES
+    # r13 (guide §2 "scale-adaptive partitioning"): with no explicit
+    # num_partitions the range exchange comes from a plain global sort,
+    # whose partition count AQE coalesces by SIZE — a 5k-row collapsed
+    # relation lands in 1-2 partitions (no 32-task fan-out of scheduler
+    # overhead), a 100 TB one in as many advisory-sized partitions as it
+    # needs. A fixed defaultParallelism was wrong at both ends.
+    if num_partitions:
+        parted = df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(
+            *cols
+        )
+    else:
+        parted = df.sort(*cols)
+    # Pin the partitioning before branching: the range exchange SAMPLES
     # the key distribution per job, so the counts job below and the
     # final output job would otherwise re-sample different range bounds
     # and assign rows to different partitions — duplicate and missing
     # ranks. require_frozen: a lineage-keeping persist would RECOMPUTE
     # lost blocks with freshly sampled bounds — same corruption, just
     # deferred to executor loss — so this site always truncates.
+    #
+    # r13 (guide §2.4 "remove shuffles outright"): the local row number
+    # rides monotonically_increasing_id, captured INSIDE the pinned
+    # sorted plan — its documented layout is (partition id << 33) +
+    # per-partition consecutive row number, so the within-partition rank
+    # is `_mid & (2^33 - 1)` as a pure map. This replaces the old
+    # Window.partitionBy("_pid") pass, whose hash exchange re-shuffled
+    # the whole relation AFTER the checkpoint (localCheckpoint hides
+    # the range partitioning from the planner). One range shuffle total.
     with_pid = (
         parted.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
         .transform(
             lambda d: pin(d, require_frozen=True, site="ranking.range_ranks")
         )
@@ -67,6 +87,14 @@ def global_row_number_counted(
     # one long per partition to the driver; offsets broadcast back
     counts = with_pid.groupBy("_pid").count().collect()
     sizes = {r["_pid"]: r["count"] for r in counts}
+    if sizes and max(sizes.values()) >= (1 << 33):
+        # monotonically_increasing_id's documented layout caps the
+        # per-partition row number at 2^33; a partition that large is a
+        # sizing bug (8.5e9 rows in one task) — fail loud, not wrap.
+        raise ValueError(
+            "global_row_number: a range partition exceeds 2^33 rows; "
+            "pass num_partitions to split the input further"
+        )
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
@@ -78,11 +106,11 @@ def global_row_number_counted(
         )
     )
 
-    w = Window.partitionBy("_pid").orderBy(*cols)
+    local_rn = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
     ranked = (
         with_pid.join(offsets_df, "_pid")
-        .withColumn(rank_col, (F.col("_offset") + F.row_number().over(w)).cast("long"))
-        .drop("_pid", "_offset")
+        .withColumn(rank_col, (F.col("_offset") + local_rn).cast("long"))
+        .drop("_pid", "_offset", "_mid")
     )
     return ranked, acc
 
