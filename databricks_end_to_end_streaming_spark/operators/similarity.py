@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 
+from ..pin import pin
 from ..queries.similarity import cosine
 
 DEFAULT_N_BITS = 12
@@ -277,12 +278,20 @@ def semdedup(
             sample_size=max(4096, 32 * n_centroids),
         )
     )
-    assigned = ivf_assign(
-        emb.select(id_col, vec_col), cents, vec_col, nprobe=1
-    ).select(
-        F.col(id_col),
-        F.col("cluster_ids")[0].alias("cluster"),
-        F.col(vec_col),
+    # r13 (guide §4.1): the self-join's two sides are different
+    # projections of this relation, so unpinned each side re-runs the
+    # whole Arrow-batched assignment UDF (two full Python passes over
+    # the corpus and no exchange reuse — the projections differ). Pin
+    # the (id, cluster, vec) relation once; it is corpus-row-sized with
+    # no payload beyond the vector the join needs anyway.
+    assigned = pin(
+        ivf_assign(
+            emb.select(id_col, vec_col), cents, vec_col, nprobe=1
+        ).select(
+            F.col(id_col),
+            F.col("cluster_ids")[0].alias("cluster"),
+            F.col(vec_col),
+        )
     )
     left = assigned.select(
         F.col(id_col).alias("id_a"), "cluster", F.col(vec_col).alias("_va")

@@ -1562,6 +1562,12 @@ def margin_mining_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(is_q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    # r13 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): `best` (rnk == 1) and the query-side neighborhood
+    # average (rnk <= K) read the SAME row_number over the same window
+    # — compute it once on the pinned relation instead of two
+    # query_id-keyed window passes over two subtrees.
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
     scored = pin(
         emb.where(~is_q)
         .join(F.broadcast(q))
@@ -1569,17 +1575,23 @@ def margin_mining_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("cand_id"),
             cosine("qv", "embedding").alias("score"),
-        ),
+        )
+        .withColumn("rnk_q", F.row_number().over(wq)),
         site="margin.scored",
     )
 
     def hood_avg(part_col: str, other_col: str, out: str) -> DataFrame:
-        w = Window.partitionBy(part_col).orderBy(
-            F.desc("score"), F.col(other_col)
-        )
-        topk = scored.withColumn("rnk", F.row_number().over(w)).where(
-            F.col("rnk") <= MARGIN_K
-        )
+        if part_col == "query_id":
+            topk = scored.where(F.col("rnk_q") <= MARGIN_K).withColumn(
+                "rnk", F.col("rnk_q")
+            )
+        else:
+            w = Window.partitionBy(part_col).orderBy(
+                F.desc("score"), F.col(other_col)
+            )
+            topk = scored.withColumn("rnk", F.row_number().over(w)).where(
+                F.col("rnk") <= MARGIN_K
+            )
         return topk.groupBy(part_col).agg(
             (
                 F.aggregate(
@@ -1598,11 +1610,8 @@ def margin_mining_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     avg_q = hood_avg("query_id", "cand_id", "aq")
     avg_c = hood_avg("cand_id", "query_id", "ac")
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
-    best = (
-        scored.withColumn("rnk", F.row_number().over(wq))
-        .where(F.col("rnk") == 1)
-        .select("query_id", F.col("cand_id").alias("match_id"), "score")
+    best = scored.where(F.col("rnk_q") == 1).select(
+        "query_id", F.col("cand_id").alias("match_id"), "score"
     )
     margin = F.round(
         F.col("score") / ((F.col("aq") + F.col("ac")) / 2.0), 6
