@@ -2338,9 +2338,18 @@ def bm25_param(
         )
         / (F.length("term") + 1)
     ).cast("long")
-    feats = (
+    # r13 (guide §2.1, evaluate once): feats is consumed twice (the df
+    # aggregate and the score join), and each unmaterialized consumer
+    # re-ran the replace-length tf pass over the full text — plus, for
+    # rm3_expanded_search, the whole expansion-term subplan (its own
+    # corpus pass) that feeds ``terms``. Pin the (doc, term, tf)
+    # relation once: it is |docs| x |terms| SHORT rows, no text.
+    from ..pin import pin as _pin
+
+    feats = _pin(
         pre.crossJoin(F.broadcast(terms.select("term")))
-        .select("doc_id", "doclen", "term", tf.alias("tf"))
+        .select("doc_id", "doclen", "term", tf.alias("tf")),
+        site="bm25_param.feats",
     )
     corpus_stats = pre.agg(
         F.count("*").alias("n_docs"),
