@@ -398,12 +398,15 @@ def test_corpus_shuffle_uses_range_partitioning(spark):
     single-partition ORDER BY window."""
     plan = plan_of(spark, "deterministic_corpus_shuffle")
     # the range partitioning happens upstream of the frozen pin inside
-    # global_row_number; the residual window partitions by the frozen
-    # _pid (per-partition row numbers + offsets). The failure mode this
-    # guards is a global ORDER BY window, which compiles to an Exchange
-    # SinglePartition — assert it never appears.
+    # global_row_number; since the r13 window-free rewrite the local row
+    # number rides monotonically_increasing_id INSIDE the pin and the
+    # global position comes from the broadcast _offset join — no Window
+    # pass at all. The failure mode this guards is a global ORDER BY
+    # window, which compiles to an Exchange SinglePartition — assert it
+    # never appears, and that no window snuck back in after the pin.
     assert "SinglePartition" not in plan
-    assert "windowspecdefinition(_pid" in plan  # per-partition, keyed
+    assert "windowspecdefinition" not in plan  # window-free ranking
+    assert "_offset" in plan  # offsets join supplies the global position
 
 
 def test_packing_fold_stays_jvm_side(spark):
