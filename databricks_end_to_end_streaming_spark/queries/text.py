@@ -1762,11 +1762,34 @@ def kn_scores_from(
         F.sum("c3").alias("c2"), F.count("*").alias("t12")
     )
     mid = tri.groupBy("w2", "w3").agg(F.count("*").alias("n23"))
-    w2s = mid.groupBy("w2").agg(
-        F.sum("n23").alias("n2dot"), F.count("*").alias("t2")
+    # r13 (guide §2.1 "do fewer shuffles", the kmv grouped-profiles
+    # pattern): mid feeds FOUR consumers (w2s / uni / tot + the model
+    # join); unpinned, each re-aggregated it from the pinned type table
+    # — three redundant (w2, w3) exchanges per evaluation. Pin it (it is
+    # the bigram-successor TYPE table: vocabulary-pair-bounded, never
+    # corpus-sized) and fuse the three rollups into ONE grouping-sets
+    # pass, split by grouping flags as map-only filters. The rollup
+    # produces the same exact int64 counts per group as the separate
+    # group-bys, so every downstream double stays bit-identical.
+    if pin_shared:
+        mid = pin(mid)
+    roll = mid.groupingSets([["w2"], ["w3"], []], "w2", "w3").agg(
+        F.sum("n23").alias("_s"),
+        F.count("*").alias("_c"),
+        F.grouping("w2").alias("_gw2"),
+        F.grouping("w3").alias("_gw3"),
     )
-    uni = mid.groupBy("w3").agg(F.count("*").alias("n3"))
-    tot = mid.agg(F.count("*").alias("nall"))
+    if pin_shared:
+        roll = pin(roll)
+    w2s = roll.where((F.col("_gw2") == 0) & (F.col("_gw3") == 1)).select(
+        "w2", F.col("_s").alias("n2dot"), F.col("_c").alias("t2")
+    )
+    uni = roll.where((F.col("_gw2") == 1) & (F.col("_gw3") == 0)).select(
+        "w3", F.col("_c").alias("n3")
+    )
+    tot = roll.where((F.col("_gw2") == 1) & (F.col("_gw3") == 1)).select(
+        F.col("_c").alias("nall")
+    )
     dd = F.lit(0.75)
     p_uni = F.col("n3").cast("double") / F.col("nall").cast("double")
     p_bi = (F.col("n23").cast("double") - dd) / F.col("n2dot").cast(
