@@ -2971,24 +2971,21 @@ def _ngram_cover_sql(n: int) -> str:
     """
 
 
-def _ngram_cover(docs_toks: DataFrame, n: int) -> DataFrame:
-    """Per-doc max(count*len) over word n-grams, Spark side. Gram rows
-    carry only the n-token string; count + max are algebraic, so both
-    shuffles are partial-agg'd and carry (doc, gram)-count rows."""
-    toks = F.col("t")
-    n_pos = F.size(toks) - (n - 1)
-    grams = F.when(n_pos < 1, F.array().cast("array<string>")).otherwise(
+def _tagged_grams(t, n: int):
+    """Array of (n, gram) structs for word n-grams of token array ``t``
+    — the n tag keeps different gram orders (and the n=1 line segments)
+    in disjoint count groups inside the fused repetition explode."""
+    n_pos = F.size(t) - (n - 1)
+    return F.when(
+        n_pos < 1, F.array().cast("array<struct<n:int,g:string>>")
+    ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.array_join(F.slice(t, i, n), " ").alias("g"),
+            ),
         )
-    )
-    return (
-        docs_toks.select("doc_id", F.explode(grams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max(F.col("c") * F.length("g")).alias(f"cover{n}"))
     )
 
 
@@ -3059,8 +3056,15 @@ def repetition_signals(d: DataFrame) -> DataFrame:
     the n-gram covers (line_segments splits on spaces only, which would
     fork the segmentation — and the oracle — on tab/newline-bearing
     text)."""
+    from ..tables import spread_small_scan
+
     nt = F.regexp_replace(F.trim("text"), r"\s+", " ")
-    toks = d.select(
+    # spread BEFORE the fused explode: the sf parquet is one row group,
+    # and unlike the old four independent battery legs (which AQE
+    # overlapped as concurrent 1-partition stages) the fused single
+    # pass would otherwise serialize on 1-2 cores. No-op at scale by
+    # the helper's defaultParallelism guard.
+    toks = spread_small_scan(d, "doc_id").select(
         "doc_id",
         F.split(nt, " ").alias("t"),
         F.length(nt).cast("long").alias("total_chars"),
@@ -3075,24 +3079,45 @@ def repetition_signals(d: DataFrame) -> DataFrame:
             F.slice(t, i * _REP_LINE_W + 1, _REP_LINE_W), " "
         ),
     )
-    lstats = (
-        toks.select("doc_id", F.explode(segs).alias("seg"))
-        .groupBy("doc_id", "seg")
-        .agg(F.count("*").alias("c"), F.length("seg").alias("l"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_lines"),
-            F.sum(F.col("c") - 1).alias("n_dup_lines"),
-            F.sum((F.col("c") - 1) * F.col("l")).alias("dup_chars"),
-            F.sum(F.col("c") * F.col("l")).alias("line_chars"),
-        )
+    # r13 (guide §2.1 "evaluate once"): the line segments and the three
+    # n-gram streams fuse into ONE n-tagged explode — one tokenize pass
+    # and one (doc, n, gram) exchange instead of four of each (the
+    # before plan re-derived the corpus tokenize + explode under every
+    # battery leg: 10 parquet scans / 24 Exchanges; after: 2 scans —
+    # the fused pass plus the cheap total_chars projection, whose token
+    # split Catalyst prunes). Tag n=1 for line segments (a segment
+    # string can equal a 2-gram string; the tag keeps the count groups
+    # disjoint), n=2..4 for the gram streams. Counts per tagged group
+    # and the per-doc sums/maxes are the same exact int64s as the
+    # separate passes, so every emitted fraction is bit-identical.
+    tagged = F.concat(
+        F.transform(
+            segs,
+            lambda s: F.struct(
+                F.lit(1).cast("int").alias("n"), s.alias("g")
+            ),
+        ),
+        _tagged_grams(t, 2),
+        _tagged_grams(t, 3),
+        _tagged_grams(t, 4),
     )
-    out = (
-        toks.join(lstats, "doc_id")
-        .join(_ngram_cover(toks, 2), "doc_id", "left")
-        .join(_ngram_cover(toks, 3), "doc_id", "left")
-        .join(_ngram_cover(toks, 4), "doc_id", "left")
+    counts = (
+        toks.select("doc_id", F.explode(tagged).alias("p"))
+        .groupBy("doc_id", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+        .agg(F.count("*").alias("c"))
     )
+    line = F.col("n") == 1
+    glen = F.length("g")
+    battery = counts.groupBy("doc_id").agg(
+        F.sum(F.when(line, F.col("c"))).alias("n_lines"),
+        F.sum(F.when(line, F.col("c") - 1)).alias("n_dup_lines"),
+        F.sum(F.when(line, (F.col("c") - 1) * glen)).alias("dup_chars"),
+        F.sum(F.when(line, F.col("c") * glen)).alias("line_chars"),
+        F.max(F.when(F.col("n") == 2, F.col("c") * glen)).alias("cover2"),
+        F.max(F.when(F.col("n") == 3, F.col("c") * glen)).alias("cover3"),
+        F.max(F.when(F.col("n") == 4, F.col("c") * glen)).alias("cover4"),
+    )
+    out = toks.select("doc_id", "total_chars").join(battery, "doc_id")
     c2 = F.coalesce("cover2", F.lit(0))
     c3 = F.coalesce("cover3", F.lit(0))
     c4 = F.coalesce("cover4", F.lit(0))
