@@ -630,16 +630,30 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("t").substr(i, F.lit(16)),
         )
     )
-    sh = d.select("doc_id", _norm().alias("t")).select(
-        "doc_id", shingles.alias("shingles")
-    )
+    # r13: spread the one-row-group scan before the heavy per-row
+    # shingle build (no-op at scale; see spread_small_scan)
+    sh = spread_small_scan(d, "doc_id").select(
+        "doc_id", _norm().alias("t")
+    ).select("doc_id", shingles.alias("shingles"))
+    # r13 (guide §1.2 step 2 / §7.2 "duplicated subtrees"): explode_
+    # outer, NOT explode — InferFiltersFromGenerate infers a
+    # `size(shingles) > 0` predicate for a plain explode and pushes it
+    # below the projection, where it INLINES the whole 2,000-substr
+    # array_distinct(transform(...)) build — the char-shingle array was
+    # computed twice per row, and the Filter copy evaluates without
+    # codegen's subexpression reuse (measured: the corpus explode leg
+    # alone 15.0 s -> 1.7 s at sf0.1). The outer variant infers nothing;
+    # it is semantically identical here because the shingle array is
+    # never empty by construction (sequence(1, greatest(len-15, 1)) has
+    # >= 1 element; a NULL text yields [NULL], whose exploded NULL key
+    # the equi-join drops either way).
     bench = (
         sh.where(F.col("doc_id") % 97 == 0)
-        .select(F.explode("shingles").alias("s"))
+        .select(F.explode_outer("shingles").alias("s"))
         .distinct()
     )
     corpus = sh.where(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode("shingles").alias("s")
+        "doc_id", F.explode_outer("shingles").alias("s")
     )
     return (
         corpus.join(F.broadcast(bench), "s")

@@ -268,12 +268,27 @@ def gram_cells(e: DataFrame) -> DataFrame:
         ),
     )
     qdf = e.select(q.alias("q"))
-    upper = qdf.select(
-        F.posexplode("q").alias("i", "qi"),
-        # slice from position i+1 (1-based) keeps j >= i: the diagonal
-        # and everything right of it
-        F.slice(F.col("q"), F.col("i") + 1, F.lit(EMB_DIM)).alias("rest"),
-    ).select("i", "qi", F.posexplode("rest").alias("p", "qj"))
+    # r13: posexplode_OUTER + isnotnull on the position output, not a
+    # plain posexplode — InferFiltersFromGenerate turns the inner form
+    # into a pushed `size(q) > 0` filter that INLINES the whole
+    # 64-element quantization transform (and the slice, for the second
+    # generate) into a second per-row evaluation; the outer form infers
+    # nothing, and the isnotnull(position) filter drops exactly the
+    # null row outer adds for a null/empty array, so the row set is
+    # identical to the inner form on EVERY input.
+    upper = (
+        qdf.select(
+            F.posexplode_outer("q").alias("i", "qi"),
+            # slice from position i+1 (1-based) keeps j >= i: the
+            # diagonal and everything right of it
+            F.slice(F.col("q"), F.col("i") + 1, F.lit(EMB_DIM)).alias(
+                "rest"
+            ),
+        )
+        .where(F.col("i").isNotNull())
+        .select("i", "qi", F.posexplode_outer("rest").alias("p", "qj"))
+        .where(F.col("p").isNotNull())
+    )
     return (
         upper.select(
             "i",
@@ -302,8 +317,12 @@ def sq8_dim_stats(qdf: DataFrame) -> DataFrame:
     — a fold MONOID (min of mins / max of maxs), which is what lets the
     streaming twin append one d-row partial per micro-batch and fold by
     min/max (``streaming/sq8_stage.py``)."""
+    # outer + isnotnull, same rationale (and provable row-set equality)
+    # as gram_cells: the inner form's inferred size(q) > 0 filter
+    # re-evaluated the 64-element quantization transform per row.
     return (
-        qdf.select(F.posexplode("q").alias("i", "x"))
+        qdf.select(F.posexplode_outer("q").alias("i", "x"))
+        .where(F.col("i").isNotNull())
         .groupBy("i")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     )

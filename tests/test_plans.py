@@ -464,3 +464,36 @@ def test_neardup_safe_split_broadcasts_clusters(spark):
     plan = plan_of(spark, "neardup_safe_split")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _optimized(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_no_inferred_generate_duplication(spark):
+    """InferFiltersFromGenerate turns a plain explode over a COMPUTED
+    array into a pushed `size(arr) > 0` filter that inlines the whole
+    array-building expression — the expensive per-row build (char
+    shingles, fixed-point quantization) then evaluates twice per row
+    (measured: decontaminate's corpus shingle leg 15.0 s -> 1.7 s at
+    sf0.1 from this alone). The affected sites use outer generates
+    (+ isnotnull on the generator output, which drops exactly the null
+    row outer adds — row-set identical to inner on every input); this
+    guard asserts no Filter re-evaluates an expensive array build in
+    the queries that regressed."""
+    for name in (
+        "decontaminate_ngram_overlap",
+        "sq8_cosine_topk",
+        "embedding_second_moment_matrix",
+        "embedding_snapshot_drift",
+    ):
+        opt = _optimized(spark, name)
+        offenders = [
+            line.strip()[:160]
+            for line in opt.splitlines()
+            if "Filter" in line
+            and "size(" in line
+            and ("transform(" in line or "array_distinct(" in line)
+        ]
+        assert not offenders, f"{name}: {offenders}"
