@@ -187,9 +187,24 @@ def pagerank(
     # collapse parallel edges; normalize to per-source transition prob
     e = e.groupBy("e_src", "e_dst").agg(F.sum("w").alias("w"))
     outw = e.groupBy("e_src").agg(F.sum("w").alias("outw"))
-    e = e.join(outw, "e_src").select(
-        "e_src", "e_dst", (F.col("w") / F.col("outw")).alias("p")
-    ).transform(pin)
+    # r13 (guide §2.4, the kcore_decomposition move): partition the
+    # normalized transition relation by the per-round join key ONCE and
+    # persist it — the cached InMemoryRelation keeps
+    # hashpartitioning(e_src) visible to the planner (a localCheckpoint
+    # would not under AQE), so each round's contribution join moves
+    # only the one-row-per-node rank state, never the edges.
+    # Unpersisted after the loop (every consumer is checkpointed by
+    # then). Values are unchanged, and in deterministic mode every
+    # float reduction is a sorted fold, so ranks stay bit-identical
+    # under any partitioning.
+    from pyspark import StorageLevel
+
+    e = (
+        e.join(outw, "e_src")
+        .select("e_src", "e_dst", (F.col("w") / F.col("outw")).alias("p"))
+        .repartition("e_src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     nodes = (
         e.select(F.col("e_src").alias("node"))
@@ -199,9 +214,13 @@ def pagerank(
     )
     n = nodes.count()  # the one driver-side scalar
     if n == 0:
+        e.unpersist(blocking=False)
         return nodes.withColumn("rank", F.lit(0.0))
 
-    has_out = e.select(F.col("e_src").alias("node")).distinct()
+    # r13: pinned — the dangling-mass branch consumes this every round,
+    # and unpinned it re-ran the distinct from the edge relation per
+    # iteration (same rows either way; pin only cuts the re-derivation)
+    has_out = pin(e.select(F.col("e_src").alias("node")).distinct())
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         if deterministic:
@@ -259,6 +278,9 @@ def pagerank(
             )
             .transform(pin)
         )
+    # every per-round consumer is checkpointed; drop the edge cache so
+    # nothing leaks across evaluations
+    e.unpersist(blocking=False)
     return ranks
 
 
