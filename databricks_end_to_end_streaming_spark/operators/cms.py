@@ -41,19 +41,31 @@ def cms_build(
     item_col: str = "item",
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(row_id, bucket, cnt) counter grid over one item per input row.
-    One explode (x depth) + one partial-agg shuffle of at most d*w rows."""
+    One explode (x depth) + one partial-agg shuffle of at most d*w rows.
+
+    ``weight_col`` (r13): each input row contributes that many
+    occurrences (the grid cell is the SUM of weights) — a
+    pre-aggregated (item, count) relation builds the IDENTICAL grid
+    with d hashes per DISTINCT item instead of d per occurrence, the
+    "aggregate before you shuffle" move (guide §2.3) for callers whose
+    item stream is explode-heavy. Cell values are the same exact int64s
+    either way; the default (None) counts rows, as before."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
     rows = items.select(
         F.col(item_col).alias("item"),
+        w.cast("long").alias("_w"),
         F.explode(
             F.array(*[F.lit(d) for d in range(depth)])
         ).alias("row_id"),
     ).select(
         "row_id",
         _bucket(F.col("item"), F.col("row_id"), width).alias("bucket"),
+        "_w",
     )
-    return rows.groupBy("row_id", "bucket").agg(F.count("*").alias("cnt"))
+    return rows.groupBy("row_id", "bucket").agg(F.sum("_w").alias("cnt"))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

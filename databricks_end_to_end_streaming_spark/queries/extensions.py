@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.multimodal import image_feature_stats
 from ..operators.simhash import simhash_neardup_pairs
 from ..operators.similarity import ann_lsh_topk
+from ..pin import pin
 from ..tables import load_table
 from . import query
 
@@ -434,18 +435,24 @@ def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_cms.py); the DuckDB oracle replays the md5-bucketed
     grid. The exact twin for small corpora is vocab_topk_per_lang."""
     from ..operators.cms import cms_build, cms_estimate
+    from ..tables import spread_small_scan
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # r13 (guide §2.3 "aggregate before you shuffle"): ONE corpus token
+    # pass into a pinned vocabulary-sized (item, n) count relation —
+    # the sketch builds from it WEIGHTED (d md5s per DISTINCT token,
+    # not per occurrence; identical grid by sum-of-weights) and the
+    # exact top-20 candidate set reads the same relation. Before, the
+    # sketch and the candidate count each re-ran the corpus explode,
+    # and the sketch hashed every occurrence x depth. Spread front
+    # door: one-row-group sf scan (no-op at scale).
+    toks = spread_small_scan(d, "doc_id").select(
         F.explode(F.split(F.trim("text"), " +")).alias("item")
     )
-    sketch = cms_build(toks)
+    counts = pin(toks.groupBy("item").agg(F.count("*").alias("n")))
+    sketch = cms_build(counts, weight_col="n")
     candidates = (
-        toks.groupBy("item")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "item")
-        .limit(20)
-        .select("item")
+        counts.orderBy(F.desc("n"), "item").limit(20).select("item")
     )
     return cms_estimate(sketch, candidates).orderBy("item")
 
