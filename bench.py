@@ -366,6 +366,13 @@ NEW_OP_QUERIES = [
     "reshard_movement_rendezvous",
     "apportion_budget_largest_remainder",
     "ann_multiprobe_lsh_topk",
+    # r13 (ADDED, contract-safe): the full-registry profiling sweep
+    # found these three outside every earlier bench/profile set —
+    # decontaminate_ngram_overlap was the slowest query in the whole
+    # registry (16.6 s) precisely because no artifact tracked it.
+    "decontaminate_ngram_overlap",
+    "cms_token_heavy_hitters",
+    "pagerank_event_transitions",
 ]
 
 
