@@ -3018,6 +3018,19 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
     )
     # dense per-user series: gapfill missing days to 0 inside the
     # user's own [lo, hi] span — map-side HOF over the collected pairs
+    # users whose whole span is shorter than the window yield no
+    # subsequence — and MUST be filtered before the window transform:
+    # for them sequence(0, size-W) runs DESCENDING into negatives and
+    # slice(series, 0, W) throws (the oracle's join condition
+    # t.i + W <= len skips them structurally). r13: the guard tests
+    # hi - lo + 1 (== size(series) exactly — transform preserves the
+    # sequence length) BETWEEN the aggregate and the series projection,
+    # NOT size(series) above it: predicate pushdown moved that spelling
+    # below the projection and inlined the whole per-user gap-fill
+    # transform into the Filter — the series built twice per user
+    # (PLANS.md showed the inlined Filter copy; CollapseProject's
+    # multi-reference cost guard protects the window stage above, but
+    # PushDownPredicates has no such guard).
     filled = (
         daily.groupBy("user_id")
         .agg(
@@ -3027,6 +3040,7 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
                 F.collect_list(F.struct("day_idx", "cents"))
             ).alias("by_day"),
         )
+        .where(F.col("hi") - F.col("lo") + 1 >= TS_W)
         .select(
             "user_id",
             "lo",
@@ -3036,13 +3050,8 @@ def ts_pattern_topk_from_daily(daily_by_date: DataFrame) -> DataFrame:
             ).alias("series"),
         )
     )
-    # users whose whole span is shorter than the window yield no
-    # subsequence — and MUST be filtered before the transform: for them
-    # sequence(0, size-W) runs DESCENDING into negatives and
-    # slice(series, 0, W) throws (the oracle's join condition
-    # t.i + W <= len skips them structurally)
     wins = (
-        filled.where(F.size("series") >= TS_W)
+        filled
         .select(
             "user_id",
             "lo",
