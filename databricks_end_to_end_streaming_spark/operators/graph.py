@@ -82,55 +82,67 @@ def connected_components(
     from pyspark.sql import Observation
 
     changed = -1
-    for _ in range(max_iter):
-        # Each node proposes its current label to every neighbor; the new
-        # label is the min over (own label, neighbor proposals). min() is
-        # algebraic, so Spark plants a map-side partial aggregate and the
-        # shuffle carries one candidate per (node, partition).
-        # r13: the node's OWN label row is tagged in the union, so the
-        # same aggregate that computes the new label also recovers the
-        # old one (every node has exactly ONE own row) — the changed
-        # count no longer needs the old join-back-to-previous-labels,
-        # removing one whole shuffle join per round while staying exact
-        # for any node-id type (numeric or string).
-        proposals = sym.join(
-            labels, sym["v"] == labels["node"], "inner"
-        ).select(
-            F.col("u").alias("node"), "component", F.lit(False).alias("_own")
-        )
-        # the convergence check rides the SAME job that materializes the
-        # round (Observation counted while pin runs) — one driver action
-        # per round, not a separate count (the kcore r11 pattern)
-        obs = Observation()
-        folded = (
-            labels.select("node", "component", F.lit(True).alias("_own"))
-            .union(proposals)
-            .groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(F.when(F.col("_own"), F.col("component"))).alias(
-                    "_old"
-                ),
+    # r14 (ADVICE r13): the loop body runs eager pin/Observation jobs —
+    # if one raises, the MEMORY_AND_DISK edge cache must not leak for
+    # the application lifetime, hence try/finally around the iteration.
+    try:
+        for _ in range(max_iter):
+            # Each node proposes its current label to every neighbor;
+            # the new label is the min over (own label, neighbor
+            # proposals). min() is algebraic, so Spark plants a map-side
+            # partial aggregate and the shuffle carries one candidate
+            # per (node, partition).
+            # r13: the node's OWN label row is tagged in the union, so
+            # the same aggregate that computes the new label also
+            # recovers the old one (every node has exactly ONE own row)
+            # — the changed count no longer needs the old
+            # join-back-to-previous-labels, removing one whole shuffle
+            # join per round while staying exact for any node-id type
+            # (numeric or string).
+            proposals = sym.join(
+                labels, sym["v"] == labels["node"], "inner"
+            ).select(
+                F.col("u").alias("node"),
+                "component",
+                F.lit(False).alias("_own"),
             )
-            .observe(
-                obs,
-                # coalesce: sum over an EMPTY round (no edges) is NULL,
-                # which must read as converged, not as never-converging
-                F.coalesce(
-                    F.sum(
-                        (F.col("component") != F.col("_old")).cast("long")
+            # the convergence check rides the SAME job that materializes
+            # the round (Observation counted while pin runs) — one
+            # driver action per round, not a separate count (the kcore
+            # r11 pattern)
+            obs = Observation()
+            folded = (
+                labels.select("node", "component", F.lit(True).alias("_own"))
+                .union(proposals)
+                .groupBy("node")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("_own"), F.col("component"))).alias(
+                        "_old"
                     ),
-                    F.lit(0).cast("long"),
-                ).alias("changed"),
+                )
+                .observe(
+                    obs,
+                    # coalesce: sum over an EMPTY round (no edges) is
+                    # NULL, which must read as converged, not as
+                    # never-converging
+                    F.coalesce(
+                        F.sum(
+                            (F.col("component") != F.col("_old")).cast("long")
+                        ),
+                        F.lit(0).cast("long"),
+                    ).alias("changed"),
+                )
             )
-        )
-        labels = pin(folded.select("node", "component"))
-        changed = obs.get["changed"]
-        if changed == 0:
-            break
-    # every consumer of the cached edge relation has executed (labels is
-    # checkpointed); drop the cache so nothing leaks across evaluations
-    sym.unpersist(blocking=False)
+            labels = pin(folded.select("node", "component"))
+            changed = obs.get["changed"]
+            if changed == 0:
+                break
+    finally:
+        # every consumer of the cached edge relation has executed
+        # (labels is checkpointed); drop the cache so nothing leaks
+        # across evaluations — including when a round raises
+        sym.unpersist(blocking=False)
     if changed != 0:
         # Returning intermediate labels would silently split components
         # (two "canonical" docs in one duplicate cluster) — fail loudly.
@@ -206,81 +218,96 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .union(e.select(F.col("e_dst").alias("node")))
-        .distinct()
-        .transform(pin)
-    )
-    n = nodes.count()  # the one driver-side scalar
-    if n == 0:
-        e.unpersist(blocking=False)
-        return nodes.withColumn("rank", F.lit(0.0))
-
-    # r13: pinned — the dangling-mass branch consumes this every round,
-    # and unpinned it re-ran the distinct from the edge relation per
-    # iteration (same rows either way; pin only cuts the re-derivation)
-    has_out = pin(e.select(F.col("e_src").alias("node")).distinct())
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
-        if deterministic:
-            dangling = (
-                ranks.join(has_out, "node", "left_anti")
-                .agg(
-                    F.aggregate(
-                        F.array_sort(F.collect_list(F.struct("node", "rank"))),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["rank"],
-                    ).alias("dmass")
-                )
-            )
-            contrib = (
-                ranks.join(e, ranks["node"] == e["e_src"])
-                .select(
-                    "e_dst",
-                    F.struct(
-                        F.col("e_src").alias("s"),
-                        (F.col("rank") * F.col("p")).alias("c"),
-                    ).alias("sc"),
-                )
-                .groupBy(F.col("e_dst").alias("node"))
-                .agg(
-                    F.aggregate(
-                        F.array_sort(F.collect_list("sc")),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["c"],
-                    ).alias("inflow")
-                )
-            )
-        else:
-            dangling = (
-                ranks.join(has_out, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-            )
-            contrib = (
-                ranks.join(e, ranks["node"] == e["e_src"])
-                .groupBy(F.col("e_dst").alias("node"))
-                .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
-            )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("dmass") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+    # r14 (ADVICE r13): every eager action below (counts, pins, the
+    # per-round checkpoints) runs while the MEMORY_AND_DISK edge cache
+    # is live — try/finally so an exception inside the iteration can't
+    # leak the cache for the application lifetime.
+    # Durability note (ADVICE r13 #2): this is a raw persist, not a
+    # SPARK_GRAFT_PIN_MODE-routed pin — on executor/block loss the edge
+    # relation recomputes from lineage, and the upstream float sum(w)
+    # partial aggregation may re-merge in a different order, so
+    # deterministic mode's bit-identical guarantee assumes no block
+    # loss during one evaluation (exactly the local/driver-bench
+    # setting it exists for; pin.py documents the same recompute-drift
+    # class for frozen sites).
+    try:
+        nodes = (
+            e.select(F.col("e_src").alias("node"))
+            .union(e.select(F.col("e_dst").alias("node")))
+            .distinct()
             .transform(pin)
         )
-    # every per-round consumer is checkpointed; drop the edge cache so
-    # nothing leaks across evaluations
-    e.unpersist(blocking=False)
+        n = nodes.count()  # the one driver-side scalar
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+
+        # r13: pinned — the dangling-mass branch consumes this every
+        # round, and unpinned it re-ran the distinct from the edge
+        # relation per iteration (same rows either way; pin only cuts
+        # the re-derivation)
+        has_out = pin(e.select(F.col("e_src").alias("node")).distinct())
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(iters):
+            if deterministic:
+                dangling = (
+                    ranks.join(has_out, "node", "left_anti")
+                    .agg(
+                        F.aggregate(
+                            F.array_sort(F.collect_list(F.struct("node", "rank"))),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x["rank"],
+                        ).alias("dmass")
+                    )
+                )
+                contrib = (
+                    ranks.join(e, ranks["node"] == e["e_src"])
+                    .select(
+                        "e_dst",
+                        F.struct(
+                            F.col("e_src").alias("s"),
+                            (F.col("rank") * F.col("p")).alias("c"),
+                        ).alias("sc"),
+                    )
+                    .groupBy(F.col("e_dst").alias("node"))
+                    .agg(
+                        F.aggregate(
+                            F.array_sort(F.collect_list("sc")),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x["c"],
+                        ).alias("inflow")
+                    )
+                )
+            else:
+                dangling = (
+                    ranks.join(has_out, "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+                )
+                contrib = (
+                    ranks.join(e, ranks["node"] == e["e_src"])
+                    .groupBy(F.col("e_dst").alias("node"))
+                    .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+                )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("inflow"), F.lit(0.0))
+                            + F.col("dmass") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+                .transform(pin)
+            )
+    finally:
+        # every per-round consumer is checkpointed; drop the edge
+        # cache so nothing leaks across evaluations — including
+        # when an iteration raises
+        e.unpersist(blocking=False)
     return ranks
 
 
@@ -289,6 +316,7 @@ def kcore_decomposition(
     a: str = "a",
     b: str = "b",
     max_iters: int = 50,
+    max_degree: int = 1 << 22,
 ) -> DataFrame:
     """Coreness of every node of an undirected edge list via the
     h-index iteration (Lü, Zhou, Zhang, Stanley 2016, "The H-index of a
@@ -345,15 +373,34 @@ def kcore_decomposition(
     obs0 = Observation()
     # degree rides the pinned init state so the final (node, degree,
     # coreness) join reads this checkpoint, not the by-then-unpersisted
-    # edge cache
+    # edge cache.
+    # r14 (VERDICT r13 #6): the per-round h-index collects each node's
+    # neighbor-value list into ONE aggregation buffer, so a hot node's
+    # degree bounds a single task's memory. The callers' graphs are
+    # degree-capped by construction (mutual-KNN edges), but the operator
+    # is generic — observe the true max degree on the SAME init job and
+    # fail loudly above ``max_degree`` (2^22 longs ≈ 32 MB buffer)
+    # instead of letting a power-law caller OOM an executor at scale.
+    max_deg = F.coalesce(
+        F.max(F.col("degree")), F.lit(0).cast("long")
+    ).alias("maxdeg")
     init = pin(
         deg.select(
             "u", "degree", F.col("degree").cast("long").alias("c")
-        ).observe(obs0, tot_c),
+        ).observe(obs0, tot_c, max_deg),
         site="kcore.init",
     )
     cur = init.select("u", "c")
     prev_tot = obs0.get["tot"]
+    if int(obs0.get["maxdeg"] or 0) > max_degree:
+        und.unpersist(blocking=False)
+        raise ValueError(
+            f"kcore_decomposition: max degree {obs0.get['maxdeg']} exceeds "
+            f"the collect_list guard ({max_degree}); a single node's "
+            "neighbor list would dominate one task's memory — cap the "
+            "caller's degree (e.g. top-K edges per node) or raise "
+            "max_degree deliberately"
+        )
     # h-index of the neighbor-value list as ONE aggregate expression
     # (r13): sort desc, count positions where value > index — the set
     # is a prefix (values non-increasing, index increasing), so the
@@ -365,27 +412,32 @@ def kcore_decomposition(
         "size(filter(sort_array(vs, false), (x, i) -> x > i))"
     ).cast("long")
     converged = False
-    for _ in range(max_iters):
-        nb = und.join(
-            cur.withColumnRenamed("u", "v").withColumnRenamed("c", "cv"),
-            "v",
-        )
-        nxt = (
-            nb.groupBy("u")
-            .agg(F.collect_list("cv").alias("vs"))
-            .select("u", h_index.alias("c"))
-        )
-        obs = Observation()
-        cur = pin(nxt.observe(obs, tot_c), site="kcore.iter")
-        tot = obs.get["tot"]
-        if tot == prev_tot:
-            converged = True
-            break
-        prev_tot = tot
-    # every consumer of the cached edge relation has executed (init and
-    # all round states are checkpointed); drop the cache so nothing
-    # leaks across evaluations
-    und.unpersist(blocking=False)
+    # r14 (ADVICE r13): try/finally so a raising round can't leak the
+    # MEMORY_AND_DISK edge cache for the application lifetime
+    try:
+        for _ in range(max_iters):
+            nb = und.join(
+                cur.withColumnRenamed("u", "v").withColumnRenamed("c", "cv"),
+                "v",
+            )
+            nxt = (
+                nb.groupBy("u")
+                .agg(F.collect_list("cv").alias("vs"))
+                .select("u", h_index.alias("c"))
+            )
+            obs = Observation()
+            cur = pin(nxt.observe(obs, tot_c), site="kcore.iter")
+            tot = obs.get["tot"]
+            if tot == prev_tot:
+                converged = True
+                break
+            prev_tot = tot
+    finally:
+        # every consumer of the cached edge relation has executed (init
+        # and all round states are checkpointed); drop the cache so
+        # nothing leaks across evaluations — including when a round
+        # raises
+        und.unpersist(blocking=False)
     if not converged:
         # fail loudly (the connected_components rule): returning the
         # intermediate values would silently inflate coreness on long

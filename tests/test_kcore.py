@@ -75,3 +75,18 @@ def test_registered_query_matches_peeling_on_testdata(spark):
     }
     assert got == peel(edges)
     assert max(got.values()) >= 2  # the corpus has a dense core
+
+
+def test_degree_guard_fails_loudly_on_hot_node(spark):
+    # r14: a star graph's hub would concentrate its whole neighbor-value
+    # list in one collect_list buffer — the guard must raise BEFORE the
+    # iteration, not OOM a task at scale.
+    import pytest
+
+    edges = [(0, i) for i in range(1, 9)]  # hub degree 8
+    df = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(ValueError, match="max degree"):
+        kcore_decomposition(df, max_degree=4)
+    # at/below the cap the same graph computes normally
+    got = check(spark, edges)
+    assert got[0][1] == 1  # a star peels at k = 1
