@@ -28,10 +28,11 @@ suffix's own token window instead of a rank-table lookup:
    totalize by w >= max repeated-span length. No corpus-wide join
    anywhere in the loop: per-round shuffle work is
    (surviving duplicate mass) x w tokens.
-4. LCP of rank-adjacent suffixes in two passes (adjacent_lcp): a fused
+4. LCP of rank-adjacent suffixes in two passes (_lcp_layout): a fused
    width-W_INIT compare for every pair off the gram string each rank
-   row already carries (one rank self-join, no window fetch), then
-   width-w_final windows for the duplicate-mass-bound DEEP tail only.
+   row already carries (lead/lag windows on ONE frozen range-by-rank
+   layout — no self-join), then width-w_final windows for the
+   duplicate-mass-bound DEEP tail only.
 5. A repeated span of length >= L starts at position p iff p's LCP
    with one of its suffix-array NEIGHBORS is >= L (the max LCP over
    all other suffixes is always attained at an adjacent rank — the
@@ -144,23 +145,36 @@ def _grams(arrays: DataFrame, w: int) -> DataFrame:
 
 def _ranked_init(
     arrays: DataFrame, n_parts: int
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, int, int]:
     """Initial suffix ranking at k = W_INIT in ONE range shuffle, no
     distinct + no join-back: range-partition every position's W_INIT-gram
     (equal grams co-locate by construction), then rank =
     min(global row number) over the gram class — the SORTED-POSITION
     rank (count of strictly-smaller suffixes + 1), which is what makes
     the escalation updates class-local. Returns
-    ((doc_id, off, rank, tied, gram), n) — the gram string stays on the
-    row so downstream passes never re-fetch their own window.
+    ((doc_id, off, rank, tied, gram), n, n_active, max_class) — the
+    gram string stays on the row so downstream passes never re-fetch
+    their own window, and the active-row statistics ride the pin job's
+    Observation (no separate aggregate action).
 
-    (r9 note: an explicit-sampled-bounds variant — bucket id as a pure
-    fold expression over boundary literals, no frozen pin, no
-    intermediate materializations — was built and MEASURED SLOWER at
-    sf0.1: 7.8 s init vs 2.6 s, because the per-row 2x n_parts string
-    comparisons and the 2-3 recomputations of the gram relation cost
-    more than the two localCheckpoints they replace. The two-pin
-    repartitionByRange shape stays.)"""
+    r14 (guide §2.4/§1.2): ONE checkpoint instead of two. The ranking
+    windows now run BEFORE the frozen pin (partitionBy(_pid) with _pid
+    evaluated under the window's exchange — class-LOCAL row numbers and
+    class minima need no global offsets), so the pin materializes the
+    fully-windowed rows; the global rank is then a pure broadcast-join
+    MAP over the checkpoint (rank = partition offset + class-local
+    min), which every consumer re-derives for free instead of reading a
+    second corpus-sized checkpoint. Freezing one job is as safe as
+    before: the range exchange's sampled bounds are materialized inside
+    the single checkpoint action, and everything downstream (offsets
+    collect included) reads the frozen rows.
+
+    (r9 note, still binding: an explicit-sampled-bounds variant —
+    bucket id as a pure fold expression over boundary literals, no
+    frozen pin — was built and MEASURED SLOWER at sf0.1: 7.8 s init vs
+    2.6 s. The repartitionByRange shape stays.)"""
+    from pyspark.sql import Observation
+
     # pin the gram relation so repartitionByRange's bound-sampling job
     # reads materialized rows instead of re-running the window
     # generation over every position
@@ -168,14 +182,7 @@ def _ranked_init(
     # no sortWithinPartitions: the ranking windows below sort by gram
     # anyway, so a pre-sort in the exchange would be paid twice
     parted = g8.repartitionByRange(n_parts, "gram")
-    # frozen: repartitionByRange re-samples bounds per job (ranking.py
-    # has the full rationale)
-    with_pid = pin(
-        parted.withColumn("_pid", F.spark_partition_id()),
-        require_frozen=True,
-        site="suffix.range_partitioned_grams",
-    )
-    offsets_df, n = _partition_offsets(with_pid)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
     w_rn = Window.partitionBy("_pid").orderBy("gram")
     # equal grams are CO-LOCATED by the range partitioning, so the gram
     # class is exactly the (_pid, gram) class — and [_pid] ⊆ [_pid, gram]
@@ -183,18 +190,39 @@ def _ranked_init(
     # by a subset satisfies clustering on the superset), instead of a
     # second full shuffle on the gram strings.
     w_g = Window.partitionBy("_pid", "gram")
-    ranked = (
-        with_pid.join(offsets_df, "_pid")
-        .withColumn("_rn", F.col("_offset") + F.row_number().over(w_rn))
-        # class min is deterministic even though _rn tie order within a
-        # gram class is not: it equals the class's global start position
-        .withColumn("rank", F.min("_rn").over(w_g).cast("long"))
-        .withColumn("tied", F.count("*").over(w_g) > F.lit(1))
-        # gram rides along: every rank row keeps its own W_INIT window
-        # string, so the LCP pass needs NO window join (adjacent_lcp)
-        .select("doc_id", "off", "rank", "tied", "gram")
+    obs = Observation()
+    local = pin(
+        with_pid.withColumn("_lrn", F.row_number().over(w_rn))
+        # class min is deterministic even though _lrn tie order within a
+        # gram class is not: it equals the class's local start position
+        .withColumn("_lmin", F.min("_lrn").over(w_g))
+        .withColumn("_cnt", F.count("*").over(w_g))
+        .observe(
+            obs,
+            # the r13 _active_stats aggregate, observed on the SAME job:
+            # n_active = tied-row count, max_class = largest tied class
+            F.coalesce(
+                F.sum((F.col("_cnt") > 1).cast("long")), F.lit(0)
+            ).alias("n_active"),
+            F.coalesce(
+                F.max(F.when(F.col("_cnt") > 1, F.col("_cnt"))),
+                F.lit(0).cast("long"),
+            ).alias("max_class"),
+        ),
+        require_frozen=True,
+        site="suffix.range_partitioned_grams",
     )
-    return pin(ranked), n
+    offsets_df, n = _partition_offsets(local)
+    ranked = local.join(offsets_df, "_pid").select(
+        "doc_id",
+        "off",
+        (F.col("_offset") + F.col("_lmin")).cast("long").alias("rank"),
+        (F.col("_cnt") > 1).alias("tied"),
+        # gram rides along: every rank row keeps its own W_INIT window
+        # string, so the LCP pass needs NO window join
+        "gram",
+    )
+    return ranked, n, int(obs.get["n_active"]), int(obs.get["max_class"])
 
 
 def _active_stats(ranked: DataFrame) -> tuple[int, int]:
@@ -342,8 +370,7 @@ def suffix_rank_tables(
 
     n_parts = arrays.sparkSession.sparkContext.defaultParallelism
     t0 = time.monotonic()
-    init, n = _ranked_init(arrays, n_parts)
-    n_active, max_class = _active_stats(init)
+    init, n, n_active, max_class = _ranked_init(arrays, n_parts)
     if timings is not None:
         timings.append(
             ("init", W_INIT, n_active, max_class, time.monotonic() - t0)
@@ -368,8 +395,39 @@ def suffix_rank_tables(
             )
         t0 = time.monotonic()
         w *= 4
-        wins = _windows_for(active.select("doc_id", "off"), arrays, w)
-        joined = active.join(wins, ["doc_id", "off"])
+        # r14 (guide §2.4): the round's window fetch used to go through
+        # _windows_for (a distinct + per-doc regroup) and then JOIN BACK
+        # to the active rows on (doc_id, off) — two more exchanges per
+        # round. Active rows are already unique per (doc_id, off), so
+        # grouping them per doc WITH their rank/gram payload and slicing
+        # the doc's array inside the same explode delivers the joined
+        # relation in ONE exchange (the per-doc regroup); payload bounds
+        # are unchanged (one token array per active doc + w tokens per
+        # active position, plus the W_INIT gram strings that already
+        # rode the join).
+        per_doc = active.groupBy("doc_id").agg(
+            F.collect_list(F.struct("off", "rank", "gram")).alias("xs")
+        )
+        joined = (
+            per_doc.join(arrays, "doc_id")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        "xs",
+                        lambda x: F.struct(
+                            x["off"].alias("off"),
+                            x["rank"].alias("rank"),
+                            x["gram"].alias("gram"),
+                            F.slice("toks", x["off"] + 1, F.lit(w)).alias(
+                                "win"
+                            ),
+                        ),
+                    )
+                ).alias("x"),
+            )
+            .select("doc_id", "x.off", "x.rank", "x.gram", "x.win")
+        )
         obs = None
         if max_class > skew_threshold:
             # pin: the joined relation feeds both the distinct-window
@@ -493,108 +551,55 @@ def _common_prefix_len(ga, gb) -> F.Column:
     )
 
 
-def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
-    """(a_doc, a_off, b_doc, b_off, lcp): LCP between every suffix and
-    its successor in suffix-array order — two passes (r8 shape,
-    replacing the per-power rank-table descent):
+def _gram_cap(col) -> F.Column:
+    """Real-token count of a split W_INIT gram: the NUL-joined string
+    splits back into elements where real tokens are whole elements and
+    a sentinel ("\\x00" + doc_id) becomes ["", doc_id] — the "" marks
+    how many REAL tokens precede the sentinel (W_INIT when absent)."""
+    pos = F.array_position(col, "")
+    return F.when(pos == 0, F.lit(W_INIT)).otherwise(pos - 1)
 
-    1. FUSED width-W_INIT compare for EVERY pair: each rank row already
-       carries its own W_INIT gram string, so ONE rank self-join
-       delivers both sides' windows and a JVM fold counts the common
-       prefix. Pairs whose count is < W_INIT are DONE — that count IS
-       the lcp (their W_INIT-prefixes differ). This one linear pass
-       settles all but the duplicate-mass-bound tail.
-    2. DEEP pairs (count == W_INIT, i.e. lcp >= W_INIT — exactly the
-       positions inside long repeats) fetch width-k_max windows, where
-       k_max = the loop's final width: no two suffixes share a
-       k_max-window (that is the exit condition), so every adjacent
-       lcp is <= k_max - 1 and one fold finishes it.
-       The windows are built ONLY for the needed offsets by grouping
-       them per document and slicing that document's array once per
-       offset — the join payload is one token array per deep DOC plus
-       k_max tokens per deep position, both bounded by the surviving
-       duplicate mass, never by the corpus.
 
-    Sentinels compare as whole tokens, so LCPs stop exactly at document
-    boundaries in both passes."""
-    k_max = max(tables)
-    final = tables[k_max]
-    # pass 1: every rank row carries its own W_INIT gram string (from
-    # init, riding the loop relations), so ONE rank self-join delivers
-    # both sides' windows to every adjacent pair. The NUL-joined string
-    # splits back into elements where real tokens are whole elements
-    # and a sentinel ("\x00" + doc_id) becomes ["", doc_id] — the ""
-    # marks how many REAL tokens precede the sentinel, so
-    # lcp = least(elementwise match count, real-token count of either
-    # side): a mismatch before either sentinel is the true lcp; equal
-    # sentinel positions cap the count; unequal ones mismatch on
-    # "" vs a (never-empty) real token.
-    # (r9 note: a bucketed lead()-window pairing — one exchange, each
-    # gram moved once — was built and MEASURED 2x SLOWER at sf0.1 than
-    # this self-join; the union + window + struct-lead plan defeats the
-    # codegen/AQE path the join gets. The join stays.)
-    a = final.select(
-        F.col("doc_id").alias("a_doc"),
-        F.col("off").alias("a_off"),
-        F.split("gram", SENTINEL_PREFIX).alias("_ga"),
-        "rank",
-    )
-    b = final.select(
-        F.col("doc_id").alias("b_doc"),
-        F.col("off").alias("b_off"),
-        F.split("gram", SENTINEL_PREFIX).alias("_gb"),
-        (F.col("rank") - 1).alias("rank"),
-    )
+def _lcp16(ga: F.Column, gb: F.Column) -> F.Column:
+    """Shallow adjacent LCP off the rows' own W_INIT gram strings:
+    least(elementwise match count, real-token count of either side) —
+    a mismatch before either sentinel is the true lcp; equal sentinel
+    positions cap the count; unequal ones mismatch on "" vs a
+    (never-empty) real token."""
+    return F.least(_common_prefix_len(ga, gb), _gram_cap(ga), _gram_cap(gb))
 
-    def _cap(col) -> F.Column:
-        pos = F.array_position(col, "")
-        return F.when(pos == 0, F.lit(W_INIT)).otherwise(pos - 1)
 
-    lcp_init = F.least(
-        _common_prefix_len("_ga", "_gb"), _cap("_ga"), _cap("_gb")
-    )
-    scored = pin(
-        a.join(b, "rank").select(
-            "rank",
-            "a_doc",
-            "a_off",
-            "b_doc",
-            "b_off",
-            lcp_init.alias("lcp"),
-        )
-    )
-    shallow = scored.where(F.col("lcp") < W_INIT)
-    deep = scored.where(F.col("lcp") >= W_INIT).drop("lcp")
-    # pass 2: width-k_max windows for the deep offsets only (the same
-    # grouped-slice fetch the escalation loop uses). The pair's a-side
-    # rank is unique per deep pair, so a LONG view keyed on it needs
-    # just ONE window join + ONE regroup to deliver both sides' windows
-    # — instead of two separate composite-key join-backs (the r8 shape;
-    # each exchange here is fixed-overhead-bound at bench SF).
+def _deep_lcp(deep: DataFrame, arrays: DataFrame, k_max: int) -> DataFrame:
+    """(rank, lcp) for DEEP adjacent pairs (W_INIT prefixes fully match
+    — exactly the positions inside long repeats): fetch width-k_max
+    windows, where k_max = the loop's final width: no two suffixes
+    share a k_max-window (that is the exit condition), so every
+    adjacent lcp is <= k_max - 1 and one fold finishes it. The windows
+    are built ONLY for the needed offsets by grouping them per document
+    and slicing that document's array once per offset — the join
+    payload is one token array per deep DOC plus k_max tokens per deep
+    position, both bounded by the surviving duplicate mass, never by
+    the corpus. The pair's a-side rank is unique per deep pair, so a
+    LONG view keyed on it needs just ONE window join + ONE regroup to
+    deliver both sides' windows."""
     long = deep.select(
         "rank",
         F.lit("a").alias("_side"),
         F.col("a_doc").alias("doc_id"),
         F.col("a_off").alias("off"),
-        "a_doc", "a_off", "b_doc", "b_off",
     ).unionByName(
         deep.select(
             "rank",
             F.lit("b").alias("_side"),
             F.col("b_doc").alias("doc_id"),
             F.col("b_off").alias("off"),
-            "a_doc", "a_off", "b_doc", "b_off",
         )
     )
     wins = _windows_for(long.select("doc_id", "off"), arrays, k_max)
-    deep_scored = (
+    return (
         long.join(wins, ["doc_id", "off"])
         .groupBy("rank")
         .agg(
-            F.first("a_doc").alias("a_doc"),
-            F.first("a_off").alias("a_off"),
-            F.first("b_doc").alias("b_doc"),
-            F.first("b_off").alias("b_off"),
             F.first(
                 F.when(F.col("_side") == "a", F.col("win")), ignorenulls=True
             ).alias("_ga"),
@@ -602,19 +607,293 @@ def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
                 F.when(F.col("_side") == "b", F.col("win")), ignorenulls=True
             ).alias("_gb"),
         )
-        .select(
+        .select("rank", _common_prefix_len("_ga", "_gb").alias("lcp"))
+    )
+
+
+def _lcp_layout(
+    tables: dict[int, DataFrame],
+    arrays: DataFrame,
+    with_bench_flag: bool = False,
+) -> tuple[DataFrame, list]:
+    """ONE frozen range-by-rank layout carrying each suffix's adjacent
+    LCPs in suffix-array order — r14 (VERDICT r13 task 2, guide §2.4):
+    the adjacent-LCP machinery used to be a rank SELF-JOIN (two
+    corpus-sized rank exchanges + a pinned pair relation) whose lcp
+    values were then joined BACK onto the rank rows twice more
+    (lcp_prev/lcp_next) before the segmented-min machinery
+    range-partitioned everything by rank yet again. But successor and
+    predecessor in rank order are WITHIN-PARTITION neighbors of that
+    range layout, so building the layout FIRST collapses all of it:
+
+    1. ``narrow``: the ONE corpus-sized materialization — range
+       exchange by rank, then a single (_pid, rank) window stage
+       (shared by every window function) computing the shallow capped
+       LCP to the in-partition successor (lead), the predecessor's via
+       lag of that SAME column, the sentinel flag, the in-partition
+       running benchmark count (bench mode), and the gram string kept
+       ONLY on partition-edge rows — all checkpointed as narrow integer
+       rows (guide §2.3: project the grams away before anything else
+       reads them). Frozen: repartitionByRange samples bounds inside
+       this single action; everything downstream reads the checkpoint.
+    2. One small per-partition aggregate over the CHECKPOINT
+       (min_by/max_by on the edge rows + counts) — boundary rows and
+       segment offsets in one driver-collected O(#partitions) relation;
+       the <= n_parts boundary pairs the windows could not see are
+       patched in via broadcast (their shallow LCP is the same fold,
+       computed distributedly on the tiny relation).
+    3. DEEP pairs (shallow cap == W_INIT — the pairs inside long
+       repeats) are a cheap filter on the checkpoint (the first cut of
+       this layout recomputed the whole window pass to find them —
+       measured 2x the post-loop cost); their true LCPs (``_deep_lcp``)
+       re-enter as a duplicate-mass-bounded broadcast correction keyed
+       by the pair's a-side rank, applied to both the successor column
+       (at rank) and the predecessor column (at rank + 1).
+
+    Returns (layout, per_pid): layout = (doc_id, off, rank, _pid,
+    [_b, _cb,] _sent, _ndoc, _noff, _lp, _ln) with _lp/_ln the
+    corrected LCPs to the rank predecessor/successor (NULL at the
+    global extremes), _sent the sentinel-position flag (gram IS the
+    sentinel — the only grams starting with NUL), _ndoc/_noff the
+    successor's identity, and _cb (bench mode) the inclusive running
+    benchmark count (offset-adjusted); per_pid = the collected
+    per-partition stats rows, ascending by _pid. Nothing
+    corpus-proportional touches the driver.
+
+    (r9 note, superseded: a bucketed lead()-window pairing over a UNION
+    was measured 2x slower than the rank self-join — that variant paid
+    its own union + fresh exchange; this one rides the range layout the
+    downstream machinery builds anyway, so the self-join's two rank
+    exchanges and two join-backs are strictly removed.)"""
+    k_max = max(tables)
+    final = tables[k_max]
+    spark = final.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    base = final.select("doc_id", "off", "rank", "gram")
+    if with_bench_flag:
+        base = base.withColumn(
+            "_b", F.col("doc_id") >= F.lit(BENCH_ID_FLAG)
+        )
+    parted = (
+        base.repartitionByRange(n_parts, "rank")
+        .sortWithinPartitions("rank")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("rank")
+    is_first = F.lag("rank").over(w).isNull()
+    is_last = F.lead("rank").over(w).isNull()
+    ln_cap_in = F.when(
+        ~is_last,
+        _lcp16(
+            F.split("gram", SENTINEL_PREFIX),
+            F.split(F.lead("gram").over(w), SENTINEL_PREFIX),
+        ),
+    )  # NULL at partition-last rows (boundary-patched below)
+    s1_cols = [
+        "doc_id",
+        "off",
+        "rank",
+        "_pid",
+        F.col("gram").startswith(SENTINEL_PREFIX).alias("_sent"),
+        # gram survives ONLY on the partition-edge rows the boundary
+        # stitches need — everything downstream is integers
+        F.when(is_first | is_last, F.col("gram")).alias("_egram"),
+        ln_cap_in.alias("_ln_cap"),
+        F.lead("doc_id").over(w).alias("_ndoc0"),
+        F.lead("off").over(w).alias("_noff0"),
+    ]
+    if with_bench_flag:
+        # in-partition inclusive running benchmark count (the
+        # distributed searchsorted) rides the SAME exchange+sort; the
+        # cross-partition offset is broadcast-patched after the pin
+        w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        s1_cols.insert(4, F.col("_b"))
+        s1_cols.append(
+            F.sum(F.col("_b").cast("long")).over(w_cum).alias("_cb0")
+        )
+    s1 = parted.select(*s1_cols)
+    # the predecessor's capped LCP is the lag of the successor column —
+    # a second Window op over the SAME spec (no new exchange or sort);
+    # NULL at partition-first rows (boundary-patched below)
+    narrow = pin(
+        s1.select("*", F.lag("_ln_cap").over(w).alias("_lp_cap")),
+        require_frozen=True,
+        site="suffix.lcp_layout",
+    )
+    # per-partition stats + boundary rows in ONE small aggregate job
+    # over the checkpoint: row/bench counts for the segment offsets,
+    # the edge rows for the boundary stitches
+    aggs = [
+        F.count("*").alias("cnt"),
+        F.min_by(F.struct("rank", "_egram", "doc_id", "off"), "rank").alias(
+            "f"
+        ),
+        F.max_by(F.struct("rank", "_egram", "doc_id", "off"), "rank").alias(
+            "l"
+        ),
+    ]
+    if with_bench_flag:
+        aggs.append(F.sum(F.col("_b").cast("long")).alias("bcnt"))
+    per_pid = sorted(
+        narrow.groupBy("_pid").agg(*aggs).collect(), key=lambda x: x["_pid"]
+    )
+    # boundary relation: one row per consecutive non-empty partition
+    # pair (the (last row of p, first row of q) pair the
+    # within-partition lead/lag cannot see); its shallow LCP is
+    # computed by the SAME fold expression, distributed (grams never
+    # folded on the driver)
+    from pyspark.sql import types as T
+
+    ftypes = {x.name: x.dataType for x in narrow.schema}
+    bschema = T.StructType(
+        [
+            T.StructField("a_pid", T.IntegerType()),
+            T.StructField("b_pid", T.IntegerType()),
+            T.StructField("a_gram", T.StringType()),
+            T.StructField("b_gram", T.StringType()),
+            T.StructField("b_doc", ftypes["doc_id"]),
+            T.StructField("b_off", ftypes["off"]),
+        ]
+    )
+    brows = [
+        (
+            a["_pid"],
+            b["_pid"],
+            a["l"]["_egram"],
+            b["f"]["_egram"],
+            b["f"]["doc_id"],
+            b["f"]["off"],
+        )
+        for a, b in zip(per_pid, per_pid[1:])
+    ]
+    bl = spark.createDataFrame(brows, bschema).select(
+        "a_pid",
+        "b_pid",
+        "b_doc",
+        "b_off",
+        _lcp16(
+            F.split("a_gram", SENTINEL_PREFIX),
+            F.split("b_gram", SENTINEL_PREFIX),
+        ).alias("blcp"),
+    )
+    patch_cols = [
+        narrow["doc_id"],
+        "off",
+        "rank",
+        "_pid",
+        "_sent",
+        # partition-last rows take the boundary pair's LCP/successor;
+        # the global last rank keeps NULL (no bl row for its _pid)
+        F.coalesce("_ln_cap", "_blcp_n").alias("_ln_cap"),
+        F.coalesce("_lp_cap", "_blcp_p").alias("_lp_cap"),
+        F.coalesce("_ndoc0", "_bdoc").alias("_ndoc"),
+        F.coalesce("_noff0", "_boff").alias("_noff"),
+    ]
+    if with_bench_flag:
+        offsets, acc = {}, 0
+        for row in per_pid:
+            offsets[row["_pid"]] = acc
+            acc += row["bcnt"]
+        off_map = F.create_map(
+            *[
+                x
+                for pid, off in offsets.items()
+                for x in (F.lit(pid), F.lit(off))
+            ]
+        )
+        patch_cols.insert(4, F.col("_b"))
+        patch_cols.append(
+            (F.coalesce(off_map[F.col("_pid")], F.lit(0)) + F.col("_cb0"))
+            .alias("_cb")
+        )
+    patched = (
+        narrow.join(
+            F.broadcast(
+                bl.select(
+                    F.col("a_pid").alias("_pid"),
+                    F.col("b_doc").alias("_bdoc"),
+                    F.col("b_off").alias("_boff"),
+                    F.col("blcp").alias("_blcp_n"),
+                )
+            ),
+            "_pid",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                bl.select(
+                    F.col("b_pid").alias("_pid"),
+                    F.col("blcp").alias("_blcp_p"),
+                )
+            ),
+            "_pid",
+            "left",
+        )
+        .select(*patch_cols)
+    )
+    deep = patched.where(F.col("_ln_cap") >= W_INIT).select(
+        "rank",
+        F.col("doc_id").alias("a_doc"),
+        F.col("off").alias("a_off"),
+        F.col("_ndoc").alias("b_doc"),
+        F.col("_noff").alias("b_off"),
+    )
+    # pinned: the duplicate-mass-bounded correction is broadcast-joined
+    # twice (successor of rank r, predecessor of rank r + 1) — pin
+    # keeps the k_max-window fetch to one evaluation, and it reads the
+    # narrow CHECKPOINT, never the corpus-sized window pass
+    corr = pin(_deep_lcp(deep, arrays, k_max))
+    lay = (
+        patched.join(
+            F.broadcast(corr.select("rank", F.col("lcp").alias("_cn"))),
             "rank",
-            "a_doc",
-            "a_off",
-            "b_doc",
-            "b_off",
-            _common_prefix_len("_ga", "_gb").alias("lcp"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                corr.select(
+                    (F.col("rank") + 1).alias("rank"),
+                    F.col("lcp").alias("_cp"),
+                )
+            ),
+            "rank",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "off",
+            "rank",
+            "_pid",
+            *(["_b", "_cb"] if with_bench_flag else []),
+            "_sent",
+            "_ndoc",
+            "_noff",
+            F.when(F.col("_lp_cap") >= W_INIT, F.col("_cp"))
+            .otherwise(F.col("_lp_cap"))
+            .alias("_lp"),
+            F.when(F.col("_ln_cap") >= W_INIT, F.col("_cn"))
+            .otherwise(F.col("_ln_cap"))
+            .alias("_ln"),
         )
     )
-    # rank rides along (the a-side suffix's rank): downstream consumers
-    # that need lcp indexed by rank order (cross_set_max_spans) read it;
-    # the repeat profile just ignores it
-    return pin(shallow.unionByName(deep_scored))
+    return lay, per_pid
+
+
+def adjacent_lcp(tables: dict[int, DataFrame], arrays: DataFrame) -> DataFrame:
+    """(a_doc, a_off, b_doc, b_off, lcp, rank): LCP between every
+    suffix and its successor in suffix-array order — the pair
+    projection of ``_lcp_layout`` (one row per rank with a successor).
+    Sentinels compare as whole tokens, so LCPs stop exactly at document
+    boundaries."""
+    lay, _per_pid = _lcp_layout(tables, arrays)
+    return lay.where(F.col("_ln").isNotNull()).select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("off").alias("a_off"),
+        F.col("_ndoc").alias("b_doc"),
+        F.col("_noff").alias("b_off"),
+        F.col("_ln").alias("lcp"),
+        "rank",
+    )
 
 
 def _position_repeats(
@@ -625,30 +904,27 @@ def _position_repeats(
     """(doc_id, off, max_repeat) over a pinned ``doc_token_arrays``
     relation — the shared core of ``position_repeat_lengths`` and
     ``exact_substr_removal`` (which also needs ``arrays`` for the token
-    reconstruction)."""
+    reconstruction).
+
+    r14: each position appears EXACTLY ONCE in the rank layout and its
+    max LCP against any other suffix is attained at an adjacent rank,
+    so per-position max_repeat = greatest(_lp, _ln) row-wise — the old
+    both-sides union + groupBy(doc_id, off) exchange is gone. Sentinel
+    positions are the rows whose gram IS the sentinel (the only grams
+    starting with NUL — _norm strips NUL from real text), so the old
+    doc-length join exists purely to drop them and a prefix test
+    replaces it."""
     tables, _n = suffix_rank_tables(
         arrays, skew_threshold=skew_threshold, timings=timings
     )
-    pairs = adjacent_lcp(tables, arrays)
-    up = pairs.select(
-        F.col("a_doc").alias("doc_id"), F.col("a_off").alias("off"), "lcp"
-    )
-    dn = pairs.select(
-        F.col("b_doc").alias("doc_id"), F.col("b_off").alias("off"), "lcp"
-    )
-    per_pos = (
-        up.union(dn)
-        .groupBy("doc_id", "off")
-        .agg(F.max("lcp").alias("max_repeat"))
-    )
-    doc_len = arrays.select(
-        "doc_id", (F.size("toks") - 1).alias("n_tokens")
-    )
-    # sentinel sits at off == n_tokens; keep real positions only
-    return (
-        per_pos.join(doc_len, "doc_id")
-        .where(F.col("off") < F.col("n_tokens"))
-        .select("doc_id", "off", "max_repeat")
+    lay, _per_pid = _lcp_layout(tables, arrays)
+    return lay.where(~F.col("_sent")).select(
+        "doc_id",
+        "off",
+        F.greatest(
+            F.coalesce(F.col("_lp"), F.lit(0)),
+            F.coalesce(F.col("_ln"), F.lit(0)),
+        ).alias("max_repeat"),
     )
 
 
@@ -749,39 +1025,18 @@ def union_span_profile(
     )
     arrays = pin(doc_token_arrays(t.unionByName(b)))
     tables, _n = suffix_rank_tables(arrays, skew_threshold=skew_threshold)
-    pairs = adjacent_lcp(tables, arrays)
-    final = tables[max(tables)]
-    is_bench = F.col("doc_id") >= F.lit(BENCH_ID_FLAG)
-    ranks = final.select("doc_id", "off", "rank", is_bench.alias("_b"))
-    lcp_prev = pairs.select(
-        (F.col("rank") + 1).alias("rank"), F.col("lcp").alias("_lp")
-    )
-    lcp_next = pairs.select("rank", F.col("lcp").alias("_ln"))
-    joined = ranks.join(lcp_prev, "rank", "left").join(lcp_next, "rank", "left")
-    # Distributed searchsorted (the operators/ranking.py pattern):
-    # range-partition by rank, FREEZE the layout (repartitionByRange
-    # re-samples bounds per job — a recompute would shift rows across
-    # partitions and corrupt the offsets), collect ONE benchmark-count
-    # long per partition, broadcast cumulative offsets back. The only
-    # data leaving the cluster is O(#partitions). An earlier version
-    # collected the full benchmark rank list and shipped it in every
-    # pandas-UDF closure — corpus-proportional when the benchmark is a
-    # fixed corpus fraction, so it was replaced by this derivation.
-    n_parts = joined.sparkSession.sparkContext.defaultParallelism
-    r = pin(
-        joined.repartitionByRange(n_parts, "rank")
-        .sortWithinPartitions("rank")
-        .withColumn("_pid", F.spark_partition_id()),
-        require_frozen=True,
-        site="suffix.cross_set_segments",
-    )
-    per_pid = {
-        row["_pid"]: row["_bc"]
-        for row in r.groupBy("_pid")
-        .agg(F.sum(F.col("_b").cast("long")).alias("_bc"))
-        .collect()
-    }
-    n_bench = sum(per_pid.values())
+    # Distributed searchsorted (the operators/ranking.py pattern) over
+    # the SHARED rank layout (r14): the layout already carries each
+    # row's adjacent LCPs (_lp/_ln) and its per-partition stats — the
+    # old pair relation + two lcp join-backs + a separate frozen
+    # re-partition for the segments are all gone; the running counts
+    # and the lead/lag LCPs ride ONE (_pid, rank) window exchange. The
+    # only data leaving the cluster is O(#partitions). An earlier
+    # version collected the full benchmark rank list and shipped it in
+    # every pandas-UDF closure — corpus-proportional when the benchmark
+    # is a fixed corpus fraction, so it was replaced by this derivation.
+    lay, per_pid = _lcp_layout(tables, arrays, with_bench_flag=True)
+    n_bench = sum(row["bcnt"] for row in per_pid)
     max_rep = (
         F.greatest(
             F.coalesce(F.col("_lp"), F.lit(0)),
@@ -792,44 +1047,27 @@ def union_span_profile(
     )
     if n_bench == 0:
         # no benchmark suffixes: every cross_repeat is 0 — fall through
-        # to the SAME sentinel/zero-token filtering as the normal path
-        out = r.select(
+        # to the SAME sentinel filtering as the normal path
+        out = lay.select(
             "doc_id",
             "_b",
             "off",
+            "_sent",
             max_rep,
             F.when(~F.col("_b"), F.lit(0)).cast("int").alias("cross_repeat"),
         )
     else:
-        offsets, acc = {}, 0
-        for pid in sorted(per_pid):
-            offsets[pid] = acc
-            acc += per_pid[pid]
-        off_df = F.broadcast(
-            r.sparkSession.createDataFrame(
-                [(pid, off) for pid, off in offsets.items()],
-                "_pid int, _boff long",
-            )
-        )
-        w_cum = (
-            Window.partitionBy("_pid")
-            .orderBy("rank")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
         # inclusive running benchmark count == searchsorted semantics:
         # _su (side=right) counts bench ranks <= rank (a bench row
         # counts itself); _sd (n_bench - side=left) counts bench ranks
         # >= rank (a bench row counts itself, so add its flag back).
-        cnt = F.col("_boff") + F.sum(F.col("_b").cast("long")).over(w_cum)
-        seg = (
-            r.join(off_df, "_pid")
-            .withColumn("_su", cnt)
-            .withColumn(
-                "_sd",
-                F.lit(n_bench)
-                - cnt
-                + F.when(F.col("_b"), F.lit(1)).otherwise(F.lit(0)),
-            )
+        # _cb (the offset-adjusted running count) already rides the
+        # layout's one window stage — no extra exchange here.
+        seg = lay.withColumn("_su", F.col("_cb")).withColumn(
+            "_sd",
+            F.lit(n_bench)
+            - F.col("_cb")
+            + F.when(F.col("_b"), F.lit(1)).otherwise(F.lit(0)),
         )
         w_up = (
             Window.partitionBy("_su")
@@ -853,6 +1091,7 @@ def union_span_profile(
                 "doc_id",
                 "_b",
                 "off",
+                "_sent",
                 max_rep,
                 F.when(
                     ~F.col("_b"),
@@ -865,23 +1104,18 @@ def union_span_profile(
                 .alias("cross_repeat"),
             )
         )
-    # sentinel positions are not real tokens; doc_len keys on the still-
-    # FLAGGED id (bench rows were re-namespaced before tokenization)
-    doc_len = arrays.select("doc_id", (F.size("toks") - 1).alias("_nt"))
-    return (
-        out.join(doc_len, "doc_id")
-        .where(F.col("off") < F.col("_nt"))
-        .select(
-            F.when(
-                F.col("_b"), F.col("doc_id") - F.lit(BENCH_ID_FLAG)
-            )
-            .otherwise(F.col("doc_id"))
-            .alias("doc_id"),
-            F.col("_b").alias("is_bench"),
-            "off",
-            "max_repeat",
-            "cross_repeat",
-        )
+    # sentinel positions are not real tokens; they are exactly the rows
+    # whose gram IS the sentinel (the only grams starting with NUL —
+    # _norm strips NUL from real text), so the layout's flag replaces
+    # the old corpus-sized doc-length join
+    return out.where(~F.col("_sent")).select(
+        F.when(F.col("_b"), F.col("doc_id") - F.lit(BENCH_ID_FLAG))
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.col("_b").alias("is_bench"),
+        "off",
+        "max_repeat",
+        "cross_repeat",
     )
 
 
