@@ -129,19 +129,36 @@ def learn_bpe_merges(
     freq_col: str = "freq",
     batch_k: int = 1,
     candidate_pool: int = 64,
-) -> list[tuple[str, str, int]]:
+    return_symbols: bool = False,
+) -> (
+    list[tuple[str, str, int]]
+    | tuple[list[tuple[str, str, int]], DataFrame]
+):
     """Learn ``num_merges`` BPE merges from a (word, freq) vocabulary.
     Returns [(left, right, weighted_pair_count), ...] in merge order;
     stops early when no pair occurs twice (count 1 merges are noise).
     ``batch_k > 1`` accepts up to that many provably-compatible merges
     per driver round (identical output, ~batch_k× fewer rounds);
-    ``candidate_pool`` caps the rows collected per round."""
+    ``candidate_pool`` caps the rows collected per round.
+
+    ``return_symbols=True`` (r14) additionally returns the final
+    (word, symbols) relation with every accepted merge applied — the
+    post-training tokenization of the STILL-MERGEABLE vocabulary.
+    Words absent from it have exactly ONE BPE token: a word leaves the
+    loop only when its symbol array has shrunk to a single element
+    (or started as one), and ``_apply_merge`` over a singleton is the
+    identity, so no later merge can change it. Consumers that need
+    per-word token counts (``bpe_corpus_compression``) therefore read
+    them as ``coalesce(size(symbols), 1)`` instead of re-applying the
+    whole merge table to the vocabulary from scratch — which re-ran
+    one fold + one checkpoint PER MERGE (``bpe_token_counts``)."""
     df = words_to_symbols(vocab, word_col).select(
-        F.col(freq_col).alias("freq"), "symbols"
+        word_col, F.col(freq_col).alias("freq"), "symbols"
     )
     df = df.where(F.size("symbols") >= 2).transform(pin)
 
     merges: list[tuple[str, str, int]] = []
+    folds_since_pin = 0
     while len(merges) < num_merges:
         pairs = (
             df.select(
@@ -168,9 +185,25 @@ def learn_bpe_merges(
         if not accepted:
             break
         merges.extend(accepted)
+        if len(merges) >= num_merges and not return_symbols:
+            # r14: the re-merged relation would never be consumed —
+            # skip the final fold + checkpoint job
+            break
         for left, right, _n in accepted:
             df = df.withColumn("symbols", _apply_merge(left, right))
-        df = df.where(F.size("symbols") >= 2).transform(pin)
+        df = df.where(F.size("symbols") >= 2)
+        folds_since_pin += len(accepted)
+        # r14: checkpoint on lineage DEPTH, not per round — a fold over
+        # the vocabulary-sized relation is a cheap map, so re-deriving
+        # a handful of them from the last checkpoint beats paying a
+        # materialization job every round (~1 job per round at the
+        # bench's 4-round learn); deep merge tables still truncate
+        # every 8 folds, so plans never grow with num_merges.
+        if folds_since_pin >= 8:
+            df = pin(df)
+            folds_since_pin = 0
+    if return_symbols:
+        return merges, df.select(word_col, "symbols")
     return merges
 
 
@@ -179,9 +212,11 @@ def learn_bpe_from_texts(
     text_col: str = "text",
     num_merges: int = 8,
     batch_k: int = 1,
-) -> list[tuple[str, str, int]]:
+    return_symbols: bool = False,
+):
     """End-to-end: whitespace words -> frequency vocabulary (the big
-    corpus-shrinking aggregation) -> merge learning."""
+    corpus-shrinking aggregation) -> merge learning.
+    ``return_symbols`` as in ``learn_bpe_merges``."""
     vocab = (
         docs.select(
             F.explode(F.split(F.trim(text_col), " +")).alias("word")
@@ -190,7 +225,9 @@ def learn_bpe_from_texts(
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    return learn_bpe_merges(vocab, num_merges, batch_k=batch_k)
+    return learn_bpe_merges(
+        vocab, num_merges, batch_k=batch_k, return_symbols=return_symbols
+    )
 
 
 def bpe_token_counts(

@@ -872,18 +872,35 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang) rollup. Oracled via the same unrolled DuckDB merge chain as
     ``bpe_learn_merges`` (one IEEE division for chars_per_token);
     additionally pytest-verified exactly vs the sequential Python
-    reference (tests/test_bpe.py)."""
-    from ..operators.bpe import bpe_token_counts, learn_bpe_from_texts
+    reference (tests/test_bpe.py).
+
+    r14 (guide §2.1, evaluate once): the learner's final symbol
+    relation IS the fully-merged tokenization of every still-mergeable
+    word (the loop applies each accepted merge with the same fold
+    ``bpe_token_counts`` would), and every word it dropped is exactly
+    one BPE token (see learn_bpe_merges), so per-word counts are
+    ``coalesce(size(symbols), 1)`` over a LEFT join — the old
+    re-tokenization of the vocabulary from scratch re-ran one merge
+    fold + one lineage checkpoint PER MERGE (6 extra jobs per
+    evaluation) to recompute a relation the learner already held."""
+    from ..operators.bpe import learn_bpe_from_texts
 
     d = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_from_texts(d, "text", num_merges=6, batch_k=4)
+    merges, final_syms = learn_bpe_from_texts(
+        d, "text", num_merges=6, batch_k=4, return_symbols=True
+    )
     words = d.select(
         "lang", F.explode(F.split(F.trim("text"), " +")).alias("word")
     ).where(F.col("word") != "")
-    vocab = words.select("word").distinct()
-    counts = bpe_token_counts(vocab, merges)
+    counts = final_syms.select(
+        "word", F.size("symbols").cast("long").alias("n_bpe_tokens")
+    )
     return (
-        words.join(F.broadcast(counts), "word")
+        words.join(F.broadcast(counts), "word", "left")
+        .withColumn(
+            "n_bpe_tokens",
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(1).cast("long")),
+        )
         .groupBy("lang")
         .agg(
             F.sum(F.length("word")).alias("n_chars"),

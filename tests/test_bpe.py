@@ -191,3 +191,41 @@ def test_batched_merges_corpus_and_round_reduction(spark):
     seq = learn_bpe_from_texts(d, "text", num_merges=5)
     bat = learn_bpe_from_texts(d, "text", num_merges=5, batch_k=4)
     assert bat == seq
+
+
+def test_return_symbols_counts_equal_token_counts(spark):
+    """r14: bpe_corpus_compression reads per-word token counts from the
+    learner's final symbol relation (coalesce(size(symbols), 1)) — they
+    must equal bpe_token_counts' re-application of the merge table for
+    EVERY vocabulary word, including words that left the loop early
+    (single-symbol words: exactly one BPE token)."""
+    import pyspark.sql.functions as F
+
+    from databricks_end_to_end_streaming_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 1,
+             "aa": 4, "aaa": 2}
+    df = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    for batch_k in (1, 4):
+        merges, syms = learn_bpe_merges(
+            df, num_merges=4, batch_k=batch_k, return_symbols=True
+        )
+        words = spark.createDataFrame([(w,) for w in vocab], "word string")
+        via_symbols = {
+            r["word"]: r["n"]
+            for r in words.join(
+                syms.select("word", F.size("symbols").alias("n")),
+                "word",
+                "left",
+            )
+            .withColumn("n", F.coalesce("n", F.lit(1)))
+            .collect()
+        }
+        via_apply = {
+            r["word"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts(words, merges).collect()
+        }
+        assert via_symbols == via_apply, (batch_k, via_symbols, via_apply)
