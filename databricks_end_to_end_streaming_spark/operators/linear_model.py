@@ -144,6 +144,33 @@ def logistic_train(
     (engine order) — rows-only by design; exactness evidence is the
     NumPy twin pytest (tolerance-pinned weights, sign-exact
     predictions), not a SQL hash replay."""
+    return logistic_train_multi(
+        [(dense, labels, dim)], n_steps=n_steps, l2=l2
+    )[0]
+
+
+def logistic_train_multi(
+    models: list[tuple[DataFrame, DataFrame, int]],
+    n_steps: int = 8,
+    l2: float = 1e-3,
+) -> list[list[float]]:
+    """Train several INDEPENDENT full-batch IRLS models with ONE Spark
+    job per Newton step — r14 (VERDICT r13 #7, guide §2.6 taken past
+    the two-driver-thread overlap the r10 build used): each model's
+    pinned training relation is tagged with a model id and union'd, so
+    one map-only sigmoid pass + one Arrow-batched partials reduction +
+    one (model, i, j) aggregation carries EVERY model's step, and the
+    driver applies each model's damped Newton update from its slice of
+    the one collected result. ``models``: [(dense, labels, dim), ...];
+    returns the per-model weight lists in order.
+
+    Batch arithmetic is bit-identical to training each model alone:
+    the per-model relations are pinned SEPARATELY (same blocks, same
+    Arrow batches as the single-model path — a union concatenates its
+    children's partitions, so no batch ever mixes models), the within-
+    batch NumPy chain is unchanged, and the final per-(model, i, j)
+    sums reduce the same partial multisets. Counts ride one grouped
+    job instead of one count action per model."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -151,60 +178,82 @@ def logistic_train(
 
     from ..pin import pin
 
-    j = pin(
-        _with_intercept(dense).join(labels, "doc_id").select("x", "lab")
-    )
-    n = j.count()
-    if n == 0:
-        raise ValueError("logistic_train needs a non-empty training set")
-    dimp1 = dim + 1
-    iu, ju = np.triu_indices(dimp1)
+    js = [
+        pin(_with_intercept(dense).join(labels, "doc_id").select("x", "lab"))
+        for dense, labels, _dim in models
+    ]
+    tagged = None
+    for m, j in enumerate(js):
+        t = j.select(F.lit(m).alias("_m"), "x", "lab")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    ns = {
+        int(r["_m"]): int(r["n"])
+        for r in tagged.groupBy("_m").agg(F.count("*").alias("n")).collect()
+    }
+    for m, _ in enumerate(models):
+        if ns.get(m, 0) == 0:
+            raise ValueError("logistic_train needs a non-empty training set")
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.asarray(pdf["x"].tolist(), dtype=np.float64)
-            p = pdf["_p"].to_numpy(dtype=np.float64)
-            y = pdf["lab"].to_numpy(dtype=np.float64)
-            s = p * (1.0 - p)
-            H = (X * s[:, None]).T @ X
-            g = X.T @ (p - y)
-            yield pd.DataFrame(
-                {
-                    "i": np.concatenate([iu, np.arange(dimp1)]),
-                    "j": np.concatenate([ju, np.full(dimp1, -1)]),
-                    "v": np.concatenate([H[iu, ju], g]),
-                }
-            )
+            # a batch never spans models (per-model pins + union), but
+            # group defensively — with one group this is the identity
+            for m, g in pdf.groupby("_m", sort=False):
+                X = np.asarray(g["x"].tolist(), dtype=np.float64)
+                p = g["_p"].to_numpy(dtype=np.float64)
+                y = g["lab"].to_numpy(dtype=np.float64)
+                s = p * (1.0 - p)
+                H = (X * s[:, None]).T @ X
+                gr = X.T @ (p - y)
+                d = X.shape[1]
+                iu, ju = np.triu_indices(d)
+                yield pd.DataFrame(
+                    {
+                        "m": int(m),
+                        "i": np.concatenate([iu, np.arange(d)]),
+                        "j": np.concatenate([ju, np.full(d, -1)]),
+                        "v": np.concatenate([H[iu, ju], gr]),
+                    }
+                )
 
-    w = [0.0] * dimp1
+    ws = [[0.0] * (dim + 1) for _dense, _labels, dim in models]
     for _ in range(n_steps):
-        z = logistic_margin("x", w)
-        scored = j.select(
-            "x",
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("_p"),
-            F.col("lab").cast("double").alias("lab"),
-        )
+        scored = None
+        for m, j in enumerate(js):
+            z = logistic_margin("x", ws[m])
+            s = j.select(
+                F.lit(m).alias("_m"),
+                "x",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("_p"),
+                F.col("lab").cast("double").alias("lab"),
+            )
+            scored = s if scored is None else scored.unionByName(s)
         rows = (
-            scored.mapInPandas(partials, "i int, j int, v double")
-            .groupBy("i", "j")
+            scored.mapInPandas(partials, "m int, i int, j int, v double")
+            .groupBy("m", "i", "j")
             .agg(F.sum("v").alias("v"))
             .collect()
         )
-        H = np.zeros((dimp1, dimp1))
-        g = np.zeros(dimp1)
+        per_model: dict[int, list] = {}
         for r in rows:
-            if r["j"] == -1:
-                g[r["i"]] = r["v"]
-            else:
-                H[r["i"], r["j"]] = r["v"]
-                H[r["j"], r["i"]] = r["v"]
-        wv = np.asarray(w)
-        grad = g / n + l2 * wv
-        hess = H / n + l2 * np.eye(dimp1)
-        w = (wv + np.linalg.solve(hess, -grad)).tolist()
-    return w
+            per_model.setdefault(int(r["m"]), []).append(r)
+        for m, (_dense, _labels, dim) in enumerate(models):
+            dimp1 = dim + 1
+            H = np.zeros((dimp1, dimp1))
+            g = np.zeros(dimp1)
+            for r in per_model.get(m, []):
+                if r["j"] == -1:
+                    g[r["i"]] = r["v"]
+                else:
+                    H[r["i"], r["j"]] = r["v"]
+                    H[r["j"], r["i"]] = r["v"]
+            wv = np.asarray(ws[m])
+            grad = g / ns[m] + l2 * wv
+            hess = H / ns[m] + l2 * np.eye(dimp1)
+            ws[m] = (wv + np.linalg.solve(hess, -grad)).tolist()
+    return ws
 
 
 def logistic_scores(dense: DataFrame, w: list[float]) -> DataFrame:

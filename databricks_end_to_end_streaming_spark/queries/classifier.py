@@ -393,35 +393,34 @@ def _logistic_parts(docs: DataFrame, ablation: bool = False):
             l2=LOGISTIC_L2,
         )
         return dense, labels, w, cent
-    # The two models are independent given their pinned inputs, but each
-    # IRLS step is a small job over a cached relation, so sequential
-    # training pays 2 x n_steps of scheduling latency. Run them on two
-    # driver threads: Spark schedules the step jobs concurrently and the
-    # weights are BIT-IDENTICAL to sequential training (same pinned
-    # inputs, same partitioning, same Arrow batches per model — only the
-    # job streams overlap). Measured same-session A/B at sf0.1
-    # (best-of-3): sequential 9.589 s -> threaded 6.817 s (-29%);
-    # weights verified bit-identical for both models at sf0.001.
-    from concurrent.futures import ThreadPoolExecutor
+    # The two models are independent given their pinned inputs, and
+    # each IRLS step is one small job over a cached relation. r13 ran
+    # them on two driver threads (sequential 9.589 s -> threaded
+    # 6.817 s, weights bit-identical); r14 (VERDICT r13 #7, guide §2.6)
+    # goes further and STACKS both models' step into ONE Spark job via
+    # logistic_train_multi — 2 x n_steps step jobs + 2 count actions
+    # collapse to n_steps + 1, with per-batch arithmetic (and therefore
+    # the weights) unchanged: the per-model relations stay separately
+    # pinned, so Arrow batches never mix models (weights re-verified
+    # bit-identical to the single-model path at sf0.001 + sf0.01).
+    from ..operators.linear_model import logistic_train_multi
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_full = ex.submit(
-            logistic_train,
-            dense.join(train_ids, "doc_id", "leftsemi"),
-            train_lab,
-            LOGISTIC_DIM + 1,
-            n_steps=LOGISTIC_STEPS,
-            l2=LOGISTIC_L2,
-        )
-        f_abl = ex.submit(
-            logistic_train,
-            hashed.join(train_ids, "doc_id", "leftsemi"),
-            train_lab,
-            LOGISTIC_DIM,
-            n_steps=LOGISTIC_STEPS,
-            l2=LOGISTIC_L2,
-        )
-        w, w_abl = f_full.result(), f_abl.result()
+    w, w_abl = logistic_train_multi(
+        [
+            (
+                dense.join(train_ids, "doc_id", "leftsemi"),
+                train_lab,
+                LOGISTIC_DIM + 1,
+            ),
+            (
+                hashed.join(train_ids, "doc_id", "leftsemi"),
+                train_lab,
+                LOGISTIC_DIM,
+            ),
+        ],
+        n_steps=LOGISTIC_STEPS,
+        l2=LOGISTIC_L2,
+    )
     return dense, labels, w, cent, hashed, w_abl
 
 
