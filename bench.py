@@ -524,6 +524,21 @@ def _bench_span_profile(spark, sf_dir: str) -> dict:
         shared_span_profile,
     )
 
+    # r14 (VERDICT r13 "what's wrong" #3): the three consumer numbers
+    # (sa_repeated_span_stats_sec, exact_substr_cut_sec,
+    # decontaminate_exact_substr_sec) are INCREMENTAL on this shared
+    # build — they time the consumer work over the already-pinned
+    # profile; the family's true combined wall is this number plus
+    # those three. The label ships in the extras JSON so nobody reads
+    # the consumer seconds as standalone costs.
+    note = {
+        "span_profile_note": (
+            "sa_repeated_span_stats/exact_substr_cut/"
+            "decontaminate_exact_substr _sec are incremental on the "
+            "shared profile; family total = span_profile_build_sec + "
+            "those three"
+        )
+    }
     best = float("inf")
     for _trial in range(2):  # best-of-2, same as every other number
         # clear() drops the only reference to trial-1's pinned profile;
@@ -543,7 +558,7 @@ def _bench_span_profile(spark, sf_dir: str) -> dict:
         # materializes the profile; the count proves it and is ~free
         shared_span_profile(spark, sf_dir).count()
         best = min(best, time.time() - t0)
-    return {"span_profile_build_sec": round(best, 3)}
+    return {"span_profile_build_sec": round(best, 3), **note}
 
 
 def _bench_logistic_train(spark, sf_dir: str) -> dict:
